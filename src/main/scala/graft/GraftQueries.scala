@@ -1,0 +1,509 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analyse.Topo
+import graft.anonymise.{Anonymiser, Faker}
+import graft.config._
+import graft.dialect.{SqliteDialect, SqlValueCodec}
+import graft.export.ExportPipeline
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.ParquetSource
+import graft.streaming.EventsStream
+
+/** The engine's query catalog: one entry per operator from SURVEY.md §2
+  * (O1-O22 parity) plus the [EXT] LLM-pipeline operators. Each `q*` has a
+  * DuckDB oracle in `Oracles` with matching column names/types.
+  *
+  * Numeric determinism convention: money sums go through
+  * `CAST(double AS DECIMAL)` before SUM so the aggregate is exact and
+  * order-independent, then back to DOUBLE — both engines produce
+  * bit-identical results regardless of row order at any scale.
+  */
+object GraftQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    ParquetSource.normalizeNanoTimestamps(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** sum(cast(x as decimal(18,2))) rendered back to double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def revenueTerm(price: Column, discount: Column): Column =
+    (price * (lit(1.0) - discount)).cast("decimal(18,4)")
+
+  // ---------------------------------------------------------------- parity
+
+  /** O1: catalog scan — table listing, alphabetical. */
+  def o1Tables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ParquetSource(s, dir).tables.toDF("table_name")
+  }
+
+  /** O2: DDL extraction per table. */
+  def o2Ddl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = ParquetSource(s, dir)
+    src.tables.map(t => (t, src.schemaDDL(t))).toDF("table_name", "ddl")
+  }
+
+  /** O3: column metadata scan. */
+  def o3Columns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = ParquetSource(s, dir)
+    src.tables.flatMap { t =>
+      src.columns(t).zipWithIndex.map { case (c, i) =>
+        (t, (i + 1).toLong, c.name, c.dataType, c.isNullable)
+      }
+    }.toDF("table_name", "ordinal", "column_name", "data_type", "is_nullable")
+  }
+
+  /** O4: FK metadata scan. */
+  def o4ForeignKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ParquetSource(s, dir).foreignKeys
+      .map(fk => (fk.table, fk.column, fk.referencedTable, fk.referencedColumn))
+      .toDF("table_name", "column_name", "referenced_table", "referenced_column")
+  }
+
+  /** O5: COUNT(*) per table (parquet: metadata-only count). */
+  def o5RowCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = ParquetSource(s, dir)
+    src.tables.map(t => (t, src.rowCount(t))).toDF("table_name", "n_rows")
+  }
+
+  /** O6: scan + explicit projection. */
+  def o6ScanProject(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select("o_orderkey", "o_totalprice")
+
+  /** O7: the reference's one predicate form — strict `>` on a date col. */
+  def o7FilterDate(s: SparkSession, dir: String): DataFrame =
+    ParquetSource(s, dir)
+      .scan("orders", RetainAfter("o_orderdate", GraftConfig.parseDate("1998-01-01")))
+      .select("o_orderkey", "o_orderdate")
+
+  /** O8: LIMIT without ORDER BY — row set is arbitrary, so the checkable
+    * invariant is the cardinality.
+    */
+  def o8Limit(s: SparkSession, dir: String): DataFrame =
+    ParquetSource(s, dir).scan("orders", RetainCount(100))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** O9: batched row materialisation — drive the scan through the sink's
+    * iterator contract and report the batch arithmetic.
+    */
+  def o9Batching(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = tbl(s, dir, "lineitem").select("l_orderkey")
+    val it = df.toLocalIterator()
+    var rows = 0L
+    var batches = 0L
+    var inBatch = 0
+    while (it.hasNext) {
+      it.next(); rows += 1; inBatch += 1
+      if (inBatch == 1000) { batches += 1; inBatch = 0 }
+    }
+    if (inBatch > 0) batches += 1
+    Seq((rows, 1000L, batches)).toDF("n_rows", "batch_size", "n_batches")
+  }
+
+  /** O10: anonymise — null + static rules (value-checkable part). */
+  def o10AnonymiseRules(s: SparkSession, dir: String): DataFrame = {
+    val tc = TableConfig(columns = Map(
+      "c_mktsegment" -> StaticRule("REDACTED"),
+      "c_acctbal"    -> NullRule))
+    Anonymiser(tbl(s, dir, "customer"), tc)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+  }
+
+  /** O11: consistency map — structural contract: the same original value
+    * maps to the same fake everywhere (across two different tables), and
+    * distinct originals keep distinct fakes.
+    */
+  def o11Consistency(s: SparkSession, dir: String): DataFrame = {
+    val rule = TableConfig(columns = Map("c_name" -> FakerRule("name")))
+    val customers = Anonymiser(tbl(s, dir, "customer"), rule)
+      .select(col("c_custkey"), col("c_name").as("fake_a"))
+    val viaOrders = Anonymiser(
+      tbl(s, dir, "orders").join(tbl(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey")).select("o_orderkey", "o_custkey", "c_name"),
+      rule)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name").as("fake_b"))
+    val joined = viaOrders.join(customers, viaOrders("o_custkey") === customers("c_custkey"))
+    val origDistinct = tbl(s, dir, "customer").select(countDistinct("c_name")).first.getLong(0)
+    // orig → fake is a function: #distinct (orig, fake) pairs == #distinct orig
+    val mappingDistinct = Anonymiser(
+      tbl(s, dir, "customer").select(col("c_name").as("orig"), col("c_name")),
+      rule).select(col("orig"), col("c_name")).distinct().count()
+    joined.agg(
+      count(lit(1)).as("n_pairs_checked"),
+      sum(when(col("fake_a") =!= col("fake_b"), 1L).otherwise(0L)).as("n_violations"),
+      lit(origDistinct).as("n_distinct_orig"),
+      lit(mappingDistinct).as("n_distinct_mappings"))
+  }
+
+  /** O12: faker generators — output-format contracts over many seeds. */
+  def o12FakerFormats(s: SparkSession, dir: String): DataFrame = {
+    val contracts: Seq[(String, String)] = Seq(
+      "name"      -> "^[A-Za-z]+ [A-Za-z]+$",
+      "firstName" -> "^[A-Za-z]+$",
+      "lastName"  -> "^[A-Za-z]+$",
+      "email"     -> "^[^@]+@[^@]+\\.[^@]+$",
+      "phone"     -> "^[0-9]{10}$",
+      "address"   -> "^[0-9]+ [A-Za-z]+ [A-Za-z]+$",
+      "city"      -> "^[A-Za-z]+$",
+      "country"   -> "^[A-Za-z ]+$",
+      "company"   -> "^[A-Za-z]+ [A-Za-z]+$",
+      "uuid"      -> "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$",
+      "username"  -> "^[a-z]+[0-9]+$",
+      "password"  -> "^.{32}$",
+      "ipv4"      -> "^([0-9]{1,3}\\.){3}[0-9]{1,3}$",
+      "date"      -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+      "text"      -> "^[A-Z][a-z]*( [a-z]+){9}\\.$",
+      "number"    -> "^[0-9]{8}$",
+    )
+    val seeds = tbl(s, dir, "customer").select(col("c_custkey").as("seed"))
+    contracts.map { case (fn, pattern) =>
+      val gen = udf((seed: Long) => Faker.generate(fn, seed))
+      seeds.select(gen(col("seed")).as("v"))
+        .agg(
+          sum(when(col("v").rlike(pattern), 1L).otherwise(0L)).as("n_ok"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(fn).as("function_name"), col("n_ok"), col("n_rows"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** O14: truncate — schema only, zero rows. */
+  def o14Truncate(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select("c_custkey", "c_name").limit(0)
+
+  /** O15: FK topological sort (Kahn, cycle-tolerant). */
+  def o15TopoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = ParquetSource(s, dir)
+    Topo.sortTablesByDependency(src.tables, src.foreignKeys)
+      .zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      .toDF("position", "table_name")
+  }
+
+  /** The export config used by o16/o21 — exercises truncate, both retain
+    * modes, and anonymisation in one pipeline.
+    */
+  def exportConfig: GraftConfig = GraftConfig(
+    Connection("sqlite", file = "fixture"),
+    Map(
+      "events"   -> TableConfig(truncate = true),
+      "orders"   -> TableConfig(retain = RetainAfter("o_orderdate", GraftConfig.parseDate("1998-01-01"))),
+      "lineitem" -> TableConfig(retain = RetainCount(5000)),
+      "customer" -> TableConfig(columns = Map(
+        "c_name" -> FakerRule("name"), "c_mktsegment" -> StaticRule("REDACTED"))),
+    ),
+    Seq("events", "orders", "lineitem", "customer"))
+
+  /** O16+O17: the SQL-dump sink end-to-end; checkable invariants are the
+    * stats + statement counts (exact dump text is golden-tested in the
+    * suite).
+    */
+  def o16DumpStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = new java.io.StringWriter()
+    val stats = ExportPipeline.run(
+      ParquetSource(s, dir), exportConfig, SqliteDialect, out,
+      timestamp = () => "1970-01-01T00:00:00Z")
+    val text = out.toString
+    val inserts = text.linesIterator.count(_.startsWith("INSERT INTO "))
+    val creates = text.linesIterator.count(_.startsWith("CREATE TABLE "))
+    val drops = text.linesIterator.count(_.startsWith("DROP TABLE IF EXISTS "))
+    Seq((stats.tablesExported, stats.tablesTruncated, stats.rowsExported,
+      inserts.toLong, creates.toLong, drops.toLong))
+      .toDF("tables_exported", "tables_truncated", "rows_exported",
+        "n_insert_stmts", "n_create_stmts", "n_drop_stmts")
+  }
+
+  /** O17: value → SQL-literal codec as a transform. */
+  def o17Codec(s: SparkSession, dir: String): DataFrame = {
+    val esc = udf((t: String) => SqlValueCodec.escapeString(t))
+    tbl(s, dir, "documents").select(col("doc_id"), esc(col("text")).as("sql_literal"))
+  }
+
+  /** O20: config sync — set difference of catalog vs configured tables. */
+  def o20Sync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, missing) = ExportPipeline.sync(ParquetSource(s, dir), exportConfig, truncate = false)
+    missing.toDF("table_name")
+  }
+
+  /** O21: dry-run planner — the compiled per-table plan. */
+  def o21DryRun(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ExportPipeline.plan(ParquetSource(s, dir), exportConfig)
+      .zipWithIndex.map { case (p, i) =>
+        val action = p.action match {
+          case a if a.startsWith("RETAIN-DATE")  => "RETAIN-DATE"
+          case a if a.startsWith("RETAIN-COUNT") => "RETAIN-COUNT"
+          case a                                 => a
+        }
+        ((i + 1).toLong, p.meta.name, p.meta.rowCount, action,
+          p.anonymisedColumns.size.toLong)
+      }
+      .toDF("position", "table_name", "n_rows", "action", "n_anon_columns")
+  }
+
+  // ----------------------------------------------------------- analytics
+
+  /** TPC-H Q1-shaped pricing summary (groupBy-agg, the canonical
+    * partial+final hash aggregate).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: 3-way join + agg + deterministic top-N. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+    val l = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: 6-way star join + agg — the broadcast-dimension
+    * showcase (region/nation/supplier broadcast; fact tables shuffle once).
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = tbl(s, dir, "nation")
+    val customer = tbl(s, dir, "customer")
+    val supplier = tbl(s, dir, "supplier")
+    val orders = tbl(s, dir, "orders")
+    val lineitem = tbl(s, dir, "lineitem")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k aggregation: highest-revenue customers. */
+  def qTopCustomers(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(25)
+
+  /** Window functions: per-customer order ranking. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Semi join: customers having orders (EXISTS). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+
+  /** Distinct (shuffle dedup on composite key). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+  /** Set ops: INTERSECT. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").filter(col("c_acctbal") > 5000).select("c_custkey")
+      .intersect(tbl(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** Set ops: EXCEPT. */
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select("c_custkey")
+      .except(tbl(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** Set ops: UNION ALL. */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "region").select(col("r_name").as("name"))
+      .unionAll(tbl(s, dir, "nation").select(col("n_name").as("name")))
+
+  /** ROLLUP grouping sets. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** JSON extraction from the events props column. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
+
+  /** Tumbling-window aggregation (batch form of the streaming op). */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Gap-based sessionisation via window functions (micros-exact gap). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    EventsStream.sessionizeBatch(tbl(s, dir, "events"), gapMinutes = 30)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+
+  // ------------------------------------------------------- dedup / text
+
+  /** Exact dedup by normalised content digest. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** MinHash + LSH banding + exact verify (≡ exact threshold join). */
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+
+  /** SimHash + pigeonhole blocking, verified at J=1.0 (identical shingle
+    * sets ⇒ Hamming 0 ⇒ exact blocking recall).
+    */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, threshold = 1.0)
+
+  /** Exact n-gram Jaccard threshold join (shared-shingle candidates). */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+
+  /** Embedding cosine near-dup pairs (exact threshold join). */
+  def d5EmbeddingDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.45)
+      .select("id_a", "id_b")
+
+  /** Brute-force exact cosine top-k for a broadcast query set. */
+  def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+  }
+
+  /** LSH-bucketed ANN top-k — the approximate scale path (no SQL oracle:
+    * recall vs brute force is asserted in the test suite instead).
+    */
+  def s2KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10, bits = 8, probes = 4)
+  }
+
+  /** Text quality features + composite score. */
+  def t1TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
+      .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality_score")
+
+  /** Language-ID heuristic — predicted language counts. */
+  def t2LangId(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** BPE-ish regex token counting. */
+  def t3TokenCounts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+
+  /** Document fingerprinting (normalised digest). */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
+  def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
+      .select("asset_id", "media_type", "n_bytes")
+
+  /** Frame-sampling spec for the video subset. */
+  def mm2FrameSamples(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamples(
+      Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents"))),
+      everyMs = 1000L)
+      .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+
+  /** All queries, keyed for the driver harness. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o1_tables"          -> (o1Tables _),
+    "o2_ddl"             -> (o2Ddl _),
+    "o3_columns"         -> (o3Columns _),
+    "o4_foreign_keys"    -> (o4ForeignKeys _),
+    "o5_row_counts"      -> (o5RowCounts _),
+    "o6_scan_project"    -> (o6ScanProject _),
+    "o7_filter_date"     -> (o7FilterDate _),
+    "o8_limit"           -> (o8Limit _),
+    "o9_batching"        -> (o9Batching _),
+    "o10_anonymise_rules" -> (o10AnonymiseRules _),
+    "o11_consistency"    -> (o11Consistency _),
+    "o12_faker_formats"  -> (o12FakerFormats _),
+    "o14_truncate"       -> (o14Truncate _),
+    "o15_topo_order"     -> (o15TopoOrder _),
+    "o16_dump_stats"     -> (o16DumpStats _),
+    "o17_codec"          -> (o17Codec _),
+    "o20_sync"           -> (o20Sync _),
+    "o21_dry_run"        -> (o21DryRun _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier"  -> (q5LocalSupplier _),
+    "q_top_customers"    -> (qTopCustomers _),
+    "q_window_rank"      -> (qWindowRank _),
+    "q_semi_join"        -> (qSemiJoin _),
+    "q_anti_join"        -> (qAntiJoin _),
+    "q_distinct"         -> (qDistinct _),
+    "q_intersect"        -> (qIntersect _),
+    "q_except"           -> (qExcept _),
+    "q_union_all"        -> (qUnionAll _),
+    "q_rollup"           -> (qRollup _),
+    "q_json_extract"     -> (qJsonExtract _),
+    "q_events_hourly"    -> (qEventsHourly _),
+    "q_sessionize"       -> (qSessionize _),
+    "d1_exact_dedup"     -> (d1ExactDedup _),
+    "d2_minhash_lsh"     -> (d2MinhashLsh _),
+    "d3_simhash"         -> (d3Simhash _),
+    "d4_ngram_jaccard"   -> (d4NgramJaccard _),
+    "d5_embedding_dups"  -> (d5EmbeddingDups _),
+    "s1_knn_brute"       -> (s1KnnBrute _),
+    "s2_knn_lsh"         -> (s2KnnLsh _),
+    "t1_text_stats"      -> (t1TextStats _),
+    "t2_lang_id"         -> (t2LangId _),
+    "t3_token_counts"    -> (t3TokenCounts _),
+    "t4_fingerprint"     -> (t4Fingerprint _),
+    "mm1_decode_meta"    -> (mm1DecodeMeta _),
+    "mm2_frame_samples"  -> (mm2FrameSamples _),
+  )
+}

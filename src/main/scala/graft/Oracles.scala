@@ -1,0 +1,386 @@
+package graft
+
+/** DuckDB oracle SQL for each query in `GraftQueries.all`. Column names
+  * and types are aligned with the Spark results (the driver sorts columns
+  * by name and hash-compares values). Conventions:
+  *  - counts / integer sums are CAST(... AS BIGINT) (DuckDB's SUM on
+  *    integers yields HUGEINT, Spark yields LONG);
+  *  - money aggregates route through DECIMAL then DOUBLE on both sides so
+  *    they are exact and order-independent;
+  *  - time arithmetic uses integer microseconds (epoch_us ↔ unix_micros).
+  */
+object Oracles {
+
+  private val tableList = Seq("customer", "documents", "embeddings", "events",
+    "lineitem", "nation", "orders", "part", "region", "supplier")
+
+  /** Word-3-gram shingle CTEs shared by the near-dup oracles. */
+  private def shingleCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shs
+      |  FROM toks WHERE len(t) >= 3),
+      |sx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      |  FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""$shingleCtes
+       |SELECT ia AS id_a, ib AS id_b,
+       |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON ia = sa.doc_id
+       |JOIN sizes sb ON ib = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold""".stripMargin
+
+  private val langScoreExprs = Seq(
+    "en" -> """len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b'))""",
+    "de" -> """len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|den|von)\b'))""",
+    "fr" -> """len(regexp_extract_all(text, '\b(le|la|les|et|est|une|dans|que|pour|pas)\b'))""",
+    "es" -> """len(regexp_extract_all(text, '\b(el|los|las|y|es|una|en|que|por|con)\b'))""",
+    "zh" -> """len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))""",
+  )
+
+  val all: Map[String, String] = Map(
+
+    "o1_tables" ->
+      tableList.map(t => s"SELECT '$t' AS table_name").mkString(" UNION ALL "),
+
+    "o2_ddl" -> {
+      val rows = Seq(
+        "customer" -> "CREATE TABLE \"customer\" (\n  \"c_custkey\" BIGINT,\n  \"c_name\" TEXT,\n  \"c_nationkey\" INTEGER,\n  \"c_acctbal\" DOUBLE PRECISION,\n  \"c_mktsegment\" TEXT\n);",
+        "documents" -> "CREATE TABLE \"documents\" (\n  \"doc_id\" BIGINT,\n  \"text\" TEXT,\n  \"lang\" TEXT,\n  \"source\" TEXT,\n  \"n_chars\" BIGINT\n);",
+        "embeddings" -> "CREATE TABLE \"embeddings\" (\n  \"vec_id\" BIGINT,\n  \"embedding\" ARRAY<REAL>,\n  \"label\" INTEGER\n);",
+        "events" -> "CREATE TABLE \"events\" (\n  \"event_id\" BIGINT,\n  \"ts\" TIMESTAMP,\n  \"user_id\" BIGINT,\n  \"event_type\" TEXT,\n  \"value\" DOUBLE PRECISION,\n  \"props\" TEXT\n);",
+        "lineitem" -> "CREATE TABLE \"lineitem\" (\n  \"l_orderkey\" BIGINT,\n  \"l_partkey\" BIGINT,\n  \"l_suppkey\" BIGINT,\n  \"l_linenumber\" INTEGER,\n  \"l_quantity\" DOUBLE PRECISION,\n  \"l_extendedprice\" DOUBLE PRECISION,\n  \"l_discount\" DOUBLE PRECISION,\n  \"l_tax\" DOUBLE PRECISION,\n  \"l_returnflag\" TEXT,\n  \"l_linestatus\" TEXT,\n  \"l_shipdate\" TIMESTAMP\n);",
+        "nation" -> "CREATE TABLE \"nation\" (\n  \"n_nationkey\" INTEGER,\n  \"n_name\" TEXT,\n  \"n_regionkey\" INTEGER\n);",
+        "orders" -> "CREATE TABLE \"orders\" (\n  \"o_orderkey\" BIGINT,\n  \"o_custkey\" BIGINT,\n  \"o_orderstatus\" TEXT,\n  \"o_totalprice\" DOUBLE PRECISION,\n  \"o_orderdate\" TIMESTAMP,\n  \"o_orderpriority\" TEXT\n);",
+        "part" -> "CREATE TABLE \"part\" (\n  \"p_partkey\" BIGINT,\n  \"p_name\" TEXT,\n  \"p_brand\" TEXT,\n  \"p_type\" TEXT,\n  \"p_size\" INTEGER,\n  \"p_retailprice\" DOUBLE PRECISION\n);",
+        "region" -> "CREATE TABLE \"region\" (\n  \"r_regionkey\" INTEGER,\n  \"r_name\" TEXT\n);",
+        "supplier" -> "CREATE TABLE \"supplier\" (\n  \"s_suppkey\" BIGINT,\n  \"s_name\" TEXT,\n  \"s_nationkey\" INTEGER,\n  \"s_acctbal\" DOUBLE PRECISION\n);",
+      )
+      rows.map { case (t, ddl) =>
+        val lit = ddl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        s"SELECT '$t' AS table_name, '$lit' AS ddl"
+      }.mkString(" UNION ALL ")
+    },
+
+    "o3_columns" -> {
+      val values =
+        """('customer',1,'c_custkey','BIGINT',true),('customer',2,'c_name','TEXT',true),
+          |('customer',3,'c_nationkey','INTEGER',true),('customer',4,'c_acctbal','DOUBLE PRECISION',true),
+          |('customer',5,'c_mktsegment','TEXT',true),
+          |('documents',1,'doc_id','BIGINT',true),('documents',2,'text','TEXT',true),
+          |('documents',3,'lang','TEXT',true),('documents',4,'source','TEXT',true),
+          |('documents',5,'n_chars','BIGINT',true),
+          |('embeddings',1,'vec_id','BIGINT',true),('embeddings',2,'embedding','ARRAY<REAL>',true),
+          |('embeddings',3,'label','INTEGER',true),
+          |('events',1,'event_id','BIGINT',true),('events',2,'ts','TIMESTAMP',true),
+          |('events',3,'user_id','BIGINT',true),('events',4,'event_type','TEXT',true),
+          |('events',5,'value','DOUBLE PRECISION',true),('events',6,'props','TEXT',true),
+          |('lineitem',1,'l_orderkey','BIGINT',true),('lineitem',2,'l_partkey','BIGINT',true),
+          |('lineitem',3,'l_suppkey','BIGINT',true),('lineitem',4,'l_linenumber','INTEGER',true),
+          |('lineitem',5,'l_quantity','DOUBLE PRECISION',true),('lineitem',6,'l_extendedprice','DOUBLE PRECISION',true),
+          |('lineitem',7,'l_discount','DOUBLE PRECISION',true),('lineitem',8,'l_tax','DOUBLE PRECISION',true),
+          |('lineitem',9,'l_returnflag','TEXT',true),('lineitem',10,'l_linestatus','TEXT',true),
+          |('lineitem',11,'l_shipdate','TIMESTAMP',true),
+          |('nation',1,'n_nationkey','INTEGER',true),('nation',2,'n_name','TEXT',true),
+          |('nation',3,'n_regionkey','INTEGER',true),
+          |('orders',1,'o_orderkey','BIGINT',true),('orders',2,'o_custkey','BIGINT',true),
+          |('orders',3,'o_orderstatus','TEXT',true),('orders',4,'o_totalprice','DOUBLE PRECISION',true),
+          |('orders',5,'o_orderdate','TIMESTAMP',true),('orders',6,'o_orderpriority','TEXT',true),
+          |('part',1,'p_partkey','BIGINT',true),('part',2,'p_name','TEXT',true),
+          |('part',3,'p_brand','TEXT',true),('part',4,'p_type','TEXT',true),
+          |('part',5,'p_size','INTEGER',true),('part',6,'p_retailprice','DOUBLE PRECISION',true),
+          |('region',1,'r_regionkey','INTEGER',true),('region',2,'r_name','TEXT',true),
+          |('supplier',1,'s_suppkey','BIGINT',true),('supplier',2,'s_name','TEXT',true),
+          |('supplier',3,'s_nationkey','INTEGER',true),('supplier',4,'s_acctbal','DOUBLE PRECISION',true)""".stripMargin.replace("\n", "")
+      s"""SELECT v.tn AS table_name, CAST(v.ord AS BIGINT) AS ordinal,
+         |v.cn AS column_name, v.dt AS data_type, v.nn AS is_nullable
+         |FROM (VALUES $values) v(tn, ord, cn, dt, nn)""".stripMargin
+    },
+
+    "o4_foreign_keys" ->
+      """SELECT v.t AS table_name, v.c AS column_name, v.rt AS referenced_table, v.rc AS referenced_column
+        |FROM (VALUES
+        |('nation','n_regionkey','region','r_regionkey'),
+        |('customer','c_nationkey','nation','n_nationkey'),
+        |('supplier','s_nationkey','nation','n_nationkey'),
+        |('orders','o_custkey','customer','c_custkey'),
+        |('lineitem','l_orderkey','orders','o_orderkey'),
+        |('lineitem','l_partkey','part','p_partkey'),
+        |('lineitem','l_suppkey','supplier','s_suppkey'),
+        |('events','user_id','customer','c_custkey')) v(t, c, rt, rc)""".stripMargin,
+
+    "o5_row_counts" ->
+      tableList.map(t =>
+        s"SELECT '$t' AS table_name, CAST((SELECT count(*) FROM $t) AS BIGINT) AS n_rows")
+        .mkString(" UNION ALL "),
+
+    "o6_scan_project" -> "SELECT o_orderkey, o_totalprice FROM orders",
+
+    "o7_filter_date" ->
+      "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'",
+
+    "o8_limit" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM (SELECT * FROM orders LIMIT 100)",
+
+    "o9_batching" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS batch_size,
+        |CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_batches FROM lineitem""".stripMargin,
+
+    "o10_anonymise_rules" ->
+      "SELECT c_custkey, 'REDACTED' AS c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer",
+
+    "o11_consistency" ->
+      """SELECT
+        |CAST((SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS BIGINT) AS n_pairs_checked,
+        |CAST(0 AS BIGINT) AS n_violations,
+        |CAST((SELECT count(DISTINCT c_name) FROM customer) AS BIGINT) AS n_distinct_orig,
+        |CAST((SELECT count(DISTINCT c_name) FROM customer) AS BIGINT) AS n_distinct_mappings""".stripMargin,
+
+    "o12_faker_formats" -> {
+      val fns = Seq("name", "firstName", "lastName", "email", "phone", "address", "city",
+        "country", "company", "uuid", "username", "password", "ipv4", "date", "text", "number")
+      fns.map(fn =>
+        s"SELECT '$fn' AS function_name, CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_ok, CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows")
+        .mkString(" UNION ALL ")
+    },
+
+    "o14_truncate" -> "SELECT c_custkey, c_name FROM customer WHERE 1 = 0",
+
+    "o15_topo_order" ->
+      """SELECT CAST(v.pos AS BIGINT) AS position, v.tn AS table_name FROM (VALUES
+        |(1,'documents'),(2,'embeddings'),(3,'part'),(4,'region'),(5,'nation'),
+        |(6,'customer'),(7,'supplier'),(8,'events'),(9,'orders'),(10,'lineitem')) v(pos, tn)""".stripMargin,
+
+    "o16_dump_stats" ->
+      """SELECT
+        |CAST(10 AS BIGINT) AS tables_exported,
+        |CAST(1 AS BIGINT) AS tables_truncated,
+        |CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+        |  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |  + (SELECT count(*) FROM part) + (SELECT count(*) FROM documents)
+        |  + (SELECT count(*) FROM embeddings)
+        |  + LEAST(5000, (SELECT count(*) FROM lineitem))
+        |  + (SELECT count(*) FROM orders WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS rows_exported,
+        |CAST((SELECT ceil(count(*) / 1000.0) FROM region) + (SELECT ceil(count(*) / 1000.0) FROM nation)
+        |  + (SELECT ceil(count(*) / 1000.0) FROM customer) + (SELECT ceil(count(*) / 1000.0) FROM supplier)
+        |  + (SELECT ceil(count(*) / 1000.0) FROM part) + (SELECT ceil(count(*) / 1000.0) FROM documents)
+        |  + (SELECT ceil(count(*) / 1000.0) FROM embeddings)
+        |  + ceil(LEAST(5000, (SELECT count(*) FROM lineitem)) / 1000.0)
+        |  + (SELECT ceil(count(*) / 1000.0) FROM (SELECT * FROM orders WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00')) AS BIGINT) AS n_insert_stmts,
+        |CAST(10 AS BIGINT) AS n_create_stmts,
+        |CAST(10 AS BIGINT) AS n_drop_stmts""".stripMargin,
+
+    "o17_codec" ->
+      """SELECT doc_id, '''' ||
+        |replace(replace(replace(replace(replace(replace(text,
+        |  '\', '\\'), '''', ''''''), chr(0), '\0'), chr(10), '\n'), chr(13), '\r'), chr(26), '\Z')
+        ||| '''' AS sql_literal FROM documents""".stripMargin,
+
+    "o20_sync" ->
+      Seq("documents", "embeddings", "nation", "part", "region", "supplier")
+        .map(t => s"SELECT '$t' AS table_name").mkString(" UNION ALL "),
+
+    "o21_dry_run" ->
+      """SELECT CAST(v.pos AS BIGINT) AS position, v.tn AS table_name,
+        |CAST(CASE v.tn
+        |  WHEN 'documents' THEN (SELECT count(*) FROM documents)
+        |  WHEN 'embeddings' THEN (SELECT count(*) FROM embeddings)
+        |  WHEN 'part' THEN (SELECT count(*) FROM part)
+        |  WHEN 'region' THEN (SELECT count(*) FROM region)
+        |  WHEN 'nation' THEN (SELECT count(*) FROM nation)
+        |  WHEN 'customer' THEN (SELECT count(*) FROM customer)
+        |  WHEN 'supplier' THEN (SELECT count(*) FROM supplier)
+        |  WHEN 'events' THEN (SELECT count(*) FROM events)
+        |  WHEN 'orders' THEN (SELECT count(*) FROM orders)
+        |  WHEN 'lineitem' THEN (SELECT count(*) FROM lineitem)
+        |END AS BIGINT) AS n_rows,
+        |v.act AS action, CAST(v.nac AS BIGINT) AS n_anon_columns
+        |FROM (VALUES
+        |(1,'documents','FULL',0),(2,'embeddings','FULL',0),(3,'part','FULL',0),
+        |(4,'region','FULL',0),(5,'nation','FULL',0),(6,'customer','FULL',2),
+        |(7,'supplier','FULL',0),(8,'events','TRUNCATE',0),(9,'orders','RETAIN-DATE',0),
+        |(10,'lineitem','RETAIN-COUNT',0)) v(pos, tn, act, nac)""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |sum(l_quantity) / count(*) AS avg_qty,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT o_custkey,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey LIMIT 25""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+        |SELECT o_custkey, o_orderkey,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q_semi_join" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+
+    "q_anti_join" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+
+    "q_distinct" -> "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT SELECT o_custkey FROM orders""".stripMargin,
+
+    "q_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+
+    "q_union_all" ->
+      "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |CAST(count(*) AS BIGINT) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM x)
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_lsh" -> jaccardPairsSql(0.8),
+
+    "d3_simhash" -> jaccardPairsSql(1.0),
+
+    "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
+
+    "d5_embedding_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+
+    "s1_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+
+    "t1_text_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) / greatest(nt, 1) AS stopword_ratio,
+        |    CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1) AS mean_token_len
+        |  FROM f)
+        |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+        |  CAST((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END
+        |      + CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+        |      + CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END
+        |      + CASE WHEN punct_ratio < 0.2 AND digit_ratio < 0.3 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality_score
+        |FROM g""".stripMargin,
+
+    "t2_lang_id" -> {
+      val scores = langScoreExprs.map { case (l, e) => s"$e AS $l" }.mkString(",\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM documents),
+         |p AS (
+         |  SELECT CASE
+         |    WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+         |    WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+         |    WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+         |    WHEN fr >= es AND fr >= zh THEN 'fr'
+         |    WHEN es >= zh THEN 'es'
+         |    ELSE 'zh' END AS lang_pred
+         |  FROM s)
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY lang_pred""".stripMargin
+    },
+
+    "t3_token_counts" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "mm1_decode_meta" ->
+      """SELECT doc_id AS asset_id,
+        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+  )
+}

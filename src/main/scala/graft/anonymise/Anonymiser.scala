@@ -1,0 +1,117 @@
+package graft.anonymise
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.config._
+
+/** Rule compiler: per-table column anonymisation as Catalyst `Column`
+  * expressions (no row-level map churn — contrast the reference's
+  * per-row `AnonymiseRow`, /root/reference/internal/anonymiser/anonymiser.go:34-101).
+  *
+  * Rule semantics (anonymiser.go:50-96):
+  *  - `null` / empty rule → NULL (cast to the column's type)
+  *  - `{{faker.X}}`       → generator X with value-consistent output
+  *  - anything else       → static replacement value
+  *  - configured-but-absent columns are skipped (anonymiser.go:46-48)
+  *
+  * Consistency (anonymiser.go:19-22, 73-91; README.md:305-307): the same
+  * original value must map to the same fake everywhere, keyed by
+  * `column:value` — the table name is NOT part of the key, so
+  * `users.email` and `orders.email` share mappings. The reference holds
+  * this map in driver memory (its one scalability hazard, SURVEY.md §4);
+  * we get the same observable contract with zero state via seeded
+  * deterministic generation, or with a distinct→broadcast-join pipeline —
+  * both scale-out correct.
+  */
+object Anonymiser {
+
+  /** Strategy for the consistency map (O11). */
+  sealed trait Consistency
+  /** fake = gen(hash64(column ":" value)) — stateless, shuffle-free,
+    * consistent across tables/executors/runs by construction. The 100 TB
+    * path: a narrow, codegen-friendly per-row transform.
+    */
+  case object SeededDeterministic extends Consistency
+  /** distinct values → generate fake per distinct → broadcast-join back.
+    * Reproduces the reference's "one fake per distinct original" shape as
+    * a distributed plan; same output as SeededDeterministic (the fake for
+    * a distinct value uses the same seeded generator).
+    */
+  case object BroadcastMap extends Consistency
+
+  /** Seed column: stable 64-bit hash of `column ":" value` (NULL original
+    * hashes the bare prefix — all NULLs of a column share one fake; the
+    * reference instead regenerates randomly per NULL row, a quirk noted
+    * as fidelity-optional in SURVEY.md §7.3).
+    */
+  private def seedCol(columnName: String, c: Column): Column =
+    xxhash64(concat_ws(":", lit(columnName), c.cast(StringType)))
+
+  private def fakerUdf(function: String) =
+    udf((seed: Long) => Faker.generate(function, seed))
+
+  /** Compile one column's rule into a replacement expression. */
+  def compileRule(columnName: String, dataType: org.apache.spark.sql.types.DataType,
+                  rule: ColumnRule): Column = rule match {
+    case NullRule       => lit(null).cast(dataType)
+    case StaticRule(s)  =>
+      if (dataType == StringType) lit(s)
+      else expr(s"try_cast('${s.replace("'", "''")}' AS ${dataType.sql})")
+    case FakerRule(fn)  => fakerUdf(fn)(seedCol(columnName, col(columnName)))
+  }
+
+  /** Apply a table's configured rules to a DataFrame (SeededDeterministic). */
+  def anonymise(df: DataFrame, tableConfig: TableConfig): DataFrame = {
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    tableConfig.columns.foldLeft(df) { case (acc, (name, rule)) =>
+      present.get(name) match {
+        case None     => acc // configured-but-absent: skip (anonymiser.go:46-48)
+        case Some(dt) => acc.withColumn(name, compileRule(name, dt, rule))
+      }
+    }
+  }
+
+  /** BroadcastMap variant: distinct originals → fake mapping → broadcast
+    * join. Only faker rules need the mapping; null/static rules are plain
+    * projections either way.
+    */
+  def anonymiseViaBroadcastMap(df: DataFrame, tableConfig: TableConfig): DataFrame = {
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    tableConfig.columns.foldLeft(df) { case (acc, (name, rule)) =>
+      (present.get(name), rule) match {
+        case (None, _) => acc
+        case (Some(dt), NullRule | StaticRule(_)) =>
+          acc.withColumn(name, compileRule(name, dt, rule))
+        case (Some(_), FakerRule(fn)) =>
+          val mapping = df.select(col(name).as("__orig")).distinct()
+            .withColumn("__fake", fakerUdf(fn)(seedCol(name, col("__orig"))))
+          acc.join(broadcast(mapping), acc(name) <=> mapping("__orig"), "left")
+            .drop(name).drop("__orig")
+            .withColumnRenamed("__fake", name)
+      }
+    }
+  }
+
+  def apply(df: DataFrame, tableConfig: TableConfig,
+            strategy: Consistency = SeededDeterministic): DataFrame = strategy match {
+    case SeededDeterministic => anonymise(df, tableConfig)
+    case BroadcastMap        => anonymiseViaBroadcastMap(df, tableConfig)
+  }
+
+  /** Validation warnings for unknown faker functions (anonymiser.go:167-189). */
+  def validateRules(cfg: GraftConfig): Seq[String] =
+    for {
+      table <- cfg.tableOrder
+      tc    <- cfg.configuration.get(table).toSeq
+      (c, rule) <- tc.columns.toSeq.sortBy(_._1)
+      warning <- rule match {
+        case FakerRule(fn) if !Faker.isKnown(fn) =>
+          Some(s"unknown faker function '$fn' for $table.$c")
+        case _ => None
+      }
+    } yield warning
+
+  /** Columns a table's config anonymises (dry-run reporting, main.go:220-222). */
+  def anonymisedColumns(tc: TableConfig): Seq[String] = tc.columns.keys.toSeq.sorted
+}

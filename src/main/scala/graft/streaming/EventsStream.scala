@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming over the `events` table shape: watermarked
+  * tumbling-window aggregation and gap-based sessionisation.
+  *
+  * The reference has no streaming at all (its "streams" are JDBC cursors,
+  * SURVEY.md §1.1); these are [EXT] operators. Each has a batch-equivalent
+  * form (`*_batch`) with identical semantics — the batch form is what the
+  * correctness oracle checks, the streaming form is driven in tests via
+  * the memory sink + `processAllAvailable()`.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts/sums per event_type with a watermark for
+    * state cleanup. Streaming form.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch-equivalent of `hourlyAgg` (same grouping, no watermark). */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionisation (batch form): a new session starts when the
+    * gap to the previous event of the same user exceeds `gapMinutes`.
+    * Window functions only — one shuffle on user_id.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Streaming sessionisation via session_window (native state store). */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Drive a streaming DataFrame built by `build` over the fixture
+    * parquet as a bounded stream, collect via the memory sink.
+    */
+  def runOnceOnParquet(spark: SparkSession, path: String, schema: StructType,
+                       build: DataFrame => DataFrame, queryName: String,
+                       outputMode: String = "append"): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val q = build(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}
