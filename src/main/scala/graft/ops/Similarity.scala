@@ -15,14 +15,14 @@ import org.apache.spark.sql.functions._
   *    approximate by design (recall measured against brute force in the
   *    test suite).
   *
-  * Kernel note: the dot/norm kernels are tight JVM loops behind Scala
-  * UDFs, not `zip_with`/`aggregate` higher-order folds — interpreted HOF
-  * lambdas cost ~100ns/element with boxing, which at millions of pairs ×
-  * 64 dims dominates the job. The UDF folds left-to-right in double, the
-  * same evaluation order a SQL engine's list_cosine_similarity uses, so
-  * results stay bit-reproducible cross-engine. (A codegen'd Catalyst
-  * Expression would shave the remaining UDF call overhead — noted as a
-  * future upgrade.)
+  * Kernel note: scoring avoids `zip_with`/`aggregate` higher-order
+  * folds (interpreted, ~100ns/element with boxing — dominates at
+  * millions of pairs × 64 dims). The Column path uses the codegen'd
+  * native expression `graft.functions.CosineSimilarity`; the pair-join
+  * path uses a broadcast + per-partition JVM kernel. All fold
+  * left-to-right in double — the evaluation order a SQL engine's
+  * list_cosine_similarity uses — so results are bit-reproducible
+  * cross-engine and across paths.
   */
 object Similarity {
 
@@ -43,9 +43,14 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private val cosineUdf = udf((a: Array[Float], b: Array[Float]) => cosineKernel(a, b))
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Column form: the native codegen'd Catalyst expression
+    * (`graft.functions.CosineSimilarity`) — bit-identical to
+    * `cosineKernel` by construction.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims._
+    toColumn(graft.functions.CosineSimilarity(toExpression(a), toExpression(b)))
+  }
 
   /** Exact top-k neighbours for the query rows against the corpus.
     * Queries are broadcast (small by contract); ranking uses a window

@@ -69,7 +69,17 @@ object EventsStream {
   def runOnceOnParquet(spark: SparkSession, path: String, schema: StructType,
                        build: DataFrame => DataFrame, queryName: String,
                        outputMode: String = "append"): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(path)
+    // FileStreamSource requires a directory; expose a single-file fixture
+    // through a temp dir containing a symlink to it
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      }
+    val stream = spark.readStream.schema(schema).parquet(dir)
     val q = build(stream).writeStream
       .outputMode(outputMode)
       .format("memory").queryName(queryName)

