@@ -7,7 +7,7 @@ import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
 import graft.dialect.{SqliteDialect, SqlValueCodec}
 import graft.export.ExportPipeline
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
 
@@ -381,6 +381,90 @@ object GraftQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
 
+  /** As-of join (operator Spark lacks natively): for each order, the
+    * customer's most recent other order strictly before it — probe time
+    * is the order date minus one day, matched with `>=` against the
+    * per-(customer, date) aggregated order table.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val probes = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("probe_ts"))
+    val refs = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("r_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("prev_orderkey"))
+    AsOfJoin.asOf(probes, refs,
+        leftKey = "o_custkey", rightKey = "r_custkey",
+        leftTime = "probe_ts", rightTime = "o_orderdate",
+        payload = Seq("prev_orderkey"))
+      .select("o_orderkey", "prev_orderkey")
+  }
+
+  /** O13: rule validation — unknown faker functions warn, known pass. */
+  def o13ValidateRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = GraftConfig(
+      Connection("sqlite", file = "fixture"),
+      Map(
+        "customer" -> TableConfig(columns = Map(
+          "c_name" -> FakerRule("name"), "c_mktsegment" -> FakerRule("notAFunction"))),
+        "supplier" -> TableConfig(columns = Map("s_name" -> FakerRule("bogusFn")))),
+      Seq("customer", "supplier"))
+    Anonymiser.validateRules(cfg).toDF("warning")
+  }
+
+  /** O18: identifier quoting per dialect, incl. embedded-quote doubling. */
+  def o18QuoteIdentifiers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val samples = Seq("users", "weird`name", "weird\"name", "CamelCase")
+    (for {
+      d <- graft.dialect.Dialect.all
+      id <- samples
+    } yield (d.name, id, d.quoteIdentifier(id)))
+      .toDF("dialect", "identifier", "quoted")
+  }
+
+  /** O22: config load — YAML text through the parser to a compiled plan
+    * summary (truncate flag, retain mode, rule kinds).
+    */
+  def o22ConfigLoad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yaml =
+      """connection:
+        |  type: sqlite
+        |  file: /tmp/db.sqlite
+        |configuration:
+        |  events:
+        |    truncate: true
+        |  orders:
+        |    retain:
+        |      column_name: o_orderdate
+        |      after_date: "1998-01-01"
+        |  lineitem:
+        |    retain: 5000
+        |  customer:
+        |    columns:
+        |      c_name: "{{faker.name}}"
+        |      c_mktsegment: REDACTED
+        |      c_acctbal: null
+        |""".stripMargin
+    val cfg = GraftConfig.parse(yaml)
+    cfg.tableOrder.map { t =>
+      val tc = cfg.configuration(t)
+      val retain = tc.retain match {
+        case RetainAll         => "all"
+        case RetainCount(n)    => s"count:$n"
+        case RetainAfter(c, d) => s"after:$c:${d.toString.stripSuffix("Z")}"
+      }
+      val rules = tc.columns.toSeq.sortBy(_._1).map {
+        case (c, NullRule)      => s"$c=null"
+        case (c, FakerRule(f))  => s"$c=faker.$f"
+        case (c, StaticRule(_)) => s"$c=static"
+      }.mkString(",")
+      (t, tc.truncate, retain, rules)
+    }.toDF("table_name", "is_truncate", "retain", "rules")
+  }
+
   // ------------------------------------------------------- dedup / text
 
   /** Exact dedup by normalised content digest. */
@@ -471,12 +555,15 @@ object GraftQueries {
     "o10_anonymise_rules" -> (o10AnonymiseRules _),
     "o11_consistency"    -> (o11Consistency _),
     "o12_faker_formats"  -> (o12FakerFormats _),
+    "o13_validate_rules" -> (o13ValidateRules _),
     "o14_truncate"       -> (o14Truncate _),
     "o15_topo_order"     -> (o15TopoOrder _),
     "o16_dump_stats"     -> (o16DumpStats _),
     "o17_codec"          -> (o17Codec _),
     "o20_sync"           -> (o20Sync _),
+    "o18_quote_identifiers" -> (o18QuoteIdentifiers _),
     "o21_dry_run"        -> (o21DryRun _),
+    "o22_config_load"    -> (o22ConfigLoad _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"  -> (q5LocalSupplier _),
@@ -492,6 +579,7 @@ object GraftQueries {
     "q_json_extract"     -> (qJsonExtract _),
     "q_events_hourly"    -> (qEventsHourly _),
     "q_sessionize"       -> (qSessionize _),
+    "q_asof_join"        -> (qAsofJoin _),
     "d1_exact_dedup"     -> (d1ExactDedup _),
     "d2_minhash_lsh"     -> (d2MinhashLsh _),
     "d3_simhash"         -> (d3Simhash _),

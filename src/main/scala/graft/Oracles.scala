@@ -303,6 +303,44 @@ object Oracles {
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH o2 AS (
+        |  SELECT o_custkey AS r_custkey, o_orderdate, max(o_orderkey) AS ref_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate - INTERVAL 1 DAY AS probe_ts FROM orders)
+        |SELECT p.o_orderkey, o.ref_orderkey AS prev_orderkey
+        |FROM probes p ASOF LEFT JOIN o2 o
+        |ON p.o_custkey = o.r_custkey AND p.probe_ts >= o.o_orderdate""".stripMargin,
+
+    "o13_validate_rules" ->
+      """SELECT v.w AS warning FROM (VALUES
+        |('unknown faker function ''notAFunction'' for customer.c_mktsegment'),
+        |('unknown faker function ''bogusFn'' for supplier.s_name')) v(w)""".stripMargin,
+
+    "o18_quote_identifiers" ->
+      """SELECT v.d AS dialect, v.i AS identifier, v.q AS quoted FROM (VALUES
+        |('mysql', 'users', '`users`'),
+        |('mysql', 'weird`name', '`weird``name`'),
+        |('mysql', 'weird"name', '`weird"name`'),
+        |('mysql', 'CamelCase', '`CamelCase`'),
+        |('postgres', 'users', '"users"'),
+        |('postgres', 'weird`name', '"weird`name"'),
+        |('postgres', 'weird"name', '"weird""name"'),
+        |('postgres', 'CamelCase', '"CamelCase"'),
+        |('sqlite', 'users', '"users"'),
+        |('sqlite', 'weird`name', '"weird`name"'),
+        |('sqlite', 'weird"name', '"weird""name"'),
+        |('sqlite', 'CamelCase', '"CamelCase"')) v(d, i, q)""".stripMargin,
+
+    "o22_config_load" ->
+      """SELECT v.t AS table_name, v.tr AS is_truncate, v.r AS retain, v.ru AS rules FROM (VALUES
+        |('events', true, 'all', ''),
+        |('orders', false, 'after:o_orderdate:1998-01-01T00:00:00', ''),
+        |('lineitem', false, 'count:5000', ''),
+        |('customer', false, 'all', 'c_acctbal=null,c_mktsegment=static,c_name=faker.name'))
+        |v(t, tr, r, ru)""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count

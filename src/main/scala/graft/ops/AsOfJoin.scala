@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, the most recent right row with the same
+  * key whose time is ≤ the left row's time.
+  *
+  * Spark has no native as-of join; the naive formulation (range-condition
+  * join + per-left-row max) degenerates to a near-cross-product per key.
+  * This implementation uses the merged-stream window pattern instead:
+  * union both inputs tagged by side, sort within each key by (time,
+  * side), and carry the last seen right-side payload forward with
+  * `last(_, ignoreNulls)` over an unbounded-preceding window. Cost: ONE
+  * shuffle on the key and a sort within partitions — the same shape as
+  * any windowed aggregation, scale-safe under data skew via AQE.
+  *
+  * Tie semantics: a right row at exactly the left row's time matches
+  * (`>=`), implemented by ordering right-side rows before left-side rows
+  * at equal timestamps.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (e.g. events)
+    * @param right      reference side (e.g. orders)
+    * @param leftKey    join key column name on `left`
+    * @param rightKey   join key column name on `right`
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param payload    right-side columns to carry onto each left row
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val nullPayload = payload.map(p =>
+      lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))
+    val l = left.select(
+      (col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(0).as("__side") +:
+        leftCols.map(col)) ++ nullPayload: _*)
+    val r = right.select(
+      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(1).as("__side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+    // right rows first at equal time → `>=` as-of semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p)): _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+/** As-of join semantics on constructed cases: latest-at-or-before match,
+  * `>=` tie rule, null when nothing precedes, key isolation.
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
+  import java.sql.Timestamp.{valueOf => ts}
+
+  test("picks the latest right row at or before the left time, per key") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "q1"),
+      (1L, ts("2024-01-01 11:00:00"), "q2"),
+      (1L, ts("2024-01-01 12:00:00"), "q3"),
+      (2L, ts("2024-01-01 11:30:00"), "q4"),
+    ).toDF("key", "qts", "quote")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")), // between q1 and q2 → q1
+      (11L, 1L, ts("2024-01-01 11:00:00")), // exactly q2 → q2 (>= rule)
+      (12L, 1L, ts("2024-01-01 09:00:00")), // before everything → null
+      (13L, 2L, ts("2024-01-01 12:00:00")), // key 2 → q4, not key 1's q3
+    ).toDF("trade_id", "key", "tts")
+    val out = AsOfJoin.asOf(trades, quotes, "key", "key", "tts", "qts", Seq("quote"))
+      .select("trade_id", "quote").as[(Long, Option[String])].collect().toMap
+    assert(out(10L).contains("q1"))
+    assert(out(11L).contains("q2"))
+    assert(out(12L).isEmpty)
+    assert(out(13L).contains("q4"))
+  }
+
+  test("fixture as-of matches a windowed lag reformulation") {
+    // prev-order query: for each order, the customer's latest strictly
+    // earlier order date's max orderkey — recomputed via lag over the
+    // deduplicated (custkey, date) timeline
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val viaAsof = GraftQueries.qAsofJoin(spark, sfDir)
+    val dates = orders.groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("ref"))
+      .withColumn("prev_ref", lag("ref", 1).over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate")))
+    val expected = orders.join(dates, Seq("o_custkey", "o_orderdate"))
+      .select(col("o_orderkey"), col("prev_ref").as("prev_orderkey"))
+    assert(viaAsof.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(viaAsof).count() == 0)
+  }
+
+  test("plan shape: one shuffle on the key, window, no join explosion") {
+    val plan = GraftQueries.qAsofJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
+  }
+}
