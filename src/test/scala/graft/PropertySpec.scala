@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import graft.analyse.{ForeignKey, Topo}
+import graft.anonymise.Faker
+import graft.dialect.SqlValueCodec
+import graft.ops.Dedup
+
+/** Property tests for the pure kernels, driven by ScalaCheck generators
+  * with deterministic seeds (no scalatestplus bridge on the classpath —
+  * samples are drawn explicitly).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 300): Seq[T] =
+    (0 until n * 3).iterator
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(n).toSeq
+
+  private val strGen = Arbitrary.arbitrary[String]
+
+  test("escapeString: always single-quote-delimited, escaped set never raw inside") {
+    for (s <- samples(strGen)) {
+      val out = SqlValueCodec.escapeString(s)
+      assert(out.head == '\'' && out.last == '\'')
+      val inner = out.substring(1, out.length - 1)
+      assert(!inner.replace("''", "").contains("'"), s"unescaped quote for ${s.length}-char input")
+      assert(!inner.contains('\u0000') && !inner.contains('\n') &&
+        !inner.contains('\r') && !inner.contains('\u001a'))
+    }
+  }
+
+  test("escapeString is injective") {
+    val in = samples(strGen, 500).distinct
+    val escaped = in.map(SqlValueCodec.escapeString)
+    assert(in.size == escaped.distinct.size)
+  }
+
+  test("topo sort: output is a permutation respecting every acyclic FK edge") {
+    val caseGen = for {
+      k <- Gen.chooseNum(2, 8)
+      tables <- Gen.listOfN(k, Gen.identifier.map(_.take(5))).map(_.distinct)
+        .suchThat(_.size >= 2)
+      m <- Gen.chooseNum(0, 12)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, tables.size - 1)
+        b <- Gen.chooseNum(0, tables.size - 1)
+      } yield ForeignKey(tables(a), "c", tables(b), "id"))
+    } yield (tables, edges)
+
+    for ((tables, fks) <- samples(caseGen, 200)) {
+      val out = Topo.sortTablesByDependency(tables, fks)
+      assert(out.sorted == tables.sorted, "must be a permutation")
+      val pos = out.zipWithIndex.toMap
+      val cyclic = unresolvable(tables, fks)
+      for (fk <- fks
+           if fk.table != fk.referencedTable
+           if !cyclic(fk.table) && !cyclic(fk.referencedTable))
+        assert(pos(fk.referencedTable) < pos(fk.table), s"$fk violated in $out")
+    }
+  }
+
+  /** Nodes that can never be resolved by Kahn (on/behind a cycle). */
+  private def unresolvable(tables: Seq[String], fks: Seq[ForeignKey]): Set[String] = {
+    val deps = fks.filter(f => f.table != f.referencedTable)
+      .groupBy(_.table).view.mapValues(_.map(_.referencedTable).toSet).toMap
+    var resolved = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      for (t <- tables if !resolved(t)
+           if deps.getOrElse(t, Set.empty).subsetOf(resolved)) {
+        resolved += t; changed = true
+      }
+    }
+    tables.toSet -- resolved
+  }
+
+  test("faker: deterministic per seed; contracts hold across the full Long range") {
+    for (seed <- samples(Arbitrary.arbitrary[Long], 500)) {
+      assert(Faker.name(seed) == Faker.name(seed))
+      assert(Faker.uuid(seed).matches(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"))
+      assert(Faker.number(seed).matches("^[0-9]{8}$"))
+      assert(Faker.password(seed).length == 32)
+      assert(Faker.ipv4(seed).split("\\.").forall(o => o.toInt >= 0 && o.toInt <= 255))
+      assert(Faker.email(seed).matches("^[^@]+@[^@]+\\.[^@]+$"))
+    }
+  }
+
+  test("shingle kernel: n-token shingles, bounded count, distinct") {
+    val textGen = for {
+      k <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(k, Gen.oneOf("the", "a", "fast", "slow", "data", "x"))
+    } yield ws.mkString(" ")
+    for {
+      text <- samples(textGen, 300)
+      n <- 2 to 4
+    } {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val out = Dedup.shingleKernel(text, n)
+      if (toks.length < n) assert(out.isEmpty)
+      else {
+        assert(out.length <= toks.length - n + 1)
+        assert(out.distinct.length == out.length)
+        assert(out.forall(_.split(" ").length == n))
+      }
+    }
+  }
+
+  test("formatValue: numeric round-trip through the literal") {
+    for (l <- samples(Arbitrary.arbitrary[Long], 300))
+      assert(SqlValueCodec.formatValue(l) == l.toString)
+    for (d <- samples(Arbitrary.arbitrary[Double], 300) if !d.isNaN && !d.isInfinite) {
+      val rendered = SqlValueCodec.formatValue(d)
+      assert(rendered.toDouble == d, s"double $d rendered as $rendered")
+    }
+  }
+}
