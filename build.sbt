@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // dozens of generated whole-stage-codegen classes per query: the
+  // default 240m JIT code cache evicts hot methods and causes
+  // multi-second deoptimisation stalls on later queries
+  "-XX:ReservedCodeCacheSize=1g",
 )

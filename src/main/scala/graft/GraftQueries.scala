@@ -7,7 +7,7 @@ import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
 import graft.dialect.{SqliteDialect, SqlValueCodec}
 import graft.export.ExportPipeline
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
 
@@ -400,6 +400,59 @@ object GraftQueries {
       .select("o_orderkey", "prev_orderkey")
   }
 
+  /** Range join (no equi key): per order, lineitems shipped within 7
+    * days of the order date — bucketed into an equi join instead of a
+    * nested-loop plan.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.countInRange(
+      tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+      tbl(s, dir, "lineitem").select("l_shipdate"),
+      leftTime = "o_orderdate", rightTime = "l_shipdate",
+      windowSec = 7L * 24 * 3600)
+      .select("o_orderkey", "n_in_range")
+
+  /** Skew-safe salted aggregation — two-phase, result identical to the
+    * direct groupBy (which is the oracle).
+    */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+      tbl(s, dir, "events")
+        .withColumn("v", col("value").cast("decimal(18,2)")),
+      keyCols = Seq("event_type"),
+      sums = Seq(Skew.SumSpec("v", "sum_value")))
+      .select(col("event_type"), col("n_rows"),
+        col("sum_value").cast("double").as("sum_value"))
+
+  /** CUBE grouping sets. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** Exact interpolated percentiles. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min(col("o_totalprice")).as("pmin"),
+        max(col("o_totalprice")).as("pmax"))
+
+  /** HLL sketch with a soundness bound: the approximate distinct count
+    * must land within 5% of the exact count, which IS the oracle-checked
+    * output (plus the exact count itself).
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(
+        col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") <= 0.05).as("within_5pct"))
+
   /** O13: rule validation — unknown faker functions warn, known pass. */
   def o13ValidateRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -580,6 +633,11 @@ object GraftQueries {
     "q_events_hourly"    -> (qEventsHourly _),
     "q_sessionize"       -> (qSessionize _),
     "q_asof_join"        -> (qAsofJoin _),
+    "q_range_join"       -> (qRangeJoin _),
+    "q_salted_agg"       -> (qSaltedAgg _),
+    "q_cube"             -> (qCube _),
+    "q_percentiles"      -> (qPercentiles _),
+    "q_approx_distinct"  -> (qApproxDistinct _),
     "d1_exact_dedup"     -> (d1ExactDedup _),
     "d2_minhash_lsh"     -> (d2MinhashLsh _),
     "d3_simhash"         -> (d3Simhash _),

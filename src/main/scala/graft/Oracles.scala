@@ -313,6 +313,33 @@ object Oracles {
         |FROM probes p ASOF LEFT JOIN o2 o
         |ON p.o_custkey = o.r_custkey AND p.probe_ts >= o.o_orderdate""".stripMargin,
 
+    "q_range_join" ->
+      """SELECT o.o_orderkey, CAST(count(l.l_shipdate) AS BIGINT) AS n_in_range
+        |FROM orders o LEFT JOIN lineitem l
+        |ON l.l_shipdate >= o.o_orderdate
+        |AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o.o_orderkey""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.9) AS p90,
+        |min(o_totalprice) AS pmin, max(o_totalprice) AS pmax
+        |FROM orders""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+        |true AS within_5pct FROM lineitem""".stripMargin,
+
     "o13_validate_rules" ->
       """SELECT v.w AS warning FROM (VALUES
         |('unknown faker function ''notAFunction'' for customer.c_mktsegment'),

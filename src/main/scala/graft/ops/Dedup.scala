@@ -88,8 +88,12 @@ object Dedup {
     */
   private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // hash-partition by id (not round-robin): downstream per-doc
+    // aggregations (minhash mins, simhash bit sums) then combine entirely
+    // map-side — the signature groupBy shuffles one row per doc instead
+    // of one partial row per (doc, partition)
     df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .repartition(parallelism)
+      .repartition(parallelism, col("id"))
       .select(col("id"), shingles(col("t"), n).as("sh"))
       .filter(size(col("sh")) > 0)
   }
@@ -121,22 +125,29 @@ object Dedup {
       xxhash64(slots :+ lit(j): _*).as(s"band_$j")
     }
 
-  /** Candidate pairs from LSH banding: stack band keys, self-join on
-    * (band index, band hash), dedupe pairs. Shuffle keys are tiny longs;
-    * volume is O(docs × bands).
+  /** Candidate pairs from LSH banding: stack band keys, group docs per
+    * (band index, band hash) bucket, expand in-bucket pairs. One shuffle
+    * (the bucket groupBy) over O(docs × bands) tiny rows, ONE signature
+    * computation — a band-key self-join would re-run the whole signature
+    * pipeline for its second side. In-bucket pair expansion is
+    * O(Σ bucket²), bounded by LSH bucket sizes, not table size.
     */
   def minhashCandidates(sh: DataFrame, k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val bands = k / rowsPerBand
-    val sigs = minhashSignatures(sh, k)
-      .select(col("id"), posexplode(array(bandCols(k, rowsPerBand): _*))
-        .as(Seq("band_idx", "band_hash")))
-    val a = sigs.as("a"); val b = sigs.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val minhashBands = graft.functions.MinHashBandsAgg(k, rowsPerBand)
+    val buckets = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy("id").agg(minhashBands(col("h")).as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // all ordered pairs within a bucket: for each position i, pair with
+    // every later element (lambda references only bound vars — cheap)
+    val pairs = buckets.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    pairs.select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   private def verifyByJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
@@ -154,7 +165,12 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, n: Int = 3,
                       k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    // sh appears three times in the final plan (signature pipeline + the
+    // two verify joins); persist so tokenisation/shingling runs once.
+    // MEMORY_AND_DISK with LRU eviction — safe to leave cached, and at
+    // cluster scale the shingle table is the natural reuse point anyway.
     val sh = withShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyByJaccard(minhashCandidates(sh, k, rowsPerBand), sh, threshold)
   }
 
