@@ -558,6 +558,22 @@ object GraftQueries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10, bits = 8, probes = 4)
   }
 
+  /** IVF ANN run at nprobe = nlist: exhaustive probing makes it exact
+    * (so it shares s1's SQL oracle); the nprobe < nlist approximate
+    * scale path is asserted by recall in the test suite.
+    */
+  def s3KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 8)
+  }
+
+  /** First-seen dedup per (user_id, event_type) — batch form; the
+    * flatMapGroupsWithState streaming form is asserted equal in
+    * StreamingSpec.
+    */
+  def st1FirstSeen(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.firstSeenDedupBatch(tbl(s, dir, "events"))
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -645,6 +661,8 @@ object GraftQueries {
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
+    "s3_knn_ivf"         -> (s3KnnIvf _),
+    "st1_first_seen"     -> (st1FirstSeen _),
     "t1_text_stats"      -> (t1TextStats _),
     "t2_lang_id"         -> (t2LangId _),
     "t3_token_counts"    -> (t3TokenCounts _),

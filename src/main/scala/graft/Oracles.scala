@@ -395,6 +395,22 @@ object Oracles {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
+    // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
+    "s3_knn_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+
+    "st1_first_seen" ->
+      """SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "t1_text_stats" ->
       """WITH f AS (
         |  SELECT doc_id, text,

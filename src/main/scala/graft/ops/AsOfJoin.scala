@@ -22,7 +22,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
-  /** @param left       probe side (e.g. events)
+  /** Right-side rows should be unique per (key, time) — when several
+    * right rows share both, which payload is carried is unspecified
+    * (pre-aggregate the right side, as `GraftQueries.qAsofJoin` does).
+    *
+    * @param left       probe side (e.g. events)
     * @param right      reference side (e.g. orders)
     * @param leftKey    join key column name on `left`
     * @param rightKey   join key column name on `right`

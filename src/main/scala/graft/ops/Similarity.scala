@@ -127,6 +127,48 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a coarse k-means quantizer assigns
+    * every corpus vector to its nearest centroid cell; a query scores
+    * only the vectors in its `nprobe` nearest cells. The other classic
+    * ANN scale path next to LSH — better cell balance when the data IS
+    * clustered, degrades gracefully to brute force as nprobe → nlist.
+    * Composes Spark MLlib's KMeans (no custom training loop needed).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Array[Float]) =>
+      Vectors.dense(a.map(_.toDouble)))
+    val featured = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("features", toVec(col("cv")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(featured)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = model.transform(featured)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    // query → its nprobe nearest cells by centroid cosine
+    val probeCells = udf((qv: Array[Float]) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, cosineKernel(qv, c)) }
+        .sortBy(-_._2).take(nprobe).map(_._1))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = assigned.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** Exact cosine near-dup pairs (threshold join), for a corpus whose
     * (id, vector, norm) fits in executor memory: broadcast the corpus
     * once, stream the rows, and run the O(n²/2) scoring as a tight

@@ -63,6 +63,60 @@ object EventsStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming first-seen dedup with explicit state
+    * (`flatMapGroupsWithState`): emit only the first event per
+    * (user_id, event_type), remembering seen types per user. State is
+    * bounded by an event-time idle timeout against the watermark — a
+    * user idle past the timeout has its state dropped, so state size
+    * tracks the *active* key set, not the all-time one. (Event-time,
+    * not processing-time, timeout: processing time "always advances",
+    * which makes the micro-batch engine re-trigger empty batches
+    * forever — on a bounded replay the query never settles.)
+    * The custom-state streaming shape: the built-in `dropDuplicates`
+    * covers the simple case; this is the template for arbitrary keyed
+    * state.
+    */
+  def firstSeenDedupStream(events: DataFrame, idleTimeoutHours: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("event_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Set[String], (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[Set[String]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Set.empty[String])
+            var maxTs = Long.MinValue
+            val out = rows.filter { case (_, tpe, _, ts) =>
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+              if (seen(tpe)) false else { seen += tpe; true }
+            }.map { case (uid, tpe, eid, _) => (uid, tpe, eid) }.toList
+            state.update(seen)
+            // timeout must sit at-or-after the current watermark
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) +
+                idleTimeoutHours * 3600L * 1000L)
+            out.iterator
+          }
+      }
+      .toDF("user_id", "event_type", "event_id")
+  }
+
+  /** Batch-equivalent of the first-seen dedup (earliest event_id wins —
+    * in the streaming form "first" is arrival order, which for the
+    * replayed fixture equals event_id order per group).
+    */
+  def firstSeenDedupBatch(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("event_id"))
+      .select("user_id", "event_type", "event_id")
+
   /** Drive a streaming DataFrame built by `build` over the fixture
     * parquet as a bounded stream, collect via the memory sink.
     */

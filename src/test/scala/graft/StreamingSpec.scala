@@ -62,4 +62,20 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .filter(minute(col("hour")) =!= 0 || second(col("hour")) =!= 0)
     assert(misaligned.count() == 0)
   }
+
+  test("flatMapGroupsWithState first-seen dedup matches batch equivalent") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.firstSeenDedupStream(
+        ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "dedup_state_test")
+    val batch = EventsStream.firstSeenDedupBatch(events)
+    // same dedup keys either way
+    assert(streamed.select("user_id", "event_type").exceptAll(
+      batch.select("user_id", "event_type")).count() == 0)
+    assert(streamed.count() == batch.count())
+    // the replayed fixture arrives in event_id order, so "first seen"
+    // is exactly min(event_id)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
 }
