@@ -70,7 +70,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up, untimed
-      name -> math.min(once(), once())
+      val best = math.min(once(), once())
+      // JIT code-cache occupancy: exhaustion (flushing + hot-method
+      // eviction) is the one JVM-state failure mode that has produced
+      // 10-25× per-query degradation late in a bench run — make it
+      // visible next to every number.
+      val ccUsed = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .stream().filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        .mapToLong(_.getUsage.getUsed).sum() >> 20
+      System.err.println(f"[bench] $name $best%.3fs codecache=${ccUsed}m")
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
