@@ -227,6 +227,31 @@ object GraftQueries {
     tbl(s, dir, "documents").select(col("doc_id"), esc(col("text")).as("sql_literal"))
   }
 
+  /** O19: stats collection via `df.observe` — per-table retained-row
+    * counts gathered as query-attached metrics on the export scans
+    * themselves (no second counting job), the Spark form of the
+    * reference's exporter stats (exporter.go:24-28, main.go:176-191).
+    * Truncated tables are 0 by plan, with no job at all.
+    */
+  def o19Stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = ParquetSource(s, dir)
+    val rows: Seq[(String, Long)] = exportConfig.tableOrder.map { t =>
+      val tc = exportConfig.tableConfig(t)
+      if (tc.exists(_.truncate)) t -> 0L
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        src.scan(t, tc.map(_.retain).getOrElse(RetainAll))
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
+        t -> obs.get("rows").asInstanceOf[Long]
+      }
+    }
+    val m = rows.toMap
+    Seq((m("events"), m("orders"), m("lineitem"), m("customer"), rows.map(_._2).sum))
+      .toDF("events_rows", "orders_rows", "lineitem_rows", "customer_rows", "total_rows")
+  }
+
   /** O20: config sync — set difference of catalog vs configured tables. */
   def o20Sync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -629,6 +654,7 @@ object GraftQueries {
     "o15_topo_order"     -> (o15TopoOrder _),
     "o16_dump_stats"     -> (o16DumpStats _),
     "o17_codec"          -> (o17Codec _),
+    "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),
     "o18_quote_identifiers" -> (o18QuoteIdentifiers _),
     "o21_dry_run"        -> (o21DryRun _),

@@ -184,6 +184,15 @@ object Oracles {
         |  '\', '\\'), '''', ''''''), chr(0), '\0'), chr(10), '\n'), chr(13), '\r'), chr(26), '\Z')
         ||| '''' AS sql_literal FROM documents""".stripMargin,
 
+    "o19_stats" ->
+      """WITH t AS (SELECT
+        |  CAST(0 AS BIGINT) AS events_rows,
+        |  CAST((SELECT count(*) FROM orders WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS orders_rows,
+        |  CAST(LEAST(5000, (SELECT count(*) FROM lineitem)) AS BIGINT) AS lineitem_rows,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS customer_rows)
+        |SELECT events_rows, orders_rows, lineitem_rows, customer_rows,
+        |  events_rows + orders_rows + lineitem_rows + customer_rows AS total_rows FROM t""".stripMargin,
+
     "o20_sync" ->
       Seq("documents", "embeddings", "nation", "part", "region", "supplier")
         .map(t => s"SELECT '$t' AS table_name").mkString(" UNION ALL "),
