@@ -145,9 +145,14 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .withColumn("features", toVec(col("cv")))
+    // Train the coarse quantizer on a bounded sample (the standard IVF
+    // recipe: ~256 vectors per cell suffice) — k-means at maxIter=10
+    // over the FULL corpus would be 10 extra whole-corpus passes at
+    // 100 TB. Assignment below still covers every corpus vector.
+    val trainSample = featured.select("features").limit(math.max(nlist * 256, 4096))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(featured)
+      .fit(trainSample)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val assigned = model.transform(featured)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))

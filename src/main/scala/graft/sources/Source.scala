@@ -157,9 +157,9 @@ object ParquetSource {
   * reference's MySQL/Postgres drivers. Metadata flows through
   * `java.sql.DatabaseMetaData` on the driver (like the reference's
   * information_schema queries, mysql.go:44-135); data flows through
-  * `spark.read.jdbc` with partitioned scans. Untestable in this
-  * environment (no JDBC drivers on the classpath — SURVEY.md §7), so the
-  * shape mirrors the reference's interface and is exercised via mocks.
+  * `spark.read.jdbc` with partitioned scans. No database drivers exist
+  * on this classpath (SURVEY.md §7), so the metadata paths are exercised
+  * against a proxy-mocked JDBC driver in `JdbcSourceSpec`.
   */
 final case class JdbcSource(
     spark: SparkSession,

@@ -61,4 +61,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val plan = planOf("d2_minhash_lsh")
     assert(plan.contains("HashAggregate"))
   }
+
+  test("q_asof_join: union+window shape — no join operator, no cartesian") {
+    val plan = planOf("q_asof_join")
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of must not degrade to a cross product")
+  }
+
+  test("q_range_join: equi-join on time bins, not a nested-loop theta join") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("s1 knn: query side is broadcast (corpus never shuffles)") {
+    val plan = planOf("s1_knn_brute")
+    assert(plan.contains("Broadcast"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "brute-force knn must broadcast the small query set, not sort-merge the corpus")
+  }
+
+  test("st1 first-seen: partial+final aggregate (map-side combine)") {
+    val plan = planOf("st1_first_seen")
+    assert(plan.contains("partial_min"), plan.take(2000))
+    assert(plan.contains("HashAggregate"))
+  }
 }
