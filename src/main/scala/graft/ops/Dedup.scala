@@ -206,6 +206,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard with PPJoin-style prefix filtering (Bayardo,
+    * Ma, Srikant: "Scaling Up All Pairs Similarity Search", WWW 2007):
+    * identical output to `ngramJaccardPairs`, far fewer candidates.
+    *
+    * Under any consistent global shingle order, two sets with
+    * J(A,B) ≥ t must share a shingle within each other's first
+    * |X| - ⌈t·|X|⌉ + 1 shingles (the "prefix"), so joining on prefix
+    * shingles only loses nothing. Ordering by ascending document
+    * frequency puts the RAREST shingles in the prefix, which is what
+    * collapses the candidate count: the frequent shingles that drive
+    * the naive join's Σ df(s)² blow-up never participate.
+    *
+    * Shuffle shape at scale: one frequency aggregate over exploded
+    * shingles, one doc-keyed window to rank each doc's shingles, the
+    * prefix self-join (small), then the same verify join as LSH. No
+    * global sort — the frequency order is established per-shingle by
+    * the join, not by a total rank.
+    *
+    * When to use which (measured on the sf0.1 fixture, threshold 0.5):
+    * this corpus is templated — 27k distinct shingles over 260k
+    * occurrences, mean df ≈ 10 — so even "rare" prefix shingles
+    * collide broadly (409k candidates for 256 true pairs) and the
+    * count-based `ngramJaccardPairs` wins 3×. On a real long-tailed
+    * corpus (most shingles df = 1, a frequent head driving Σ df(s)²)
+    * the prefix join is the one that survives the scale-up: the head
+    * shingles never enter a prefix, while they dominate the naive
+    * join's candidate volume. `OpsSpec` asserts both return identical
+    * pairs.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+    // rank each doc's shingles rarest-first ((df, s) is a total order
+    // because s is unique within a doc) and keep only the prefix
+    val ranked = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df_s"), col("s"))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("id"), col("s"))
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyByJaccard(cands, sh, threshold)
+  }
+
   /** 64-bit SimHash signatures (Charikar 2002): explode shingles, hash
     * once (codegen), then per doc per bit sum ±1 and take the sign.
     * Output: (id, sig). All codegen; one aggregate shuffle on id.

@@ -133,6 +133,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(resized.filter(col("out_width") <= 0 || col("out_height") <= 0).count() == 0)
   }
 
+  test("PPJoin prefix filtering returns exactly the naive Jaccard join's pairs") {
+    val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val pp = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    assert(pp.exceptAll(naive).count() == 0, "prefix join produced extra pairs")
+    assert(naive.exceptAll(pp).count() == 0, "prefix filtering lost pairs")
+    assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
+  }
+
   test("IVF ANN recalls planted near-duplicates") {
     import spark.implicits._
     val base = emb.filter(col("vec_id") < 20)
