@@ -603,6 +603,13 @@ object GraftQueries {
   def st1FirstSeen(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.firstSeenDedupBatch(tbl(s, dir, "events"))
 
+  /** Stream-stream interval join, batch form (streaming form asserted
+    * equal in StreamingSpec): purchases within 30 min of a same-user
+    * click.
+    */
+  def st2IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.clickToPurchaseBatch(tbl(s, dir, "events"))
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -693,6 +700,7 @@ object GraftQueries {
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),
     "st1_first_seen"     -> (st1FirstSeen _),
+    "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),
     "t2_lang_id"         -> (t2LangId _),
     "t3_token_counts"    -> (t3TokenCounts _),

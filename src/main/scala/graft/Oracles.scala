@@ -420,6 +420,13 @@ object Oracles {
       """SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "st2_interval_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin,
+
     "t1_text_stats" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -117,6 +117,46 @@ object EventsStream {
       .agg(min(col("event_id")).as("event_id"))
       .select("user_id", "event_type", "event_id")
 
+  private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                                gapMinutes: Int): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+
+  /** Stream-stream interval self-join: purchases within `gapMinutes` of
+    * a click by the same user. Watermarks on BOTH sides plus the time
+    * bound let the engine expire join state — without them a
+    * stream-stream join buffers both inputs forever. Equi-key is
+    * user_id, so the shuffle is one hash partition per side; the time
+    * bound is a post-join filter, not a range explosion.
+    */
+  def clickToPurchaseStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clickPurchaseJoin(clicks, purchases, gapMinutes)
+  }
+
+  /** Batch-equivalent of the interval join (identical join logic, no
+    * watermarks) — the oracle-checked form.
+    */
+  def clickToPurchaseBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clickPurchaseJoin(clicks, purchases, gapMinutes)
+  }
+
   /** Drive a streaming DataFrame built by `build` over the fixture
     * parquet as a bounded stream, collect via the memory sink.
     */

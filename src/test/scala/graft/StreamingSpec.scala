@@ -63,6 +63,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(misaligned.count() == 0)
   }
 
+  test("stream-stream interval join matches batch equivalent") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.clickToPurchaseStream(
+        ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "interval_join_test")
+    val batch = EventsStream.clickToPurchaseBatch(events)
+    assert(batch.count() > 0, "fixture should contain click→purchase pairs")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch equivalent") {
     val streamed = EventsStream.runOnceOnParquet(
       spark, s"$sfDir/events.parquet", rawSchema,
