@@ -637,7 +637,8 @@ object GraftQueries {
   /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
-      .select("asset_id", "media_type", "n_bytes")
+      .select("asset_id", "media_type", "n_bytes", "width", "height",
+        "duration_ms", "checksum")
 
   /** Frame-sampling spec for the video subset. */
   def mm2FrameSamples(s: SparkSession, dir: String): DataFrame =

@@ -474,10 +474,33 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // the stub codec's metadata is pure md5-byte arithmetic, so DuckDB
+    // reproduces it exactly: byte i of the digest from the hex string
     "mm1_decode_meta" ->
-      """SELECT doc_id AS asset_id,
-        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt, md5(text) AS m,
+        |    octet_length(encode(text)) AS nb,
+        |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS b0,
+        |    (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS b1,
+        |    (strpos('0123456789abcdef', substr(md5(text),5,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),6,1))-1) AS b2,
+        |    (strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),8,1))-1) AS b3
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(CASE mt WHEN 0 THEN 64 + b0*8 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
+        |  CAST(CASE mt WHEN 0 THEN 64 + b1*8 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height,
+        |  CAST(CASE mt WHEN 0 THEN 0 WHEN 1 THEN 1000 + b2*256 ELSE 5000 + b3*512 END AS BIGINT) AS duration_ms,
+        |  m AS checksum
+        |FROM b""".stripMargin,
+
+    "mm2_frame_samples" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),8,1))-1) AS b3
+        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2)
+        |SELECT doc_id AS asset_id,
+        |  CAST(floor((5000 + b3*512) / 1000) + 1 AS BIGINT) AS n_frames
+        |FROM b""".stripMargin,
   )
 }
