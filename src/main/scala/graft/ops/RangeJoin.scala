@@ -29,7 +29,11 @@ object RangeJoin {
     // under the UTC session) so unix_micros applies
     val micros = (t: Column) => unix_micros(t.cast("timestamp"))
     val bucket = (t: Column) => floor(micros(t) / (windowSec * 1000000L))
+    // per-row id so duplicate left rows stay distinct outputs instead of
+    // collapsing in the count aggregate (only needs uniqueness within
+    // this one execution, which monotonically_increasing_id guarantees)
     val l = left
+      .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__lb", bucket(col(leftTime)))
       .withColumn("__bucket", explode(array(col("__lb"), col("__lb") + 1)))
     val r = right.select(col(rightTime).as("__rt"))
@@ -43,7 +47,8 @@ object RangeJoin {
     // each matching right row is found via exactly one of the two probed
     // buckets (its own), so summing hits over both probe copies counts
     // every match once
-    matched.groupBy(leftCols.map(col): _*)
+    matched.groupBy((("__rid": String) +: leftCols).map(col): _*)
       .agg(sum(col("__hit")).as("n_in_range"))
+      .drop("__rid")
   }
 }

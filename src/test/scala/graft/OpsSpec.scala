@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Behavioural specs for the LLM-pipeline operators: LSH candidate
   * recall against exact baselines, ANN recall vs brute force, kernel
@@ -131,6 +131,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .filter(col("media_type") === "image")
     assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() == 0)
     assert(resized.filter(col("out_width") <= 0 || col("out_height") <= 0).count() == 0)
+  }
+
+  test("range join keeps duplicate left rows as distinct outputs") {
+    import spark.implicits._
+    val left = Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:00"))
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq("2024-01-01 00:30:00").toDF("rts")
+      .withColumn("rts", col("rts").cast("timestamp"))
+    val out = RangeJoin.countInRange(left, right, "ts", "rts", windowSec = 3600)
+    assert(out.count() == 2, "identical left rows must not collapse")
+    assert(out.select("n_in_range").as[Long].collect().toSeq == Seq(1L, 1L))
   }
 
   test("PPJoin prefix filtering returns exactly the naive Jaccard join's pairs") {
