@@ -386,6 +386,27 @@ object GraftQueries {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
 
+  /** Explicit GROUPING SETS — the general lattice rollup/cube are
+    * shorthands for.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")),
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** PIVOT with explicit value list (keeps the plan a single aggregate —
+    * no value-discovery pre-pass, the at-scale form).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+
   /** JSON extraction from the events props column. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -683,6 +704,8 @@ object GraftQueries {
     "q_except"           -> (qExcept _),
     "q_union_all"        -> (qUnionAll _),
     "q_rollup"           -> (qRollup _),
+    "q_grouping_sets"    -> (qGroupingSets _),
+    "q_pivot"            -> (qPivot _),
     "q_json_extract"     -> (qJsonExtract _),
     "q_events_hourly"    -> (qEventsHourly _),
     "q_sessionize"       -> (qSessionize _),

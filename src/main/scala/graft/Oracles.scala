@@ -288,6 +288,18 @@ object Oracles {
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_type,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
