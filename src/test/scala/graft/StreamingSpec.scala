@@ -63,6 +63,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(misaligned.count() == 0)
   }
 
+  test("parquet file sink: exactly-once via checkpoint, restart adds no duplicates") {
+    import java.nio.file.Files
+    val outDir = Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val srcDir = Files.createTempDirectory("graft_sink_src")
+    Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+      val q = EventsStream.hourlyAgg(ParquetSource.normalizeNanoTimestamps(stream))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val firstCount = spark.read.parquet(outDir).count()
+    assert(firstCount > 0, "watermark-closed windows should have flushed to the sink")
+    // restart on the same checkpoint: source is exhausted, commit log
+    // prevents re-emission — the sink must not grow
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == firstCount)
+    // emitted (closed) windows agree with the batch computation
+    val batch = EventsStream.hourlyAggBatch(events)
+    assert(spark.read.parquet(outDir).exceptAll(batch).count() == 0,
+      "file sink contains windows the batch form does not")
+  }
+
   test("stream-stream interval join matches batch equivalent") {
     val streamed = EventsStream.runOnceOnParquet(
       spark, s"$sfDir/events.parquet", rawSchema,
