@@ -32,6 +32,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(out(13L).contains("q4"))
   }
 
+  test("randomised: matches a per-row scan reference on collision-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      // small key/time domains force heavy collisions (the edge cases)
+      val rights = (0 until 80).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong)
+      }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique per (key, time)
+      val lefts = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong)
+      }
+      val rightDf = rights.toDF("rk", "rt", "payload")
+      val leftDf = lefts.toDF("lid", "lk", "lt")
+      val got = AsOfJoin.asOf(leftDf, rightDf, "lk", "rk", "lt", "rt", Seq("payload"))
+        .select("lid", "payload").as[(Long, Option[Long])].collect().toMap
+      val expected = lefts.map { case (lid, lk, lt) =>
+        val best = rights.filter(r => r._1 == lk && r._2 <= lt)
+          .sortBy(_._2).lastOption.map(_._3)
+        lid -> best
+      }.toMap
+      assert(got == expected, s"round $round diverged from the scan reference")
+    }
+  }
+
   test("fixture as-of matches a windowed lag reformulation") {
     // prev-order query: for each order, the customer's latest strictly
     // earlier order date's max orderkey — recomputed via lag over the
