@@ -661,6 +661,13 @@ object GraftQueries {
       .select("asset_id", "media_type", "n_bytes", "width", "height",
         "duration_ms", "checksum")
 
+  /** Aspect-preserving resize spec over the decoded metadata. */
+  def mm3ResizeSpec(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withResizeSpec(
+      Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents"))),
+      maxSide = 256)
+      .select("asset_id", "width", "height", "out_width", "out_height")
+
   /** Frame-sampling spec for the video subset. */
   def mm2FrameSamples(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSamples(
@@ -730,6 +737,7 @@ object GraftQueries {
     "t3_token_counts"    -> (t3TokenCounts _),
     "t4_fingerprint"     -> (t4Fingerprint _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
+    "mm3_resize_spec"    -> (mm3ResizeSpec _),
     "mm2_frame_samples"  -> (mm2FrameSamples _),
   )
 }

@@ -506,6 +506,26 @@ object Oracles {
         |  m AS checksum
         |FROM b""".stripMargin,
 
+    "mm3_resize_spec" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
+        |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS b0,
+        |    (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS b1
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(CASE mt WHEN 0 THEN 64 + b0*8 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
+        |    CAST(CASE mt WHEN 0 THEN 64 + b1*8 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, width, height,
+        |    LEAST(256.0 / GREATEST(width, 1), 256.0 / GREATEST(height, 1), 1.0) AS scale
+        |  FROM m)
+        |SELECT doc_id AS asset_id, width, height,
+        |  CAST(floor(width * scale) AS INTEGER) AS out_width,
+        |  CAST(floor(height * scale) AS INTEGER) AS out_height
+        |FROM s""".stripMargin,
+
     "mm2_frame_samples" ->
       """WITH b AS (
         |  SELECT doc_id,
