@@ -89,6 +89,10 @@ object Anonymiser {
           acc.join(broadcast(mapping), acc(name) <=> mapping("__orig"), "left")
             .drop(name).drop("__orig")
             .withColumnRenamed("__fake", name)
+            // drop+rename appends the column — restore the original order
+            // so both strategies produce schema-identical output (the
+            // dump writer renders columns positionally)
+            .select(acc.columns.map(col).toSeq: _*)
       }
     }
   }

@@ -61,6 +61,9 @@ class AnonymiserSpec extends AnyFunSuite with SparkSuite {
       .select("c_custkey", "c_name")
     assert(viaSeed.except(viaMap).count() == 0)
     assert(viaMap.except(viaSeed).count() == 0)
+    // schema-identical too: the dump writer renders positionally
+    assert(Anonymiser(customer, tc, Anonymiser.BroadcastMap).columns.toSeq ==
+      customer.columns.toSeq)
   }
 
   test("unknown faker function → empty string (faker.go:45-52)") {
