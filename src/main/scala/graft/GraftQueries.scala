@@ -407,6 +407,20 @@ object GraftQueries {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(col("l_quantity")))
 
+  /** The SQL frontend the reference lacks entirely: spark.sql over
+    * registered views, with a scalar subquery Catalyst decorrelates.
+    * (max/2 as the threshold — exact in FP, unlike avg, so the oracle
+    * comparison is bit-stable.)
+    */
+  def qSqlFrontend(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big
+        |FROM orders_v
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_v) / 2
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** JSON extraction from the events props column. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -713,6 +727,7 @@ object GraftQueries {
     "q_rollup"           -> (qRollup _),
     "q_grouping_sets"    -> (qGroupingSets _),
     "q_pivot"            -> (qPivot _),
+    "q_sql_frontend"     -> (qSqlFrontend _),
     "q_json_extract"     -> (qJsonExtract _),
     "q_events_hourly"    -> (qEventsHourly _),
     "q_sessionize"       -> (qSessionize _),

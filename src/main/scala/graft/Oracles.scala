@@ -300,6 +300,12 @@ object Oracles {
         |sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    "q_sql_frontend" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_type,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
