@@ -72,6 +72,28 @@ object Multimodal {
     }.toDF()
   }
 
+  /** STUB feature extraction — an L2-normalised byte histogram in place
+    * of a real image/audio embedding model (same shape contract:
+    * `(vec_id, embedding: Array[Float])`, unit norm). Output plugs
+    * directly into `Similarity.bruteForceTopK` / `lshTopK` / `ivfTopK`,
+    * which is the point: the media → features → ANN pipeline is the
+    * composition a training-data pipeline runs, and its Spark plumbing
+    * is identical with a real model behind the kernel.
+    */
+  def extractFeatures(assets: DataFrame, bins: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val h = new Array[Float](bins)
+        a.payload.foreach(b => h(((b & 0xff) * bins) / 256) += 1f)
+        val norm = math.sqrt(h.map(x => x.toDouble * x).sum)
+        val n = if (norm < 1e-9) 1f else norm.toFloat
+        (a.asset_id, h.map(_ / n))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Resize spec transform: pure metadata math (target box, preserve
     * aspect ratio) — the part of an image pipeline that IS plain columns.
     */

@@ -154,6 +154,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("media features compose into the similarity ops: exact dups → cosine 1") {
+    import spark.implicits._
+    // the fixture has no byte-identical documents (500 distinct texts),
+    // so plant copies under new ids: dedup must find exactly those, and
+    // their histograms must be identical → cosine exactly 1
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val assets = planted.select(col("doc_id").as("asset_id"),
+      lit("image").as("media_type"), encode(col("text"), "UTF-8").as("payload"))
+    val feats = Multimodal.extractFeatures(assets)
+    val dupPairs = Dedup.exact(planted, "doc_id", "text")
+      .filter(col("dup_count") > 1)
+      .join(planted.withColumn("fp",
+        TextAnalysis.fingerprint(col("text"))), col("fingerprint") === col("fp"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("id_a"), col("doc_id").as("id_b"))
+    assert(dupPairs.count() == 10, "dedup should find exactly the planted copies")
+    val sims = dupPairs
+      .join(feats.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(feats.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(Similarity.cosine(col("va"), col("vb")).as("sim"))
+      .as[Double].collect()
+    assert(sims.forall(s => s > 0.9999), s"min sim = ${sims.min}")
+  }
+
   test("IVF ANN recalls planted near-duplicates") {
     import spark.implicits._
     val base = emb.filter(col("vec_id") < 20)
