@@ -174,18 +174,147 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
-  /** Exact cosine near-dup pairs (threshold join), for a corpus whose
-    * (id, vector, norm) fits in executor memory: broadcast the corpus
-    * once, stream the rows, and run the O(n²/2) scoring as a tight
-    * per-partition loop with precomputed norms — zero allocation per
-    * scored pair. (The DataFrame BNLJ form of this join deserialises
-    * both arrays per pair and GC-thrashes at millions of pairs.)
+  /** Angle (radians) between two float vectors, double-precision with
+    * the acos input clamped to [-1, 1]. Zero-norm vectors yield NaN,
+    * which the cell-pruning below treats as "radius unknown ⇒ never
+    * prune" (conservative, keeps the operator exact).
+    */
+  def angleKernel(a: Array[Float], b: Array[Float]): Double =
+    math.acos(math.max(-1.0, math.min(1.0, cosineKernel(a, b))))
+
+  /** Exact cosine near-dup pairs (threshold join) at scale: an IVF-cell
+    * blocked pair join with angular triangle-inequality pruning. No
+    * driver-side corpus materialisation, no cartesian product — the
+    * corpus is partitioned into quantizer cells (k-means trained on a
+    * bounded sample, as in `ivfTopK`), cells are split into bounded-size
+    * blocks, and only block PAIRS that can possibly contain a
+    * qualifying pair are evaluated with the tight per-partition kernel.
     *
-    * Beyond broadcastable size, use the LSH bucketing above as the
-    * candidate generator with this same verify kernel.
+    * Exactness (unlike LSH candidates, which have recall < 1): for
+    * vectors a ∈ cell A, b ∈ cell B, the spherical triangle inequality
+    * gives θ(a,b) ≥ θ(c_A,c_B) − r_A − r_B, where r_X is cell X's
+    * angular radius (max member angle to its centroid). A cell pair is
+    * pruned only when that lower bound (minus a 1e-6 slack for acos
+    * rounding) exceeds acos(threshold) — so no qualifying pair is ever
+    * missed, and the kernel verifies every surviving candidate with the
+    * same left-to-right double fold as the oracle. Clustering quality
+    * affects only speed, never the result.
+    *
+    * Scale shape: one pass to assign cells (quantizer trained on a
+    * bounded sample), one metadata-scale aggregate (nlist rows) for
+    * radii, one shuffle to group blocks, then a block-pair join whose
+    * data movement is O(survivingPairs × blockBytes) — the blocked
+    * all-pairs layout of a distributed matrix product, with the pruning
+    * removing inter-cluster block pairs. Per-task memory is bounded by
+    * 2 × maxBlock vectors regardless of corpus size. The previous
+    * broadcast form survives as `cosineNearDupPairsBroadcast` for
+    * corpora that fit on one executor.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         nlist: Int = 16, maxBlock: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val parallelism = spark.sparkContext.defaultParallelism
+    val toVec = udf((a: Array[Float]) => Vectors.dense(a.map(_.toDouble)))
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .repartition(parallelism)
+      .withColumn("features", toVec(col("v")))
+    // bounded-sample quantizer training (same recipe as ivfTopK); k is
+    // capped by the sample size so tiny inputs still train
+    val trainSample = vecs.select("features")
+      .limit(math.max(nlist * 256, 4096))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = math.max(1, math.min(nlist.toLong, trainSample.count()).toInt)
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10)
+      .fit(trainSample)
+    trainSample.unpersist()
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = model.transform(vecs)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-cell metadata (nlist rows — metadata-scale driver traffic, not
+    // the corpus): member count + angular radius around the centroid
+    val angleToCentroid = udf((cell: Int, v: Array[Float]) => angleKernel(v, centroids(cell)))
+    val cellMeta = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n"), max(angleToCentroid(col("cell"), col("v"))).as("r"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val nChunks: Map[Int, Int] = cellMeta.map { case (c, (n, _)) =>
+      c -> math.max(1, math.ceil(n.toDouble / maxBlock).toInt)
+    }
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val eps = 1e-6 // covers acos error amplification near cos = ±1
+    val cells = cellMeta.keys.toSeq.sorted
+    val blockPairs: Seq[(Int, Int, Int, Int)] = for {
+      ca <- cells; cb <- cells if ca <= cb
+      minAngle = angleKernel(centroids(ca), centroids(cb)) -
+        cellMeta(ca)._2 - cellMeta(cb)._2 - eps
+      // NaN radius (zero-norm member) compares false ⇒ pair kept
+      if !(minAngle > thetaMax)
+      ia <- 0 until nChunks(ca); ib <- 0 until nChunks(cb)
+      if ca < cb || ia <= ib
+    } yield (ca, ia, cb, ib)
+    // bounded blocks: chunk within cell by hashed id; each vector lands in
+    // exactly one block, each unordered block pair in exactly one task
+    val nChunksMap = map(cells.flatMap(c => Seq(lit(c), lit(nChunks(c)))): _*)
+    val groups = assigned
+      .withColumn("chunk",
+        pmod(xxhash64(col("id")), element_at(nChunksMap, col("cell"))).cast("int"))
+      .groupBy("cell", "chunk")
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("members"))
+    val bp = broadcast(blockPairs.toDF("cell_a", "chunk_a", "cell_b", "chunk_b"))
+    val paired = groups
+      .join(bp, col("cell") === col("cell_a") && col("chunk") === col("chunk_a"))
+      .select(col("members").as("_1"), col("cell_b"), col("chunk_b"),
+        (col("cell_a") === col("cell_b") && col("chunk_a") === col("chunk_b")).as("same"))
+      .join(groups.withColumnRenamed("members", "mb"),
+        col("cell") === col("cell_b") && col("chunk") === col("chunk_b"))
+      .select(col("_1"), col("mb").as("_2"), col("same").as("_3"))
+      .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])], Boolean)]
+    paired.flatMap { case (ma, mb, same) =>
+      val a = ma.toArray.sortBy(_._1)
+      val b = if (same) a else mb.toArray.sortBy(_._1)
+      def norms(m: Array[(Long, Array[Float])]): Array[Double] = m.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      val na = norms(a); val nb = if (same) na else norms(b)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < a.length) {
+        val (ida, va) = a(i)
+        var j = if (same) i + 1 else 0
+        while (j < b.length) {
+          val (idb, vb) = b(j)
+          var dot = 0.0
+          var d = 0
+          val n = math.min(va.length, vb.length)
+          while (d < n) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+          val sim = dot / (na(i) * nb(j))
+          if (sim >= threshold && ida != idb)
+            out += (if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "sim")
+  }
+
+  /** Exact cosine near-dup pairs, broadcast form — the small-corpus fast
+    * path: for a corpus whose (id, vector, norm) fits in executor memory,
+    * broadcast the corpus once, stream the rows, and run the O(n²/2)
+    * scoring as a tight per-partition loop with precomputed norms — zero
+    * allocation per scored pair. (The DataFrame BNLJ form of this join
+    * deserialises both arrays per pair and GC-thrashes at millions of
+    * pairs.) Beyond broadcastable size use `cosineNearDupPairs`, which
+    * produces identical output without materialising the corpus anywhere.
+    */
+  def cosineNearDupPairsBroadcast(df: DataFrame, threshold: Double,
+                                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parallelism = spark.sparkContext.defaultParallelism

@@ -80,6 +80,18 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("blocked near-dup join equals the broadcast form (forced chunking)") {
+    // tiny maxBlock forces multi-chunk cells, exercising the same-cell
+    // cross-chunk and intra-chunk pair paths; sims must be bit-identical
+    val blocked = Similarity.cosineNearDupPairs(emb, threshold = 0.4, nlist = 4, maxBlock = 16)
+      .select("id_a", "id_b", "sim")
+    val bcast = Similarity.cosineNearDupPairsBroadcast(emb, threshold = 0.4)
+      .select("id_a", "id_b", "sim")
+    assert(blocked.exceptAll(bcast).count() == 0, "blocked join produced extra pairs")
+    assert(bcast.exceptAll(blocked).count() == 0, "blocked join lost pairs")
+    assert(bcast.count() > 0, "fixture should contain near-dup pairs at t=0.4")
+  }
+
   test("language-id is deterministic and covers the marker languages") {
     val out1 = docs.withColumn("l", TextAnalysis.langId(col("text")))
       .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -82,6 +82,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "brute-force knn must broadcast the small query set, not sort-merge the corpus")
   }
 
+  test("d5: blocked pair join — no cartesian, no broadcast-nested-loop") {
+    val plan = planOf("d5_embedding_dups")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "exact near-dup join must stay a blocked equi-join: " + plan.take(2000))
+    // the verify kernel runs distributed (object-serde pipeline present)
+    assert(plan.contains("SerializeFromObject"), plan.take(2000))
+  }
+
   test("st1 first-seen: partial+final aggregate (map-side combine)") {
     val plan = planOf("st1_first_seen")
     assert(plan.contains("partial_min"), plan.take(2000))
