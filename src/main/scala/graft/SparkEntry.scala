@@ -5,9 +5,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *
   * `queries` carries one entry per implemented operator from SURVEY.md §2
   * (parity O1-O22 where observable, plus the [EXT] LLM-pipeline ops);
-  * `oracleSql` holds the DuckDB-equivalent SQL for each (omitted only for
-  * the approximate/stub ops `s2_knn_lsh` and `mm2_frame_samples`, which
-  * are covered by recall/determinism assertions in the test suite).
+  * `oracleSql` holds the DuckDB-equivalent SQL for every entry — the
+  * approximate ops emit deterministic verdict rows (e.g. `s2_knn_lsh`'s
+  * per-query recall floor) so even they are oracle-checked; recall on
+  * high-cosine workloads is additionally asserted in the test suite.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -166,6 +166,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("d4 auto chooser: both branch choices produce the naive join's pairs") {
+    val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    // default budget: this templated fixture stays under it → count-based branch
+    val auto = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    // budget 0 forces the PPJoin prefix branch
+    val forced = Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", threshold = 0.5,
+      candidateBudgetPerDoc = 0).select("id_a", "id_b")
+    assert(auto.exceptAll(naive).count() == 0 && naive.exceptAll(auto).count() == 0,
+      "auto (count-based branch) diverged from naive")
+    assert(forced.exceptAll(naive).count() == 0 && naive.exceptAll(forced).count() == 0,
+      "auto (forced prefix branch) diverged from naive")
+  }
+
   test("media features compose into the similarity ops: exact dups → cosine 1") {
     import spark.implicits._
     // the fixture has no byte-identical documents (500 distinct texts),
