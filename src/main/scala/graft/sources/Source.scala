@@ -154,19 +154,31 @@ object ParquetSource {
 }
 
 /** JDBC source against a live database — the parity path for the
-  * reference's MySQL/Postgres drivers. Metadata flows through
+  * reference's MySQL/Postgres/SQLite drivers. Metadata flows through
   * `java.sql.DatabaseMetaData` on the driver (like the reference's
   * information_schema queries, mysql.go:44-135); data flows through
-  * `spark.read.jdbc` with partitioned scans. No database drivers exist
-  * on this classpath (SURVEY.md §7), so the metadata paths are exercised
-  * against a proxy-mocked JDBC driver in `JdbcSourceSpec`.
+  * `spark.read.jdbc`, optionally split into `numPartitions` range
+  * predicates on a numeric key so a large table scans in parallel
+  * across executors (the reference streams serially; Spark shouldn't).
+  *
+  * DDL is captured dialect-natively: column types with their declared
+  * sizes, NOT NULL, DEFAULT, IDENTITY and the PRIMARY KEY clause all
+  * come from the live catalog (the reference's `SHOW CREATE TABLE`
+  * fidelity on MySQL, mysql.go:68-78, and `sqlite_master.sql`,
+  * sqlite.go:66-76 — not the Postgres-path reconstruction). Exercised
+  * against embedded Derby in `DerbyIntegrationSpec` and a proxy-mocked
+  * driver in `JdbcSourceSpec`.
   */
 final case class JdbcSource(
     spark: SparkSession,
     url: String,
     user: String,
     password: String,
-    schemaName: String = "public") extends Source {
+    schemaName: String = "public",
+    /** >1 splits scans into range predicates on `partitionColumn` or,
+      * when unset, the table's single-column numeric PK if one exists. */
+    numPartitions: Int = 1,
+    partitionColumn: Option[String] = None) extends Source {
 
   private def withConn[T](f: java.sql.Connection => T): T = {
     val c = java.sql.DriverManager.getConnection(url, user, password)
@@ -180,15 +192,104 @@ final case class JdbcSource(
     b.result().sorted
   }
 
-  override def read(table: String): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table)
+  /** COUNT(*) pushed to the database (the reference's GetRowCount,
+    * sqlite.go:159-166) — no Spark scan for a metadata-scale number.
+    */
+  override def rowCount(table: String): Long = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${qualified(table)}")
+      rs.next(); rs.getLong(1)
+    } finally st.close()
+  }
+
+  private def qualified(table: String): String =
+    if (schemaName == null || schemaName.isEmpty) s""""$table""""
+    else s""""$schemaName"."$table""""
+
+  /** Ordered PK columns of a table from the live catalog. */
+  def primaryKey(table: String): Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getPrimaryKeys(null, schemaName, table)
+    if (rs == null) Nil
+    else {
+      val b = Vector.newBuilder[(Short, String)]
+      while (rs.next()) b += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      b.result().sortBy(_._1).map(_._2)
+    }
+  }
+
+  private val numericJdbcTypes = Set(
+    java.sql.Types.TINYINT, java.sql.Types.SMALLINT, java.sql.Types.INTEGER,
+    java.sql.Types.BIGINT, java.sql.Types.DECIMAL, java.sql.Types.NUMERIC)
+
+  /** The column to range-partition scans on: explicit override, else a
+    * single-column numeric PK, else none (single-partition scan).
+    */
+  private def scanPartitionColumn(table: String): Option[String] =
+    partitionColumn.orElse {
+      primaryKey(table) match {
+        case Seq(pk) => withConn { c =>
+          val rs = c.getMetaData.getColumns(null, schemaName, table, pk)
+          if (rs != null && rs.next() && numericJdbcTypes(rs.getInt("DATA_TYPE"))) Some(pk)
+          else None
+        }
+        case _ => None
+      }
+    }
+
+  override def read(table: String): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", qualified(table))
       .option("user", user).option("password", password)
       .option("fetchsize", 1000)
-      .load()
+    val partitioned = if (numPartitions <= 1) None else scanPartitionColumn(table).flatMap { pc =>
+      // one metadata-scale bounds query; executors then each scan a range
+      val bounds = withConn { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(s"""SELECT MIN("$pc"), MAX("$pc") FROM ${qualified(table)}""")
+          rs.next()
+          val mn = rs.getLong(1); val mnNull = rs.wasNull()
+          val mx = rs.getLong(2)
+          if (mnNull) None else Some((mn, mx))
+        } finally st.close()
+      }
+      bounds.map { case (mn, mx) =>
+        base.option("partitionColumn", pc)
+          .option("lowerBound", mn).option("upperBound", math.max(mx, mn + 1))
+          .option("numPartitions", numPartitions)
+      }
+    }
+    partitioned.getOrElse(base).load()
+  }
 
-  override def schemaDDL(table: String): String =
-    Source.ddlFor(table, read(table).schema)
+  /** Dialect-native CREATE TABLE capture from the live catalog: declared
+    * type sizes, NOT NULL, DEFAULT, IDENTITY, PRIMARY KEY.
+    */
+  override def schemaDDL(table: String): String = withConn { c =>
+    val md = c.getMetaData
+    val rs = md.getColumns(null, schemaName, table, "%")
+    val cols = Vector.newBuilder[String]
+    if (rs != null) while (rs.next()) {
+      val name = rs.getString("COLUMN_NAME")
+      val typeText = JdbcSource.renderType(
+        rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS"))
+      val auto = scala.util.Try(rs.getString("IS_AUTOINCREMENT")).toOption
+        .flatMap(Option(_)).contains("YES")
+      val identity = if (auto) " GENERATED BY DEFAULT AS IDENTITY" else ""
+      val default = if (auto) "" else
+        Option(rs.getString("COLUMN_DEF")).map(_.trim).filter(_.nonEmpty)
+          .map(d => s" DEFAULT $d").getOrElse("")
+      val notNull =
+        if (rs.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNoNulls) " NOT NULL" else ""
+      cols += s"""  "$name" $typeText$identity$default$notNull"""
+    }
+    val pk = primaryKey(table)
+    val pkClause =
+      if (pk.isEmpty) Seq.empty
+      else Seq(s"""  PRIMARY KEY (${pk.map(c0 => s""""$c0"""").mkString(", ")})""")
+    s"""CREATE TABLE "$table" (\n${(cols.result() ++ pkClause).mkString(",\n")}\n);"""
+  }
 
   override def columns(table: String): Seq[ColumnInfo] = withConn { c =>
     val rs = c.getMetaData.getColumns(null, schemaName, table, "%")
@@ -209,6 +310,25 @@ final case class JdbcSource(
         rs.getString("FKTABLE_NAME"), rs.getString("FKCOLUMN_NAME"),
         rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME"))
       b.result()
+    }
+  }
+}
+
+object JdbcSource {
+  /** Render a catalog TYPE_NAME with its declared size where the type
+    * family takes one (the fidelity `SHOW CREATE TABLE` gives the
+    * reference on MySQL).
+    */
+  def renderType(typeName: String, size: Int, decimalDigits: Int): String = {
+    val tn = Option(typeName).getOrElse("").toUpperCase
+    tn match {
+      case "CHAR" | "VARCHAR" | "NCHAR" | "NVARCHAR" | "CHARACTER" if size > 0 =>
+        s"$tn($size)"
+      case "DECIMAL" | "NUMERIC" if size > 0 =>
+        s"$tn($size,${math.max(0, decimalDigits)})"
+      case "CHAR () FOR BIT DATA"    => s"CHAR($size) FOR BIT DATA"
+      case "VARCHAR () FOR BIT DATA" => s"VARCHAR($size) FOR BIT DATA"
+      case other                     => other
     }
   }
 }
