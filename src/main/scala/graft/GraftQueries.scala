@@ -691,6 +691,14 @@ object GraftQueries {
     tbl(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
+  /** Winnowing rolling fingerprints (one row per selected hash), with
+    * the portable md5-derived hash so DuckDB reproduces every value.
+    */
+  def t5Winnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowingFingerprints(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 5, window = 4, portableHash = true)
+      .select(col("id").as("doc_id"), col("fp"))
+
   /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
@@ -773,6 +781,7 @@ object GraftQueries {
     "t2_lang_id"         -> (t2LangId _),
     "t3_token_counts"    -> (t3TokenCounts _),
     "t4_fingerprint"     -> (t4Fingerprint _),
+    "t5_winnowing"       -> (t5Winnowing _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),
     "mm2_frame_samples"  -> (mm2FrameSamples _),

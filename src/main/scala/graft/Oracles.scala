@@ -498,6 +498,27 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // full winnowing re-derivation: positional 5-token shingles, the
+    // portable 60-bit md5-prefix hash, min per 4-shingle window, distinct
+    "t5_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, g.i AS pos,
+        |         CAST(('0x' || substr(md5(array_to_string(tk[g.i : g.i + 4], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i) AS g
+        |  WHERE len(tk) >= 5
+        |),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+        |         count(*) OVER (PARTITION BY doc_id) AS nsh
+        |  FROM sh
+        |)
+        |SELECT DISTINCT doc_id, minh AS fp FROM win WHERE pos <= greatest(nsh - 3, 1)""".stripMargin,
+
     // the stub codec's metadata is pure md5-byte arithmetic, so DuckDB
     // reproduces it exactly: byte i of the digest from the hex string
     "mm1_decode_meta" ->

@@ -99,20 +99,77 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Winnowing-style rolling fingerprint (Schleimer, Wilkerson, Aiken,
-    * SIGMOD 2003): hash each k-token shingle, keep the minimum hash per
-    * sliding window — a compact signature robust to local edits. Pure
-    * native expressions: shingle → xxhash64 → windowed min → distinct.
+  /** Positional (ordered, with repeats) k-token shingles — winnowing
+    * needs sequence order, unlike `Dedup.shingles`' distinct sets. Same
+    * tight JVM kernel rationale (Dedup.scala:54-62): a
+    * `transform`/`slice` composition re-tokenises per element,
+    * interpreted — the repo's documented 100× HOF trap.
     */
-  def winnowingSignature(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val shingleHashes = transform(
-      sequence(lit(0), greatest(n - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-    val mins = transform(
-      sequence(lit(0), greatest(size(shingleHashes) - window, lit(0))),
-      i => array_min(slice(shingleHashes, i + lit(1), lit(window))))
-    when(n >= k, array_sort(array_distinct(mins))).otherwise(array().cast("array<bigint>"))
+  private def orderedShingleKernel(t: String, n: Int): Array[String] = {
+    val toks = t.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1) { i =>
+      val sb = new java.lang.StringBuilder(16 * n)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      sb.toString
+    }
   }
+
+  def orderedShingles(text: Column, k: Int): Column = {
+    val u = udf((t: String) => orderedShingleKernel(t, k))
+    u(text)
+  }
+
+  /** Winnowing rolling fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003): hash each k-token shingle, keep the minimum hash of
+    * every `window` consecutive shingles — a compact fingerprint set
+    * robust to local edits. Output: one (id, fp) row per distinct
+    * selected hash; docs with fewer than k tokens produce no rows.
+    *
+    * Plan shape (the `minhashSignatures` recipe, not nested HOFs): one
+    * shingle kernel pass → posexplode → each shingle hashed ONCE by a
+    * codegen'd expression → windowed min → distinct. The explicit
+    * hash-repartition on id makes the window and the distinct both
+    * reuse that partitioning — exactly one shuffle of the raw text,
+    * then narrow all the way down.
+    *
+    * `portableHash = true` swaps xxhash64 for the top 60 bits of md5 —
+    * bit-reproducible in DuckDB via `CAST('0x'||substr(md5(s),1,15) AS
+    * BIGINT)` — so the operator is oracle-checkable end to end.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, window: Int = 4,
+                            portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val hashOf: Column => Column =
+      if (portableHash) s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      else s => xxhash64(s)
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(parallelism, col("id"))
+      .select(col("id"), posexplode(orderedShingles(col("t"), k)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), hashOf(col("s")).as("h"))
+    val rolling = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    sh.withColumn("minh", min(col("h")).over(rolling))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy("id")))
+      // full windows only (plus the single short window of a doc with
+      // fewer than `window` shingles)
+      .filter(col("pos") <= greatest(col("nsh") - window, lit(0)))
+      .select(col("id"), col("minh").as("fp"))
+      .distinct()
+  }
+
+  /** Per-doc winnowing signature arrays (sorted distinct fingerprints)
+    * — the join-friendly form of `winnowingFingerprints`.
+    */
+  def winnowingSignatures(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, window: Int = 4): DataFrame =
+    winnowingFingerprints(df, idCol, textCol, k, window)
+      .groupBy("id").agg(array_sort(collect_set(col("fp"))).as("sig"))
 }

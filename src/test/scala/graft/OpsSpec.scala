@@ -115,14 +115,18 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val shifted = "PREFIX " + base
-    val df = Seq((1L, base), (2L, shifted), (3L, base)).toDF("id", "text")
-      .withColumn("sig", TextAnalysis.winnowingSignature(col("text")))
-    val sigs = df.select("id", "sig").collect()
+    val df = Seq((1L, base), (2L, shifted), (3L, base), (4L, "too few")).toDF("id", "text")
+    val sigs = TextAnalysis.winnowingSignatures(df, "id", "text").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1) == sigs(3)) // deterministic
+    assert(!sigs.contains(4L), "docs with fewer than k tokens produce no fingerprints")
     // the shifted doc shares most fingerprint hashes with the original
     val overlap = sigs(1).toSet.intersect(sigs(2).toSet).size.toDouble / sigs(1).size
     assert(overlap >= 0.5, s"overlap=$overlap")
+    // portable (md5-based) hash selects the same positions deterministically
+    val port = TextAnalysis.winnowingFingerprints(df, "id", "text", portableHash = true)
+    assert(port.filter(col("id") === 1).count() ==
+      port.filter(col("id") === 3).count())
   }
 
   test("multimodal decode: deterministic stub metadata, batch-shaped") {
