@@ -92,7 +92,7 @@ object Main {
         println(s"${missing.size} table(s) missing from configuration")
         if (!flags.dryRun && missing.nonEmpty) {
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(flags.config), GraftConfig.renderYaml(updated))
+            java.nio.file.Paths.get(flags.config), GraftConfig.render(updated, flags.config))
           println(s"updated ${flags.config}")
         }
       } else if (flags.dryRun) {

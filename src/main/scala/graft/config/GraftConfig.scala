@@ -242,4 +242,55 @@ object GraftConfig {
   private def quoteYaml(s: String): String =
     if (s == "null" || s.exists(c => ":#{}[]".contains(c))) "\"" + s.replace("\"", "\\\"") + "\""
     else s
+
+  /** Serialise matching the target file's extension — `.json` stays
+    * JSON, anything else YAML (config.go:276-299: SaveConfig marshals
+    * by extension; a sync must not silently convert the user's format).
+    */
+  def render(cfg: GraftConfig, path: String): String =
+    if (path.toLowerCase.endsWith(".json")) renderJson(cfg) else renderYaml(cfg)
+
+  /** JSON twin of `renderYaml` — same keys, same field selection. */
+  def renderJson(cfg: GraftConfig): String = {
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val conn = new StringBuilder
+    conn.append(s"    \"type\": ${js(cfg.connection.dbType)}")
+    if (cfg.connection.dbType == "sqlite")
+      conn.append(s",\n    \"file\": ${js(cfg.connection.file)}")
+    else {
+      conn.append(s",\n    \"host\": ${js(cfg.connection.host)}")
+      if (cfg.connection.port != 0) conn.append(s",\n    \"port\": ${cfg.connection.port}")
+      if (cfg.connection.username.nonEmpty)
+        conn.append(s",\n    \"username\": ${js(cfg.connection.username)}")
+      if (cfg.connection.password.nonEmpty)
+        conn.append(s",\n    \"password\": ${js(cfg.connection.password)}")
+      conn.append(s",\n    \"database_name\": ${js(cfg.connection.databaseName)}")
+    }
+    val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+    val tables = cfg.tableOrder.flatMap(name => cfg.configuration.get(name).map { tc =>
+      val fields = Seq.newBuilder[String]
+      if (tc.truncate) fields += "\"truncate\": true"
+      tc.retain match {
+        case RetainCount(n)    => fields += s""""retain": $n"""
+        case RetainAfter(c, d) =>
+          fields += s""""retain": {"column_name": ${js(c)}, "after_date": ${js(dateFmt.format(d))}}"""
+        case RetainAll =>
+      }
+      if (tc.columns.nonEmpty)
+        fields += "\"columns\": {" + tc.columns.toSeq.sortBy(_._1).map {
+          case (c, rule) => s"${js(c)}: ${js(ColumnRule.render(rule))}"
+        }.mkString(", ") + "}"
+      s"    ${js(name)}: {${fields.result().mkString(", ")}}"
+    })
+    s"{\n  \"connection\": {\n$conn\n  },\n  \"configuration\": {\n${tables.mkString(",\n")}\n  }\n}\n"
+  }
 }

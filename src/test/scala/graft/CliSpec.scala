@@ -58,4 +58,38 @@ class CliSpec extends AnyFunSuite with SparkSuite {
     val dump = Files.readString(Paths.get(out))
     assert(!dump.contains("INSERT INTO"), "dry run must not export rows")
   }
+
+  test("graft sync preserves a JSON config's format (save-by-extension)") {
+    val p = Files.createTempFile("graft_cli_sync", ".json")
+    Files.writeString(p,
+      """{
+        |  "connection": {"type": "sqlite", "file": "fixture"},
+        |  "configuration": {
+        |    "customer": {"columns": {"c_name": "{{faker.name}}"}},
+        |    "lineitem": {"retain": 100}
+        |  }
+        |}
+        |""".stripMargin)
+    Main.main(Array("sync", "-c", p.toString,
+      "--source", "parquet:/root/testdata/sf0.001"))
+    val text = Files.readString(p)
+    // still JSON, not silently converted to YAML (config.go:276-299)
+    assert(text.trim.startsWith("{"), s"sync rewrote JSON as non-JSON:\n$text")
+    // strict JSON parse (snakeyaml would also accept YAML — use a real
+    // JSON parser to prove format preservation)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+    assert(root.get("connection").get("type").asText() == "sqlite")
+    val tables = root.get("configuration")
+    // previously-configured tables kept their settings…
+    assert(tables.get("customer").get("columns").get("c_name").asText() == "{{faker.name}}")
+    assert(tables.get("lineitem").get("retain").asInt() == 100)
+    // …and every fixture table the config lacked was added by the sync
+    for (t <- Seq("region", "nation", "orders", "documents", "embeddings", "events"))
+      assert(tables.has(t), s"sync did not add missing table $t")
+    // round-trip: the synced JSON file loads back identically
+    val reloaded = graft.config.GraftConfig.load(p.toString)
+    assert(reloaded.tableConfig("lineitem").exists(_.retain == graft.config.RetainCount(100)))
+    assert(reloaded.configuration.size == tables.size())
+  }
 }
