@@ -653,6 +653,17 @@ object GraftQueries {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 8)
   }
 
+  /** The media → features → ANN composition a training-data pipeline
+    * runs end-to-end: stub feature extraction (L2-normalised byte
+    * histogram — deterministic, so DuckDB re-derives the identical
+    * float vectors) feeding IVF top-k run exact (nprobe = nlist).
+    */
+  def mm4FeatureKnn(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
+    Similarity.ivfTopK(feats, feats.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 8)
+  }
+
   /** First-seen dedup per (user_id, event_type) — batch form; the
     * flatMapGroupsWithState streaming form is asserted equal in
     * StreamingSpec.
@@ -784,6 +795,7 @@ object GraftQueries {
     "t5_winnowing"       -> (t5Winnowing _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),
+    "mm4_feature_knn"    -> (mm4FeatureKnn _),
     "mm2_frame_samples"  -> (mm2FrameSamples _),
   )
 }

@@ -567,5 +567,42 @@ object Oracles {
         |SELECT doc_id AS asset_id,
         |  CAST(floor((5000 + b3*512) / 1000) + 1 AS BIGINT) AS n_frames
         |FROM b""".stripMargin,
+
+    // media → features → ANN, fully re-derived: the stub features are a
+    // 16-bin byte histogram (bin = high hex nibble of each UTF-8 byte),
+    // L2-normalised at FLOAT precision — each cast below mirrors a float
+    // step of the Scala kernel, so the vectors (and hence the exact IVF
+    // ranking at nprobe=nlist) are bit-identical across engines
+    "mm4_feature_knn" ->
+      """WITH bytes AS (
+        |  SELECT doc_id,
+        |         strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*g.i - 1, 1)) - 1 AS bin
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, octet_length(encode(text)) + 1)) AS i) AS g
+        |),
+        |hist AS (
+        |  SELECT d.doc_id, b.bin, coalesce(h.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        |  LEFT JOIN (SELECT doc_id, bin, count(*) AS cnt FROM bytes GROUP BY 1, 2) h
+        |    ON h.doc_id = d.doc_id AND h.bin = b.bin
+        |),
+        |normed AS (
+        |  SELECT doc_id, bin,
+        |    CAST(CAST(CAST(cnt AS FLOAT) AS DOUBLE) /
+        |         CAST(CAST(sqrt(sum(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+        |                        OVER (PARTITION BY doc_id)) AS FLOAT) AS DOUBLE)
+        |      AS FLOAT) AS v
+        |  FROM hist
+        |),
+        |vecs AS (SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY bin) AS emb FROM normed GROUP BY doc_id),
+        |q AS (SELECT doc_id AS query_id, emb AS qv FROM vecs WHERE doc_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.doc_id AS neighbor_id, list_cosine_similarity(q.qv, c.emb) AS sim
+        |  FROM q CROSS JOIN vecs c WHERE c.doc_id != q.query_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
   )
 }
