@@ -10,16 +10,21 @@ import org.apache.spark.sql.SparkSession
   * small query amortises session/codegen start-up out of the numbers.
   */
 object Bench {
-  /** Headline set: the shuffle/join/agg-heavy representatives, not the
-    * driver-side metadata ops.
+  /** Headline set: every catalog family with distributed work —
+    * shuffle/join/agg representatives, all dedup variants, all three ANN
+    * paths, text analysis, multimodal plumbing, and the full export
+    * pipeline. Driver-side metadata ops (o1–o5, o20–o22…) are excluded.
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_top_customers", "q_window_rank", "q_rollup",
     "q_events_hourly", "q_sessionize", "q_json_extract",
     "q_asof_join", "q_range_join", "q_salted_agg", "q_cube",
-    "d1_exact_dedup", "d2_minhash_lsh", "d4_ngram_jaccard",
-    "d5_embedding_dups", "s1_knn_brute", "t1_text_stats", "t2_lang_id",
+    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
+    "d5_embedding_dups", "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf",
+    "t1_text_stats", "t2_lang_id", "t3_token_counts", "t4_fingerprint",
+    "t5_winnowing", "mm1_decode_meta", "mm2_frame_samples",
+    "mm3_resize_spec", "mm4_feature_knn",
     "anonymise_export")
 
   def main(args: Array[String]): Unit = {
@@ -58,6 +63,7 @@ object Bench {
     // compilation (measured up to 20s for wide-aggregate plans, amortised
     // to nothing on a long-running cluster); steady-state is the number
     // that scales.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = headline.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -66,6 +72,7 @@ object Bench {
           else GraftQueries.all(name)(spark, sfDir).count()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -81,10 +88,16 @@ object Bench {
       System.err.println(f"[bench] $name $best%.3fs codecache=${ccUsed}m")
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query's elapsed-to-failure is NOT a benchmark time: report
+    // it as -1 and list it in "errors" so a fast failure can never be
+    // mistaken for a fast run by a JSON-only consumer
+    val qs = results.map { case (k, v) =>
+      val shown = if (failed.contains(k)) -1.0 else v
+      "\"" + k + "\":" + f"$shown%.3f"
+    }.mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

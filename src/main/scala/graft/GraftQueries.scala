@@ -607,9 +607,13 @@ object GraftQueries {
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsAuto(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
 
-  /** Embedding cosine near-dup pairs (exact threshold join). */
+  /** Embedding cosine near-dup pairs (exact threshold join), via the
+    * cost-based chooser: broadcast kernel under the row budget, blocked
+    * IVF-cell pair join (no driver materialisation, no cartesian) above
+    * it — the plan shapes are asserted separately in `PlanSpec`.
+    */
   def d5EmbeddingDups(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.45)
+    Similarity.cosineNearDupPairsAuto(tbl(s, dir, "embeddings"), threshold = 0.45)
       .select("id_a", "id_b")
 
   /** Brute-force exact cosine top-k for a broadcast query set. */

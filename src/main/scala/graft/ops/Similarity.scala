@@ -304,6 +304,30 @@ object Similarity {
     }.toDF("id_a", "id_b", "sim")
   }
 
+  /** Exact cosine near-dup pairs with a cost-based plan choice — the
+    * shipped default. Both plans produce identical output; which is
+    * FAST depends on corpus size:
+    *
+    *  - ≤ `broadcastMaxRows` vectors: the broadcast kernel — one
+    *    collect of a corpus that provably fits (128-dim floats at the
+    *    default budget ≈ 50 MB), zero shuffle, zero fixed overhead;
+    *  - above it: the blocked IVF-cell pair join — no driver
+    *    materialisation ever, bounded blocks, triangle-inequality cell
+    *    pruning; pays a fixed quantizer-training cost that only
+    *    amortises on corpora the broadcast path couldn't hold anyway.
+    *
+    * The chooser's statistic is a plain count — metadata-only on a
+    * parquet scan, one cheap column-pruned pass otherwise (the same
+    * pre-pass cost-based planning AQE pays).
+    */
+  def cosineNearDupPairsAuto(df: DataFrame, threshold: Double,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             broadcastMaxRows: Long = 100000): DataFrame =
+    if (df.select(idCol).count() <= broadcastMaxRows)
+      cosineNearDupPairsBroadcast(df, threshold, idCol, vecCol)
+    else
+      cosineNearDupPairs(df, threshold, idCol, vecCol)
+
   /** Exact cosine near-dup pairs, broadcast form — the small-corpus fast
     * path: for a corpus whose (id, vector, norm) fits in executor memory,
     * broadcast the corpus once, stream the rows, and run the O(n²/2)

@@ -82,12 +82,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "brute-force knn must broadcast the small query set, not sort-merge the corpus")
   }
 
-  test("d5: blocked pair join — no cartesian, no broadcast-nested-loop") {
-    val plan = planOf("d5_embedding_dups")
+  test("d5 scale path: blocked pair join — no cartesian, no broadcast-nested-loop") {
+    // assert the >broadcast-budget plan directly (the catalog query's
+    // chooser takes the broadcast kernel at fixture scale)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = graft.ops.Similarity.cosineNearDupPairs(emb, threshold = 0.45)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "exact near-dup join must stay a blocked equi-join: " + plan.take(2000))
     // the verify kernel runs distributed (object-serde pipeline present)
     assert(plan.contains("SerializeFromObject"), plan.take(2000))
+  }
+
+  test("d5 catalog query: no cartesian under either chooser branch") {
+    val plan = planOf("d5_embedding_dups")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
   }
 
   test("st1 first-seen: partial+final aggregate (map-side combine)") {
