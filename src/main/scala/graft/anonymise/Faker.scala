@@ -155,7 +155,7 @@ object Faker extends Serializable {
     user + "@" + s.pick(emailDomains)
   }
 
-  /** Dotted 10-digit phone like gofakeit's default `Phone()` layout. */
+  /** Plain 10-digit phone like gofakeit's default `Phone()` layout. */
   def phone(seed: Long): String = {
     val s = new Stream(seed)
     val area = 200 + s.nextInt(800)

@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * one pass, then dot / (√‖a‖²·√‖b‖²)) — the same association order as
   * the JVM kernel in `graft.ops.Similarity` and as a SQL engine's
   * list_cosine_similarity, so results are bit-identical across paths.
+  *
+  * Null/shape contract (identical in interpreted and codegen paths):
+  * a NULL element in either array yields NULL (parquet-sourced arrays
+  * are containsNull=true even when no null is ever present, so element
+  * nulls must be handled, not rejected at type-check); mismatched
+  * lengths fold over the common prefix (min length), matching the JVM
+  * kernel's documented truncation.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,16 +41,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Always nullable: even with non-null array columns, a null ELEMENT
+    * nulls the result — and codegen needs a real isNull slot for that
+    * (with the default input-driven nullability ev.isNull would fold to
+    * the literal `false` and the element-null branch wouldn't compile).
+    */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
+    val n = math.min(x.numElements(), y.numElements())
     while (i < n) {
-      val xi = x(i).toDouble; val yi = y(i).toDouble
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -52,8 +67,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
@@ -61,16 +74,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // isNullAt on UnsafeArrayData is a bitset probe — cheaper than the
+      // bulk toFloatArray copy it replaces, and null-consistent with the
+      // interpreted path
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |int $n = Math.min($x.length, $y.length);
+         |int $n = Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x[$i]; double $yi = (double) $y[$i];
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $xi = (double) $a.getFloat($i); double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -32,6 +32,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(out(13L).contains("q4"))
   }
 
+  test("a matching right row with NULL payload carries the NULL (no fall-through)") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some("q1")),
+      (1L, ts("2024-01-01 11:00:00"), None), // newer row, null payload
+    ).toDF("key", "qts", "quote")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")), // only q1 precedes → q1
+      (11L, 1L, ts("2024-01-01 11:30:00")), // null-payload row is latest → NULL
+    ).toDF("trade_id", "key", "tts")
+    val out = AsOfJoin.asOf(trades, quotes, "key", "key", "tts", "qts", Seq("quote"))
+      .select("trade_id", "quote").as[(Long, Option[String])].collect().toMap
+    assert(out(10L).contains("q1"))
+    assert(out(11L).isEmpty,
+      "DuckDB/pandas ASOF semantics: the matching row's null payload must be carried")
+  }
+
   test("randomised: matches a per-row scan reference on collision-heavy data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -39,6 +39,40 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("null array elements yield NULL, identically in codegen and interpreted paths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(1f), Some(2f))),
+      (2L, Seq[Option[Float]](Some(1f), None),     Seq[Option[Float]](Some(1f), Some(2f))),
+      (3L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](None, Some(2f))),
+    ).toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    def run(): Map[Long, Option[Double]] =
+      df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("s"))
+        .as[(Long, Option[Double])].collect().toMap
+    val codegen = run()
+    assert(codegen(1L).isDefined && codegen(2L).isEmpty && codegen(3L).isEmpty)
+    withSQLConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == codegen, "interpreted path diverged from codegen on null elements")
+    }
+  }
+
+  test("mismatched lengths fold over the common prefix in both paths") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f), Array(1f, 2f))).toDF("id", "a", "b")
+    def run(): Double =
+      df.select(Similarity.cosine(col("a"), col("b")).as("s")).head().getDouble(0)
+    val want = Similarity.cosineKernel(Array(1f, 2f, 3f), Array(1f, 2f))
+    assert(run() == want)
+    withSQLConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == want)
+    }
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
