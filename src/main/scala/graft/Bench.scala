@@ -20,6 +20,7 @@ object Bench {
     "q_top_customers", "q_window_rank", "q_rollup",
     "q_events_hourly", "q_sessionize", "q_json_extract",
     "q_asof_join", "q_range_join", "q_salted_agg", "q_cube",
+    "q_bucketed_join",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d5_embedding_dups", "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf",
     "t1_text_stats", "t2_lang_id", "t3_token_counts", "t4_fingerprint",

@@ -338,6 +338,29 @@ object GraftQueries {
       .orderBy(col("total_spent").desc, col("o_custkey"))
       .limit(25)
 
+  /** Co-located join over bucketed tables: both sides are written
+    * bucketed on the join key (one up-front shuffle at write time), so
+    * the join itself plans with NO Exchange — the primitive that turns
+    * N repeated fact-dimension shuffles into one amortised layout cost
+    * at 100 TB. `PlanSpec` asserts the Exchange-free plan; this catalog
+    * entry oracle-checks the result.
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    val base = "/tmp/graft_bucketed"
+    Bucketing.writeBucketed(
+      tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_bkt", s"$base/orders_bkt", Seq("o_custkey"), numBuckets = 8)
+    Bucketing.writeBucketed(
+      tbl(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "customer_bkt", s"$base/customer_bkt", Seq("c_custkey"), numBuckets = 8)
+    Bucketing.table(s, "orders_bkt")
+      .join(Bucketing.table(s, "customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Window functions: per-customer order ranking. */
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -762,6 +785,7 @@ object GraftQueries {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"  -> (q5LocalSupplier _),
     "q_top_customers"    -> (qTopCustomers _),
+    "q_bucketed_join"    -> (qBucketedJoin _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

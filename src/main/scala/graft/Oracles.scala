@@ -259,6 +259,15 @@ object Oracles {
         |FROM orders GROUP BY o_custkey
         |ORDER BY total_spent DESC, o_custkey LIMIT 25""".stripMargin,
 
+    // bucketed layout changes the physical plan, not the result — the
+    // oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
         |SELECT o_custkey, o_orderkey,

@@ -82,6 +82,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "brute-force knn must broadcast the small query set, not sort-merge the corpus")
   }
 
+  test("q_bucketed_join: co-located join plans with zero Exchange") {
+    // force the join path (not broadcast) so the assertion is about
+    // bucketing, then check neither side shuffles
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = GraftQueries.all("q_bucketed_join")(spark, sfDir)
+      val joinPlan = df.queryExecution.executedPlan.toString
+      assert(joinPlan.contains("SortMergeJoin"), joinPlan.take(2000))
+      // the only allowed Exchange is the final single-partition gather /
+      // aggregate ABOVE the join; the join inputs themselves must read
+      // bucketed scans with no shuffle. Cheap proof: re-plan the bare
+      // join (no agg) and require zero Exchange anywhere.
+      val bare = graft.sources.Bucketing.table(spark, "orders_bkt")
+        .join(graft.sources.Bucketing.table(spark, "customer_bkt"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val barePlan = bare.queryExecution.executedPlan.toString
+      assert(!barePlan.contains("Exchange"),
+        "bucketed co-located join must not shuffle: " + barePlan.take(2000))
+      assert(barePlan.contains("Bucketed: true"), barePlan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("d5 scale path: blocked pair join — no cartesian, no broadcast-nested-loop") {
     // assert the >broadcast-budget plan directly (the catalog query's
     // chooser takes the broadcast kernel at fixture scale)
