@@ -73,6 +73,29 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bucketed (skew-safe) as-of equals the single-window form, incl. null payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // timestamps across several 1-hour buckets; some right payloads null;
+    // some buckets contain no right rows (exercises the bucket carry-in)
+    val rights = (0 until 60).map { i =>
+      val t = ts(f"2024-01-01 ${rnd.nextInt(12)}%02d:${rnd.nextInt(60)}%02d:00")
+      (rnd.nextInt(4).toLong, t, if (rnd.nextInt(5) == 0) None else Some(i.toLong))
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val lefts = (0 until 150).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong,
+        ts(f"2024-01-01 ${rnd.nextInt(12)}%02d:${rnd.nextInt(60)}%02d:30"))
+    }
+    val rightDf = rights.toDF("rk", "rt", "payload")
+    val leftDf = lefts.toDF("lid", "lk", "lt")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "payload").as[(Long, Option[Long])].collect().toMap
+    val plain = collect(AsOfJoin.asOf(leftDf, rightDf, "lk", "rk", "lt", "rt", Seq("payload")))
+    val bucketed = collect(AsOfJoin.asOfBucketed(
+      leftDf, rightDf, "lk", "rk", "lt", "rt", Seq("payload"), bucketSeconds = 3600))
+    assert(bucketed == plain, "bucketed as-of diverged from the reference form")
+  }
+
   test("fixture as-of matches a windowed lag reformulation") {
     // prev-order query: for each order, the customer's latest strictly
     // earlier order date's max orderkey — recomputed via lag over the
