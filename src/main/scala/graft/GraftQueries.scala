@@ -630,6 +630,15 @@ object GraftQueries {
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsAuto(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
 
+  /** Incremental dedup: near-dup pairs touching the "new batch"
+    * (doc_id ≡ 0 mod 5 as the batch marker) — banding buckets anchored
+    * on new members, never corpus×corpus.
+    */
+  def d6IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupsIncremental(tbl(s, dir, "documents"), "doc_id", "text",
+      isNew = id => pmod(id, lit(5)) === 0, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard")
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -813,6 +822,7 @@ object GraftQueries {
     "d3_simhash"         -> (d3Simhash _),
     "d4_ngram_jaccard"   -> (d4NgramJaccard _),
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
+    "d6_incremental_dedup" -> (d6IncrementalDedup _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

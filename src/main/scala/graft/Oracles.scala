@@ -415,6 +415,13 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // incremental dedup: the exact near-dup join restricted to pairs
+    // touching the new batch (doc_id ≡ 0 mod 5)
+    "d6_incremental_dedup" ->
+      s"""SELECT * FROM (
+         |${jaccardPairsSql(0.8)}
+         |) WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin,
+
     "d5_embedding_dups" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

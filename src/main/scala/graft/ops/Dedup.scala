@@ -174,6 +174,47 @@ object Dedup {
     verifyByJaccard(minhashCandidates(sh, k, rowsPerBand), sh, threshold)
   }
 
+  /** Incremental near-dup detection — the daily-increment pattern of a
+    * training-data pipeline: find every near-dup pair that TOUCHES the
+    * new batch (new-vs-corpus and new-vs-new), without ever re-pairing
+    * the existing corpus against itself. Same banding and exact-Jaccard
+    * verify as `minhashNearDups`; the only change is in-bucket pair
+    * expansion, which anchors on new-batch members — per bucket the
+    * cost is O(|new| × |bucket|), not O(|bucket|²), so a small daily
+    * batch against a 100 TB corpus does bucket-lookup work proportional
+    * to the BATCH, while corpus signatures are a one-time (cacheable,
+    * appendable) artifact.
+    *
+    * `isNew`: predicate over the id column marking new-batch rows.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ one side new.
+    */
+  def minhashNearDupsIncremental(df: DataFrame, idCol: String, textCol: String,
+                                 isNew: Column => Column,
+                                 threshold: Double = 0.8, n: Int = 3,
+                                 k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val sh = withShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minhashBands = graft.functions.MinHashBandsAgg(k, rowsPerBand)
+    val buckets = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy("id").agg(minhashBands(col("h")).as("bands"))
+      .select(col("id"), isNew(col("id")).as("nw"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("nw")))).as("ms"))
+      .filter(size(filter(col("ms"), m => m.getField("nw"))) > 0 && size(col("ms")) > 1)
+    // anchor expansion on new members: each new doc pairs with every
+    // other bucket member; (least, greatest) + distinct dedupes the
+    // new-new double count
+    val pairs = buckets.select(explode(flatten(
+      transform(filter(col("ms"), m => m.getField("nw")), x =>
+        transform(filter(col("ms"), y => y.getField("id") =!= x.getField("id")), y =>
+          struct(least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    verifyByJaccard(pairs, sh, threshold)
+  }
+
   /** Exact n-gram Jaccard threshold join, count-based: explode shingles,
     * self-join on the shingle, count co-occurrences per pair (this IS the
     * intersection size, since shingle sets are distinct), then join the

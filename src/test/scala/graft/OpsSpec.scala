@@ -170,6 +170,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("incremental dedup equals the full near-dup join filtered to new-touching pairs") {
+    val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
+    val inc = Dedup.minhashNearDupsIncremental(docs, "doc_id", "text", isNew, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }.toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "fixture should contain near-dups touching the new batch")
+  }
+
   test("d4 auto chooser: both branch choices produce the naive join's pairs") {
     val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b")
