@@ -748,6 +748,14 @@ object GraftQueries {
         k = 5, window = 4, portableHash = true)
       .select(col("id").as("doc_id"), col("fp"))
 
+  /** Gopher-style word-level repetition filters (exact integer ratios —
+    * deterministic doubles).
+    */
+  def t6Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRepetition(tbl(s, dir, "documents"))
+      .select(col("id").as("doc_id"), col("top_word_frac"),
+        col("top_bigram_frac"), col("dup_trigram_frac"))
+
   /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
@@ -833,6 +841,7 @@ object GraftQueries {
     "t3_token_counts"    -> (t3TokenCounts _),
     "t4_fingerprint"     -> (t4Fingerprint _),
     "t5_winnowing"       -> (t5Winnowing _),
+    "t6_repetition"      -> (t6Repetition _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),
     "mm4_feature_knn"    -> (mm4FeatureKnn _),

@@ -514,6 +514,30 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // word-level Gopher repetition ratios — exact integer ratios, so the
+    // doubles match bit-exactly
+    "t6_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |),
+        |w AS (SELECT doc_id, max(c) AS top_1, count(*) AS d_1, sum(c) AS n_1 FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1, 2) GROUP BY 1),
+        |b AS (SELECT doc_id, max(c) AS top_2, count(*) AS d_2, sum(c) AS n_2 FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, tk[i.i] || ' ' || tk[i.i + 1] AS g
+        |    FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) AS i) GROUP BY 1, 2) GROUP BY 1),
+        |t AS (SELECT doc_id, max(c) AS top_3, count(*) AS d_3, sum(c) AS n_3 FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, tk[i.i] || ' ' || tk[i.i + 1] || ' ' || tk[i.i + 2] AS g
+        |    FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) AS i) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(top_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS top_word_frac,
+        |  CAST(top_2 AS DOUBLE) / CAST(n_2 AS DOUBLE) AS top_bigram_frac,
+        |  CAST(n_3 - d_3 AS DOUBLE) / CAST(n_3 AS DOUBLE) AS dup_trigram_frac
+        |FROM w JOIN b ON w.doc_id = b.doc_id JOIN t ON w.doc_id = t.doc_id""".stripMargin,
+
     // full winnowing re-derivation: positional 5-token shingles, the
     // portable 60-bit md5-prefix hash, min per 4-shingle window, distinct
     "t5_winnowing" ->

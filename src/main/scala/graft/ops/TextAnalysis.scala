@@ -172,4 +172,38 @@ object TextAnalysis {
                           k: Int = 5, window: Int = 4): DataFrame =
     winnowingFingerprints(df, idCol, textCol, k, window)
       .groupBy("id").agg(array_sort(collect_set(col("fp"))).as("sig"))
+
+  /** Repetition-based quality signals in the Gopher style (Rae et al.
+    * 2021 §A1.1 repetition filters), word-level: the fraction of tokens
+    * taken by the single most frequent word, by the most frequent word
+    * bigram, and the fraction of trigram occurrences that are repeats.
+    * High values mark boilerplate/templated text a pre-training
+    * pipeline drops.
+    *
+    * Shape: one hash-repartition on doc id, then three explode →
+    * (doc, gram) hash-agg → (doc) hash-agg pipelines that all reuse the
+    * partitioning (map-side combine, no extra shuffle), joined on the
+    * already-co-partitioned id. Docs with fewer than 3 tokens have no
+    * trigram statistic and are dropped (inner join) — the pipeline's
+    * length floor filters those long before repetition scoring.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(parallelism, col("id"))
+    def gramStats(n: Int) = base
+      .select(col("id"), explode(orderedShingles(col("t"), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        max(col("c")).as(s"top_$n"),
+        count(lit(1)).as(s"distinct_$n"),
+        sum(col("c")).as(s"n_$n"))
+    gramStats(1).join(gramStats(2), "id").join(gramStats(3), "id")
+      .select(col("id"),
+        (col("top_1").cast("double") / col("n_1").cast("double")).as("top_word_frac"),
+        (col("top_2").cast("double") / col("n_2").cast("double")).as("top_bigram_frac"),
+        ((col("n_3") - col("distinct_3")).cast("double") / col("n_3").cast("double"))
+          .as("dup_trigram_frac"))
+  }
 }
