@@ -691,6 +691,26 @@ object GraftQueries {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 8)
   }
 
+  /** Product-quantization ANN with the s2-style oracle contract: PQ
+    * codes (16 B/vector, 16× compression) + asymmetric-distance top-k,
+    * verdict row = recall@10 vs the exact in-query brute force clears
+    * the 0.2 floor (measured min 0.3 at both SFs; deterministic
+    * codebooks → stable verdict).
+    */
+  def s4KnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.pqTopK(emb, q, k = 10, m = 16, codebookBits = 6)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+  }
+
   /** The media → features → ANN composition a training-data pipeline
     * runs end-to-end: stub feature extraction (L2-normalised byte
     * histogram — deterministic, so DuckDB re-derives the identical
@@ -834,6 +854,7 @@ object GraftQueries {
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),
+    "s4_knn_pq"          -> (s4KnnPq _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),

@@ -444,6 +444,10 @@ object Oracles {
     "s2_knn_lsh" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // s4 emits the same deterministic recall-floor verdict as s2
+    "s4_knn_pq" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
     // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
     "s3_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -207,6 +207,141 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid, TPAMI 2011): split
+    * each (unit-normalised) vector into `m` subspaces, learn a
+    * 2^codebookBits-centroid codebook per subspace on a bounded sample,
+    * and store each corpus vector as `m` byte codes — a 64-dim float
+    * vector compresses 256 B → 8 B, which is what lets a 100 TB corpus'
+    * index live in cluster RAM. Queries score candidates with the
+    * asymmetric distance computation: one m×K lookup table of exact
+    * query-to-centroid dot products per query, then each corpus
+    * candidate costs m table lookups + adds instead of a full
+    * float-vector dot product.
+    *
+    * Fully deterministic (and hence oracle-able): sample = lowest
+    * `sampleRows` ids, centroid init = evenly-strided sample rows,
+    * Lloyd iterations with lowest-index tie-breaks, all double math.
+    * Approximate by design — `s4_knn_pq` asserts a measured recall
+    * floor against the exact result inside the query, like `s2`.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codebookBits: Int = 4, iters: Int = 10,
+             sampleRows: Int = 4096,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kCent = 1 << codebookBits
+
+    def normalise(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      val out = new Array[Double](v.length)
+      if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+      out
+    }
+
+    // bounded, deterministic training sample
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].orderBy(col(idCol)).limit(sampleRows)
+      .collect().map { case (_, v) => normalise(v) }
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    val subDim = math.max(1, dim / m)
+
+    def slice(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, s * subDim, math.min((s + 1) * subDim, v.length))
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val d = dist2(cents(c), v)
+        if (d < bd) { bd = d; best = c } // strict < keeps lowest index on ties
+        c += 1
+      }
+      best
+    }
+
+    // per-subspace Lloyd with evenly-strided deterministic init
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val pts = sample.map(slice(_, s))
+      var cents = Array.tabulate(math.min(kCent, pts.length)) { c =>
+        pts((c.toLong * pts.length / math.min(kCent, pts.length)).toInt).clone()
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cents.length)
+        for (p <- pts) {
+          val c = nearest(cents, p)
+          counts(c) += 1
+          var i = 0; while (i < subDim && i < p.length) { sums(c)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else { val out = new Array[Double](subDim)
+            var i = 0; while (i < subDim) { out(i) = sums(c)(i) / counts(c); i += 1 }; out }
+        }
+        it += 1
+      }
+      cents
+    }
+    val bcCodebooks = spark.sparkContext.broadcast(codebooks)
+
+    val encode = udf { (v: Array[Float]) =>
+      val cb = bcCodebooks.value
+      val nv = normalise(v)
+      Array.tabulate(cb.length)(s => nearest(cb(s), slice(nv, s)).toByte)
+    }
+    val lutOf = udf { (v: Array[Float]) =>
+      val cb = bcCodebooks.value
+      val nv = normalise(v)
+      val lut = new Array[Double](cb.length * kCent)
+      var s = 0
+      while (s < cb.length) {
+        val qs = slice(nv, s)
+        var c = 0
+        while (c < cb(s).length) {
+          val cent = cb(s)(c)
+          var d = 0.0; var i = 0
+          val n = math.min(qs.length, cent.length)
+          while (i < n) { d += qs(i) * cent(i); i += 1 }
+          lut(s * kCent + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    // Array (not Seq) params: primitive deserialisation, no per-call boxing
+    val adc = udf { (codes: Array[Byte], lut: Array[Double]) =>
+      var s = 0; var acc = 0.0
+      while (s < codes.length) { acc += lut(s * kCent + (codes(s) & 0xff)); s += 1 }
+      acc
+    }
+
+    // corpus → 8-byte codes once (narrow); queries (small) broadcast
+    // with their exact lookup tables; the scan touches codes only
+    val coded = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("neighbor_id"), encode(col("cv")).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), lutOf(col(vecCol)).as("lut"))
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", adc(col("codes"), col("lut")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** Angle (radians) between two float vectors, double-precision with
     * the acos input clamped to [-1, 1]. Zero-norm vectors yield NaN,
     * which the cell-pruning below treats as "radius unknown ⇒ never

@@ -239,4 +239,22 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val recall = hits.toDouble / base.length
     assert(recall >= 0.8, s"recall=$recall (found $hits of ${base.length})")
   }
+
+  test("PQ ANN recalls planted near-duplicates through 16x-compressed codes") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val queries = base.map { case (id, v) =>
+      val noisy = v.zipWithIndex.map { case (x, i) =>
+        x + 0.02f * (graft.anonymise.Faker.mix64(id * 131 + i) % 1000) / 1000f
+      }
+      (id + 100000L, noisy)
+    }.toSeq.toDF("vec_id", "embedding")
+    val ann = Similarity.pqTopK(emb, queries, k = 3, m = 16, codebookBits = 6)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = base.count { case (id, _) => ann.get(id + 100000L).contains(id) }
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.6, s"recall=$recall (found $hits of ${base.length})")
+  }
 }
