@@ -639,6 +639,13 @@ object GraftQueries {
       isNew = id => pmod(id, lit(5)) === 0, threshold = 0.8)
       .select("id_a", "id_b", "jaccard")
 
+  /** Duplicate clusters: connected components over the verified minhash
+    * near-dup pairs — (doc_id, cluster_id = component min).
+    */
+  def d7DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.8))
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -851,6 +858,7 @@ object GraftQueries {
     "d4_ngram_jaccard"   -> (d4NgramJaccard _),
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
+    "d7_dup_clusters"    -> (d7DupClusters _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

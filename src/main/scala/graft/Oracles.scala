@@ -415,6 +415,25 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // connected components over the exact near-dup pairs: recursive
+    // transitive closure, label = component min
+    "d7_dup_clusters" ->
+      s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT ia AS id_a, ib AS id_b FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id
+         |  JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
+
     // incremental dedup: the exact near-dup join restricted to pairs
     // touching the new batch (doc_id ≡ 0 mod 5)
     "d6_incremental_dedup" ->

@@ -174,6 +174,49 @@ object Dedup {
     verifyByJaccard(minhashCandidates(sh, k, rowsPerBand), sh, threshold)
   }
 
+  /** Connected components over near-dup pairs — turns pairwise matches
+    * into DUP CLUSTERS so a pipeline can keep one canonical doc per
+    * component. Min-label propagation as a DataFrame fixpoint: every
+    * node starts labelled with its own id; each round joins labels
+    * across edges and keeps the minimum seen; converged when a round
+    * changes nothing (one metadata-scale count per round). Rounds
+    * needed = component diameter — near-dup clusters are shallow
+    * (dozens of docs), so a handful; for adversarially deep graphs the
+    * same loop upgrades to large-star/small-star (Kiveris et al. 2014,
+    * O(log n) rounds) without changing the interface.
+    *
+    * Output: (doc_id, cluster_id = min doc id in the component), one
+    * row per doc that appears in ≥ 1 pair.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Incremental near-dup detection — the daily-increment pattern of a
     * training-data pipeline: find every near-dup pair that TOUCHES the
     * new batch (new-vs-corpus and new-vs-new), without ever re-pairing

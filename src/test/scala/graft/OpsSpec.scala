@@ -170,6 +170,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("dup clusters: label propagation finds transitive components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), pair 7-8, plus 10-2 joining the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 10L).forall(out(_) == 1L),
+      s"chain component must all take min label 1: $out")
+    assert(out(7L) == 7L && out(8L) == 7L)
+  }
+
   test("incremental dedup equals the full near-dup join filtered to new-touching pairs") {
     val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
     val inc = Dedup.minhashNearDupsIncremental(docs, "doc_id", "text", isNew, threshold = 0.8)
