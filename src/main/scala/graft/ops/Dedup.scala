@@ -419,7 +419,11 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, threshold: Double = 0.8,
                       n: Int = 3): DataFrame = {
+    // sh feeds the signature pipeline AND both verify joins — persist
+    // or the shingle kernel runs three times (same note as
+    // minhashNearDups; measured ~3× on d3)
     val sh = withShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = simhashSignatures(sh)
     val pieceCols = (0 until 4).map(p =>
       shiftrightunsigned(col("sig"), p * 16).bitwiseAND(lit(0xffffL)))
