@@ -392,10 +392,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash signatures (Charikar 2002): explode shingles, hash
-    * once (codegen), then per doc per bit sum ±1 and take the sign.
-    * Output: (id, sig). All codegen; one aggregate shuffle on id.
+    * once (codegen), then one narrow typed aggregate holding the 64
+    * per-bit ±1 counters (`SimHashAgg`). Output: (id, sig). One
+    * aggregate shuffle on id with map-side partial merge.
     */
-  def simhashSignatures(sh: DataFrame): DataFrame = {
+  def simhashSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy("id").agg(graft.functions.SimHashAgg.column(col("h")).as("sig"))
+
+  /** The 64-wide `sum(when(bit))` aggregate form of
+    * `simhashSignatures` — kept for the equality spec; the UDAF form
+    * replaces it in the shipped path (wide-codegen rationale in
+    * `SimHashAgg`).
+    */
+  def simhashSignaturesWide(sh: DataFrame): DataFrame = {
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
     val bitSums = (0 until 64).map { b =>

@@ -170,6 +170,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("SimHashAgg signature equals the 64-wide aggregate form bit-for-bit") {
+    val sh = docs.limit(200).select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val udafSigs = Dedup.simhashSignatures(sh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wideSigs = Dedup.simhashSignaturesWide(sh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(udafSigs == wideSigs)
+  }
+
   test("dup clusters: label propagation finds transitive components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), pair 7-8, plus 10-2 joining the chain
