@@ -79,7 +79,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up, untimed
-      val best = math.min(once(), once())
+      // best-of-3: this host has external CPU-contention episodes that
+      // inflate identical plans 3-10x; the minimum of three samples is
+      // the number that tracks the plan, not the neighbours
+      val best = Seq(once(), once(), once()).min
       // JIT code-cache occupancy: exhaustion (flushing + hot-method
       // eviction) is the one JVM-state failure mode that has produced
       // 10-25× per-query degradation late in a bench run — make it
