@@ -73,6 +73,16 @@ object Main {
 
   private def buildSource(spark: SparkSession, cfg: GraftConfig, flag: String): Source =
     if (flag.startsWith("parquet:")) ParquetSource(spark, flag.stripPrefix("parquet:"))
+    else if (flag.startsWith("jdbc:")) {
+      // explicit JDBC URL override (any driver on the classpath),
+      // optionally suffixed `#schema`; credentials come from the config
+      val (url, schema) = flag.lastIndexOf('#') match {
+        case i if i > 0 => (flag.substring(0, i), flag.substring(i + 1))
+        case _          => (flag, null)
+      }
+      JdbcSource(spark, url, cfg.connection.username, cfg.connection.password,
+        schemaName = schema)
+    }
     else JdbcSource(spark, cfg.connection.dsn,
       cfg.connection.username, cfg.connection.password)
 
@@ -81,6 +91,9 @@ object Main {
     // step 2: validation warnings, non-fatal (main.go:97-103)
     Anonymiser.validateRules(cfg).foreach(w => System.err.println(s"Warning: $w"))
 
+    // only stop a session this invocation created — embedded callers
+    // (tests, notebooks) keep theirs
+    val preExisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
     val spark = buildSession()
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -117,6 +130,6 @@ object Main {
             f"${stats.rowsExported} rows in $secs%.1fs " +
             f"(cores=${Runtime.getRuntime.availableProcessors})")
       }
-    } finally spark.stop()
+    } finally if (!preExisting) spark.stop()
   }
 }
