@@ -176,14 +176,15 @@ object Dedup {
 
   /** Connected components over near-dup pairs — turns pairwise matches
     * into DUP CLUSTERS so a pipeline can keep one canonical doc per
-    * component. Min-label propagation as a DataFrame fixpoint: every
-    * node starts labelled with its own id; each round joins labels
-    * across edges and keeps the minimum seen; converged when a round
-    * changes nothing (one metadata-scale count per round). Rounds
-    * needed = component diameter — near-dup clusters are shallow
-    * (dozens of docs), so a handful; for adversarially deep graphs the
-    * same loop upgrades to large-star/small-star (Kiveris et al. 2014,
-    * O(log n) rounds) without changing the interface.
+    * component. Min-label propagation PLUS pointer jumping as a
+    * DataFrame fixpoint: each round (a) takes the min label across
+    * edges, then (b) path-doubles by replacing every label with its
+    * label's label — so label chains halve each round and convergence
+    * is O(log diameter) rounds (the classic Shiloach-Vishkin /
+    * large-star idea), not O(diameter). Each round is two equi-joins +
+    * one metadata-scale convergence count; a 64-node chain converges
+    * in 7 rounds (spec-asserted), so maxIter=25 covers components of
+    * diameter ≈ 2^24.
     *
     * Output: (doc_id, cluster_id = min doc id in the component), one
     * row per doc that appears in ≥ 1 pair.
@@ -194,21 +195,34 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), NOT persist: each round's plan embeds the
+    // previous round's tree ~4× (neighbor join + self-join + convergence
+    // check), so without lineage truncation Catalyst analysis time grows
+    // exponentially with rounds — checkpointing makes every round's
+    // input a flat in-memory scan.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      val propagated = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jump: label := label(label). Labels are monotone
+      // non-increasing node ids, so the chain is acyclic and doubling
+      // halves its depth; a label is always itself a labelled node.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")).as("b"),
+          col("a.label") === col("b.pid"), "left")
+        .select(col("a.id"), least(col("a.label"),
+          coalesce(col("b.plabel"), col("a.label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1

@@ -192,6 +192,18 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(7L) == 7L && out(8L) == 7L)
   }
 
+  test("dup clusters: pointer jumping converges a deep chain in O(log d) rounds") {
+    import spark.implicits._
+    // a 64-node path has diameter 63: plain min-propagation needs 63
+    // rounds and would be cut off by maxIter; path doubling must finish
+    // well inside 8 (log2 63 + 2 slack proves doubling is happening)
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, maxIter = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64)
+    assert(out.values.forall(_ == 1L), s"deep chain did not fully converge: $out")
+  }
+
   test("incremental dedup equals the full near-dup join filtered to new-touching pairs") {
     val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
     val inc = Dedup.minhashNearDupsIncremental(docs, "doc_id", "text", isNew, threshold = 0.8)
