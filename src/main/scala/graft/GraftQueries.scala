@@ -783,6 +783,30 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** PII scrub over the documents table (RE2-safe patterns, identical
+    * in DuckDB — masking is oracle-checked byte-for-byte).
+    */
+  def t7PiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scrubPii(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_pii"), md5(col("scrubbed")).as("scrubbed_md5"))
+
+  /** Reproducible train/val/test split: md5-derived bucket per doc (the
+    * portable-hash recipe), 90/5/5, with per-split doc and token
+    * counts. Deterministic across engines AND across cluster sizes —
+    * the property a training pipeline needs so a re-run or a different
+    * partitioning yields the identical split.
+    */
+  def q_trainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+    tbl(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
   /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
@@ -871,6 +895,8 @@ object GraftQueries {
     "t4_fingerprint"     -> (t4Fingerprint _),
     "t5_winnowing"       -> (t5Winnowing _),
     "t6_repetition"      -> (t6Repetition _),
+    "t7_pii_scrub"       -> (t7PiiScrub _),
+    "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),
     "mm4_feature_knn"    -> (mm4FeatureKnn _),

@@ -561,6 +561,37 @@ object Oracles {
         |  CAST(n_3 - d_3 AS DOUBLE) / CAST(n_3 AS DOUBLE) AS dup_trigram_frac
         |FROM w JOIN b ON w.doc_id = b.doc_id JOIN t ON w.doc_id = t.doc_id""".stripMargin,
 
+    // identical RE2 patterns, identical mask order → byte-identical
+    // scrubbed text (compared via md5)
+    "t7_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text,
+        |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+        |FROM documents""".stripMargin,
+
+    // hash-bucket split: md5-derived bucket is engine- and
+    // partitioning-independent, so the split is exactly reproducible
+    "q_train_split" ->
+      """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ntok
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
     // full winnowing re-derivation: positional 5-token shingles, the
     // portable 60-bit md5-prefix hash, min per 4-shingle window, distinct
     "t5_winnowing" ->

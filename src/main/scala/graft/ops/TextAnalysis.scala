@@ -173,6 +173,33 @@ object TextAnalysis {
     winnowingFingerprints(df, idCol, textCol, k, window)
       .groupBy("id").agg(array_sort(collect_set(col("fp"))).as("sig"))
 
+  /** PII patterns for text scrubbing — the anonymiser's domain applied
+    * to free text, as a training-data pipeline runs it before the data
+    * reaches a model. RE2-compatible (no backrefs/lookaround) so the
+    * DuckDB oracle applies the IDENTICAL patterns; ordered so earlier
+    * masks can't destroy later matches (emails before bare domains
+    * would, if we had a domain rule).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn",   "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",                "<SSN>"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",        "<PHONE>"),
+    ("ip",    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+  )
+
+  /** Scrub PII from a text column: count then mask each pattern class.
+    * Pure codegen'd regexp functions — narrow map, no shuffle.
+    * Output adds `n_pii` (total matches) and `scrubbed` (masked text).
+    */
+  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (_, p, _) => regexp_count(col(textCol), lit(p)) }
+    val masked = piiPatterns.foldLeft(col(textCol)) { case (c, (_, p, mask)) =>
+      regexp_replace(c, p, mask)
+    }
+    df.withColumn("n_pii", counts.reduce(_ + _).cast("long"))
+      .withColumn("scrubbed", masked)
+  }
+
   /** Repetition-based quality signals in the Gopher style (Rae et al.
     * 2021 §A1.1 repetition filters), word-level: the fraction of tokens
     * taken by the single most frequent word, by the most frequent word

@@ -170,6 +170,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("PII scrub masks planted emails/SSNs/phones/IPs and counts them") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or 555-867-5309 x"),
+      (2L, "ssn 123-45-6789 from 192.168.001.1 twice 10.0.0.255"),
+      (3L, "clean text with no pii at all"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_pii"), r.getAs[String]("scrubbed"))))
+      .toMap
+    assert(out(1L)._1 == 2 && out(1L)._2.contains("<EMAIL>") && out(1L)._2.contains("<PHONE>"))
+    assert(out(2L)._1 == 3 && out(2L)._2.contains("<SSN>") &&
+      out(2L)._2.sliding(4).count(_ == "<IP>") == 2)
+    assert(out(3L)._1 == 0 && out(3L)._2 == "clean text with no pii at all")
+    assert(!out.values.exists(v => v._2.contains("@example") || v._2.contains("123-45-6789")),
+      "raw PII survived scrubbing")
+  }
+
   test("SimHashAgg signature equals the 64-wide aggregate form bit-for-bit") {
     val sh = docs.limit(200).select(col("doc_id").as("id"),
         Dedup.shingles(col("text"), 3).as("sh"))
