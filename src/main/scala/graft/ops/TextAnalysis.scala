@@ -219,14 +219,28 @@ object TextAnalysis {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .repartition(parallelism, col("id"))
-    def gramStats(n: Int) = base
-      .select(col("id"), explode(orderedShingles(col("t"), n)).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(
-        max(col("c")).as(s"top_$n"),
-        count(lit(1)).as(s"distinct_$n"),
-        sum(col("c")).as(s"n_$n"))
-    gramStats(1).join(gramStats(2), "id").join(gramStats(3), "id")
+    // ONE pass: tag every gram with its n and explode once; hash(id)
+    // partitioning satisfies ClusteredDistribution for BOTH downstream
+    // aggregates, so the whole operator is a single shuffle
+    // (plan-asserted in PlanSpec). The transform lambdas only wrap each
+    // element in a struct — no outer-expression re-evaluation.
+    def tagged(n: Int) =
+      transform(orderedShingles(col("t"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    val counts = base
+      .select(col("id"), explode(concat(tagged(1), tagged(2), tagged(3))).as("gr"))
+      .groupBy(col("id"), col("gr.n").as("n"), col("gr.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("id").agg(
+        max(when(col("n") === 1, col("c"))).as("top_1"),
+        sum(when(col("n") === 1, col("c"))).as("n_1"),
+        max(when(col("n") === 2, col("c"))).as("top_2"),
+        sum(when(col("n") === 2, col("c"))).as("n_2"),
+        count(when(col("n") === 3, lit(1))).as("distinct_3"),
+        sum(when(col("n") === 3, col("c"))).as("n_3"))
+      // docs with fewer than 3 tokens have no trigram statistic (the
+      // pipeline's length floor removes them long before this operator)
+      .filter(col("n_3").isNotNull)
       .select(col("id"),
         (col("top_1").cast("double") / col("n_1").cast("double")).as("top_word_frac"),
         (col("top_2").cast("double") / col("n_2").cast("double")).as("top_bigram_frac"),

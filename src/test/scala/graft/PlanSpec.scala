@@ -106,6 +106,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("t6: one shuffle total — all three gram pipelines reuse the id partitioning") {
+    // hash(id) satisfies ClusteredDistribution(id, gram) for the
+    // per-gram aggregates AND the id-level aggregates AND the joins, so
+    // the only Exchange in the whole plan is the initial repartition
+    // (forcing sort-merge joins so a broadcast Exchange can't mask one)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("t6_repetition")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected exactly 1 Exchange, found $exchanges:\n" + plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("d5 scale path: blocked pair join — no cartesian, no broadcast-nested-loop") {
     // assert the >broadcast-budget plan directly (the catalog query's
     // chooser takes the broadcast kernel at fixture scale)
