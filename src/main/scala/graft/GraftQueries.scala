@@ -646,6 +646,24 @@ object GraftQueries {
     Dedup.clusters(
       Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.8))
 
+  /** Benchmark-contamination summary: eval set = the `test` split of
+    * `q_train_split`'s md5-bucket assignment (bucket ≥ 95 — the same
+    * portable hash, so the decontamination pass checks exactly the docs
+    * the split holds out). Per eval doc: how many train docs share
+    * ≥ 5 word 3-grams with it, the largest overlap, and the total.
+    */
+  def d8Contamination(s: SparkSession, dir: String): DataFrame = {
+    val isEval = (id: Column) =>
+      pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100L)) >= 95
+    Dedup.contamination(tbl(s, dir, "documents"), "doc_id", "text",
+        isEval, n = 3, minShared = 5)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_train_matches"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("total_shared"))
+  }
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -883,6 +901,7 @@ object GraftQueries {
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
     "d7_dup_clusters"    -> (d7DupClusters _),
+    "d8_contamination"   -> (d8Contamination _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

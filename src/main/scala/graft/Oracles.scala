@@ -415,6 +415,27 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // contamination: eval = md5-bucket test split (>= 95, the same
+    // portable hash as q_train_split); pairs sharing >= 5 word 3-grams
+    "d8_contamination" ->
+      s"""$shingleCtes,
+         |buck AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS shared
+         |  FROM sx e
+         |  JOIN buck be ON e.doc_id = be.doc_id AND be.b >= 95
+         |  JOIN sx t ON e.s = t.s
+         |  JOIN buck bt ON t.doc_id = bt.doc_id AND bt.b < 95
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 5)
+         |SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_matches,
+         |       CAST(max(shared) AS BIGINT) AS max_shared,
+         |       CAST(sum(shared) AS BIGINT) AS total_shared
+         |FROM pairs GROUP BY 1""".stripMargin,
+
     // connected components over the exact near-dup pairs: recursive
     // transitive closure, label = component min
     "d7_dup_clusters" ->

@@ -405,6 +405,42 @@ object Dedup {
       ngramJaccardPairsPrefixOnShingles(sh, freq, threshold)
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * training-data pipeline runs before a model ships: for each document
+    * in a (small) eval/benchmark set, find the training documents that
+    * share ≥ `minShared` word n-grams with it. Exact (no hashing of the
+    * gram key — a hash collision could merge two distinct grams and
+    * break oracle equality).
+    *
+    * Scale shape: the two sides are DISJOINT row sets of the same
+    * source, so each document is shingled exactly once (no persist
+    * needed, unlike the self-join dedups). Eval sets are tiny by nature
+    * (a benchmark is MBs against a 100 TB corpus), so the gram join
+    * broadcasts the eval side — the corpus-side explode is a narrow
+    * map and the only shuffle is the final (eval_id, train_id)
+    * aggregate, whose row count is bounded by matched pairs, not corpus
+    * size. The chooser guards the broadcast with a column-pruned count
+    * of eval DOCS (cheap — runs before any shingling); an oversized
+    * eval side falls back to a plain shuffle equi-join on the gram.
+    *
+    * Output: (eval_id, train_id, shared) with shared ≥ minShared.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    isEval: Column => Column, n: Int = 3, minShared: Long = 1,
+                    broadcastMaxEvalDocs: Long = 1000000): DataFrame = {
+    val evalSh = withShingles(df.filter(isEval(col(idCol))), idCol, textCol, n)
+      .select(col("id").as("eval_id"), explode(col("sh")).as("s"))
+    val trainSh = withShingles(df.filter(!isEval(col(idCol))), idCol, textCol, n)
+      .select(col("id").as("train_id"), explode(col("sh")).as("s"))
+    val evalDocs = df.filter(isEval(col(idCol))).select(idCol).count()
+    val joined =
+      if (evalDocs <= broadcastMaxEvalDocs) trainSh.join(broadcast(evalSh), "s")
+      else trainSh.join(evalSh, "s")
+    joined.groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 64-bit SimHash signatures (Charikar 2002): explode shingles, hash
     * once (codegen), then one narrow typed aggregate holding the 64
     * per-bit ±1 counters (`SimHashAgg`). Output: (id, sig). One

@@ -170,6 +170,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(naive.count() > 0, "fixture should contain near-duplicate pairs at t=0.5")
   }
 
+  test("contamination finds planted eval/train overlaps with exact shared counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // train
+      (2L, "totally different words here nothing shared at"),  // train
+      (100L, "alpha beta gamma delta epsilon zeta iota kappa"),// eval: copies 1's prefix
+      (101L, "totally unrelated eval document text goes here"),// eval: no 3-gram overlap
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, "doc_id", "text",
+        isEval = id => id >= 100, n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive recount: shared distinct 3-grams between docs 100 and 1
+    val expect = Dedup.shingleKernel("alpha beta gamma delta epsilon zeta iota kappa", 3).toSet
+      .intersect(Dedup.shingleKernel("alpha beta gamma delta epsilon zeta eta theta", 3).toSet).size
+    assert(expect > 0)
+    assert(out == Map((100L, 1L) -> expect.toLong),
+      "only the planted eval→train pair, with the exact shared-gram count")
+  }
+
   test("PII scrub masks planted emails/SSNs/phones/IPs and counts them") {
     import spark.implicits._
     val planted = Seq(

@@ -138,6 +138,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       plan.take(2000))
   }
 
+  test("d8 contamination: eval gram set broadcast — corpus side never shuffles into the join") {
+    val plan = planOf("d8_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
+  }
+
   test("st1 first-seen: partial+final aggregate (map-side combine)") {
     val plan = planOf("st1_first_seen")
     assert(plan.contains("partial_min"), plan.take(2000))
