@@ -801,6 +801,10 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** Corpus top-100 tokens — the vocabulary heavy-hitter pass. */
+  def t8TopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(tbl(s, dir, "documents"), "text", k = 100)
+
   /** PII scrub over the documents table (RE2-safe patterns, identical
     * in DuckDB — masking is oracle-checked byte-for-byte).
     */
@@ -915,6 +919,7 @@ object GraftQueries {
     "t5_winnowing"       -> (t5Winnowing _),
     "t6_repetition"      -> (t6Repetition _),
     "t7_pii_scrub"       -> (t7PiiScrub _),
+    "t8_top_terms"       -> (t8TopTerms _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

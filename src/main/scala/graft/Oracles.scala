@@ -558,6 +558,17 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // top-100 tokens; the (cnt DESC, token) tiebreak makes the cut at
+    // k deterministic in both engines
+    "t8_top_terms" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS t
+        |  FROM documents)
+        |GROUP BY 1
+        |ORDER BY cnt DESC, t
+        |LIMIT 100""".stripMargin,
+
     // word-level Gopher repetition ratios — exact integer ratios, so the
     // doubles match bit-exactly
     "t6_repetition" ->

@@ -200,6 +200,28 @@ object TextAnalysis {
       .withColumn("scrubbed", masked)
   }
 
+  /** Corpus heavy hitters — the vocabulary-building pass: global top-k
+    * tokens by frequency, ties broken by token so the cut at k is
+    * deterministic.
+    *
+    * Scale shape: tokenise + explode are narrow; the count aggregates
+    * partial map-side before one shuffle on the token; the
+    * `orderBy.limit(k)` plans as TakeOrderedAndProject — each partition
+    * keeps its own k rows and the driver merges partitions×k rows, so
+    * there is never a global sort of the vocabulary. (Plan-asserted.)
+    * The leading repartition exists for the single-row-group fixture
+    * files; at real scale the source already has many splits.
+    */
+  def topTerms(df: DataFrame, textCol: String = "text", k: Int = 100): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(textCol))
+      .repartition(parallelism)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
+
   /** Repetition-based quality signals in the Gopher style (Rae et al.
     * 2021 §A1.1 repetition filters), word-level: the fraction of tokens
     * taken by the single most frequent word, by the most frequent word

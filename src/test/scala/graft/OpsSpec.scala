@@ -189,6 +189,18 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       "only the planted eval→train pair, with the exact shared-gram count")
   }
 
+  test("topTerms: exact counts, deterministic tie cut at k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "b a a c c"),
+      (2L, "a b d"),
+    ).toDF("doc_id", "text")
+    // counts: a=3, c=2, b=2, d=1; k=3 cuts inside the (b,c) tie → token order
+    val out = TextAnalysis.topTerms(corpus, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
   test("PII scrub masks planted emails/SSNs/phones/IPs and counts them") {
     import spark.implicits._
     val planted = Seq(

@@ -145,6 +145,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
   }
 
+  test("t8 top terms: TakeOrderedAndProject, no global sort of the vocabulary") {
+    val plan = planOf("t8_top_terms")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("partial_count"), "token counts must combine map-side")
+  }
+
   test("st1 first-seen: partial+final aggregate (map-side combine)") {
     val plan = planOf("st1_first_seen")
     assert(plan.contains("partial_min"), plan.take(2000))
