@@ -7,7 +7,7 @@ import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
 import graft.dialect.{SqliteDialect, SqlValueCodec}
 import graft.export.ExportPipeline
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
 
@@ -801,6 +801,21 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** Stratified sample for a training mix: per-language keep rates
+    * (per-mille) applied via the portable md5 bucket, summarised as
+    * (lang, n_total, n_sampled, tokens_sampled). The mix up-weights
+    * en and down-weights zh the way a pre-training data recipe does.
+    */
+  def q_stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val mix = Map("en" -> 500, "de" -> 250, "fr" -> 125, "es" -> 63, "zh" -> 32)
+    Sampling.withSampleFlag(tbl(s, dir, "documents"), "doc_id", "lang", mix)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("sampled"), lit(1))).as("n_sampled"),
+        sum(when(col("sampled"), TextAnalysis.tokenCount(col("text")).cast("long"))
+          .otherwise(lit(0L))).as("tokens_sampled"))
+  }
+
   /** Corpus top-100 tokens — the vocabulary heavy-hitter pass. */
   def t8TopTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(tbl(s, dir, "documents"), "text", k = 100)
@@ -920,6 +935,7 @@ object GraftQueries {
     "t6_repetition"      -> (t6Repetition _),
     "t7_pii_scrub"       -> (t7PiiScrub _),
     "t8_top_terms"       -> (t8TopTerms _),
+    "q_stratified_sample" -> (q_stratifiedSample _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

@@ -558,6 +558,21 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // stratified training mix: per-mille keep rates per language over
+    // the portable md5 bucket (integer per-mille — no float rounding)
+    "q_stratified_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(CASE WHEN b < f THEN 1 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN b < f THEN ntok ELSE 0 END) AS BIGINT) AS tokens_sampled
+        |FROM (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b,
+        |    CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 125
+        |              WHEN 'es' THEN 63 WHEN 'zh' THEN 32 ELSE 0 END AS f,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ntok
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
     // top-100 tokens; the (cnt DESC, token) tiebreak makes the cut at
     // k deterministic in both engines
     "t8_top_terms" ->

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * The sampling decision is a pure function of the row's id (the
+  * portable md5-bucket recipe also used by `q_train_split`), never of
+  * partitioning, row order, or an RNG — so a re-run, a different
+  * cluster size, or a different engine (the DuckDB oracle) selects the
+  * IDENTICAL sample. `df.sample()` cannot promise any of that.
+  */
+object Sampling {
+
+  /** Portable per-mille bucket (0–999) of an id column: uniform,
+    * engine-independent (md5 prefix), stable across runs.
+    */
+  def bucketPerMille(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(1000L))
+
+  /** Tag each row with whether the stratified sample keeps it: a row of
+    * stratum `s` is kept iff bucket(id) < fractionsPerMille(s) —
+    * integer per-mille fractions, so both engines compare exactly (a
+    * double fraction × 1000 would round differently: Spark's cast
+    * truncates, DuckDB's rounds).
+    *
+    * Scale shape: a narrow codegen'd CASE over the stratum column —
+    * no shuffle, no RNG state, trivially parallel. For stratum maps too
+    * large for a CASE (thousands of strata), join a broadcast
+    * fractions table on the stratum column instead — same semantics.
+    */
+  def withSampleFlag(df: DataFrame, idCol: String, stratumCol: String,
+                     fractionsPerMille: Map[String, Int],
+                     defaultPerMille: Int = 0): DataFrame = {
+    val frac = fractionsPerMille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (k, f)) =>
+        when(col(stratumCol) === k, lit(f)).otherwise(acc)
+      }
+    df.withColumn("sampled", bucketPerMille(col(idCol)) < frac.cast("long"))
+  }
+
+  /** The rows the stratified sample keeps. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractionsPerMille: Map[String, Int],
+                       defaultPerMille: Int = 0): DataFrame =
+    withSampleFlag(df, idCol, stratumCol, fractionsPerMille, defaultPerMille)
+      .filter(col("sampled")).drop("sampled")
+}

@@ -189,6 +189,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       "only the planted eval→train pair, with the exact shared-gram count")
   }
 
+  test("stratified sample is deterministic, respects strata, and tracks target rates") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    val df = rows.toDF("doc_id", "lang")
+    val mix = Map("en" -> 500, "zh" -> 100)
+    val s1 = graft.ops.Sampling.stratifiedSample(df, "doc_id", "lang", mix)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.ops.Sampling.stratifiedSample(df.repartition(7), "doc_id", "lang", mix)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val en = s1.count(_ % 2 == 0); val zh = s1.count(_ % 2 == 1)
+    assert(math.abs(en - 500) < 60, s"en keep-rate ~50% of 1000, got $en")
+    assert(math.abs(zh - 100) < 40, s"zh keep-rate ~10% of 1000, got $zh")
+    // unknown stratum defaults to dropped
+    val other = graft.ops.Sampling.stratifiedSample(
+      Seq((1L, "fr")).toDF("doc_id", "lang"), "doc_id", "lang", mix)
+    assert(other.count() == 0)
+  }
+
   test("topTerms: exact counts, deterministic tie cut at k") {
     import spark.implicits._
     val corpus = Seq(
