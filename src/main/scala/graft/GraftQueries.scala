@@ -801,6 +801,21 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** Skew-safe salted fact⊳dim join: lineitem×supplier through
+    * `Skew.saltedJoin` (every supplier is "hot" at the fixture's
+    * threshold, so the salted path actually exercises), aggregated per
+    * nation. Output equals the plain join (also spec-asserted directly).
+    */
+  def q_skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = tbl(s, dir, "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+      .select("l_suppkey", "s_nationkey")
+    Skew.saltedJoin(tbl(s, dir, "lineitem"), sup, "l_suppkey",
+        numSalts = 8, hotKeyThreshold = 100, maxHotKeys = 10000)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** Stratified sample for a training mix: per-language keep rates
     * (per-mille) applied via the portable md5 bucket, summarised as
     * (lang, n_total, n_sampled, tokens_sampled). The mix up-weights
@@ -936,6 +951,7 @@ object GraftQueries {
     "t7_pii_scrub"       -> (t7PiiScrub _),
     "t8_top_terms"       -> (t8TopTerms _),
     "q_stratified_sample" -> (q_stratifiedSample _),
+    "q_skew_join"        -> (q_skewJoin _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

@@ -558,6 +558,13 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // salted skew join == plain join (salting is invisible to results)
+    "q_skew_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
     // stratified training mix: per-mille keep rates per language over
     // the portable md5 bucket (integer per-mille — no float rounding)
     "q_stratified_sample" ->

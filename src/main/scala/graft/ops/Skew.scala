@@ -33,4 +33,39 @@ object Skew {
       .agg(sum(col("__cnt")).as("n_rows"),
         sums.map(s => sum(col(s"__s_${s.as}")).as(s.as)): _*)
   }
+
+  /** Skew-safe equi-join by differentiated salting (the classic manual
+    * skew-join, for when the right side is too big to broadcast and AQE's
+    * skew splitting can't apply — e.g. the join feeds an operator that
+    * pins the partitioning): rows of the left (fact) side whose key is
+    * HOT get a salt derived from a stable whole-row hash; the right
+    * (dim) side replicates ONLY its hot-key rows across all salts. Cold
+    * keys join exactly as before (salt 0 both sides), so the extra data
+    * movement is `numSalts × hot-key dim rows` — tiny by construction —
+    * while the hottest reducer shrinks by ~numSalts.
+    *
+    * Hot keys are found with one aggregate on the fact side, capped at
+    * `maxHotKeys` by descending frequency (deterministic tiebreak on the
+    * key) — driver traffic is bounded at metadata scale. Inner join
+    * only; output equals the plain join row-for-row (spec-asserted)
+    * because salting never changes which (left, right) key pairs meet.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 numSalts: Int = 16, hotKeyThreshold: Long = 100000,
+                 maxHotKeys: Int = 10000): DataFrame = {
+    val hot: Set[Any] = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotKeyThreshold)
+      .orderBy(col("__n").desc, col(key))
+      .limit(maxHotKeys)
+      .select(col(key)).collect().map(_.get(0)).toSet
+    def isHot(c: Column): Column =
+      if (hot.isEmpty) lit(false) else c.isInCollection(hot)
+    val salted = left.withColumn("__salt",
+      when(isHot(col(key)), pmod(xxhash64(left.columns.map(col): _*), lit(numSalts)))
+        .otherwise(lit(0L)))
+    val replicated = right.withColumn("__salt",
+      explode(when(isHot(col(key)), sequence(lit(0L), lit(numSalts - 1L)))
+        .otherwise(array(lit(0L)))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -189,6 +189,22 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       "only the planted eval→train pair, with the exact shared-gram count")
   }
 
+  test("salted join returns exactly the plain join's rows (hot and cold keys)") {
+    import spark.implicits._
+    // key 1 is hot (60 rows), keys 2..5 cold; dim has an unmatched key 9
+    val fact = ((1 to 60).map(i => (1L, i)) ++ (2L to 5L).map(k => (k, 0))).toDF("k", "v")
+    val dim = (Seq(1L, 2L, 3L, 9L)).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "v", "name")
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "k",
+      numSalts = 4, hotKeyThreshold = 50)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+    // empty hot set (threshold higher than any frequency) degrades to the plain join
+    val cold = graft.ops.Skew.saltedJoin(fact, dim, "k",
+      numSalts = 4, hotKeyThreshold = 1000)
+    assert(cold.exceptAll(plain).count() == 0 && plain.exceptAll(cold).count() == 0)
+  }
+
   test("stratified sample is deterministic, respects strata, and tracks target rates") {
     import spark.implicits._
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
