@@ -7,7 +7,7 @@ import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
 import graft.dialect.{SqliteDialect, SqlValueCodec}
 import graft.export.ExportPipeline
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Cdc, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
 
@@ -801,6 +801,29 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** CDC changelog application over the customer snapshot: updates,
+    * deletes, inserts, and a two-step same-key update proving
+    * latest-seq-wins. The changelog is derived deterministically from
+    * the snapshot itself (key mod 10) so both engines build the
+    * identical increment.
+    */
+  def q_cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val snap = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    def m(r: Int) = snap.filter(pmod(col("c_custkey"), lit(10)) === r)
+    val changes =
+      m(0).select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit(1L).as("seq"), lit("U").as("op"))
+        .unionByName(m(1).select(col("c_custkey"),
+          lit(null).cast("double").as("c_acctbal"), lit(1L).as("seq"), lit("D").as("op")))
+        .unionByName(m(2).select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(42.0).as("c_acctbal"), lit(1L).as("seq"), lit("I").as("op")))
+        .unionByName(m(3).select(col("c_custkey"), lit(1.0).as("c_acctbal"),
+          lit(1L).as("seq"), lit("U").as("op")))
+        .unionByName(m(3).select(col("c_custkey"), lit(2.0).as("c_acctbal"),
+          lit(2L).as("seq"), lit("U").as("op")))
+    Cdc.applyChangelog(snap, changes, "c_custkey")
+  }
+
   /** Skew-safe salted fact⊳dim join: lineitem×supplier through
     * `Skew.saltedJoin` (every supplier is "hot" at the fixture's
     * threshold, so the salted path actually exercises), aggregated per
@@ -952,6 +975,7 @@ object GraftQueries {
     "t8_top_terms"       -> (t8TopTerms _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_skew_join"        -> (q_skewJoin _),
+    "q_cdc_apply"        -> (q_cdcApply _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

@@ -558,6 +558,27 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // CDC merge: latest (seq, op) change per key wins; D removes,
+    // I/U upsert, untouched snapshot rows pass through
+    "q_cdc_apply" ->
+      """WITH snap AS (SELECT c_custkey, c_acctbal FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, 1 AS seq, 'U' AS op
+        |  FROM snap WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, NULL, 1, 'D' FROM snap WHERE c_custkey % 10 = 1
+        |  UNION ALL SELECT c_custkey + 1000000, 42.0, 1, 'I' FROM snap WHERE c_custkey % 10 = 2
+        |  UNION ALL SELECT c_custkey, 1.0, 1, 'U' FROM snap WHERE c_custkey % 10 = 3
+        |  UNION ALL SELECT c_custkey, 2.0, 2, 'U' FROM snap WHERE c_custkey % 10 = 3),
+        |latest AS (
+        |  SELECT c_custkey, c_acctbal, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                                 ORDER BY seq DESC, op DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT s.c_custkey, s.c_acctbal FROM snap s
+        |WHERE s.c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM latest WHERE op <> 'D'""".stripMargin,
+
     // salted skew join == plain join (salting is invisible to results)
     "q_skew_join" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,

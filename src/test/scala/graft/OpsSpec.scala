@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.ops.{Cdc, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Behavioural specs for the LLM-pipeline operators: LSH candidate
   * recall against exact baselines, ANN recall vs brute force, kernel
@@ -187,6 +187,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(expect > 0)
     assert(out == Map((100L, 1L) -> expect.toLong),
       "only the planted eval→train pair, with the exact shared-gram count")
+  }
+
+  test("CDC apply: latest change wins, deletes remove, inserts add, rest pass through") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"), // two updates: seq 2 wins
+      (2L, null.asInstanceOf[String], 1L, "D"), // delete
+      (9L, "new", 1L, "I"),                     // insert
+    ).toDF("k", "v", "seq", "op")
+    val out = Cdc.applyChangelog(snap, changes, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 9L -> "new"))
+    // delete-then-reinsert at a later seq: the insert wins
+    val redo = Seq((3L, "z", 5L, "I"), (3L, null.asInstanceOf[String], 4L, "D"))
+      .toDF("k", "v", "seq", "op")
+    val out2 = Cdc.applyChangelog(snap, redo, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(3L) == "z" && out2.size == 3)
   }
 
   test("salted join returns exactly the plain join's rows (hot and cold keys)") {
