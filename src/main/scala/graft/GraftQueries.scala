@@ -801,6 +801,13 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** Column profile of the events table (bigint/string columns — the
+    * types whose min/max render identically in both engines).
+    */
+  def q_profile(s: SparkSession, dir: String): DataFrame =
+    graft.analyse.Profiler.profile(tbl(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "props"))
+
   /** CDC changelog application over the customer snapshot: updates,
     * deletes, inserts, and a two-step same-key update proving
     * latest-seq-wins. The changelog is derived deterministically from
@@ -976,6 +983,7 @@ object GraftQueries {
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_skew_join"        -> (q_skewJoin _),
     "q_cdc_apply"        -> (q_cdcApply _),
+    "q_profile"          -> (q_profile _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

@@ -558,6 +558,15 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // column profile: one branch per column; min/max aggregated in the
+    // native type then cast to VARCHAR (identical for bigint/string)
+    "q_profile" -> Seq("event_id", "user_id", "event_type", "props").map(c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+         |FROM events""".stripMargin).mkString("\nUNION ALL\n"),
+
     // CDC merge: latest (seq, op) change per key wins; D removes,
     // I/U upsert, untouched snapshot rows pass through
     "q_cdc_apply" ->

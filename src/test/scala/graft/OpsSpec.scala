@@ -189,6 +189,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       "only the planted eval→train pair, with the exact shared-gram count")
   }
 
+  test("profiler: exact nulls/distinct/min/max per column in one pass") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (2L, Some("c"))).toDF("id", "s")
+    val out = graft.analyse.Profiler.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((3L, 0L, 2L, "1", "2")))
+    assert(out("s") == ((3L, 1L, 2L, "a", "c")))
+  }
+
   test("CDC apply: latest change wins, deletes remove, inserts add, rest pass through") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
