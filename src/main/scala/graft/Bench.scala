@@ -28,6 +28,7 @@ object Bench {
     "t1_text_stats", "t2_lang_id", "t3_token_counts", "t4_fingerprint",
     "t5_winnowing", "t6_repetition", "t7_pii_scrub", "t8_top_terms",
     "q_train_split", "q_stratified_sample",
+    "p1_pipeline",
     "mm1_decode_meta", "mm2_frame_samples",
     "mm3_resize_spec", "mm4_feature_knn",
     "anonymise_export")

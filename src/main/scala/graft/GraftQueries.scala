@@ -801,6 +801,33 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("top_word_frac"),
         col("top_bigram_frac"), col("dup_trigram_frac"))
 
+  /** The full training-data preparation pipeline as ONE composed query —
+    * every stage is an operator the catalog already verifies in
+    * isolation: quality filter (t1's score ≥ 0.5) → PII scrub (t7) →
+    * exact dedup on the scrubbed fingerprint (d1's key, min-id
+    * canonical) → reproducible split (q_train_split's bucket) →
+    * per-split doc/token counts. Narrow maps end-to-end except one
+    * window on the content fingerprint and the final 3-row aggregate.
+    */
+  def p1Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
+      .filter(col("quality_score") >= 0.5)
+    val scrubbed = TextAnalysis.scrubPii(quality)
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("scrubbed")))
+      .orderBy(col("doc_id"))
+    val canon = scrubbed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+    canon
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("scrubbed")).cast("long")).as("n_tokens"))
+  }
+
   /** Column profile of the events table (bigint/string columns — the
     * types whose min/max render identically in both engines).
     */
@@ -984,6 +1011,7 @@ object GraftQueries {
     "q_skew_join"        -> (q_skewJoin _),
     "q_cdc_apply"        -> (q_cdcApply _),
     "q_profile"          -> (q_profile _),
+    "p1_pipeline"        -> (p1Pipeline _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

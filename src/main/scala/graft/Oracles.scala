@@ -558,6 +558,46 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // the composed pipeline: t1 quality filter -> t7 scrub -> t4/d1
+    // fingerprint dedup (min-id canonical) -> q_train_split buckets
+    "p1_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN nt BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) / greatest(nt, 1) > 0.01 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2
+        |          AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 0.25 ELSE 0.0 END) AS qs
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |        '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+        |  FROM g WHERE qs >= 0.5),
+        |canon AS (
+        |  SELECT doc_id, scrubbed FROM (
+        |    SELECT doc_id, scrubbed, row_number() OVER (
+        |      PARTITION BY md5(lower(regexp_replace(trim(scrubbed), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b,
+        |         len(list_filter(string_split_regex(scrubbed, '\s+'), t -> len(t) > 0)) AS ntok
+        |  FROM canon)
+        |GROUP BY 1""".stripMargin,
+
     // column profile: one branch per column; min/max aggregated in the
     // native type then cast to VARCHAR (identical for bigint/string)
     "q_profile" -> Seq("event_id", "user_id", "event_type", "props").map(c =>
