@@ -145,6 +145,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
   }
 
+  test("q_cdc_apply: snapshot filtered by a broadcast anti join (snapshot never shuffles)") {
+    val plan = planOf("q_cdc_apply")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+  }
+
   test("t8 top terms: TakeOrderedAndProject, no global sort of the vocabulary") {
     val plan = planOf("t8_top_terms")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
