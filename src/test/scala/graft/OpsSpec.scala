@@ -218,6 +218,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out2(3L) == "z" && out2.size == 3)
   }
 
+  test("CDC apply equals a naive in-memory merge on randomized changelogs") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val snapKeys = (1L to 40L).filter(_ => rnd.nextBoolean())
+      val snap = snapKeys.map(k => (k, s"s$k"))
+      val changes = (1 to 60).map { i =>
+        val k = rnd.nextInt(50).toLong + 1
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        (k, s"c$i", i.toLong, op) // seq = i: unique, monotone
+      }
+      val expected = {
+        val latest = changes.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+        val untouched = snap.filterNot { case (k, _) => latest.contains(k) }
+        val upserts = latest.values.toSeq.filter(_._4 != "D").map(c => (c._1, c._2))
+        (untouched ++ upserts).toMap
+      }
+      val out = Cdc.applyChangelog(
+          snap.toDF("k", "v"), changes.toDF("k", "v", "seq", "op"), "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == expected, s"seed=$seed")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows (hot and cold keys)") {
     import spark.implicits._
     // key 1 is hot (60 rows), keys 2..5 cold; dim has an unmatched key 9
