@@ -361,6 +361,26 @@ object GraftQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Partition-pruned scan over a date-partitioned layout: events are
+    * written hive-partitioned by day (one up-front pass), then a
+    * 3-day-window aggregate reads ONLY those directories — the filter
+    * resolves against partition metadata in the driver, so scan cost
+    * tracks the queried window, not the table (`PlanSpec` asserts a
+    * non-empty PartitionFilters). The oracle runs the same 3-day
+    * aggregate over the raw table.
+    */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val path = "/tmp/graft_partitioned/events"
+    Layout.writeDatePartitioned(tbl(s, dir, "events"), path, "ts")
+    val lo = tbl(s, dir, "events").agg(to_date(min(col("ts")))).first().getDate(0)
+    Layout.read(s, path)
+      .filter(col("p_date") >= lit(lo) && col("p_date") < date_add(lit(lo), 3))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** Window functions: per-customer order ranking. */
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -965,6 +985,7 @@ object GraftQueries {
     "q5_local_supplier"  -> (q5LocalSupplier _),
     "q_top_customers"    -> (qTopCustomers _),
     "q_bucketed_join"    -> (qBucketedJoin _),
+    "q_partition_prune"  -> (qPartitionPrune _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

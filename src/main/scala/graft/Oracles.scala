@@ -327,6 +327,16 @@ object Oracles {
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // partition pruning is a plan property; the RESULT equals the same
+    // 3-day aggregate over the raw table
+    "q_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= (SELECT CAST(min(ts) AS DATE) FROM events)
+        |  AND CAST(ts AS DATE) < (SELECT CAST(min(ts) AS DATE) + 3 FROM events)
+        |GROUP BY 1""".stripMargin,
+
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts,

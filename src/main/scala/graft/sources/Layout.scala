@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned data layout: write a table hive-partitioned by a derived
+  * date column so time-bounded queries prune whole DIRECTORIES before
+  * any file is opened.
+  *
+  * This is the other half of the scan-reduction story next to
+  * `Bucketing`: row-group predicate pushdown (asserted for o7) still
+  * reads every file's footer; partition pruning never lists the
+  * excluded directories at all. At 100 TB with daily partitions, a
+  * 7-day query touches 7/N of the data by construction — the
+  * partition filter is resolved in the driver against catalog
+  * metadata, independent of data volume. The derived `p_date` column
+  * stays IN the data as well (`partitionBy` moves it to the path), so
+  * readers see the same schema either way.
+  */
+object Layout {
+
+  /** Write `df` date-partitioned on `to_date(tsCol)` at `path`. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .parquet(path)
+
+  /** Read a partitioned layout back (partition column inferred). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -145,6 +145,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
   }
 
+  test("q_partition_prune: the date filter prunes partitions, not just row groups") {
+    val plan = planOf("q_partition_prune")
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"),
+      "partition filters must be non-empty — the filter must resolve against the layout")
+  }
+
   test("q_cdc_apply: snapshot filtered by a broadcast anti join (snapshot never shuffles)") {
     val plan = planOf("q_cdc_apply")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
