@@ -392,6 +392,55 @@ object GraftQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Full-outer join coverage: per market segment (null for order rows
+    * with no matching customer), customers, customers without orders,
+    * and order counts — the null-preserving join form the set above
+    * doesn't exercise.
+    */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+      .agg(count(col("c_custkey")).as("n_cust_rows"),
+        count(when(col("o_orderkey").isNull, lit(1))).as("n_cust_no_orders"),
+        count(col("o_orderkey")).as("n_orders"))
+
+  /** Running total per customer — the cumulative window-frame form
+    * (ROWS UNBOUNDED PRECEDING), deterministic order by (date, key),
+    * money through DECIMAL so the running sum is order-exact.
+    */
+  def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_spend")
+  }
+
+  /** Sequence packing — fixed-length training-sequence construction:
+    * docs are packed in doc_id order into 2048-token sequences within
+    * hash shards (the global-order cumsum would serialise on one
+    * partition; per-shard packing is what a distributed pipeline
+    * actually does). A doc's sequence = floor(tokens-before-it / 2048).
+    * Output per shard: sequences, docs, tokens.
+    */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(32L)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("ntok")) / lit(2048.0)))
+      .groupBy("shard")
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+  }
+
   /** Semi join: customers having orders (EXISTS). */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer")
@@ -986,6 +1035,9 @@ object GraftQueries {
     "q_top_customers"    -> (qTopCustomers _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_partition_prune"  -> (qPartitionPrune _),
+    "q_outer_join"       -> (qOuterJoin _),
+    "q_running_total"    -> (qRunningTotal _),
+    "q_seq_pack"         -> (qSeqPack _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

@@ -327,6 +327,39 @@ object Oracles {
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_outer_join" ->
+      """SELECT coalesce(c_mktsegment, '<none>') AS segment,
+        |  CAST(count(c_custkey) AS BIGINT) AS n_cust_rows,
+        |  CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_cust_no_orders,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // running money sum through DECIMAL: exact at every prefix, so the
+    // cumulative doubles match bit-for-bit
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+
+    // per-shard greedy packing: a doc's sequence index is determined by
+    // the tokens before it in doc_id order (floor of an exact double)
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, ntok,
+        |    sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard, CAST(count(DISTINCT floor((cum - ntok) / 2048.0)) AS BIGINT) AS n_seqs,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+
     // partition pruning is a plan property; the RESULT equals the same
     // 3-day aggregate over the raw table
     "q_partition_prune" ->
