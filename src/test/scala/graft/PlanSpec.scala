@@ -145,6 +145,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
   }
 
+  test("q_seq_pack: the packing window and the shard aggregate share one shuffle") {
+    val plan = planOf("q_seq_pack")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shard shuffle, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("q_partition_prune: the date filter prunes partitions, not just row groups") {
     val plan = planOf("q_partition_prune")
     assert(plan.contains("PartitionFilters: ["), plan.take(2000))
