@@ -957,6 +957,35 @@ object GraftQueries {
           .otherwise(lit(0L))).as("tokens_sampled"))
   }
 
+  /** Approximate heavy hitters via a mergeable Misra–Gries sketch
+    * (`functions.MisraGriesAgg`, budget 64): at 100 TB the sketch pass
+    * is the ONLY pass — bounded state per partition, one aggregate
+    * shuffle of sketch-sized rows. Here the query also runs the exact
+    * counts and emits the MG *guarantee* as a deterministic verdict
+    * row (every token with frequency > n/(budget+1) is in the sketch;
+    * sketch size ≤ budget) — the guarantee holds for ANY merge order,
+    * which is what makes a nondeterministically-merged cluster
+    * computation oracle-checkable (the s2 recall-verdict pattern).
+    */
+  def q_approxTopk(s: SparkSession, dir: String): DataFrame = {
+    val budget = 64
+    val toks = tbl(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val sketch = toks.agg(
+      graft.functions.MisraGriesAgg.column(col("token"), budget).as("mg"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val stats = exact.agg(sum(col("cnt")).as("n")).crossJoin(sketch)
+    exact.crossJoin(broadcast(stats))
+      .filter(col("cnt").cast("double") >
+        col("n").cast("double") / lit((budget + 1).toDouble))
+      .select(col("token"), map_contains_key(col("mg"), col("token")).as("found"),
+        (size(map_keys(col("mg"))) <= budget).as("size_ok"))
+      .agg(count(lit(1)).as("n_heavy"),
+        bool_and(col("found")).as("all_heavy_in_sketch"),
+        bool_and(col("size_ok")).as("sketch_within_budget"))
+  }
+
   /** Corpus top-100 tokens — the vocabulary heavy-hitter pass. */
   def t8TopTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(tbl(s, dir, "documents"), "text", k = 100)
@@ -1038,6 +1067,7 @@ object GraftQueries {
     "q_outer_join"       -> (qOuterJoin _),
     "q_running_total"    -> (qRunningTotal _),
     "q_seq_pack"         -> (qSeqPack _),
+    "q_approx_topk"      -> (q_approxTopk _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

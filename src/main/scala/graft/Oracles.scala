@@ -693,6 +693,18 @@ object Oracles {
         |  FROM documents)
         |GROUP BY 1""".stripMargin,
 
+    // MG sketch verdict: n_heavy is exact; the two booleans are the
+    // sketch's mathematical guarantee, so the oracle expects true
+    "q_approx_topk" ->
+      """WITH c AS (
+        |  SELECT t AS token, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS t
+        |    FROM documents) GROUP BY 1),
+        |s AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+        |       true AS all_heavy_in_sketch, true AS sketch_within_budget
+        |FROM c, s WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 65.0""".stripMargin,
+
     // top-100 tokens; the (cnt DESC, token) tiebreak makes the cut at
     // k deterministic in both engines
     "t8_top_terms" ->

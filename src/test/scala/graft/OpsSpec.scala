@@ -277,6 +277,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(other.count() == 0)
   }
 
+  test("Misra-Gries sketch: heavy items survive any partitioning, estimates are lower bounds") {
+    import spark.implicits._
+    val budget = 16
+    // skewed stream: "hot" appears 500 times, 200 cold tokens ~2 times each
+    val stream = Seq.fill(500)("hot") ++
+      (1 to 200).flatMap(i => Seq.fill(1 + i % 3)(s"cold$i"))
+    val n = stream.size
+    for (parts <- Seq(1, 7, 32)) {
+      val mg = stream.toDF("token").repartition(parts)
+        .agg(graft.functions.MisraGriesAgg.column(col("token"), budget))
+        .first().getAs[Map[String, Long]](0)
+      assert(mg.size <= budget, s"parts=$parts size=${mg.size}")
+      assert(mg.contains("hot"), s"parts=$parts: freq 500 > $n/${budget + 1} must survive")
+      assert(mg("hot") <= 500, "MG estimates are lower bounds")
+      assert(mg("hot") >= 500 - n / (budget + 1), "error bounded by n/(budget+1)")
+    }
+  }
+
   test("topTerms: exact counts, deterministic tie cut at k") {
     import spark.implicits._
     val corpus = Seq(
