@@ -371,7 +371,9 @@ object GraftQueries {
     */
   def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Layout
-    val path = "/tmp/graft_partitioned/events"
+    // per-SF path: concurrent sessions on different scale factors must
+    // not clobber each other's layout
+    val path = s"/tmp/graft_partitioned/${new java.io.File(dir).getName}/events"
     Layout.writeDatePartitioned(tbl(s, dir, "events"), path, "ts")
     val lo = tbl(s, dir, "events").agg(to_date(min(col("ts")))).first().getDate(0)
     Layout.read(s, path)
@@ -722,9 +724,7 @@ object GraftQueries {
     * ≥ 5 word 3-grams with it, the largest overlap, and the total.
     */
   def d8Contamination(s: SparkSession, dir: String): DataFrame = {
-    val isEval = (id: Column) =>
-      pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(100L)) >= 95
+    val isEval = (id: Column) => Sampling.bucket(id, 100) >= 95
     Dedup.contamination(tbl(s, dir, "documents"), "doc_id", "text",
         isEval, n = 3, minShared = 5)
       .groupBy("eval_id")
@@ -887,8 +887,7 @@ object GraftQueries {
       .orderBy(col("doc_id"))
     val canon = scrubbed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+    val bucket = Sampling.bucket(col("doc_id"), 100)
     canon
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
@@ -969,8 +968,8 @@ object GraftQueries {
     */
   def q_approxTopk(s: SparkSession, dir: String): DataFrame = {
     val budget = 64
-    val toks = tbl(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = graft.ops.Partitioning.ensureParallelism(
+        tbl(s, dir, "documents").select(col("text")))
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
     val sketch = toks.agg(
       graft.functions.MisraGriesAgg.column(col("token"), budget).as("mg"))
@@ -982,8 +981,10 @@ object GraftQueries {
       .select(col("token"), map_contains_key(col("mg"), col("token")).as("found"),
         (size(map_keys(col("mg"))) <= budget).as("size_ok"))
       .agg(count(lit(1)).as("n_heavy"),
-        bool_and(col("found")).as("all_heavy_in_sketch"),
-        bool_and(col("size_ok")).as("sketch_within_budget"))
+        // bool_and over zero rows is NULL; a heavy-hitter-free corpus
+        // (nothing above n/65) must still read as a satisfied guarantee
+        coalesce(bool_and(col("found")), lit(true)).as("all_heavy_in_sketch"),
+        coalesce(bool_and(col("size_ok")), lit(true)).as("sketch_within_budget"))
   }
 
   /** Corpus top-100 tokens — the vocabulary heavy-hitter pass. */
@@ -1004,8 +1005,7 @@ object GraftQueries {
     * partitioning yields the identical split.
     */
   def q_trainSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+    val bucket = Sampling.bucket(col("doc_id"), 100)
     tbl(s, dir, "documents")
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))

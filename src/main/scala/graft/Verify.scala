@@ -9,6 +9,10 @@ object Verify {
     // optional: further args name specific queries (dev iteration only —
     // the driver always runs the full catalog)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
+        "silently verify nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions.udaf
   * partitioning — which is what makes a deterministic verdict query
   * possible over a nondeterministically-ordered cluster computation.
   *
-  * finish() renders `item:lowerBoundCount` pairs sorted by item so the
-  * output value is canonical for a given counter multiset.
+  * finish() returns the raw (item → lower-bound count) map. Counter
+  * VALUES (and map iteration order) depend on merge order — only the
+  * guarantee above is deterministic, so consumers must query the map
+  * (membership, size), not compare it byte-for-byte.
   */
 class MisraGriesAgg(budget: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
 

@@ -414,27 +414,32 @@ object Dedup {
     *
     * Scale shape: the two sides are DISJOINT row sets of the same
     * source, so each document is shingled exactly once (no persist
-    * needed, unlike the self-join dedups). Eval sets are tiny by nature
-    * (a benchmark is MBs against a 100 TB corpus), so the gram join
-    * broadcasts the eval side — the corpus-side explode is a narrow
-    * map and the only shuffle is the final (eval_id, train_id)
-    * aggregate, whose row count is bounded by matched pairs, not corpus
-    * size. The chooser guards the broadcast with a column-pruned count
-    * of eval DOCS (cheap — runs before any shingling); an oversized
-    * eval side falls back to a plain shuffle equi-join on the gram.
+    * needed, unlike the self-join dedups), and the corpus side is
+    * NEVER hash-repartitioned — there is no per-doc aggregate
+    * downstream to co-locate, so shingling runs on the source's own
+    * splits (`Partitioning.ensureParallelism` only kicks in for the
+    * single-split fixture). Eval sets are tiny by nature (a benchmark
+    * is MBs against a 100 TB corpus), so the gram join broadcasts the
+    * eval side and the only shuffle is the final (eval_id, train_id)
+    * aggregate, bounded by matched pairs. The broadcast guard bounds
+    * what is actually broadcast — the exploded per-GRAM rows, counted
+    * on the (small) eval side before the join; an oversized eval side
+    * falls back to a plain shuffle equi-join on the gram.
     *
     * Output: (eval_id, train_id, shared) with shared ≥ minShared.
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     isEval: Column => Column, n: Int = 3, minShared: Long = 1,
-                    broadcastMaxEvalDocs: Long = 1000000): DataFrame = {
-    val evalSh = withShingles(df.filter(isEval(col(idCol))), idCol, textCol, n)
-      .select(col("id").as("eval_id"), explode(col("sh")).as("s"))
-    val trainSh = withShingles(df.filter(!isEval(col(idCol))), idCol, textCol, n)
-      .select(col("id").as("train_id"), explode(col("sh")).as("s"))
-    val evalDocs = df.filter(isEval(col(idCol))).select(idCol).count()
+                    broadcastMaxEvalGrams: Long = 4000000): DataFrame = {
+    def grams(side: DataFrame, as: String) =
+      Partitioning.ensureParallelism(
+          side.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id").as(as), explode(shingles(col("t"), n)).as("s"))
+    val evalSh = grams(df.filter(isEval(col(idCol))), "eval_id")
+    val trainSh = grams(df.filter(!isEval(col(idCol))), "train_id")
+    val evalGrams = evalSh.count()
     val joined =
-      if (evalDocs <= broadcastMaxEvalDocs) trainSh.join(broadcast(evalSh), "s")
+      if (evalGrams <= broadcastMaxEvalGrams) trainSh.join(broadcast(evalSh), "s")
       else trainSh.join(evalSh, "s")
     joined.groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("shared"))

@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Portable per-mille bucket (0–999) of an id column: uniform,
-    * engine-independent (md5 prefix), stable across runs.
+  /** Portable bucket (0 until modulus) of an id column: uniform,
+    * engine-independent (md5 prefix, 15 hex chars < 2^63 so no sign
+    * issues), stable across runs. THE single definition of the recipe —
+    * q_train_split, d8's eval set, and p1's split all route through it
+    * so the assignments can never drift apart (DuckDB twin:
+    * `CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+    * % modulus`).
     */
-  def bucketPerMille(id: Column): Column =
+  def bucket(id: Column, modulus: Int): Column =
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(1000L))
+      .cast("long"), lit(modulus.toLong))
+
+  /** Portable per-mille bucket (0–999) of an id column. */
+  def bucketPerMille(id: Column): Column = bucket(id, 1000)
 
   /** Tag each row with whether the stratified sample keeps it: a row of
     * stratum `s` is kept iff bucket(id) < fractionsPerMille(s) —

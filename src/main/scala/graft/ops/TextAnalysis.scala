@@ -209,13 +209,12 @@ object TextAnalysis {
     * `orderBy.limit(k)` plans as TakeOrderedAndProject — each partition
     * keeps its own k rows and the driver merges partitions×k rows, so
     * there is never a global sort of the vocabulary. (Plan-asserted.)
-    * The leading repartition exists for the single-row-group fixture
-    * files; at real scale the source already has many splits.
+    * The source is repartitioned ONLY if it arrives with fewer splits
+    * than cores (the single-row-group fixture) — a many-split 100 TB
+    * source is never shuffled before the aggregate.
     */
   def topTerms(df: DataFrame, textCol: String = "text", k: Int = 100): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(textCol))
-      .repartition(parallelism)
+    Partitioning.ensureParallelism(df.select(col(textCol)))
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
