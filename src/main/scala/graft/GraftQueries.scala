@@ -830,6 +830,13 @@ object GraftQueries {
   def st2IntervalJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.clickToPurchaseBatch(tbl(s, dir, "events"))
 
+  /** Latest-per-key materialised view, batch form (streaming
+    * `mapGroupsWithState` form asserted equal in StreamingSpec) — the
+    * streaming twin of q_cdc_apply's latest-wins step.
+    */
+  def st3LatestState(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.latestPerUserBatch(tbl(s, dir, "events"))
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -1068,6 +1075,7 @@ object GraftQueries {
     "q_running_total"    -> (qRunningTotal _),
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),
+    "st3_latest_state"   -> (st3LatestState _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

@@ -547,6 +547,14 @@ object Oracles {
       """SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // latest (ts, event_id) event's value per user
+    "st3_latest_state" ->
+      """SELECT user_id, event_id AS latest_event_id, value AS latest_value
+        |FROM (
+        |  SELECT user_id, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
     "st2_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id
         |FROM events a JOIN events b

@@ -117,6 +117,46 @@ object EventsStream {
       .agg(min(col("event_id")).as("event_id"))
       .select("user_id", "event_type", "event_id")
 
+  /** Streaming materialised latest-per-key view — the streaming twin of
+    * `Cdc.applyChangelog`'s latest-wins step: per user, the value of
+    * the latest (ts, event_id) event so far. `mapGroupsWithState` in
+    * Update mode; state is ONE tuple per key, so memory tracks key
+    * cardinality (the semantics of a keyed view — state must outlive
+    * any watermark, hence NoTimeout; bound the key space upstream if
+    * the domain is unbounded).
+    */
+  def latestPerUserStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long], col("value").as[Double])
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Double)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0))
+          for ((_, tsUs, eid, v) <- rows)
+            if (tsUs > cur._1 || (tsUs == cur._1 && eid > cur._2)) cur = (tsUs, eid, v)
+          state.update(cur)
+          (uid, cur._2, cur._3)
+      }
+      .toDF("user_id", "latest_event_id", "latest_value")
+  }
+
+  /** Batch-equivalent of the latest-per-key view: lexicographic max of
+    * (ts, event_id, value) per user — one partial+final aggregate, no
+    * window sort.
+    */
+  def latestPerUserBatch(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"),
+        col("value").as("v"))).as("m"))
+      .select(col("user_id"), col("m.eid").as("latest_event_id"),
+        col("m.v").as("latest_value"))
+
   private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                                 gapMinutes: Int): DataFrame =
     clicks.join(purchases,

@@ -121,4 +121,20 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // is exactly min(event_id)
     assert(streamed.exceptAll(batch).count() == 0)
   }
+
+  test("mapGroupsWithState latest-per-key view matches batch equivalent") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.latestPerUserStream(
+        ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "latest_state_test", outputMode = "update")
+    val batch = EventsStream.latestPerUserBatch(events)
+    // update-mode memory sink appends one row per (key, batch); the
+    // single-file bounded replay is exactly one batch, so the table IS
+    // the final state (a multi-batch source would need last-batch-wins
+    // extraction here)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
 }
