@@ -394,6 +394,30 @@ object GraftQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Distributed global sort: `orderBy` plans a range-partitioning
+    * Exchange (sampled boundaries), so each partition holds a disjoint
+    * key range and is sorted locally — the scalable total order (no
+    * single-node sort ever happens; plan-asserted). The query emits
+    * the INVARIANT as a verdict row — per-partition (min,max) ranges
+    * are pairwise disjoint and no row was lost — because partition
+    * boundaries themselves are sampling-dependent, not oracle-stable.
+    */
+  def qGlobalSort(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val parts = tbl(s, dir, "lineitem")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .select(spark_partition_id().as("pid"), key.as("k"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+    // n_partitions rows — the single-partition window is metadata-scale
+    val w = Window.orderBy(col("pid"))
+    parts.withColumn("next_lo", lead(col("lo"), 1).over(w))
+      .agg(sum(col("n")).as("total_rows"),
+        coalesce(bool_and(col("next_lo").isNull || col("hi") <= col("next_lo")),
+          lit(true)).as("ranges_disjoint"))
+  }
+
   /** Full-outer join coverage: per market segment (null for order rows
     * with no matching customer), customers, customers without orders,
     * and order counts — the null-preserving join form the set above
@@ -1076,6 +1100,7 @@ object GraftQueries {
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),
     "st3_latest_state"   -> (st3LatestState _),
+    "q_global_sort"      -> (qGlobalSort _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

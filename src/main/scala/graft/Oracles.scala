@@ -327,6 +327,12 @@ object Oracles {
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // the verdict form: boundaries are sampling-dependent, the
+    // invariant (no row lost, ranges disjoint) is not
+    "q_global_sort" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows, true AS ranges_disjoint
+        |FROM lineitem""".stripMargin,
+
     "q_outer_join" ->
       """SELECT coalesce(c_mktsegment, '<none>') AS segment,
         |  CAST(count(c_custkey) AS BIGINT) AS n_cust_rows,

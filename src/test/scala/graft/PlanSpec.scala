@@ -145,6 +145,11 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
   }
 
+  test("q_global_sort: total order via a range-partitioning Exchange, no single-node sort") {
+    val plan = planOf("q_global_sort")
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+  }
+
   test("q_seq_pack: the packing window and the shard aggregate share one shuffle") {
     val plan = planOf("q_seq_pack")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
