@@ -258,6 +258,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(cold.exceptAll(plain).count() == 0 && plain.exceptAll(cold).count() == 0)
   }
 
+  test("portable bucket: uniform across moduli, every bucket populated") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    for (m <- Seq(100, 1000)) {
+      val counts = ids.select(graft.ops.Sampling.bucket(col("id"), m).as("b"))
+        .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == (0L until m).toSet, s"mod $m: empty buckets")
+      // Poisson-sane bounds: |c - λ| ≤ 6√λ (λ = 10 at m=1000 makes
+      // fixed-ratio bounds far too tight)
+      val expect = 10000.0 / m
+      assert(counts.values.forall(c => math.abs(c - expect) <= 6 * math.sqrt(expect)),
+        s"mod $m: worst buckets ${counts.values.min}..${counts.values.max}")
+    }
+  }
+
   test("stratified sample is deterministic, respects strata, and tracks target rates") {
     import spark.implicits._
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
