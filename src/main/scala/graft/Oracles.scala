@@ -29,6 +29,26 @@ object Oracles {
       |  FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB twin of `Sampling.bucket` — THE portable md5-bucket recipe;
+    * every oracle that buckets ids routes through this one definition.
+    */
+  private def bucketSql(idExpr: String, modulus: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT) % $modulus"
+
+  /** Scrub chain GENERATED from `TextAnalysis.piiPatterns` (the Scala
+    * masking's own pattern list, RE2/DuckDB-compatible by construction)
+    * so the oracle can never drift from the implementation.
+    */
+  private def scrubSql(expr: String): String =
+    graft.ops.TextAnalysis.piiPatterns.foldLeft(expr) { case (acc, (_, p, mask)) =>
+      s"regexp_replace($acc, '$p', '$mask', 'g')"
+    }
+
+  private def piiCountSql(expr: String): String =
+    graft.ops.TextAnalysis.piiPatterns
+      .map { case (_, p, _) => s"len(regexp_extract_all($expr, '$p'))" }
+      .mkString(" + ")
+
   private def jaccardPairsSql(threshold: Double): String =
     s"""$shingleCtes
        |SELECT ia AS id_a, ib AS id_b,
@@ -465,19 +485,19 @@ object Oracles {
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
     // contamination: eval = md5-bucket test split (>= 95, the same
-    // portable hash as q_train_split); pairs sharing >= 5 word 3-grams
+    // portable hash as q_train_split) vs the TRAIN split only (< 90;
+    // val docs are neither side); pairs sharing >= 5 word 3-grams
     "d8_contamination" ->
       s"""$shingleCtes,
          |buck AS (
-         |  SELECT doc_id,
-         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |  SELECT doc_id, ${bucketSql("doc_id", 100)} AS b
          |  FROM documents),
          |pairs AS (
          |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS shared
          |  FROM sx e
          |  JOIN buck be ON e.doc_id = be.doc_id AND be.b >= 95
          |  JOIN sx t ON e.s = t.s
-         |  JOIN buck bt ON t.doc_id = bt.doc_id AND bt.b < 95
+         |  JOIN buck bt ON t.doc_id = bt.doc_id AND bt.b < 90
          |  GROUP BY 1, 2
          |  HAVING count(*) >= 5)
          |SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_matches,
@@ -618,7 +638,7 @@ object Oracles {
     // the composed pipeline: t1 quality filter -> t7 scrub -> t4/d1
     // fingerprint dedup (min-id canonical) -> q_train_split buckets
     "p1_pipeline" ->
-      """WITH f AS (
+      raw"""WITH f AS (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS nt
         |  FROM documents),
@@ -631,15 +651,7 @@ object Oracles {
         |          AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 0.25 ELSE 0.0 END) AS qs
         |  FROM f),
         |sc AS (
-        |  SELECT doc_id,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(text,
-        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-        |        '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
-        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+        |  SELECT doc_id, ${scrubSql("text")} AS scrubbed
         |  FROM g WHERE qs >= 0.5),
         |canon AS (
         |  SELECT doc_id, scrubbed FROM (
@@ -650,7 +662,7 @@ object Oracles {
         |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM (
-        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b,
+        |  SELECT ${bucketSql("doc_id", 100)} AS b,
         |         len(list_filter(string_split_regex(scrubbed, '\s+'), t -> len(t) > 0)) AS ntok
         |  FROM canon)
         |GROUP BY 1""".stripMargin,
@@ -695,17 +707,17 @@ object Oracles {
     // stratified training mix: per-mille keep rates per language over
     // the portable md5 bucket (integer per-mille — no float rounding)
     "q_stratified_sample" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
-        |  CAST(count(CASE WHEN b < f THEN 1 END) AS BIGINT) AS n_sampled,
-        |  CAST(sum(CASE WHEN b < f THEN ntok ELSE 0 END) AS BIGINT) AS tokens_sampled
-        |FROM (
-        |  SELECT lang,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b,
-        |    CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 125
-        |              WHEN 'es' THEN 63 WHEN 'zh' THEN 32 ELSE 0 END AS f,
-        |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ntok
-        |  FROM documents)
-        |GROUP BY 1""".stripMargin,
+      raw"""SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN b < f THEN 1 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN b < f THEN ntok ELSE 0 END) AS BIGINT) AS tokens_sampled
+         |FROM (
+         |  SELECT lang,
+         |    ${bucketSql("doc_id", 1000)} AS b,
+         |    CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 125
+         |              WHEN 'es' THEN 63 WHEN 'zh' THEN 32 ELSE 0 END AS f,
+         |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ntok
+         |  FROM documents)
+         |GROUP BY 1""".stripMargin,
 
     // MG sketch verdict: n_heavy is exact; the two booleans are the
     // sketch's mathematical guarantee, so the oracle expects true
@@ -757,33 +769,22 @@ object Oracles {
     // identical RE2 patterns, identical mask order → byte-identical
     // scrubbed text (compared via md5)
     "t7_pii_scrub" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
-        |     + len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
-        |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
-        |    AS BIGINT) AS n_pii,
-        |  md5(regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(text,
-        |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-        |          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
-        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
-        |FROM documents""".stripMargin,
+      raw"""SELECT doc_id,
+         |  CAST(${piiCountSql("text")} AS BIGINT) AS n_pii,
+         |  md5(${scrubSql("text")}) AS scrubbed_md5
+         |FROM documents""".stripMargin,
 
     // hash-bucket split: md5-derived bucket is engine- and
     // partitioning-independent, so the split is exactly reproducible
     "q_train_split" ->
-      """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
-        |FROM (
-        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b,
-        |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ntok
-        |  FROM documents)
-        |GROUP BY 1""".stripMargin,
+      raw"""SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT ${bucketSql("doc_id", 100)} AS b,
+         |         len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS ntok
+         |  FROM documents)
+         |GROUP BY 1""".stripMargin,
 
     // full winnowing re-derivation: positional 5-token shingles, the
     // portable 60-bit md5-prefix hash, min per 4-shingle window, distinct

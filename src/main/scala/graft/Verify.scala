@@ -13,6 +13,16 @@ object Verify {
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
         "silently verify nothing")
+    // compare_oracle.py scores every result dir it finds on disk: a
+    // filtered run into a dir holding OTHER queries' results would get
+    // those stale siblings scored as if fresh — refuse.
+    if (only.nonEmpty) {
+      val stale = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
+        .filter(d => SparkEntry.queries.contains(d) && !only(d))
+      require(stale.isEmpty,
+        s"outDir has results for other queries (${stale.take(3).mkString(", ")}…) — " +
+          "use a fresh outDir for filtered runs; stale siblings would be scored as fresh")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

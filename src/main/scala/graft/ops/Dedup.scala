@@ -413,8 +413,9 @@ object Dedup {
     * break oracle equality).
     *
     * Scale shape: the two sides are DISJOINT row sets of the same
-    * source, so each document is shingled exactly once (no persist
-    * needed, unlike the self-join dedups), and the corpus side is
+    * source, so each document is shingled exactly once (the tiny eval
+    * side is persisted because the broadcast guard and the join both
+    * read it; the corpus side needs no persist), and the corpus side is
     * NEVER hash-repartitioned — there is no per-doc aggregate
     * downstream to co-locate, so shingling runs on the source's own
     * splits (`Partitioning.ensureParallelism` only kicks in for the
@@ -435,7 +436,11 @@ object Dedup {
       Partitioning.ensureParallelism(
           side.select(col(idCol).as("id"), col(textCol).as("t")))
         .select(col("id").as(as), explode(shingles(col("t"), n)).as("s"))
+    // persist the (by-assumption tiny) eval grams: the guard's count()
+    // and the join both consume them — without this the eval side is
+    // scanned and shingled twice
     val evalSh = grams(df.filter(isEval(col(idCol))), "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainSh = grams(df.filter(!isEval(col(idCol))), "train_id")
     val evalGrams = evalSh.count()
     val joined =
