@@ -543,6 +543,29 @@ object GraftQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** SQL frontend, breadth form: CTE + EXISTS (decorrelated to a semi
+    * join by Catalyst) + window ranking in one statement — the ANSI
+    * surface the reference (no SQL frontend at all) can't offer. The
+    * identical statement runs in DuckDB as its own oracle.
+    */
+  def qSqlCte(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "customer").createOrReplaceTempView("customer_v")
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_v2")
+    s.sql(
+      """WITH active AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer_v c
+        |  WHERE EXISTS (SELECT 1 FROM orders_v2 o WHERE o.o_custkey = c.c_custkey)
+        |),
+        |ranked AS (
+        |  SELECT a.c_mktsegment, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY a.c_mktsegment
+        |                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+        |  FROM active a JOIN orders_v2 o ON o.o_custkey = a.c_custkey
+        |)
+        |SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+        |FROM ranked WHERE rnk <= 5""".stripMargin)
+  }
+
   /** JSON extraction from the events props column. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -1109,6 +1132,7 @@ object GraftQueries {
     "q_approx_topk"      -> (q_approxTopk _),
     "st3_latest_state"   -> (st3LatestState _),
     "q_global_sort"      -> (qGlobalSort _),
+    "q_sql_cte"          -> (qSqlCte _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

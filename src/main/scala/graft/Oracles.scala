@@ -329,6 +329,21 @@ object Oracles {
         |sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // the same ANSI statement Spark runs (views renamed to tables)
+    "q_sql_cte" ->
+      """WITH active AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |),
+        |ranked AS (
+        |  SELECT a.c_mktsegment, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY a.c_mktsegment
+        |                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+        |  FROM active a JOIN orders o ON o.o_custkey = a.c_custkey
+        |)
+        |SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+
     "q_sql_frontend" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big
         |FROM orders
