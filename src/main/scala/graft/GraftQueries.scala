@@ -131,7 +131,7 @@ object GraftQueries {
       rule)
       .select(col("o_orderkey"), col("o_custkey"), col("c_name").as("fake_b"))
     val joined = viaOrders.join(customers, viaOrders("o_custkey") === customers("c_custkey"))
-    val origDistinct = tbl(s, dir, "customer").select(countDistinct("c_name")).first.getLong(0)
+    val origDistinct = tbl(s, dir, "customer").select(countDistinct("c_name")).first().getLong(0)
     // orig → fake is a function: #distinct (orig, fake) pairs == #distinct orig
     val mappingDistinct = Anonymiser(
       tbl(s, dir, "customer").select(col("c_name").as("orig"), col("c_name")),

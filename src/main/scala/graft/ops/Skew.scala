@@ -24,7 +24,7 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], sums: Seq[SumSpec],
                 numSalts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(numSalts))
+    val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(numSalts))
     val phase1 = df.withColumn("__salt", salt)
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
@@ -61,7 +61,7 @@ object Skew {
     def isHot(c: Column): Column =
       if (hot.isEmpty) lit(false) else c.isInCollection(hot)
     val salted = left.withColumn("__salt",
-      when(isHot(col(key)), pmod(xxhash64(left.columns.map(col): _*), lit(numSalts)))
+      when(isHot(col(key)), pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(numSalts)))
         .otherwise(lit(0L)))
     val replicated = right.withColumn("__salt",
       explode(when(isHot(col(key)), sequence(lit(0L), lit(numSalts - 1L)))
