@@ -29,7 +29,7 @@ object Bench {
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq",
     "t1_text_stats", "t2_lang_id", "t3_token_counts", "t4_fingerprint",
     "t5_winnowing", "t6_repetition", "t7_pii_scrub", "t8_top_terms",
-    "q_approx_topk",
+    "q_approx_topk", "q_approx_quantile",
     "q_train_split", "q_stratified_sample",
     "p1_pipeline",
     "mm1_decode_meta", "mm2_frame_samples",

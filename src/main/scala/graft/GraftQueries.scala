@@ -1049,6 +1049,28 @@ object GraftQueries {
         coalesce(bool_and(col("size_ok")), lit(true)).as("sketch_within_budget"))
   }
 
+  /** Approximate median via Spark's mergeable Greenwald–Khanna quantile
+    * sketch (`percentile_approx`, accuracy 100 ⇒ rank error ≤ 1%).
+    * Like `q_approx_topk`, the sketch value itself depends on merge
+    * order, but its GUARANTEE does not — so the query emits a verdict:
+    * the number of rows ≤ the approximate median must sit within the
+    * rank-error band around n/2 (±2% for tie slack). At 100 TB the
+    * sketch pass is the only pass; the exact rank count here exists to
+    * check the guarantee.
+    */
+  def q_approxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders").select(col("o_totalprice"))
+    val stats = o.agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(100)).as("p50a"),
+      count(lit(1)).as("n"))
+    o.crossJoin(broadcast(stats))
+      .agg(max(col("n")).as("n_rows"),
+        sum(when(col("o_totalprice") <= col("p50a"), 1L).otherwise(0L)).as("rank_le"))
+      .select(col("n_rows"),
+        (col("rank_le") >= col("n_rows") * 0.48 &&
+          col("rank_le") <= col("n_rows") * 0.52).as("rank_within_band"))
+  }
+
   /** Corpus top-100 tokens — the vocabulary heavy-hitter pass. */
   def t8TopTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(tbl(s, dir, "documents"), "text", k = 100)
@@ -1133,6 +1155,7 @@ object GraftQueries {
     "st3_latest_state"   -> (st3LatestState _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
+    "q_approx_quantile"  -> (q_approxQuantile _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),
