@@ -22,7 +22,7 @@ object Bench {
     "q_events_hourly", "q_sessionize", "q_json_extract", "q_sql_cte",
     "st3_latest_state",
     "q_asof_join", "q_range_join", "q_salted_agg", "q_skew_join", "q_cube",
-    "q_bucketed_join", "q_partition_prune", "q_cdc_apply", "q_profile",
+    "q_bucketed_join", "q_partition_prune", "q_zorder", "q_cdc_apply", "q_profile",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d5_embedding_dups", "d6_incremental_dedup", "d7_dup_clusters",
     "d8_contamination",

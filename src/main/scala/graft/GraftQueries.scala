@@ -387,6 +387,29 @@ object GraftQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Z-order clustering demo over events (user_id × event_id): bucket
+    * rows by the top bits of their Morton value and show per-cell
+    * counts plus the bounding box of both dimensions — the point of
+    * the layout: each z-cell covers a BOUNDED range in every
+    * dimension, so a two-sided range predicate maps to a contiguous
+    * set of cells. Top-20 cells by count, deterministic tiebreak.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val x = pmod(col("user_id"), lit(65536L))
+    val y = pmod(col("event_id"), lit(65536L))
+    tbl(s, dir, "events")
+      .withColumn("cell", shiftrightunsigned(Layout.zvalue(x, y, 16), 22))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min(pmod(col("user_id"), lit(65536L))).as("min_x"),
+        max(pmod(col("user_id"), lit(65536L))).as("max_x"),
+        min(pmod(col("event_id"), lit(65536L))).as("min_y"),
+        max(pmod(col("event_id"), lit(65536L))).as("max_y"))
+      .orderBy(col("n_rows").desc, col("cell"))
+      .limit(20)
+  }
+
   /** Window functions: per-customer order ranking. */
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1156,6 +1179,7 @@ object GraftQueries {
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),
+    "q_zorder"           -> (qZorder _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

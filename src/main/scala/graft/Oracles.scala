@@ -456,6 +456,22 @@ object Oracles {
         |min(o_totalprice) AS pmin, max(o_totalprice) AS pmax
         |FROM orders""".stripMargin,
 
+    // Morton interleave generated positionally — the same 32 shift/mask
+    // terms the Spark expression folds
+    "q_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH b AS (
+         |  SELECT user_id % 65536 AS x, event_id % 65536 AS y FROM events),
+         |z AS (SELECT x, y, (${terms.mkString(" | ")}) >> 22 AS cell FROM b)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1
+         |ORDER BY n_rows DESC, cell
+         |LIMIT 20""".stripMargin
+    },
+
     // GK-sketch verdict: the approximate median's rank bound holds for
     // any merge order, so the oracle expects true
     "q_approx_quantile" ->

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned data layout: write a table hive-partitioned by a derived
@@ -29,4 +29,20 @@ object Layout {
   /** Read a partitioned layout back (partition column inferred). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Morton/Z-order value of two non-negative dimension columns:
+    * interleave the low `bits` bits of each (x in even positions, y in
+    * odd). Sorting or range-bucketing by this single value co-locates
+    * rows that are close in BOTH dimensions — the multi-dimensional
+    * clustering step behind ZORDER-style layout optimisation, which
+    * turns two-sided range predicates into contiguous scan ranges.
+    * Pure codegen'd shift/mask arithmetic (2×`bits` terms), identical
+    * in any engine with integer bit ops — hence oracle-able.
+    */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
 }

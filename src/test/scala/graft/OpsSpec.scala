@@ -258,6 +258,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(cold.exceptAll(plain).count() == 0 && plain.exceptAll(cold).count() == 0)
   }
 
+  test("zvalue interleaves bits (x even, y odd) and orders locally") {
+    import spark.implicits._
+    val cases = Seq((3L, 1L, 7L), (0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (65535L, 0L, 0x5555555555555555L & 0xFFFFFFFFL))
+    val df = cases.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+    val out = df.select(graft.sources.Layout.zvalue(col("x"), col("y"), 16))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == cases.map(_._3), s"got $out")
+  }
+
   test("portable bucket: uniform across moduli, every bucket populated") {
     import spark.implicits._
     val ids = (0L until 10000L).toDF("id")
