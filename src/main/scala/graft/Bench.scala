@@ -19,7 +19,7 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_top_customers", "q_window_rank", "q_running_total", "q_global_sort", "q_rollup",
     "q_outer_join", "q_seq_pack",
-    "q_events_hourly", "q_sessionize", "q_json_extract", "q_sql_cte",
+    "q_events_hourly", "q_sessionize", "q_funnel", "q_json_extract", "q_sql_cte",
     "st3_latest_state",
     "q_asof_join", "q_range_join", "q_salted_agg", "q_skew_join", "q_cube",
     "q_bucketed_join", "q_partition_prune", "q_zorder", "q_cdc_apply", "q_profile",

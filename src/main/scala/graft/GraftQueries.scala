@@ -589,6 +589,27 @@ object GraftQueries {
         |FROM ranked WHERE rnk <= 5""".stripMargin)
   }
 
+  /** Ordered funnel over the event stream: users whose first view is
+    * followed (strictly later) by a click, then a purchase after that
+    * click. Three user-keyed aggregations; each join and groupBy keys
+    * on user_id, so after the first shuffle the stages are
+    * co-partitioned — the event-sequence analytics shape.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events").select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
   /** JSON extraction from the events props column. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -1180,6 +1201,7 @@ object GraftQueries {
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),
     "q_zorder"           -> (qZorder _),
+    "q_funnel"           -> (qFunnel _),
     "q_window_rank"      -> (qWindowRank _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),

@@ -329,6 +329,23 @@ object Oracles {
         |sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // ordered funnel: strictly-later stage transitions per user
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click""".stripMargin,
+
     // the same ANSI statement Spark runs (views renamed to tables)
     "q_sql_cte" ->
       """WITH active AS (
