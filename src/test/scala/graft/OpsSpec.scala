@@ -302,6 +302,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(other.count() == 0)
   }
 
+  test("Misra-Gries merge: pairwise sum, (budget+1)-largest cut, non-positives dropped") {
+    val agg = new graft.functions.MisraGriesAgg(2)
+    def m(kv: (String, Long)*): java.util.HashMap[String, Long] = {
+      val h = new java.util.HashMap[String, Long]()
+      kv.foreach { case (k, v) => h.put(k, v) }
+      h
+    }
+    // summed: a=10, b=5, c=3 (3 entries > budget 2) -> cut = 3rd largest = 3
+    val merged = agg.merge(m("a" -> 6L, "b" -> 5L), m("a" -> 4L, "c" -> 3L))
+    assert(agg.finish(merged) == Map("a" -> 7L, "b" -> 2L))
+    // within-budget merge is a plain pairwise sum
+    val small = agg.merge(m("a" -> 1L), m("b" -> 2L))
+    assert(agg.finish(small) == Map("a" -> 1L, "b" -> 2L))
+  }
+
   test("Misra-Gries sketch: heavy items survive any partitioning, estimates are lower bounds") {
     import spark.implicits._
     val budget = 16
