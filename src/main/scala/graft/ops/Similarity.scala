@@ -415,15 +415,18 @@ object Similarity {
     val thetaMax = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val eps = 1e-6 // covers acos error amplification near cos = ±1
     val cells = cellMeta.keys.toSeq.sorted
-    val blockPairs: Seq[(Int, Int, Int, Int)] = for {
+    // Surviving CELL pairs are nlist²-bounded — metadata scale, computed
+    // here. The CHUNK-pair expansion is quadratic in corpus size
+    // (chunks ≈ n/maxBlock), so it happens on executors via
+    // sequence+explode: the driver never materialises a structure
+    // proportional to the corpus.
+    val cellPairs: Seq[(Int, Int, Int, Int)] = for {
       ca <- cells; cb <- cells if ca <= cb
       minAngle = angleKernel(centroids(ca), centroids(cb)) -
         cellMeta(ca)._2 - cellMeta(cb)._2 - eps
       // NaN radius (zero-norm member) compares false ⇒ pair kept
       if !(minAngle > thetaMax)
-      ia <- 0 until nChunks(ca); ib <- 0 until nChunks(cb)
-      if ca < cb || ia <= ib
-    } yield (ca, ia, cb, ib)
+    } yield (ca, cb, nChunks(ca), nChunks(cb))
     // bounded blocks: chunk within cell by hashed id; each vector lands in
     // exactly one block, each unordered block pair in exactly one task
     val nChunksMap = map(cells.flatMap(c => Seq(lit(c), lit(nChunks(c)))): _*)
@@ -432,7 +435,18 @@ object Similarity {
         pmod(xxhash64(col("id")), element_at(nChunksMap, col("cell"))).cast("int"))
       .groupBy("cell", "chunk")
       .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("members"))
-    val bp = broadcast(blockPairs.toDF("cell_a", "chunk_a", "cell_b", "chunk_b"))
+    // No broadcast hint: groups comes out of the groupBy already hash-
+    // partitioned on (cell, chunk), which satisfies the join's required
+    // distribution, so a shuffle join moves only the tiny 4-int pair rows
+    // — and never collects the (quadratic) pair relation to the driver.
+    // AQE may still choose to broadcast it when its measured size is
+    // small; at billion-vector scale it won't be, and the plan degrades
+    // gracefully to the shuffle form.
+    val bp = cellPairs.toDF("cell_a", "cell_b", "nca", "ncb")
+      .withColumn("chunk_a", explode(sequence(lit(0), col("nca") - 1)))
+      .withColumn("chunk_b", explode(sequence(lit(0), col("ncb") - 1)))
+      .where(col("cell_a") < col("cell_b") || col("chunk_a") <= col("chunk_b"))
+      .select("cell_a", "chunk_a", "cell_b", "chunk_b")
     val paired = groups
       .join(bp, col("cell") === col("cell_a") && col("chunk") === col("chunk_a"))
       .select(col("members").as("_1"), col("cell_b"), col("chunk_b"),

@@ -124,12 +124,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // assert the >broadcast-budget plan directly (the catalog query's
     // chooser takes the broadcast kernel at fixture scale)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val plan = graft.ops.Similarity.cosineNearDupPairs(emb, threshold = 0.45)
-      .queryExecution.executedPlan.toString
+    val df = graft.ops.Similarity.cosineNearDupPairs(emb, threshold = 0.45)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "exact near-dup join must stay a blocked equi-join: " + plan.take(2000))
     // the verify kernel runs distributed (object-serde pipeline present)
     assert(plan.contains("SerializeFromObject"), plan.take(2000))
+    // every driver-built relation in the plan is metadata-scale: the
+    // chunk-pair expansion happens on executors (sequence+explode), so
+    // the only LocalRelation is the nlist²-bounded surviving-cell-pair
+    // seed — never a structure proportional to corpus size
+    val localSizes = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.size
+    }
+    assert(localSizes.nonEmpty && localSizes.forall(_ <= 16 * 17 / 2),
+      s"driver-built relations must be nlist-bounded, got sizes $localSizes")
   }
 
   test("d5 catalog query: no cartesian under either chooser branch") {
