@@ -46,26 +46,37 @@ object Skew {
     *
     * Hot keys are found with one aggregate on the fact side, capped at
     * `maxHotKeys` by descending frequency (deterministic tiebreak on the
-    * key) — driver traffic is bounded at metadata scale. Inner join
-    * only; output equals the plain join row-for-row (spec-asserted)
-    * because salting never changes which (left, right) key pairs meet.
+    * key), and attached to both sides as a broadcast-joined flag — the
+    * hot set never leaves the cluster (no collect, no 10k-branch literal
+    * `In` predicate in the plan; the broadcast is bounded by maxHotKeys
+    * rows, and exchange reuse makes the two flag joins share one
+    * broadcast). Inner join only; output equals the plain join
+    * row-for-row (spec-asserted) because salting never changes which
+    * (left, right) key pairs meet.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  numSalts: Int = 16, hotKeyThreshold: Long = 100000,
                  maxHotKeys: Int = 10000): DataFrame = {
-    val hot: Set[Any] = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= hotKeyThreshold)
-      .orderBy(col("__n").desc, col(key))
-      .limit(maxHotKeys)
-      .select(col(key)).collect().map(_.get(0)).toSet
-    def isHot(c: Column): Column =
-      if (hot.isEmpty) lit(false) else c.isInCollection(hot)
-    val salted = left.withColumn("__salt",
-      when(isHot(col(key)), pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(numSalts)))
+    val hotKeys = broadcast(
+      left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= hotKeyThreshold)
+        .orderBy(col("__n").desc, col(key))
+        .limit(maxHotKeys)
+        .select(col(key).as("__hot_key")))
+    // left-outer against the distinct hot-key relation: no duplication,
+    // __hot_key is null exactly when the key is cold
+    def flagHot(df: DataFrame): DataFrame =
+      df.join(hotKeys, col(key) === col("__hot_key"), "left_outer")
+        .withColumn("__hot", col("__hot_key").isNotNull)
+        .drop("__hot_key")
+    val salted = flagHot(left).withColumn("__salt",
+      when(col("__hot"), pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(numSalts)))
         .otherwise(lit(0L)))
-    val replicated = right.withColumn("__salt",
-      explode(when(isHot(col(key)), sequence(lit(0L), lit(numSalts - 1L)))
+      .drop("__hot")
+    val replicated = flagHot(right).withColumn("__salt",
+      explode(when(col("__hot"), sequence(lit(0L), lit(numSalts - 1L)))
         .otherwise(array(lit(0L)))))
+      .drop("__hot")
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 }

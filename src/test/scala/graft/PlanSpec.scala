@@ -147,6 +147,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       plan.take(2000))
   }
 
+  test("q_skew_join: hot keys attach as a broadcast flag, never a literal In list") {
+    val plan = planOf("q_skew_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "hot-key flag must broadcast-join: " + plan.take(2000))
+    // the old shape embedded up to maxHotKeys literals into both sides'
+    // predicates — a plan-size hazard and a per-row 10k-branch In
+    assert(!plan.contains(" IN ") && !plan.contains("isInCollection"),
+      "no literal hot-key In predicate allowed: " + plan.take(2000))
+  }
+
   test("d8 contamination: eval gram set broadcast — corpus side never shuffles into the join") {
     val plan = planOf("d8_contamination")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
