@@ -591,24 +591,17 @@ object GraftQueries {
 
   /** Ordered funnel over the event stream: users whose first view is
     * followed (strictly later) by a click, then a purchase after that
-    * click. Three user-keyed aggregations; each join and groupBy keys
-    * on user_id, so after the first shuffle the stages are
-    * co-partitioned — the event-sequence analytics shape.
+    * click — the general N-stage operator ([[graft.ops.Funnel]]) applied
+    * to the view→click→purchase sequence. ONE scan of events (the stage
+    * filter pushes into the source) and ONE user-keyed shuffle, versus
+    * the naive filter+join-per-stage form's three scans and three
+    * shuffles (plan-asserted in PlanSpec).
     */
-  def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    val e = tbl(s, dir, "events").select("user_id", "event_type", "ts")
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
-    val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("v_ts"))
-      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
-    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("c_ts"))
-      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
-  }
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.stageCounts(tbl(s, dir, "events"),
+      "user_id", "event_type", "ts",
+      stages = Seq("view", "click", "purchase"),
+      names = Seq("n_view", "n_click_after_view", "n_purchase_after_click"))
 
   /** JSON extraction from the events props column. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-stage ordered funnel analysis over an event log: for each entity,
+  * the earliest strictly-increasing chain of timestamps that walks the
+  * stage sequence in order (view → click → purchase, signup → activate →
+  * pay, …).
+  *
+  * Greedy earliest-completion is optimal here: taking the earliest valid
+  * event for stage k never prevents completing stage k+1, because any
+  * later valid stage-k event only shrinks the window that remains. So
+  * one ascending pass over an entity's events computes the whole chain —
+  * which is what makes the single-scan plan possible.
+  *
+  * Scale shape: ONE scan of the event table (the stage filter pushes
+  * into the source as an `In`), ONE shuffle (the entity groupBy); the
+  * per-entity fold runs over the collected, sorted event array. The
+  * per-entity state is bounded by that entity's stage-event count —
+  * funnels over web-scale logs hold at most thousands of events per
+  * user, orders of magnitude below executor memory. Contrast the naive
+  * form (filter + join per stage), which scans the fact table once per
+  * stage and shuffles N times.
+  */
+object Funnel {
+
+  /** One row per entity that has at least one stage-0 event:
+    * `(entity, stage_ts)` where `stage_ts(k)` is the timestamp of the
+    * earliest stage-k event strictly after `stage_ts(k-1)`; the array
+    * stops at the first unreached stage (so `size(stage_ts)` is the
+    * number of stages completed).
+    */
+  def stageTimes(events: DataFrame, entityCol: String, typeCol: String,
+                 tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageArr = array(stages.map(lit): _*)
+    val n = stages.size
+    val perEntity = events
+      .select(col(entityCol).as("entity"), col(typeCol).as("tp"), col(tsCol).as("ts"))
+      .where(col("tp").isin(stages: _*))
+      .groupBy("entity")
+      // sort_array on array<struct<ts,tp>> orders by ts (then tp): the
+      // ascending replay the greedy fold needs
+      .agg(sort_array(collect_list(struct(col("ts"), col("tp")))).as("evs"))
+    // `slice(ts-array, 1, 0)` = empty array of the ts column's own type —
+    // no hardcoded timestamp/long cast to drift out of sync with the data
+    val zero = slice(perEntity.col("evs").getField("ts"), 1, 0)
+    // single aggregate() whose lambda touches only its own variables (the
+    // nested-HOF re-evaluation trap does not apply); `get` is null-safe on
+    // the empty accumulator, so the strictly-after check degrades to true
+    // via coalesce for stage 0
+    val chain = aggregate(col("evs"), zero, (acc, ev) =>
+      when(size(acc) < n &&
+        ev.getField("tp") === element_at(stageArr, size(acc) + 1) &&
+        coalesce(ev.getField("ts") > get(acc, size(acc) - 1), lit(true)),
+        concat(acc, array(ev.getField("ts"))))
+        .otherwise(acc))
+    perEntity.select(col("entity"), chain.as("stage_ts"))
+      .where(size(col("stage_ts")) >= 1)
+  }
+
+  /** Stage-completion counts: entities reaching stage k (k = 1-based
+    * prefix length of the greedy chain), as one row with a count per
+    * stage named by the caller.
+    */
+  def stageCounts(events: DataFrame, entityCol: String, typeCol: String,
+                  tsCol: String, stages: Seq[String],
+                  names: Seq[String]): DataFrame = {
+    require(names.length == stages.length, "one output name per stage")
+    val st = stageTimes(events, entityCol, typeCol, tsCol, stages)
+    st.agg(
+      count(when(size(col("stage_ts")) >= 1, lit(1))).as(names.head),
+      names.zipWithIndex.tail.map { case (nm, i) =>
+        count(when(size(col("stage_ts")) >= i + 1, lit(1))).as(nm)
+      }: _*)
+  }
+}

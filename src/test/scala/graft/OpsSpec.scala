@@ -242,6 +242,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("funnel greedy chain: strictly-later transitions, ties and regressions handled") {
+    import spark.implicits._
+    // u1 completes all 3; u2's click precedes its view (chain stops at view);
+    // u3's purchase ties the click timestamp (strictly-later ⇒ not counted);
+    // u4 has only a click (no stage-0 event ⇒ no row); u5 views twice —
+    // the SECOND view is followed by a click, but greedy anchors on the
+    // FIRST view and still catches that click (earliest-completion)
+    val evs = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "purchase", 2L),
+      (4L, "click", 7L),
+      (5L, "view", 1L), (5L, "view", 4L), (5L, "click", 6L)
+    ).toDF("user_id", "event_type", "ts")
+    val st = graft.ops.Funnel.stageTimes(evs, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(st == Map(
+      1L -> Seq(10L, 20L, 30L),
+      2L -> Seq(10L),
+      3L -> Seq(1L, 2L),
+      5L -> Seq(1L, 6L)))
+  }
+
   test("salted join returns exactly the plain join's rows (hot and cold keys)") {
     import spark.implicits._
     // key 1 is hot (60 rows), keys 2..5 cold; dim has an unmatched key 9

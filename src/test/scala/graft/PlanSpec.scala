@@ -147,6 +147,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       plan.take(2000))
   }
 
+  test("q_funnel: one scan of events, one user-keyed shuffle") {
+    val plan = planOf("q_funnel")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n${plan.take(2000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 data shuffle, got $hashEx:\n${plan.take(2000)}")
+    // the stage filter reaches the source
+    assert(plan.contains("In(event_type"), plan.take(2000))
+  }
+
   test("q_skew_join: hot keys attach as a broadcast flag, never a literal In list") {
     val plan = planOf("q_skew_join")
     assert(plan.contains("BroadcastHashJoin"),
