@@ -188,39 +188,51 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id = min doc id in the component), one
     * row per doc that appears in ≥ 1 pair.
+    *
+    * Durability: when a checkpoint dir is available — passed as
+    * `checkpointDir`, or already configured on the SparkContext — each
+    * round uses a RELIABLE `checkpoint()` (survives executor loss, the
+    * right mode for long fixpoints on a real cluster). Otherwise it
+    * falls back to `localCheckpoint` (executor-local blocks: faster,
+    * but lost partitions are unrecoverable mid-fixpoint — fine for
+    * single-JVM and short-lived jobs).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 25): DataFrame = {
+               maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager), NOT persist: each round's plan embeds the
+    // checkpoint (eager), NOT persist: each round's plan embeds the
     // previous round's tree ~4× (neighbor join + self-join + convergence
     // check), so without lineage truncation Catalyst analysis time grows
     // exponentially with rounds — checkpointing makes every round's
-    // input a flat in-memory scan.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    // input a flat scan.
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
-      val propagated = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val propagated = truncate(
+        labels.join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
       // pointer jump: label := label(label). Labels are monotone
       // non-increasing node ids, so the chain is acyclic and doubling
       // halves its depth; a label is always itself a labelled node.
-      val next = propagated.as("a")
+      val next = truncate(propagated.as("a")
         .join(propagated.select(col("id").as("pid"), col("label").as("plabel")).as("b"),
           col("a.label") === col("b.pid"), "left")
         .select(col("a.id"), least(col("a.label"),
-          coalesce(col("b.plabel"), col("a.label"))).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("b.plabel"), col("a.label"))).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next
@@ -228,6 +240,14 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // an unconverged exit means under-merged labels — silently wrong
+    // output with no diagnosable cause downstream, so fail loudly
+    // (maxIter=25 covers component diameters up to ~2^24; hitting this
+    // means the input, not the algorithm, needs a look)
+    if (!converged)
+      throw new IllegalStateException(
+        s"cluster label propagation did not converge within $maxIter rounds; " +
+          "raise maxIter or inspect the pair graph for pathological diameter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -423,6 +423,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.values.forall(_ == 1L), s"deep chain did not fully converge: $out")
   }
 
+  test("dup clusters: reliable-checkpoint mode produces identical labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 2L)).toDF("id_a", "id_b")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val out = Dedup.clusters(pairs, checkpointDir = Some(ckDir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 10L).forall(out(_) == 1L))
+    assert(out(7L) == 7L && out(8L) == 7L)
+    // reliable mode must actually have written RDD checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint mode wrote no checkpoint files")
+  }
+
+  test("dup clusters: unconverged fixpoint fails loudly instead of under-merging") {
+    import spark.implicits._
+    // a 64-node path cannot converge in 1 round even with doubling
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(pairs, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("incremental dedup equals the full near-dup join filtered to new-touching pairs") {
     val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
     val inc = Dedup.minhashNearDupsIncremental(docs, "doc_id", "text", isNew, threshold = 0.8)
