@@ -90,6 +90,11 @@ object Bench {
       // inflate identical plans 3-10x; the minimum of three samples is
       // the number that tracks the plan, not the neighbours
       val best = Seq(once(), once(), once()).min
+      // release operator-internal caches BETWEEN queries (not between
+      // samples — intra-query cache reuse is the steady-state a
+      // long-running cluster would see, and what prior rounds measured):
+      // keeps the storage pool flat across the full run
+      graft.ops.OpCaches.releaseAll()
       // JIT code-cache occupancy: exhaustion (flushing + hot-method
       // eviction) is the one JVM-state failure mode that has produced
       // 10-25× per-query degradation late in a bench run — make it

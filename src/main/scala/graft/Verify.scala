@@ -49,6 +49,10 @@ object Verify {
         }
         rm(dir)
       }
+      // caching scope: each query's operator-internal persists are
+      // released once its action finished — the storage pool stays flat
+      // across the 90-query run instead of growing to LRU pressure
+      graft.ops.OpCaches.releaseAll()
       System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

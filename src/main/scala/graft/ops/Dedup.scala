@@ -167,10 +167,9 @@ object Dedup {
                       k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
     // sh appears three times in the final plan (signature pipeline + the
     // two verify joins); persist so tokenisation/shingling runs once.
-    // MEMORY_AND_DISK with LRU eviction — safe to leave cached, and at
-    // cluster scale the shingle table is the natural reuse point anyway.
-    val sh = withShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registered with OpCaches so the session driver can release it
+    // after the query's action instead of waiting for LRU eviction.
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
     verifyByJaccard(minhashCandidates(sh, k, rowsPerBand), sh, threshold)
   }
 
@@ -269,8 +268,7 @@ object Dedup {
                                  isNew: Column => Column,
                                  threshold: Double = 0.8, n: Int = 3,
                                  k: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
     val minhashBands = graft.functions.MinHashBandsAgg(k, rowsPerBand)
     val buckets = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
@@ -357,8 +355,7 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
     val freq = sh.select(col("id"), explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df_s"))
     ngramJaccardPairsPrefixOnShingles(sh, freq, threshold)
@@ -407,11 +404,10 @@ object Dedup {
   def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, n: Int = 3,
                             candidateBudgetPerDoc: Long = 4096): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = sh.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("df_s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
+    val freq = OpCaches.persist(
+      sh.select(col("id"), explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df_s")))
     // double arithmetic: Σ df² on a web-scale corpus overflows LONG
     val candRow = freq.agg(
       sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0).as("c"))
@@ -459,8 +455,7 @@ object Dedup {
     // persist the (by-assumption tiny) eval grams: the guard's count()
     // and the join both consume them — without this the eval side is
     // scanned and shingled twice
-    val evalSh = grams(df.filter(isEval(col(idCol))), "eval_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = OpCaches.persist(grams(df.filter(isEval(col(idCol))), "eval_id"))
     val trainSh = grams(df.filter(!isEval(col(idCol))), "train_id")
     val evalGrams = evalSh.count()
     val joined =
@@ -513,8 +508,7 @@ object Dedup {
     // sh feeds the signature pipeline AND both verify joins — persist
     // or the shingle kernel runs three times (same note as
     // minhashNearDups; measured ~3× on d3)
-    val sh = withShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
     val sigs = simhashSignatures(sh)
     val pieceCols = (0 until 4).map(p =>
       shiftrightunsigned(col("sig"), p * 16).bitwiseAND(lit(0xffffL)))

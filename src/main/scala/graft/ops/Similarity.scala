@@ -400,9 +400,8 @@ object Similarity {
       .fit(trainSample)
     trainSample.unpersist()
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val assigned = model.transform(vecs)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = OpCaches.persist(model.transform(vecs)
+      .select(col("id"), col("v"), col("prediction").as("cell")))
     // per-cell metadata (nlist rows — metadata-scale driver traffic, not
     // the corpus): member count + angular radius around the centroid
     val angleToCentroid = udf((cell: Int, v: Array[Float]) => angleKernel(v, centroids(cell)))

@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True when the session's CacheManager holds no cached plans —
+    * `sharedState`/`CacheManager` are `private[sql]`, so the
+    * cache-discipline spec reads them through this shim.
+    */
+  def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

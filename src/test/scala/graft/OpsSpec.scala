@@ -423,6 +423,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.values.forall(_ == 1L), s"deep chain did not fully converge: $out")
   }
 
+  test("dedup/similarity ops release internal caches via OpCaches.releaseAll") {
+    import org.apache.spark.sql.graftshim.GraftShims
+    spark.catalog.clearCache()
+    graft.ops.OpCaches.releaseAll() // drain registrations from earlier tests
+    Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8).count()
+    Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", threshold = 0.8).count()
+    assert(!GraftShims.cacheManagerIsEmpty(spark),
+      "ops should persist intermediates while their query runs")
+    graft.ops.OpCaches.releaseAll()
+    assert(GraftShims.cacheManagerIsEmpty(spark),
+      "releaseAll must leave the storage pool empty")
+  }
+
   test("dup clusters: reliable-checkpoint mode produces identical labels") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 2L)).toDF("id_a", "id_b")
