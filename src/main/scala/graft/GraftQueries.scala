@@ -347,15 +347,30 @@ object GraftQueries {
     */
   def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketing
-    val base = "/tmp/graft_bucketed"
-    Bucketing.writeBucketed(
-      tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-      "orders_bkt", s"$base/orders_bkt", Seq("o_custkey"), numBuckets = 8)
-    Bucketing.writeBucketed(
-      tbl(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-      "customer_bkt", s"$base/customer_bkt", Seq("c_custkey"), numBuckets = 8)
-    Bucketing.table(s, "orders_bkt")
-      .join(Bucketing.table(s, "customer_bkt"), col("o_custkey") === col("c_custkey"))
+    // per-process, per-source path AND table names (same recipe as
+    // qPartitionPrune): concurrent processes or interleaved fixture dirs
+    // can never race on Overwrite-vs-read. The bucketed layout is an
+    // amortised ONE-TIME cost, so it is written once per process —
+    // repeated calls (bench warm-up + samples) time the co-located JOIN,
+    // not the write; reuse is gated on the parquet _SUCCESS marker so a
+    // crashed partial write is rewritten, never silently read
+    val tag = s"p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_bucketed/$tag"
+    val ordersTbl = s"orders_bkt_$tag"
+    val custTbl = s"customer_bkt_$tag"
+    def ready(table: String, path: String): Boolean =
+      s.catalog.tableExists(table) && new java.io.File(s"$path/_SUCCESS").exists()
+    if (!ready(ordersTbl, s"$base/orders_bkt"))
+      Bucketing.writeBucketed(
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        ordersTbl, s"$base/orders_bkt", Seq("o_custkey"), numBuckets = 8)
+    if (!ready(custTbl, s"$base/customer_bkt"))
+      Bucketing.writeBucketed(
+        tbl(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        custTbl, s"$base/customer_bkt", Seq("c_custkey"), numBuckets = 8)
+    Bucketing.table(s, ordersTbl)
+      .join(Bucketing.table(s, custTbl), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(moneySum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
@@ -377,7 +392,10 @@ object GraftQueries {
     // (bench warm-up + samples) time the pruned READ, not the write
     val path = s"/tmp/graft_partitioned/p${ProcessHandle.current().pid()}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
-    if (!new java.io.File(path).exists())
+    // gate reuse on the committer's _SUCCESS marker, not bare directory
+    // existence: a crashed prior write leaves a partial layout that
+    // would otherwise be silently read on every subsequent run
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
       Layout.writeDatePartitioned(tbl(s, dir, "events"), path, "ts")
     val lo = tbl(s, dir, "events").agg(to_date(min(col("ts")))).first().getDate(0)
     Layout.read(s, path)
@@ -1100,12 +1118,19 @@ object GraftQueries {
     val stats = o.agg(
       percentile_approx(col("o_totalprice"), lit(0.5), lit(100)).as("p50a"),
       count(lit(1)).as("n"))
+    // tie-robust verdict: with heavy ties the returned value's rank is
+    // an INTERVAL [rank_lt, rank_le] (rows strictly below / at-or-below
+    // p50a); the GK guarantee holds iff that interval overlaps the
+    // rank-error band around n/2 — counting only rank_le would flag a
+    // legitimate sketch answer as out-of-band whenever a tie mass
+    // straddles the median
     o.crossJoin(broadcast(stats))
       .agg(max(col("n")).as("n_rows"),
+        sum(when(col("o_totalprice") < col("p50a"), 1L).otherwise(0L)).as("rank_lt"),
         sum(when(col("o_totalprice") <= col("p50a"), 1L).otherwise(0L)).as("rank_le"))
       .select(col("n_rows"),
         (col("rank_le") >= col("n_rows") * 0.48 &&
-          col("rank_le") <= col("n_rows") * 0.52).as("rank_within_band"))
+          col("rank_lt") <= col("n_rows") * 0.52).as("rank_within_band"))
   }
 
   /** Corpus top-100 tokens — the vocabulary heavy-hitter pass. */

@@ -439,27 +439,36 @@ object Dedup {
     * is MBs against a 100 TB corpus), so the gram join broadcasts the
     * eval side and the only shuffle is the final (eval_id, train_id)
     * aggregate, bounded by matched pairs. The broadcast guard bounds
-    * what is actually broadcast — the exploded per-GRAM rows, counted
-    * on the (small) eval side before the join; an oversized eval side
-    * falls back to a plain shuffle equi-join on the gram.
+    * what is actually broadcast in BYTES — the `broadcast()` hint
+    * bypasses `autoBroadcastJoinThreshold`, and a row-count guard
+    * alone would let millions of long grams through as hundreds of
+    * broadcast MB; the estimate (gram bytes + per-row id/overhead) is
+    * computed in the same single pass as the row count. An oversized
+    * eval side falls back to a plain shuffle equi-join on the gram.
     *
     * Output: (eval_id, train_id, shared) with shared ≥ minShared.
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     isEval: Column => Column, n: Int = 3, minShared: Long = 1,
-                    broadcastMaxEvalGrams: Long = 4000000): DataFrame = {
+                    broadcastMaxEvalBytes: Long = 64L << 20): DataFrame = {
     def grams(side: DataFrame, as: String) =
       Partitioning.ensureParallelism(
           side.select(col(idCol).as("id"), col(textCol).as("t")))
         .select(col("id").as(as), explode(shingles(col("t"), n)).as("s"))
-    // persist the (by-assumption tiny) eval grams: the guard's count()
-    // and the join both consume them — without this the eval side is
-    // scanned and shingled twice
+    // persist the (by-assumption tiny) eval grams: the guard's size
+    // aggregate and the join both consume them — without this the eval
+    // side is scanned and shingled twice
     val evalSh = OpCaches.persist(grams(df.filter(isEval(col(idCol))), "eval_id"))
     val trainSh = grams(df.filter(!isEval(col(idCol))), "train_id")
-    val evalGrams = evalSh.count()
+    val sizeRow = evalSh.agg(
+      coalesce(sum(length(col("s"))), lit(0L)).as("gram_bytes"),
+      count(lit(1)).as("n")).first()
+    // 24 B/row: 8-byte id + UnsafeRow offsets/null bits — an estimate of
+    // the hashed-relation payload, deliberately before the relation's own
+    // constant-factor overhead so the budget stays conservative
+    val estBytes = sizeRow.getLong(0) + 24L * sizeRow.getLong(1)
     val joined =
-      if (evalGrams <= broadcastMaxEvalGrams) trainSh.join(broadcast(evalSh), "s")
+      if (estBytes <= broadcastMaxEvalBytes) trainSh.join(broadcast(evalSh), "s")
       else trainSh.join(evalSh, "s")
     joined.groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("shared"))

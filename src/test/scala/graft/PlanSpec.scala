@@ -95,8 +95,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       // aggregate ABOVE the join; the join inputs themselves must read
       // bucketed scans with no shuffle. Cheap proof: re-plan the bare
       // join (no agg) and require zero Exchange anywhere.
-      val bare = graft.sources.Bucketing.table(spark, "orders_bkt")
-        .join(graft.sources.Bucketing.table(spark, "customer_bkt"),
+      // table names are per-process/per-dir (race hardening in
+      // qBucketedJoin) — derive the same tag instead of hardcoding
+      val tag = s"p${ProcessHandle.current().pid()}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val bare = graft.sources.Bucketing.table(spark, s"orders_bkt_$tag")
+        .join(graft.sources.Bucketing.table(spark, s"customer_bkt_$tag"),
           org.apache.spark.sql.functions.col("o_custkey") ===
             org.apache.spark.sql.functions.col("c_custkey"))
       val barePlan = bare.queryExecution.executedPlan.toString
