@@ -843,6 +843,15 @@ object GraftQueries {
         sum(col("shared")).as("total_shared"))
   }
 
+  /** Winnowing (MOSS) near-dup pairs: fingerprint-set Jaccard ≥ 0.5
+    * over the portable-hash winnowing fingerprints (t5's fingerprint
+    * pass promoted to a dedup JOIN) — candidates from shared
+    * fingerprints, scored on exact fingerprint overlap.
+    */
+  def d9WinnowingDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+      k = 5, window = 4, threshold = 0.5, portableHash = true)
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -1248,6 +1257,7 @@ object GraftQueries {
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
     "d7_dup_clusters"    -> (d7DupClusters _),
     "d8_contamination"   -> (d8Contamination _),
+    "d9_winnowing_dups"  -> (d9WinnowingDups _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

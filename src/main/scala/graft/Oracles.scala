@@ -538,6 +538,40 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // winnowing (MOSS) near-dup join: fingerprint sets from the t5
+    // winnowing pass (portable md5 hash, k=5, window=4), pair score =
+    // exact fingerprint-set Jaccard — integer counts and one double
+    // division, bit-identical across engines
+    "d9_winnowing_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, g.i AS pos,
+        |         CAST(('0x' || substr(md5(array_to_string(tk[g.i : g.i + 4], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i) AS g
+        |  WHERE len(tk) >= 5
+        |),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+        |         count(*) OVER (PARTITION BY doc_id) AS nsh
+        |  FROM sh
+        |),
+        |fps AS (SELECT DISTINCT doc_id, minh AS fp FROM win WHERE pos <= greatest(nsh - 3, 1)),
+        |fsizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+        |finter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS fp_jaccard
+        |FROM finter
+        |JOIN fsizes sa ON ia = sa.doc_id
+        |JOIN fsizes sb ON ib = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin,
+
     // contamination: eval = md5-bucket test split (>= 95, the same
     // portable hash as q_train_split) vs the TRAIN split only (< 90;
     // val docs are neither side); pairs sharing >= 5 word 3-grams

@@ -532,4 +532,43 @@ object Dedup {
       .distinct()
     verifyByJaccard(cands, sh, threshold)
   }
+
+  /** Winnowing near-dup join (the MOSS recipe — Schleimer, Wilkerson,
+    * Aiken, SIGMOD 2003): pairs whose winnowing FINGERPRINT sets have
+    * Jaccard ≥ `threshold`. The fingerprints are
+    * `TextAnalysis.winnowingFingerprints` (k-token shingles, min hash
+    * per `window` positions), so each doc is represented by ~1/window
+    * of its shingles — the candidate self-join runs over that reduced
+    * set, and winnowing's guarantee (any shared run of ≥ window+k−1
+    * tokens shares a fingerprint) bounds what the reduction can miss.
+    *
+    * The similarity measured IS fingerprint overlap — MOSS's own score
+    * — which makes the operator exact over its fingerprint sets and
+    * hence oracle-checkable (with `portableHash` the fingerprints are
+    * bit-reproducible in DuckDB). Scale shape = the count-based
+    * `ngramJaccardPairs` over a window-times-smaller relation: explode
+    * is already done (fingerprints arrive one per row), one self-join
+    * on fp, one pair aggregate. Min-selected fingerprints have no
+    * frequent-head blow-up on natural text; a corpus with a pathological
+    * shared boilerplate run would move to the PPJoin prefix recipe the
+    * same way `ngramJaccardPairsAuto` does.
+    */
+  def winnowingNearDups(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, window: Int = 4, threshold: Double = 0.5,
+                        portableHash: Boolean = false): DataFrame = {
+    val fps = OpCaches.persist(
+      TextAnalysis.winnowingFingerprints(df, idCol, textCol, k, window, portableHash))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val inter = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("nb")), "id_b")
+      .withColumn("fp_jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("fp_jaccard") >= threshold)
+      .select("id_a", "id_b", "fp_jaccard")
+  }
 }

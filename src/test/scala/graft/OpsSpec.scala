@@ -423,6 +423,36 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.values.forall(_ == 1L), s"deep chain did not fully converge: $out")
   }
 
+  test("winnowing near-dups: copies score 1.0, edits stay high, disjoint docs absent") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = ((1 to 40).map(i => s"tok$i").updated(20, "CHANGED")).mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, base),                         // exact copy pair
+      (3L, edited),                                   // one-token edit of base
+      (4L, (100 to 140).map(i => s"other$i").mkString(" ")), // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0, "identical docs must have fingerprint Jaccard exactly 1")
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 1.0,
+      s"a local edit must keep the pair above threshold but below 1: $out")
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "disjoint doc must produce no pair")
+  }
+
+  test("winnowing near-dups: portable-hash variant returns the same pair set") {
+    val fast = Dedup.winnowingNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        threshold = 0.5, portableHash = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // different hash family ⇒ different winnowed SELECTIONS, but on the
+    // fixture's planted dups the pair decisions agree
+    assert(fast == portable)
+    assert(fast.nonEmpty, "fixture should contain winnowing-detectable near-dups")
+  }
+
   test("dedup/similarity ops release internal caches via OpCaches.releaseAll") {
     import org.apache.spark.sql.graftshim.GraftShims
     spark.catalog.clearCache()
