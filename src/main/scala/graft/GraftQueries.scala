@@ -439,6 +439,28 @@ object GraftQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Window-family breadth in one pass: per-customer order timeline
+    * with `lag` (days since the previous order), `ntile` quartile of
+    * the timeline, and `percent_rank` by price. Both window specs
+    * share the SAME partitioning (o_custkey), so the plan is ONE
+    * hash-partition Exchange feeding two in-partition sorts — adding
+    * window functions costs sorts, never extra shuffles. All three are
+    * deterministic: the timeline order is totalised by (date, key),
+    * and percent_rank assigns tied prices identical values.
+    */
+  def qWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+    tbl(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(seq))
+          .cast("long").as("days_since_prev"),
+        ntile(4).over(seq).cast("long").as("order_quartile"),
+        percent_rank().over(byPrice).as("price_pct_rank"))
+  }
+
   /** Distributed global sort: `orderBy` plans a range-partitioning
     * Exchange (sampled boundaries), so each partition holds a disjoint
     * key range and is sorted locally — the scalable total order (no
@@ -1230,6 +1252,7 @@ object GraftQueries {
     "q_zorder"           -> (qZorder _),
     "q_funnel"           -> (qFunnel _),
     "q_window_rank"      -> (qWindowRank _),
+    "q_window_stats"     -> (qWindowStats _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),
     "q_distinct"         -> (qDistinct _),

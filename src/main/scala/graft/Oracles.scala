@@ -294,6 +294,14 @@ object Oracles {
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |FROM orders) WHERE rnk <= 3""".stripMargin,
 
+    "q_window_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+        |CAST(ntile(4) OVER w AS BIGINT) AS order_quartile,
+        |percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS price_pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
     "q_semi_join" ->
       "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
 

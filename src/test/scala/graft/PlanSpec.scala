@@ -46,6 +46,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
   }
 
+  test("q_window_stats: both window specs share ONE hash-partition Exchange") {
+    val plan = planOf("q_window_stats")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges == 1,
+      s"lag/ntile and percent_rank must reuse o_custkey partitioning, got $exchanges: " +
+        plan.take(2000))
+  }
+
   test("q_semi_join / q_anti_join plan as semi/anti joins") {
     assert(planOf("q_semi_join").contains("LeftSemi"))
     assert(planOf("q_anti_join").contains("LeftAnti"))
