@@ -221,21 +221,30 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nl"))
-      val propagated = truncate(
-        labels.join(viaNeighbor, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-      // pointer jump: label := label(label). Labels are monotone
-      // non-increasing node ids, so the chain is acyclic and doubling
-      // halves its depth; a label is always itself a labelled node.
-      val next = truncate(propagated.as("a")
-        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")).as("b"),
-          col("a.label") === col("b.pid"), "left")
-        .select(col("a.id"), least(col("a.label"),
-          coalesce(col("b.plabel"), col("a.label"))).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      // the old label rides along so the convergence check is a flat
+      // scan of the checkpointed result — no per-round labels join.
+      // Propagate-fixpoint is SUFFICIENT: edges are symmetrized, so "no
+      // label beat any neighbor's" forces equal labels across every
+      // edge, i.e. component-uniform labels (= the component min, since
+      // initial labels are the ids themselves and min is preserved).
+      val prop = truncate(
+        labels.withColumnRenamed("label", "old").join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"), col("old"),
+            least(col("old"), coalesce(col("nl"), col("old"))).as("label")))
+      if (prop.filter(col("label") =!= col("old")).limit(1).count() == 0) {
+        converged = true
+        labels = prop.select(col("id"), col("label"))
+      } else {
+        // pointer jump: label := label(label). Labels are monotone
+        // non-increasing node ids, so the chain is acyclic and doubling
+        // halves its depth; a label is always itself a labelled node.
+        val p = prop.select(col("id"), col("label"))
+        labels = truncate(p.as("a")
+          .join(p.select(col("id").as("pid"), col("label").as("plabel")).as("b"),
+            col("a.label") === col("b.pid"), "left")
+          .select(col("a.id"), least(col("a.label"),
+            coalesce(col("b.plabel"), col("a.label"))).as("label")))
+      }
       it += 1
     }
     edges.unpersist()
