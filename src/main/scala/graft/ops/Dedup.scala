@@ -190,28 +190,50 @@ object Dedup {
     *
     * Durability: when a checkpoint dir is available — passed as
     * `checkpointDir`, or already configured on the SparkContext — each
-    * round uses a RELIABLE `checkpoint()` (survives executor loss, the
-    * right mode for long fixpoints on a real cluster). Otherwise it
-    * falls back to `localCheckpoint` (executor-local blocks: faster,
-    * but lost partitions are unrecoverable mid-fixpoint — fine for
-    * single-JVM and short-lived jobs).
+    * round is materialised RELIABLY as parquet under a unique
+    * subdirectory (survives executor loss, the right mode for long
+    * fixpoints on a real cluster), keeping at most two rounds on disk:
+    * a round's files are deleted as soon as the round after next is
+    * safely written (`Dataset.checkpoint` was rejected here — it
+    * requires mutating the GLOBAL SparkContext checkpoint dir, and
+    * Spark never deletes reliable checkpoints by default, so a long
+    * fixpoint would accumulate a full labels copy per round). The final
+    * round's parquet backs the returned DataFrame; callers may delete
+    * the subdirectory when done with the result. Without a checkpoint
+    * dir it falls back to `localCheckpoint` (executor-local blocks:
+    * faster, but lost partitions are unrecoverable mid-fixpoint — fine
+    * for single-JVM and short-lived jobs).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
+    val spark = pairs.sparkSession
+    val ckBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
+      .map(d => s"$d/graft_clusters_${java.util.UUID.randomUUID().toString.take(12)}")
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // checkpoint (eager), NOT persist: each round's plan embeds the
+    // eager materialisation, NOT persist: each round's plan embeds the
     // previous round's tree ~4× (neighbor join + self-join + convergence
     // check), so without lineage truncation Catalyst analysis time grows
     // exponentially with rounds — checkpointing makes every round's
     // input a flat scan.
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var ckIdx = 0
+    def truncate(df: DataFrame): DataFrame = ckBase match {
+      case Some(base) =>
+        val path = s"$base/r$ckIdx"
+        df.write.mode("overwrite").parquet(path)
+        // rounds ≤ ckIdx-2 are no longer referenced by any live plan
+        // (the round just written read only round ckIdx-1's files)
+        if (ckIdx >= 2) {
+          val dead = new org.apache.hadoop.fs.Path(s"$base/r${ckIdx - 2}")
+          val fs = dead.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(dead, true): Unit
+        }
+        ckIdx += 1
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
     var labels = truncate(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
@@ -317,21 +339,34 @@ object Dedup {
                         threshold: Double = 0.8, n: Int = 3): DataFrame =
     ngramJaccardPairsOnShingles(withShingles(df, idCol, textCol, n), threshold)
 
-  private def ngramJaccardPairsOnShingles(sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+  /** Jaccard-threshold pairs from a pre-exploded `(id, token)` relation
+    * plus per-id set sizes `(id, n)`: self-join on the token, count
+    * co-occurrences (= |∩|, since token sets are distinct per id), join
+    * the sizes, score |∩| / (na + nb − |∩|). Shared by the n-gram
+    * count-based plan and the winnowing fingerprint join — one place
+    * for the tie/overflow/threshold semantics.
+    */
+  private def jaccardFromExploded(ex: DataFrame, sizes: DataFrame,
+                                  tokenCol: String, threshold: Double,
+                                  outCol: String): DataFrame = {
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col(s"a.$tokenCol") === col(s"b.$tokenCol") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn("jaccard",
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn(outCol,
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .filter(col(outCol) >= threshold)
+      .select("id_a", "id_b", outCol)
   }
+
+  private def ngramJaccardPairsOnShingles(sh: DataFrame, threshold: Double): DataFrame =
+    jaccardFromExploded(
+      sh.select(col("id"), explode(col("sh")).as("s")),
+      sh.select(col("id"), size(col("sh")).as("n")),
+      "s", threshold, "jaccard")
 
   /** Exact n-gram Jaccard with PPJoin-style prefix filtering (Bayardo,
     * Ma, Srikant: "Scaling Up All Pairs Similarity Search", WWW 2007):
@@ -469,8 +504,12 @@ object Dedup {
     // side is scanned and shingled twice
     val evalSh = OpCaches.persist(grams(df.filter(isEval(col(idCol))), "eval_id"))
     val trainSh = grams(df.filter(!isEval(col(idCol))), "train_id")
+    // octet_length, not length: char count under-estimates UTF-8
+    // multi-byte text (CJK grams are ~3 B/char) by up to 4× — enough to
+    // defeat the byte budget on exactly the multilingual corpora this
+    // op targets
     val sizeRow = evalSh.agg(
-      coalesce(sum(length(col("s"))), lit(0L)).as("gram_bytes"),
+      coalesce(sum(octet_length(col("s"))), lit(0L)).as("gram_bytes"),
       count(lit(1)).as("n")).first()
     // 24 B/row: 8-byte id + UnsafeRow offsets/null bits — an estimate of
     // the hashed-relation payload, deliberately before the relation's own
@@ -567,17 +606,8 @@ object Dedup {
                         portableHash: Boolean = false): DataFrame = {
     val fps = OpCaches.persist(
       TextAnalysis.winnowingFingerprints(df, idCol, textCol, k, window, portableHash))
-    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
-    val inter = fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("nb")), "id_b")
-      .withColumn("fp_jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-      .filter(col("fp_jaccard") >= threshold)
-      .select("id_a", "id_b", "fp_jaccard")
+    jaccardFromExploded(
+      fps, fps.groupBy("id").agg(count(lit(1)).as("n")),
+      "fp", threshold, "fp_jaccard")
   }
 }

@@ -47,13 +47,18 @@ object Funnel {
     // no hardcoded timestamp/long cast to drift out of sync with the data
     val zero = slice(perEntity.col("evs").getField("ts"), 1, 0)
     // single aggregate() whose lambda touches only its own variables (the
-    // nested-HOF re-evaluation trap does not apply); `get` is null-safe on
-    // the empty accumulator, so the strictly-after check degrades to true
-    // via coalesce for stage 0
+    // nested-HOF re-evaluation trap does not apply). The order check must
+    // NOT blanket-coalesce nulls to true: a NULL event timestamp can
+    // neither anchor a chain nor advance one (NULL > x is NULL → the
+    // `when` condition is not satisfied), otherwise one null-ts row would
+    // make every later stage unconditionally valid. Stage 0 accepts
+    // exactly the non-null-ts events; later stages compare against the
+    // last accepted ts, which is non-null by induction.
     val chain = aggregate(col("evs"), zero, (acc, ev) =>
       when(size(acc) < n &&
         ev.getField("tp") === element_at(stageArr, size(acc) + 1) &&
-        coalesce(ev.getField("ts") > get(acc, size(acc) - 1), lit(true)),
+        ((size(acc) === 0 && ev.getField("ts").isNotNull) ||
+          ev.getField("ts") > get(acc, size(acc) - 1)),
         concat(acc, array(ev.getField("ts"))))
         .otherwise(acc))
     perEntity.select(col("entity"), chain.as("stage_ts"))

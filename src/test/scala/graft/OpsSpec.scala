@@ -266,6 +266,23 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       5L -> Seq(1L, 6L)))
   }
 
+  test("funnel: null timestamps can neither anchor nor advance a chain") {
+    import spark.implicits._
+    // u1: null-ts view then a click — the null view must NOT anchor, and
+    // the click has no preceding valid view ⇒ no row for u1;
+    // u2: valid view, null-ts click, valid purchase — the null click must
+    // not advance the chain ⇒ chain stops after the view
+    val evs = Seq(
+      (1L, "view", None: Option[Long]), (1L, "click", Some(20L)),
+      (2L, "view", Some(1L)), (2L, "click", None: Option[Long]),
+      (2L, "purchase", Some(9L))
+    ).toDF("user_id", "event_type", "ts")
+    val st = graft.ops.Funnel.stageTimes(evs, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(st == Map(2L -> Seq(1L)), s"got $st")
+  }
+
   test("salted join returns exactly the plain join's rows (hot and cold keys)") {
     import spark.implicits._
     // key 1 is hot (60 rows), keys 2..5 cold; dim has an unmatched key 9
