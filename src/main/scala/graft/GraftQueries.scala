@@ -7,7 +7,7 @@ import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
 import graft.dialect.{SqliteDialect, SqlValueCodec}
 import graft.export.ExportPipeline
-import graft.ops.{AsOfJoin, Cdc, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
 
@@ -461,6 +461,28 @@ object GraftQueries {
         percent_rank().over(byPrice).as("price_pct_rank"))
   }
 
+  /** RANGE-frame windowing — the interval-bounded frame the ROWS frames
+    * above don't exercise: per customer, trailing-7-day spend (orders
+    * within 6 days before each order's day, inclusive). RANGE frames
+    * are peer-inclusive — same-day orders all see the same total
+    * regardless of intra-day order, so the result is deterministic
+    * without a unique tiebreak. The frame key is integer epoch days and
+    * money routes through DECIMAL, so both engines agree bit-exactly.
+    * Plan shape: one hash-partition Exchange on the customer key, one
+    * in-partition sort — identical cost to a ROWS frame.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    tbl(s, dir, "orders")
+      .withColumn("day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+      .withColumn("trailing7_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "day", "trailing7_spend")
+  }
+
   /** Distributed global sort: `orderBy` plans a range-partitioning
     * Exchange (sampled boundaries), so each partition holds a disjoint
     * key range and is sorted locally — the scalable total order (no
@@ -497,6 +519,29 @@ object GraftQueries {
       .agg(count(col("c_custkey")).as("n_cust_rows"),
         count(when(col("o_orderkey").isNull, lit(1))).as("n_cust_no_orders"),
         count(col("o_orderkey")).as("n_orders"))
+
+  /** Bloom-filter semi-join reduction (`ops.BloomJoin`): revenue of
+    * lineitems belonging to high-value orders. The build side (orders
+    * over the price cut) is sketched into a Bloom filter with one
+    * distributed pass; the probe side (lineitem, the big fact) is
+    * pre-filtered by might-contain BEFORE its shuffle, so non-matching
+    * rows never enter the join Exchange. The build side carries a
+    * merge-join hint to model the 100 TB case this technique exists for
+    * — a build side too big to broadcast — and the output is
+    * row-identical to the plain join (no false negatives; the join
+    * removes false positives), so the oracle is the plain join SQL.
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = tbl(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_orderkey", "o_orderpriority")
+    val li = tbl(s, dir, "lineitem")
+    BloomJoin.bloomFilteredJoin(li, bigOrders.hint("merge"), "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+  }
 
   /** Running total per customer — the cumulative window-frame form
     * (ROWS UNBOUNDED PRECEDING), deterministic order by (date, key),
@@ -1168,6 +1213,13 @@ object GraftQueries {
   def t8TopTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTerms(tbl(s, dir, "documents"), "text", k = 100)
 
+  /** Corpus-unigram surprisal per document (perplexity-proxy quality
+    * score, `TextAnalysis.unigramSurprisal`) — integer micro-bit
+    * quantisation makes the transcendental math oracle-exact.
+    */
+  def t9Surprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(tbl(s, dir, "documents"))
+
   /** PII scrub over the documents table (RE2-safe patterns, identical
     * in DuckDB — masking is oracle-checked byte-for-byte).
     */
@@ -1242,6 +1294,7 @@ object GraftQueries {
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_partition_prune"  -> (qPartitionPrune _),
     "q_outer_join"       -> (qOuterJoin _),
+    "q_bloom_join"       -> (qBloomJoin _),
     "q_running_total"    -> (qRunningTotal _),
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),
@@ -1253,6 +1306,7 @@ object GraftQueries {
     "q_funnel"           -> (qFunnel _),
     "q_window_rank"      -> (qWindowRank _),
     "q_window_stats"     -> (qWindowStats _),
+    "q_window_range"     -> (qWindowRange _),
     "q_semi_join"        -> (qSemiJoin _),
     "q_anti_join"        -> (qAntiJoin _),
     "q_distinct"         -> (qDistinct _),
@@ -1295,6 +1349,7 @@ object GraftQueries {
     "t6_repetition"      -> (t6Repetition _),
     "t7_pii_scrub"       -> (t7PiiScrub _),
     "t8_top_terms"       -> (t8TopTerms _),
+    "t9_surprisal"       -> (t9Surprisal _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_skew_join"        -> (q_skewJoin _),
     "q_cdc_apply"        -> (q_cdcApply _),

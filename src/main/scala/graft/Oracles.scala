@@ -302,6 +302,17 @@ object Oracles {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
+    // RANGE frame over integer epoch days; peer-inclusive, so no
+    // tiebreak needed — DECIMAL keeps the windowed sums bit-exact
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing7_spend
+        |FROM orders""".stripMargin,
+
     "q_semi_join" ->
       "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
 
@@ -399,6 +410,16 @@ object Oracles {
         |  CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_cust_no_orders,
         |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
         |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // the bloom pre-filter is output-transparent (no false negatives,
+    // the join removes false positives) — the oracle is the plain join
+    "q_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
         |GROUP BY 1""".stripMargin,
 
     // running money sum through DECIMAL: exact at every prefix, so the
@@ -837,6 +858,24 @@ object Oracles {
         |GROUP BY 1
         |ORDER BY cnt DESC, t
         |LIMIT 100""".stripMargin,
+
+    // per-token log2 quantised to integer micro-bits in the vocab CTE,
+    // then integer-summed per doc — order-independent, so the
+    // transcendental surprisal is hash-exact across engines
+    "t9_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(floor(log2(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT) AS l2n FROM vocab),
+        |vl AS (SELECT tok, CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS l2c FROM vocab),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tok, sum(vl.l2c) AS s
+        |  FROM toks t JOIN vl USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_tok * (SELECT l2n FROM tot) - s AS BIGINT) AS surprisal_micro,
+        |  CAST((n_tok * (SELECT l2n FROM tot) - s) // n_tok AS BIGINT) AS mean_surprisal_micro
+        |FROM per""".stripMargin,
 
     // word-level Gopher repetition ratios — exact integer ratios, so the
     // doubles match bit-exactly

@@ -268,4 +268,44 @@ object TextAnalysis {
         ((col("n_3") - col("distinct_3")).cast("double") / col("n_3").cast("double"))
           .as("dup_trigram_frac"))
   }
+
+  /** Corpus-conditional unigram surprisal — the classic cheap perplexity
+    * proxy for pre-training quality filtering: a document whose tokens
+    * are all corpus-frequent scores low (templated/boilerplate); rare
+    * vocabulary scores high. Per doc, with unigram MLE p(t) = c(t)/N:
+    * surprisal = Σ −log2 p(tokᵢ) = n_tok·log2(N) − Σ log2(c(tokᵢ)).
+    *
+    * Numeric determinism: per-token log2 values are quantised ONCE in
+    * the vocab table to integer micro-bits (⌊log2(c)·10⁶⌋), then
+    * integer-summed per doc — integer sums are order-independent, so
+    * the result is bit-stable under any partitioning and reproducible
+    * by a SQL oracle (a float Σ log2 would be order-sensitive in the
+    * last ulp). `mean_surprisal_micro` is exact integer division.
+    *
+    * Scale shape: vocab aggregate (token-keyed shuffle, map-side
+    * combine), token→vocab equi-join (AQE handles the Zipf head; the
+    * head of the vocab is also exactly what a broadcast-topK variant
+    * would peel off), doc aggregate (id-keyed shuffle). Three shuffles,
+    * each on a different natural key — the canonical two-pass
+    * count-then-score MapReduce shape; no driver-side state at any
+    * corpus size. Docs with zero tokens have no defined surprisal and
+    * drop out (matching the SQL twin's join semantics).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = OpCaches.persist(toks.groupBy("tok").agg(count(lit(1)).as("c")))
+    val tot = vocab.agg(
+      floor(log2(sum(col("c")).cast("double")) * lit(1000000L)).cast("long")
+        .as("log2n_micro"))
+    val vl = vocab.select(col("tok"),
+      floor(log2(col("c").cast("double")) * lit(1000000L)).cast("long").as("l2c"))
+    toks.join(vl, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("l2c")).as("sum_micro"))
+      .crossJoin(broadcast(tot)) // one row: the corpus total
+      .select(col("id").as(idCol), col("n_tok"),
+        (col("n_tok") * col("log2n_micro") - col("sum_micro")).as("surprisal_micro"),
+        expr("(n_tok * log2n_micro - sum_micro) div n_tok").as("mean_surprisal_micro"))
+  }
 }

@@ -32,7 +32,7 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
 
   test("exact dedup: dup_count sums to row count; canonical ids unique") {
     val out = Dedup.exact(docs, "doc_id", "text")
-    val total = out.agg(sum("dup_count")).first.getLong(0)
+    val total = out.agg(sum("dup_count")).first().getLong(0)
     assert(total == docs.count())
     assert(out.select("canonical_id").distinct().count() == out.count())
   }
@@ -593,5 +593,44 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val hits = base.count { case (id, _) => ann.get(id + 100000L).contains(id) }
     val recall = hits.toDouble / base.length
     assert(recall >= 0.6, s"recall=$recall (found $hits of ${base.length})")
+  }
+
+  test("unigram surprisal: integer micro-bit math matches hand computation") {
+    import spark.implicits._
+    // vocab: c(a)=2, c(b)=2, N=4 → l2n=2e6, l2c=1e6 each; every token
+    // carries exactly 1 micro-mega-bit; tokenless docs drop out
+    val docs = Seq((1L, "a a b"), (2L, "b"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((3L, 3000000L, 1000000L)),
+                      2L -> ((1L, 1000000L, 1000000L))))
+  }
+
+  test("BloomJoin: output row-identical to the plain join; null probe keys dropped") {
+    import spark.implicits._
+    val probe = Seq(Some(1L), Some(2L), Some(2L), Some(7L), None).zipWithIndex
+      .map { case (k, i) => (k, s"p$i") }.toDF("k", "pv")
+    val build = Seq((1L, "x"), (2L, "y"), (9L, "z")).toDF("bk", "bv")
+    val plain = probe.join(build, probe("k") === build("bk"))
+    // fpp=0.5 makes false positives likely even on 3 keys — the join must
+    // still remove every one of them
+    val bloomed = graft.ops.BloomJoin.bloomFilteredJoin(probe, build, "k", "bk", fpp = 0.5)
+    assert(bloomed.columns.toSeq == plain.columns.toSeq)
+    assert(bloomed.exceptAll(plain).count() == 0 && plain.exceptAll(bloomed).count() == 0)
+  }
+
+  test("BloomJoin: string keys route through mightContainString") {
+    import spark.implicits._
+    val probe = Seq("a", "b", "zz", "b").toDF("k")
+    val build = Seq(("a", 1L), ("c", 2L)).toDF("bk", "bv")
+    val plain = probe.join(build, probe("k") === build("bk"))
+    val bloomed = graft.ops.BloomJoin.bloomFilteredJoin(probe, build, "k", "bk")
+    assert(bloomed.exceptAll(plain).count() == 0 && plain.exceptAll(bloomed).count() == 0)
+    // unsupported key types are rejected loudly, not silently passed through
+    val bad = Seq(1.5).toDF("k")
+    intercept[IllegalArgumentException] {
+      graft.ops.BloomJoin.mightContain(bad, "k",
+        org.apache.spark.util.sketch.BloomFilter.create(64))
+    }
   }
 }

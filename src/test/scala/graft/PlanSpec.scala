@@ -60,6 +60,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(planOf("q_anti_join").contains("LeftAnti"))
   }
 
+  test("q_window_range: the RANGE frame costs one Exchange (same as a ROWS frame)") {
+    val plan = planOf("q_window_range")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, plan.take(2000))
+  }
+
+  test("q_bloom_join: probe is bloom-filtered BELOW its shuffle into a merge join") {
+    val plan = planOf("q_bloom_join")
+    // the merge hint models the build-side-too-big-to-broadcast case
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    val lines = plan.linesIterator.toVector
+    val ex = lines.indexWhere(l => l.contains("Exchange hashpartitioning(l_orderkey"))
+    val f = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    // tree printing is top-down: the Filter line sitting after the probe's
+    // Exchange line means it executes below it — rows are dropped before
+    // the shuffle, which is the whole point of the runtime filter
+    assert(ex >= 0 && f > ex,
+      s"bloom Filter must sit below the probe-side Exchange (exchange@$ex, filter@$f):\n" +
+        plan.take(2000))
+  }
+
   test("o8: limit is pushed into the scan (no full-table shuffle)") {
     val plan = planOf("o8_limit")
     assert(plan.contains("Limit") || plan.contains("limit"), plan.take(1500))

@@ -45,7 +45,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val emitted = streamed.select(col("user_id"), col("session_start"), col("n_events"))
     val batchKeyed = batchSessions.select(col("user_id"), col("session_start"), col("n_events"))
     assert(emitted.exceptAll(batchKeyed).count() == 0)
-    val maxTs = events.agg(max("ts")).first.getTimestamp(0)
+    val maxTs = events.agg(max("ts")).first().getTimestamp(0)
     val horizon = new java.sql.Timestamp(maxTs.getTime - 2 * 3600 * 1000)
     val unEmitted = batchKeyed.exceptAll(emitted)
     assert(unEmitted.filter(col("session_start") < horizon).count() == 0,
