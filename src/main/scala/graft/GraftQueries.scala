@@ -1023,6 +1023,13 @@ object GraftQueries {
   def st3LatestState(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.latestPerUserBatch(tbl(s, dir, "events"))
 
+  /** Watermark-bounded streaming dedup, batch form (the streaming
+    * `dropDuplicatesWithinWatermark` form asserted equal in
+    * StreamingSpec): the distinct (user, event_type) key set.
+    */
+  def st4DedupKeys(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.dedupKeysBatch(tbl(s, dir, "events"))
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -1299,6 +1306,7 @@ object GraftQueries {
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),
     "st3_latest_state"   -> (st3LatestState _),
+    "st4_dedup_keys"     -> (st4DedupKeys _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),

@@ -698,6 +698,9 @@ object Oracles {
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
 
+    "st4_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
     "st2_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id
         |FROM events a JOIN events b

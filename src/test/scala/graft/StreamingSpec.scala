@@ -122,6 +122,17 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark dedup matches the batch distinct key set") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.dedupKeysStream(
+        ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "dedup_wm_test")
+    val batch = EventsStream.dedupKeysBatch(events)
+    assert(streamed.exceptAll(batch).count() == 0, "streamed emitted extra keys")
+    assert(batch.exceptAll(streamed).count() == 0, "streamed lost keys")
+  }
+
   test("mapGroupsWithState latest-per-key view matches batch equivalent") {
     val streamed = EventsStream.runOnceOnParquet(
       spark, s"$sfDir/events.parquet", rawSchema,
