@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.analyse.Topo
 import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
-import graft.dialect.{SqliteDialect, SqlValueCodec}
-import graft.export.ExportPipeline
+import graft.dialect.{MySqlDialect, SqliteDialect, SqlValueCodec}
+import graft.export.{DumpWriter, ExportPipeline}
 import graft.ops.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
@@ -219,6 +219,48 @@ object GraftQueries {
       inserts.toLong, creates.toLong, drops.toLong))
       .toDF("tables_exported", "tables_truncated", "rows_exported",
         "n_insert_stmts", "n_create_stmts", "n_drop_stmts")
+  }
+
+  /** O23 [EXT] — dump → DataFrame ROUND-TRIP: export orders through the
+    * SQL-dump sink (O16's writer), read the dump back with the
+    * splittable DSv2 reader (`sources.SqlDumpSource`, schema inferred
+    * from the dump's own CREATE TABLE), and aggregate the result. The
+    * oracle computes the same aggregate over the ORIGINAL parquet — a
+    * green row proves the whole dump format (DDL, literal codec,
+    * statement framing) round-trips losslessly, with the read planned
+    * as parallel statement-aligned splits (maxSplitBytes=64k forces
+    * multi-split even at fixture scale). Dump write is once per
+    * process, gated on a _SUCCESS marker (the qPartitionPrune recipe),
+    * so repeated calls time the parallel READ.
+    */
+  def o23DumpRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val dumpDir = s"/tmp/graft_dumps/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dumpFile = new java.io.File(s"$dumpDir/orders.sql")
+    val marker = new java.io.File(s"$dumpDir/_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(dumpDir).mkdirs()
+      val src = ParquetSource(s, dir)
+      val w = new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(dumpFile), java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val dw = new DumpWriter(w, MySqlDialect, timestamp = () => "1970-01-01T00:00:00Z")
+        dw.writeHeader()
+        dw.exportTable(src.tableMeta("orders"), Some(src.read("orders")))
+        dw.writeFooter()
+      } finally w.close()
+      new java.io.FileOutputStream(marker).close()
+    }
+    s.read.format("graft.sources.SqlDumpSource")
+      .option("table", "orders")
+      .option("maxSplitBytes", (64 * 1024).toString)
+      .load(dumpFile.getPath)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        moneySum(col("o_totalprice")).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
   }
 
   /** O17: value → SQL-literal codec as a transform. */
@@ -536,7 +578,8 @@ object GraftQueries {
       .filter(col("o_totalprice") > 450000.0)
       .select("o_orderkey", "o_orderpriority")
     val li = tbl(s, dir, "lineitem")
-    BloomJoin.bloomFilteredJoin(li, bigOrders.hint("merge"), "l_orderkey", "o_orderkey")
+    BloomJoin.bloomFilteredJoin(li, bigOrders, "l_orderkey", "o_orderkey",
+        joinHint = Some("merge"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
@@ -1126,6 +1169,30 @@ object GraftQueries {
     Cdc.applyChangelog(snap, changes, "c_custkey")
   }
 
+  /** SCD Type-2 dimension history via `Cdc.scd2Merge`: current customer
+    * balances as the version-0 dim, a same-point correction wave
+    * (eff 0, keys %25==0 — exercises change-wins-over-dim) and two
+    * later change waves (eff 1 for %10==0, eff 2 for %20==0), merged
+    * into validity intervals. Balances ride DECIMAL(12,2) through the
+    * arithmetic and render to DOUBLE at the end (oracle-exact).
+    */
+  def q_scd2(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    def wave(mod: Int, eff: Long, newBal: Column) =
+      cust.filter(pmod(col("c_custkey"), lit(mod)) === 0)
+        .select(col("c_custkey"), newBal.cast("decimal(12,2)").as("bal"),
+          lit(eff).as("eff"))
+    val dim = cust.withColumn("eff", lit(0L))
+    val changes =
+      wave(25, 0L, lit(java.math.BigDecimal.ZERO))
+        .unionByName(wave(10, 1L, col("bal") + lit(50)))
+        .unionByName(wave(20, 2L, col("bal") + lit(100)))
+    Cdc.scd2Merge(dim, changes, "c_custkey", "eff")
+      .select(col("c_custkey"), col("bal").cast("double").as("bal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   /** Skew-safe salted fact⊳dim join: lineitem×supplier through
     * `Skew.saltedJoin` (every supplier is "hot" at the fixture's
     * threshold, so the salted path actually exercises), aggregated per
@@ -1288,6 +1355,7 @@ object GraftQueries {
     "o14_truncate"       -> (o14Truncate _),
     "o15_topo_order"     -> (o15TopoOrder _),
     "o16_dump_stats"     -> (o16DumpStats _),
+    "o23_dump_roundtrip" -> (o23DumpRoundtrip _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),
@@ -1361,6 +1429,7 @@ object GraftQueries {
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_skew_join"        -> (q_skewJoin _),
     "q_cdc_apply"        -> (q_cdcApply _),
+    "q_scd2"             -> (q_scd2 _),
     "q_profile"          -> (q_profile _),
     "p1_pipeline"        -> (p1Pipeline _),
     "q_train_split"      -> (q_trainSplit _),

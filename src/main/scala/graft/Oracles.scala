@@ -179,6 +179,16 @@ object Oracles {
         |(1,'documents'),(2,'embeddings'),(3,'part'),(4,'region'),(5,'nation'),
         |(6,'customer'),(7,'supplier'),(8,'events'),(9,'orders'),(10,'lineitem')) v(pos, tn)""".stripMargin,
 
+    // round-trip: the aggregate over the dump-read-back must equal the
+    // same aggregate over the original parquet
+    "o23_dump_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(o_orderdate) AS max_date,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+        |FROM orders""".stripMargin,
+
     "o16_dump_stats" ->
       """SELECT
         |CAST(10 AS BIGINT) AS tables_exported,
@@ -816,6 +826,30 @@ object Oracles {
         |WHERE s.c_custkey NOT IN (SELECT c_custkey FROM latest)
         |UNION ALL
         |SELECT c_custkey, c_acctbal FROM latest WHERE op <> 'D'""".stripMargin,
+
+    // SCD2: same version-point union, change-wins lag dedup, lead close-out
+    "q_scd2" ->
+      """WITH cust AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |              FROM customer),
+        |v AS (
+        |  SELECT c_custkey, bal, CAST(0 AS BIGINT) AS eff, 0 AS src FROM cust
+        |  UNION ALL SELECT c_custkey, CAST(0 AS DECIMAL(12,2)), 0, 1
+        |  FROM cust WHERE c_custkey % 25 = 0
+        |  UNION ALL SELECT c_custkey, CAST(bal + 50 AS DECIMAL(12,2)), 1, 1
+        |  FROM cust WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, CAST(bal + 100 AS DECIMAL(12,2)), 2, 1
+        |  FROM cust WHERE c_custkey % 20 = 0),
+        |d AS (
+        |  SELECT c_custkey, bal, eff,
+        |         lag(eff) OVER (PARTITION BY c_custkey ORDER BY eff, src DESC) = eff
+        |           AS dup
+        |  FROM v),
+        |f AS (SELECT c_custkey, bal, eff FROM d WHERE dup IS NULL OR NOT dup)
+        |SELECT c_custkey, CAST(bal AS DOUBLE) AS bal, eff AS valid_from,
+        |       lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) AS valid_to,
+        |       lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) IS NULL
+        |         AS is_current
+        |FROM f""".stripMargin,
 
     // salted skew join == plain join (salting is invisible to results)
     "q_skew_join" ->

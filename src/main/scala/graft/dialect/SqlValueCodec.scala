@@ -69,6 +69,8 @@ object SqlValueCodec {
     case s: String                => escapeString(s)
     case t: java.sql.Timestamp    => escapeString(tsFmt.format(t.toInstant))
     case t: java.time.Instant     => escapeString(tsFmt.format(t))
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ external type
+      escapeString(tsFmt.format(t.toInstant(ZoneOffset.UTC)))
     case d: java.sql.Date         => escapeString(d.toString + " 00:00:00")
     case d: java.time.LocalDate   => escapeString(d.toString + " 00:00:00")
     case other                    => escapeString(other.toString)

@@ -56,13 +56,19 @@ object BloomJoin {
     * filter admits every true match (no false negatives) and the join
     * removes the false positives. NULL probe keys are dropped by the
     * filter — the inner join would drop them anyway.
+    *
+    * `joinHint` (e.g. "merge") applies to the build side AT THE JOIN
+    * ONLY — the sketch-building aggregates stay hint-free (a join hint
+    * on a non-join subtree is a planner warning and a no-op).
     */
   def bloomFilteredJoin(probe: DataFrame, build: DataFrame,
                         probeKey: String, buildKey: String,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01,
+                        joinHint: Option[String] = None): DataFrame = {
     val bf = keyFilter(build, buildKey, fpp)
+    val buildSide = joinHint.fold(build)(build.hint(_))
     probe.filter(mightContain(probe, probeKey, bf))
-      .join(build, probe(probeKey) === build(buildKey))
+      .join(buildSide, probe(probeKey) === buildSide(buildKey))
   }
 
   /** A `might contain` predicate Column over `keyCol`, keyed by type.

@@ -293,7 +293,9 @@ object TextAnalysis {
     */
   def unigramSurprisal(df: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val toks = Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(tokens(col("t"))).as("tok"))
     val vocab = OpCaches.persist(toks.groupBy("tok").agg(count(lit(1)).as("c")))
     val tot = vocab.agg(
       floor(log2(sum(col("c")).cast("double")) * lit(1000000L)).cast("long")

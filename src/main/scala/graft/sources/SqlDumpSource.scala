@@ -1,0 +1,423 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 batch READER for the engine's own SQL-dump format
+  * (`export.DumpWriter` / reference exporter.go) — the round-trip half
+  * the reference never had: a dump produced by the anonymise-export
+  * pipeline can be loaded straight back into a DataFrame, with schema
+  * inferred from the dump's own `CREATE TABLE` statement.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.SqlDumpSource")
+  *     .option("table", "customer")          // default: first CREATE TABLE
+  *     .load("/path/to/dump.sql")            // file, or directory of .sql
+  * }}}
+  *
+  * Scale design — the dump format is line-structured by construction
+  * (the writer renders one tuple per line and `SqlValueCodec` escapes
+  * every LF/CR inside values), so a dump is SPLITTABLE like a text
+  * file:
+  *  - `planInputPartitions` cuts each file into `maxSplitBytes` byte
+  *    ranges (default 128 MB) — a 1 TB dump becomes ~8k parallel
+  *    partitions with no driver-side parsing;
+  *  - each reader statement-aligns its range with the Hadoop
+  *    line-split convention lifted to INSERT statements: a statement
+  *    belongs to the partition whose range contains its header line's
+  *    first byte (a partition with start > 0 discards through the
+  *    first newline; the previous partition compensates by reading one
+  *    statement anchor past its end), and a statement that straddles
+  *    `end` is read to its terminating `;` — every tuple is read
+  *    exactly once, no coordination;
+  *  - column pruning is pushed into the reader
+  *    (`SupportsPushDownRequiredColumns`): all tuples are tokenised
+  *    (sequential scan cost) but only required columns are decoded and
+  *    boxed into rows;
+  *  - multi-table dump files are fine — statements for other tables
+  *    are skipped by header, so one dump file can feed one DataFrame
+  *    per table, each with its own parallel scan.
+  */
+class SqlDumpSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = SqlDumpSource.listFiles(SqlDumpSource.pathOf(options))
+    require(files.nonEmpty, "sqldump: no .sql files under the given path")
+    SqlDumpSource.inferFromCreate(files.head, Option(options.get("table")))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new SqlDumpTable(schema, SqlDumpSource.pathOf(options),
+      Option(options.get("table")), SqlDumpSource.splitBytes(options))
+  }
+}
+
+object SqlDumpSource {
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    require(p.isDefined, "sqldump: a path is required (use .load(path))")
+    // DataFrameReader.load(single path) may encode as a JSON list
+    p.get.stripPrefix("[\"").stripSuffix("\"]")
+  }
+
+  private[sources] def splitBytes(options: CaseInsensitiveStringMap): Long =
+    Option(options.get("maxSplitBytes")).map(_.toLong).getOrElse(DefaultSplitBytes)
+
+  private[sources] def listFiles(path: String): Seq[java.io.File] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".sql")).sortBy(_.getName).toSeq
+    else Seq(f)
+  }
+
+  /** Strip one layer of identifier quoting (backtick or double-quote,
+    * either dialect) and undo the doubling.
+    */
+  private[sources] def unquote(id: String): String = {
+    val t = id.trim
+    if (t.length >= 2 && t.head == '`' && t.last == '`')
+      t.substring(1, t.length - 1).replace("``", "`")
+    else if (t.length >= 2 && t.head == '"' && t.last == '"')
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t
+  }
+
+  /** Inverse of `Source.sqlType` plus the dialect-native spellings the
+    * O2 DDL path emits (sized VARCHAR/CHAR, DATETIME, …).
+    */
+  private[sources] def dataTypeFor(sqlType: String): DataType = {
+    val t = sqlType.trim.toUpperCase
+    val base = t.takeWhile(c => c != '(' && c != ' ')
+    base match {
+      case "BOOLEAN" | "BOOL"                   => BooleanType
+      case "TINYINT"                            => ByteType
+      case "SMALLINT"                           => ShortType
+      case "INTEGER" | "INT" | "MEDIUMINT"      => IntegerType
+      case "BIGINT"                             => LongType
+      case "REAL" | "FLOAT"                     => FloatType
+      case "DOUBLE"                             => DoubleType // DOUBLE [PRECISION]
+      case "DECIMAL" | "NUMERIC" =>
+        val ps = t.dropWhile(_ != '(').stripPrefix("(").takeWhile(_ != ')')
+        val parts = ps.split(',').map(_.trim)
+        if (parts.length == 2 && parts.forall(_.forall(_.isDigit)))
+          DecimalType(parts(0).toInt, parts(1).toInt)
+        else if (parts.length == 1 && parts(0).nonEmpty && parts(0).forall(_.isDigit))
+          DecimalType(parts(0).toInt, 0)
+        else DecimalType.SYSTEM_DEFAULT
+      case "TEXT" | "VARCHAR" | "CHAR" | "CHARACTER" | "CLOB"
+         | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT"  => StringType
+      case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" => BinaryType
+      case "DATE"                               => DateType
+      // the dump format renders wall-clock text with no zone, so the
+      // faithful Spark type is TIMESTAMP_NTZ (micros are identical
+      // either way under the engine's fixed-UTC session convention)
+      case "TIMESTAMP" | "DATETIME"             => TimestampNTZType
+      case other =>
+        throw new IllegalArgumentException(s"sqldump: unmapped SQL type '$other'")
+    }
+  }
+
+  /** Schema from the dump's own CREATE TABLE statement: scan the file's
+    * statement headers (cheap — DDL sits near the front of each table's
+    * section) for `CREATE TABLE <table> (`, then parse one column
+    * definition per line until the `);` terminator. Only the header
+    * region is read — inference cost is independent of data volume.
+    */
+  private[sources] def inferFromCreate(file: java.io.File, table: Option[String]): StructType = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(new java.io.FileInputStream(file), UTF_8))
+    try {
+      var line = in.readLine()
+      var fields: ArrayBuffer[StructField] = null
+      while (line != null) {
+        if (line.startsWith("CREATE TABLE ")) {
+          val rest = line.stripPrefix("CREATE TABLE ").trim
+          val name = unquote(rest.takeWhile(_ != '(').trim)
+          if (table.forall(_ == name)) {
+            fields = ArrayBuffer.empty[StructField]
+            var colLine = in.readLine()
+            while (colLine != null && !colLine.trim.startsWith(")")) {
+              val t = colLine.trim.stripSuffix(",")
+              // constraint lines (PRIMARY KEY (...), FOREIGN KEY ...) are not columns
+              val upper = t.toUpperCase
+              if (t.nonEmpty && !upper.startsWith("PRIMARY KEY") &&
+                  !upper.startsWith("FOREIGN KEY") && !upper.startsWith("UNIQUE") &&
+                  !upper.startsWith("CONSTRAINT") && !upper.startsWith("KEY ")) {
+                val (colName, typePart) =
+                  if (t.head == '"' || t.head == '`') {
+                    val q = t.head
+                    val close = t.indexOf(q, 1) // writer never doubles in practice
+                    (unquote(t.substring(0, close + 1)), t.substring(close + 1))
+                  } else {
+                    val sp = t.indexOf(' ')
+                    (t.substring(0, sp), t.substring(sp))
+                  }
+                val notNull = typePart.toUpperCase.contains("NOT NULL")
+                val typeText = typePart.trim
+                  .replaceAll("(?i)\\s+NOT\\s+NULL.*$", "")
+                  .replaceAll("(?i)\\s+DEFAULT\\s+.*$", "")
+                  .replaceAll("(?i)\\s+GENERATED\\s+.*$", "")
+                  .replaceAll("(?i)\\s+PRIMARY\\s+KEY.*$", "")
+                fields += StructField(colName, dataTypeFor(typeText), nullable = !notNull)
+              }
+              colLine = in.readLine()
+            }
+            return StructType(fields.toSeq)
+          }
+        }
+        line = in.readLine()
+      }
+      throw new IllegalArgumentException(
+        s"sqldump: no CREATE TABLE${table.fold("")(t => s" for '$t'")} in ${file.getPath}")
+    } finally in.close()
+  }
+}
+
+private[sources] class SqlDumpTable(tableSchema: StructType, path: String,
+                                    table: Option[String], maxSplit: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"sqldump:${table.getOrElse(path)}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SqlDumpScanBuilder(tableSchema, path, table, maxSplit)
+}
+
+private[sources] class SqlDumpScanBuilder(fullSchema: StructType, path: String,
+                                          table: Option[String], maxSplit: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] =
+      SqlDumpSource.listFiles(path).flatMap { f =>
+        val len = f.length()
+        if (len == 0) Nil
+        else (0L until len by maxSplit).map { start =>
+          SqlDumpInputPartition(f.getPath, start, math.min(start + maxSplit, len))
+        }
+      }.toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      SqlDumpReaderFactory(table, required)
+  }
+}
+
+private[sources] final case class SqlDumpInputPartition(
+    path: String, start: Long, end: Long) extends InputPartition
+
+private[sources] final case class SqlDumpReaderFactory(
+    table: Option[String], required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SqlDumpInputPartition]
+    new SqlDumpPartitionReader(sp.path, sp.start, sp.end, table, required)
+  }
+}
+
+/** Byte-offset-tracking line reader (UTF-8; LF terminators — the
+  * writer emits `\n` only).
+  */
+private[sources] final class OffsetLineReader(in: java.io.InputStream) {
+  private val buf = new java.io.BufferedInputStream(in, 64 * 1024)
+  private val bytes = new java.io.ByteArrayOutputStream(256)
+  var consumed: Long = 0L
+
+  /** Next line without its terminator; null at EOF. */
+  def readLine(): String = {
+    bytes.reset()
+    var c = buf.read()
+    if (c == -1) return null
+    while (c != -1 && c != '\n') { bytes.write(c); consumed += 1; c = buf.read() }
+    if (c == '\n') consumed += 1
+    new String(bytes.toByteArray, UTF_8)
+  }
+
+  def close(): Unit = buf.close()
+}
+
+private[sources] final class SqlDumpPartitionReader(
+    path: String, start: Long, end: Long,
+    table: Option[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val stream = {
+    val s = new java.io.FileInputStream(path)
+    var toSkip = start
+    while (toSkip > 0) toSkip -= s.skip(toSkip)
+    s
+  }
+  private val lines = new OffsetLineReader(stream)
+  // a partition with start > 0 discards through the first newline; the
+  // previous partition owns anything it cut in half (and a header that
+  // starts exactly at `start` — it reads one anchor past its end)
+  if (start > 0) lines.readLine()
+
+  /** Column projection for the CURRENT statement: required-field index →
+    * tuple position (-1 → null). Rebuilt per statement header, so dumps
+    * whose INSERTs list columns in different orders still decode right.
+    */
+  private var proj: Array[Int] = _
+  private var inStatement = false
+  private var done = false
+  private var current: InternalRow = _
+
+  private def headerFor(line: String): Option[Array[String]] =
+    if (!line.startsWith("INSERT INTO ")) None
+    else {
+      val rest = line.stripPrefix("INSERT INTO ").trim
+      val open = rest.indexOf('(')
+      if (open < 0) None
+      else {
+        val name = SqlDumpSource.unquote(rest.substring(0, open).trim)
+        if (!table.forall(_ == name)) None
+        else {
+          val close = rest.indexOf(')', open)
+          Some(rest.substring(open + 1, close).split(',').map(SqlDumpSource.unquote))
+        }
+      }
+    }
+
+  override def next(): Boolean = {
+    if (done) return false
+    while (true) {
+      // byte offset where the NEXT line starts = statement-anchor position
+      val lineStart = start + lines.consumed
+      if (!inStatement && lineStart > end) { done = true; return false }
+      val line = lines.readLine()
+      if (line == null) { done = true; return false }
+      if (inStatement) {
+        if (line.nonEmpty && line.head == '(') {
+          if (line.endsWith(";")) inStatement = false
+          current = decodeTuple(line)
+          return true
+        } else inStatement = false // malformed / empty — resync on headers
+      } else headerFor(line) match {
+        case Some(cols) =>
+          proj = required.fields.map(f => cols.indexOf(f.name))
+          inStatement = true
+        case None => // DDL, comments, other tables' statements: skip
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Tokenise one `(v1, v2, …)[,;]` tuple line and decode only the
+    * required columns into an InternalRow.
+    */
+  private def decodeTuple(line: String): InternalRow = {
+    val tokens = SqlDumpPartitionReader.tokenize(line)
+    val row = new GenericInternalRow(proj.length)
+    var i = 0
+    while (i < proj.length) {
+      val pos = proj(i)
+      val tok = if (pos >= 0 && pos < tokens.length) tokens(pos) else null
+      row.update(i, if (tok == null) null else convert(tok, required.fields(i).dataType))
+      i += 1
+    }
+    row
+  }
+
+  private def convert(tok: String, dt: DataType): Any = dt match {
+    case StringType    => UTF8String.fromString(tok)
+    case LongType      => tok.toLong
+    case IntegerType   => tok.toInt
+    case ShortType     => tok.toShort
+    case ByteType      => tok.toByte
+    case DoubleType    => tok.toDouble
+    case FloatType     => tok.toFloat
+    case BooleanType   => tok != "0" // the codec renders booleans as 1/0
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(tok), d.precision, d.scale)
+    case TimestampType | TimestampNTZType =>
+      val ldt = LocalDateTime.parse(tok, tsFmt)
+      val inst = ldt.toInstant(ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    case DateType =>
+      LocalDate.parse(tok.take(10)).toEpochDay.toInt
+    case BinaryType    => tok.getBytes(UTF_8)
+    case other =>
+      throw new IllegalArgumentException(s"sqldump: cannot decode to $other")
+  }
+}
+
+private[sources] object SqlDumpPartitionReader {
+
+  /** Split a tuple line into literal tokens: null for NULL, the decoded
+    * text for strings (inverse of `SqlValueCodec.escapeString` — quote
+    * doubling plus the \\ \0 \n \r \Z escapes), the raw text for
+    * numbers.
+    */
+  def tokenize(line: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = line.indexOf('(') + 1
+    val n = line.length
+    while (i < n) {
+      while (i < n && line.charAt(i) == ' ') i += 1
+      if (i >= n || line.charAt(i) == ')') i = n
+      else if (line.charAt(i) == '\'') {
+        val sb = new java.lang.StringBuilder(32)
+        i += 1
+        var open = true
+        while (open && i < n) {
+          line.charAt(i) match {
+            case '\'' =>
+              if (i + 1 < n && line.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+              else { open = false; i += 1 }
+            case '\\' if i + 1 < n =>
+              line.charAt(i + 1) match {
+                case '\\' => sb.append('\\')
+                case '0'  => sb.append('\u0000')
+                case 'n'  => sb.append('\n')
+                case 'r'  => sb.append('\r')
+                case 'Z'  => sb.append('\u001a')
+                case c    => sb.append('\\').append(c)
+              }
+              i += 2
+            case c => sb.append(c); i += 1
+          }
+        }
+        out += sb.toString
+        while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == ',')) i += 1
+      } else {
+        val from = i
+        while (i < n && line.charAt(i) != ',' && line.charAt(i) != ')') i += 1
+        val raw = line.substring(from, i).trim
+        out += (if (raw == "NULL") null else raw)
+        if (i < n && line.charAt(i) == ',') i += 1
+      }
+    }
+    out.toArray
+  }
+}

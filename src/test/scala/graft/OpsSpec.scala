@@ -13,6 +13,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("scd2Merge: intervals chain, change wins at equal effective point") {
+    import spark.implicits._
+    val dim = Seq((1L, "v0", 0L), (2L, "w0", 0L)).toDF("k", "v", "eff")
+    val chg = Seq(
+      (1L, "v0fix", 0L), // same-point correction: must REPLACE dim's v0
+      (1L, "v1", 5L),
+      (1L, "v2", 9L),
+      (2L, "w1", 3L)).toDF("k", "v", "eff")
+    val out = Cdc.scd2Merge(dim, chg, "k", "eff")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, "v0fix", 0L, Some(5L), false),
+      (1L, "v1", 5L, Some(9L), false),
+      (1L, "v2", 9L, None, true),
+      (2L, "w0", 0L, Some(3L), false),
+      (2L, "w1", 3L, None, true)))
+  }
+
   test("minhash LSH output equals the exact threshold join") {
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

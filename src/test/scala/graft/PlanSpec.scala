@@ -60,6 +60,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(planOf("q_anti_join").contains("LeftAnti"))
   }
 
+  test("t9_surprisal: no cartesian; the corpus total rides a broadcast") {
+    val plan = planOf("t9_surprisal")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the single-row totals cross-join must be a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
+  test("st4_dedup_keys: distinct plans as partial+final aggregate") {
+    val plan = planOf("st4_dedup_keys")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"distinct should cost exactly one shuffle: $exchanges")
+  }
+
+  test("q_scd2: the whole merge (dedup + close-out) costs exactly one shuffle") {
+    val plan = planOf("q_scd2")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"scd2 should cost one Exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("q_window_range: the RANGE frame costs one Exchange (same as a ROWS frame)") {
     val plan = planOf("q_window_range")
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -1,0 +1,167 @@
+package graft
+
+import java.io.{File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dialect.{MySqlDialect, PostgresDialect, SqliteDialect, Dialect}
+import graft.export.DumpWriter
+import graft.analyse.TableMeta
+import graft.sources.{Source, SqlDumpSource}
+
+/** The DSv2 SQL-dump reader: round-trip fidelity against the engine's
+  * own DumpWriter output, statement-aligned splitting, column pruning,
+  * and escape decoding.
+  */
+class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
+
+  private def writeDump(df: DataFrame, table: String, dialect: Dialect = MySqlDialect,
+                        batchSize: Int = 3): File = {
+    val dir = Files.createTempDirectory("sqldump_spec").toFile
+    val f = new File(dir, s"$table.sql")
+    val w = new OutputStreamWriter(new FileOutputStream(f), UTF_8)
+    try {
+      val dw = new DumpWriter(w, dialect, batchSize = batchSize,
+        timestamp = () => "1970-01-01T00:00:00Z")
+      dw.writeHeader()
+      val meta = TableMeta(table, Source.ddlFor(table, df.schema), Seq.empty, 0L)
+      dw.exportTable(meta, Some(df))
+      dw.writeFooter()
+    } finally w.close()
+    f
+  }
+
+  private def readBack(path: String, table: String, split: Long = 1L << 20): DataFrame =
+    spark.read.format("graft.sources.SqlDumpSource")
+      .option("table", table)
+      .option("maxSplitBytes", split.toString)
+      .load(path)
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("round-trip: every type survives writer -> reader bit-exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7, "plain", 3.25, true, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 13:45:09"), Option(9.5f)),
+      (2L, -8, "it's quoted", -0.5, false, java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Timestamp.valueOf("1970-01-01 00:00:01"), None)
+    ).toDF("id", "n", "s", "d", "b", "dt", "ts", "f")
+    val dump = writeDump(df, "t_types")
+    val back = readBack(dump.getPath, "t_types")
+    // inferred schema: names and arity match the source
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    // compare everything as strings under the UTC session (the writer
+    // renders wall-clock text, so the read-back type is TIMESTAMP_NTZ)
+    def norm(d: DataFrame): Set[String] =
+      d.select(col("id"), col("n"), col("s"), col("d"), col("b"),
+        col("dt").cast("string"), col("ts").cast("timestamp_ntz").cast("string"),
+        col("f"))
+        .collect().map(_.toString).toSet
+    assert(norm(back) == norm(df))
+  }
+
+  test("escape gauntlet: quotes, backslashes, control chars, NULL") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line\nbreak and\rcr"),
+      (2L, "quote ' and double '' quote"),
+      (3L, "back\\slash \\n literal"),
+      (4L, "nul \u0000 char and sub \u001a char"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "comma, paren), INSERT INTO decoy (x) VALUES")
+    ).toDF("id", "text")
+    val dump = writeDump(nasty, "t_esc", batchSize = 2)
+    val back = readBack(dump.getPath, "t_esc")
+    assert(rowSet(back) == rowSet(nasty))
+  }
+
+  test("splitting: many tiny statement-aligned splits read every tuple exactly once") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"row_$i", i * 1.5)).toDF("id", "name", "v")
+    val dump = writeDump(df, "t_split", batchSize = 7)
+    // one-split baseline vs 512-byte splits (hundreds of partitions)
+    val whole = readBack(dump.getPath, "t_split")
+    val split = readBack(dump.getPath, "t_split", split = 512L)
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many splits, got ${split.rdd.getNumPartitions}")
+    assert(rowSet(split) == rowSet(whole))
+    assert(split.count() == 500L)
+  }
+
+  test("multi-table dump: each table reads only its own statements") {
+    import spark.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("id", "va")
+    val b = Seq((10L, 1.5), (20L, 2.5), (30L, 3.5)).toDF("id", "vb")
+    val dir = Files.createTempDirectory("sqldump_multi").toFile
+    val f = new File(dir, "dump.sql")
+    val w = new OutputStreamWriter(new FileOutputStream(f), UTF_8)
+    try {
+      val dw = new DumpWriter(w, PostgresDialect, batchSize = 2,
+        timestamp = () => "1970-01-01T00:00:00Z")
+      dw.writeHeader()
+      dw.exportTable(TableMeta("ta", Source.ddlFor("ta", a.schema), Seq.empty, 0L), Some(a))
+      dw.exportTable(TableMeta("tb", Source.ddlFor("tb", b.schema), Seq.empty, 0L), Some(b))
+      dw.writeFooter()
+    } finally w.close()
+    assert(rowSet(readBack(f.getPath, "ta")) == rowSet(a))
+    assert(rowSet(readBack(f.getPath, "tb")) == rowSet(b))
+    // no table option: first CREATE TABLE wins
+    assert(spark.read.format("graft.sources.SqlDumpSource")
+      .load(f.getPath).schema.fieldNames.toSeq == Seq("id", "va"))
+  }
+
+  test("column pruning reaches the reader: pruned scan decodes only required columns") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v")
+    val dump = writeDump(df, "t_prune")
+    val pruned = readBack(dump.getPath, "t_prune").select("name")
+    assert(pruned.schema.fieldNames.toSeq == Seq("name"))
+    assert(pruned.collect().map(_.getString(0)).toSet == (1L to 50L).map(i => s"n$i").toSet)
+    // the pushed-down read schema (what the reader decodes) is pruned
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }
+    assert(scan.isDefined, pruned.queryExecution.executedPlan.toString)
+    assert(scan.get.scan.readSchema().fieldNames.toSeq == Seq("name"))
+  }
+
+  test("NOT NULL columns in the dump DDL infer as non-nullable") {
+    val dir = Files.createTempDirectory("sqldump_ddl").toFile
+    val f = new File(dir, "d.sql")
+    val w = new OutputStreamWriter(new FileOutputStream(f), UTF_8)
+    w.write(
+      """CREATE TABLE "t" (
+        |  "a" BIGINT NOT NULL,
+        |  "b" TEXT,
+        |  "c" DECIMAL(10,2) NOT NULL,
+        |  "d" VARCHAR(40)
+        |);
+        |INSERT INTO "t" ("a", "b", "c", "d") VALUES
+        |(1, 'x', 12.34, 'y');
+        |""".stripMargin)
+    w.close()
+    val back = readBack(f.getPath, "t")
+    val fields = back.schema.fields
+    assert(!fields(0).nullable && fields(1).nullable && !fields(2).nullable)
+    assert(fields(2).dataType == DecimalType(10, 2))
+    assert(fields(3).dataType == StringType)
+    val r = back.collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "x"
+      && r.getDecimal(2).toPlainString == "12.34" && r.getString(3) == "y")
+  }
+
+  test("sqlite-dialect dump (double-quoted INSERT identifiers) reads back too") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val dump = writeDump(df, "t_sqlite", dialect = SqliteDialect)
+    assert(rowSet(readBack(dump.getPath, "t_sqlite")) == rowSet(df))
+  }
+}
