@@ -263,6 +263,36 @@ object GraftQueries {
         countDistinct(col("o_orderstatus")).as("n_status"))
   }
 
+  /** O24 [EXT] — PARALLEL dump sink round-trip: lineitem written as
+    * per-partition `part-NNNNN.sql` files by the DSv2 batch sink (no
+    * driver funnel — the 100 TB dump path, vs O16/O23's single
+    * ordered file), then read back through the splittable scan and
+    * aggregated; the oracle aggregates the original parquet. Write is
+    * once per process behind the sink's own _SUCCESS marker.
+    */
+  def o24DumpParallel(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_dumps_par/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+        .write.format("graft.sources.SqlDumpSource")
+        .option("table", "lineitem")
+        .mode("append").save(out)
+    }
+    s.read.format("graft.sources.SqlDumpSource")
+      .option("table", "lineitem")
+      .load(out)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_keys"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        max(col("l_shipdate")).as("max_ship"))
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -1356,6 +1386,7 @@ object GraftQueries {
     "o15_topo_order"     -> (o15TopoOrder _),
     "o16_dump_stats"     -> (o16DumpStats _),
     "o23_dump_roundtrip" -> (o23DumpRoundtrip _),
+    "o24_dump_parallel"  -> (o24DumpParallel _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),

@@ -189,6 +189,17 @@ object Oracles {
         |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
 
+    // parallel-sink round-trip: aggregates over the part-file dump
+    // read-back must equal the same over the original parquet
+    "o24_dump_parallel" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+        |       max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+
     "o16_dump_stats" ->
       """SELECT
         |CAST(10 AS BIGINT) AS tables_exported,

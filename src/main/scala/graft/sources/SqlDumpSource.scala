@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.io.{File, FileOutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 import java.time.format.DateTimeFormatter
@@ -9,9 +10,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -195,13 +197,167 @@ object SqlDumpSource {
 
 private[sources] class SqlDumpTable(tableSchema: StructType, path: String,
                                     table: Option[String], maxSplit: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"sqldump:${table.getOrElse(path)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SqlDumpScanBuilder(tableSchema, path, table, maxSplit)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val batch = Option(info.options.get("insertBatchSize"))
+      .map(_.toInt).getOrElse(graft.export.DumpWriter.DefaultBatchSize)
+    val dialect = graft.dialect.Dialect.forName(
+      Option(info.options.get("dialect")).getOrElse("mysql"))
+    val tbl = table.getOrElse("export")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SqlDumpBatchWrite(path, tbl, info.schema(), dialect, batch)
+      }
+    }
+  }
+}
+
+/** Parallel SQL-dump SINK — the 100 TB counterpart of the single
+  * ordered-file `export.DumpWriter`: every input partition renders its
+  * own `part-NNNNN.sql` of batched INSERT statements (executor-side,
+  * no driver funnel), the driver writes one `00_schema.sql` carrying
+  * the CREATE TABLE (named to sort first so the reader's schema
+  * inference finds it), and commit is rename-based two-phase — each
+  * task writes `.inprogress`, the job commit renames all parts and
+  * drops a `_SUCCESS` marker, task/job abort deletes temps. The same
+  * dump directory reads straight back through the scan side (each
+  * part file splits independently). Local-FS renames here; the
+  * protocol is exactly Hadoop's v1 committer shape, so a cluster port
+  * is a FileSystem-API swap, not a redesign.
+  */
+private[sources] class SqlDumpBatchWrite(dir: String, table: String,
+                                         schema: StructType,
+                                         dialect: graft.dialect.Dialect,
+                                         batchSize: Int) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val d = new File(dir)
+    d.mkdirs()
+    val ddl = new File(d, "00_schema.sql")
+    val w = new OutputStreamWriter(new FileOutputStream(ddl), UTF_8)
+    try {
+      w.write(dialect.dropTableStatement(table) + "\n\n")
+      w.write(Source.ddlFor(table, schema, dialect.quoteIdentifier) + "\n")
+    } finally w.close()
+    SqlDumpWriterFactory(dir, table, schema, dialect.name, batchSize)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case SqlDumpCommit(tmp, fin) =>
+        val t = new File(tmp)
+        if (t.exists() && !t.renameTo(new File(fin)))
+          throw new java.io.IOException(s"sqldump: commit rename failed: $tmp -> $fin")
+      case _ =>
+    }
+    new FileOutputStream(new File(dir, "_SUCCESS")).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SqlDumpCommit(tmp, _) => new File(tmp).delete()
+      case _ =>
+    }
+}
+
+private[sources] final case class SqlDumpCommit(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+private[sources] final case class SqlDumpWriterFactory(
+    dir: String, table: String, schema: StructType,
+    dialectName: String, batchSize: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SqlDumpDataWriter(dir, table, schema,
+      graft.dialect.Dialect.forName(dialectName), batchSize, partitionId, taskId)
+}
+
+private[sources] final class SqlDumpDataWriter(
+    dir: String, table: String, schema: StructType,
+    dialect: graft.dialect.Dialect, batchSize: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val finalFile = new File(dir, f"part-$partitionId%05d.sql")
+  // taskId in the temp name keeps speculative / retried attempts from
+  // colliding; only the committed attempt's rename lands
+  private val tmpFile = new File(dir, f".part-$partitionId%05d-$taskId.sql.inprogress")
+  private val out = new java.io.BufferedWriter(
+    new OutputStreamWriter(new FileOutputStream(tmpFile), UTF_8), 64 * 1024)
+
+  private val insertPrefix = "INSERT INTO " + dialect.quoteIdentifier(table) + " (" +
+    schema.fieldNames.map(dialect.quoteIdentifier).mkString(", ") + ") VALUES\n"
+  private var inBatch = 0
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  override def write(row: InternalRow): Unit = {
+    if (inBatch == 0) out.write(insertPrefix) else out.write(",\n")
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('(')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(", ")
+      sb.append(literal(row, i))
+      i += 1
+    }
+    sb.append(')')
+    out.write(sb.toString)
+    inBatch += 1
+    if (inBatch >= batchSize) { out.write(";\n"); inBatch = 0 }
+  }
+
+  /** Render field `i` as a SQL literal — `SqlValueCodec.formatValue`
+    * semantics lifted to Catalyst internal representations (UTF8String,
+    * micros, epoch days, Decimal), so the parallel sink and the serial
+    * DumpWriter emit byte-identical literals.
+    */
+  private def literal(row: InternalRow, i: Int): String = {
+    import graft.dialect.SqlValueCodec.escapeString
+    if (row.isNullAt(i)) "NULL"
+    else schema.fields(i).dataType match {
+      case StringType    => escapeString(row.getUTF8String(i).toString)
+      case LongType      => row.getLong(i).toString
+      case IntegerType   => row.getInt(i).toString
+      case ShortType     => row.getShort(i).toString
+      case ByteType      => row.getByte(i).toString
+      case BooleanType   => if (row.getBoolean(i)) "1" else "0"
+      case DoubleType    => graft.dialect.SqlValueCodec.formatValue(row.getDouble(i))
+      case FloatType     => graft.dialect.SqlValueCodec.formatValue(row.getFloat(i))
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+      case TimestampType | TimestampNTZType =>
+        val micros = row.getLong(i)
+        escapeString(tsFmt.format(
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L).atOffset(ZoneOffset.UTC)))
+      case DateType =>
+        escapeString(LocalDate.ofEpochDay(row.getInt(i).toLong).toString + " 00:00:00")
+      case BinaryType    => escapeString(new String(row.getBinary(i), UTF_8))
+      case other =>
+        throw new IllegalArgumentException(s"sqldump: cannot render $other")
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (inBatch > 0) { out.write(";\n"); inBatch = 0 }
+    out.close()
+    SqlDumpCommit(tmpFile.getPath, finalFile.getPath)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tmpFile.delete()
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class SqlDumpScanBuilder(fullSchema: StructType, path: String,

@@ -158,6 +158,42 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
       && r.getDecimal(2).toPlainString == "12.34" && r.getString(3) == "y")
   }
 
+  test("parallel sink: partitioned write commits part files, round-trips exactly") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i =>
+      (i, s"v'$i", i * 0.5, i % 3 == 0)).toDF("id", "s", "v", "b")
+    val dir = Files.createTempDirectory("sqldump_sink").toFile
+    val out = new File(dir, "dump")
+    df.repartition(6).write.format("graft.sources.SqlDumpSource")
+      .option("table", "t_par").option("insertBatchSize", "50")
+      .mode("append").save(out.getPath)
+    val names = out.listFiles().map(_.getName).toSet
+    assert(names.contains("00_schema.sql") && names.contains("_SUCCESS"), names)
+    assert(names.count(_.startsWith("part-")) == 6, names)
+    assert(!names.exists(_.endsWith(".inprogress")), names)
+    val back = readBack(out.getPath, "t_par")
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "v", "b"))
+    assert(rowSet(back) == rowSet(df))
+  }
+
+  test("parallel sink and serial DumpWriter render byte-identical tuple literals") {
+    import spark.implicits._
+    val df = Seq((7L, "esc'aped\ntext", 2.5, java.sql.Timestamp.valueOf("2001-02-03 04:05:06")))
+      .toDF("id", "s", "v", "ts")
+    val dir = Files.createTempDirectory("sqldump_parity").toFile
+    val out = new File(dir, "dump")
+    df.coalesce(1).write.format("graft.sources.SqlDumpSource")
+      .option("table", "t_parity").mode("append").save(out.getPath)
+    val serial = writeDump(df, "t_parity")
+    def tuples(f: File): Seq[String] = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.startsWith("(")).toList finally src.close()
+    }
+    val parPart = out.listFiles().filter(_.getName.startsWith("part-")).head
+    assert(tuples(parPart).map(_.stripSuffix(";").stripSuffix(",")) ==
+           tuples(serial).map(_.stripSuffix(";").stripSuffix(",")))
+  }
+
   test("sqlite-dialect dump (double-quoted INSERT identifiers) reads back too") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
