@@ -1253,6 +1253,20 @@ object GraftQueries {
           .otherwise(lit(0L))).as("tokens_sampled"))
   }
 
+  /** Weighted sample (Efraimidis–Spirakis A-ES) of 100 documents with
+    * probability ∝ document length — the soft quality-upweighting
+    * primitive of a training-mix recipe. Deterministic via the portable
+    * hash + quantised-key ranking, so the oracle selects the identical
+    * set; distributed as a TakeOrderedAndProject top-k.
+    */
+  def q_weightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (length(col("text")) + lit(1)).cast("double").as("wt")),
+        "doc_id", "wt", k = 100)
+      .select(col("doc_id"), col("lang"), col("wt"))
+
   /** Approximate heavy hitters via a mergeable Misra–Gries sketch
     * (`functions.MisraGriesAgg`, budget 64): at 100 TB the sketch pass
     * is the ONLY pass — bounded state per partition, one aggregate
@@ -1458,6 +1472,7 @@ object GraftQueries {
     "t8_top_terms"       -> (t8TopTerms _),
     "t9_surprisal"       -> (t9Surprisal _),
     "q_stratified_sample" -> (q_stratifiedSample _),
+    "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),
     "q_cdc_apply"        -> (q_cdcApply _),
     "q_scd2"             -> (q_scd2 _),

@@ -871,6 +871,15 @@ object Oracles {
 
     // stratified training mix: per-mille keep rates per language over
     // the portable md5 bucket (integer per-mille — no float rounding)
+    // A-ES weighted sample: same portable-u, same quantised ln(u)/w key
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, lang, wt FROM (
+         |  SELECT doc_id, lang, CAST(length(text) + 1 AS DOUBLE) AS wt,
+         |    CAST(floor(ln((${bucketSql("doc_id", 1000000000)} + 0.5) / 1e9)
+         |               / (length(text) + 1) * 1000000) AS BIGINT) AS k
+         |  FROM documents)
+         |ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+
     "q_stratified_sample" ->
       raw"""SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
          |  CAST(count(CASE WHEN b < f THEN 1 END) AS BIGINT) AS n_sampled,

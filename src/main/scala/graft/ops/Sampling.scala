@@ -55,4 +55,33 @@ object Sampling {
                        defaultPerMille: Int = 0): DataFrame =
     withSampleFlag(df, idCol, stratumCol, fractionsPerMille, defaultPerMille)
       .filter(col("sampled")).drop("sampled")
+
+  /** Weighted sample WITHOUT replacement of exactly `k` rows —
+    * Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5), 2006): each
+    * row draws key u^(1/w) with u uniform in (0,1) and the k largest
+    * keys win, which selects each row with probability proportional to
+    * its weight. The training-mix primitive: upweight quality-scored
+    * documents without hard thresholds.
+    *
+    * Determinism: u derives from the portable md5 bucket of the id
+    * (never an RNG), and the key is ranked as ln(u)/w quantised to
+    * integer micro-units with the id as tiebreak — so the selected set
+    * is identical across runs, partitionings, and engines (same recipe
+    * as t9's integer micro-bits). Requires w > 0.
+    *
+    * Scale shape: a narrow codegen'd projection then a distributed
+    * top-k (`TakeOrderedAndProject` — per-partition heaps, no global
+    * sort, no shuffle of the losers). k must fit driver memory, which
+    * a sample by definition does.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (bucket(col(idCol), 1000000000).cast("double") + lit(0.5)) / lit(1e9)
+    // ln(u) < 0, so ln(u)/w is monotone in u^(1/w): rank DESC on it
+    val key = floor(log(u) / col(weightCol) * lit(1000000L)).cast("long")
+    df.withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

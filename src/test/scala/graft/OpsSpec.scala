@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Cdc, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.ops.{Cdc, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Behavioural specs for the LLM-pipeline operators: LSH candidate
   * recall against exact baselines, ANN recall vs brute force, kernel
@@ -32,6 +32,28 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       (1L, "v2", 9L, None, true),
       (2L, "w0", 0L, Some(3L), false),
       (2L, "w1", 3L, None, true)))
+  }
+
+  test("weightedSample: exactly k, deterministic, weight-proportional") {
+    import spark.implicits._
+    // 100 heavy (w=200) + 900 light (w=1) rows: A-ES inclusion odds per
+    // heavy row vastly exceed a light row's
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 100) 200.0 else 1.0)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "selection must be deterministic")
+    assert(s1.size == 100)
+    val heavy = s1.count(_ <= 100)
+    // expected heavy share ≈ 97% under these odds; even a bad draw of
+    // the deterministic hash stays far above a uniform sample's ~10
+    assert(heavy > 70, s"heavy rows selected: $heavy of 100")
+    // repartitioning must not change the selection
+    val s3 = Sampling.weightedSample(df.repartition(7), "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s3 == s1)
   }
 
   test("minhash LSH output equals the exact threshold join") {

@@ -75,6 +75,12 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(exchanges == 1, s"distinct should cost exactly one shuffle: $exchanges")
   }
 
+  test("q_weighted_sample: top-k via TakeOrderedAndProject, no global sort") {
+    val plan = planOf("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
   test("q_scd2: the whole merge (dedup + close-out) costs exactly one shuffle") {
     val plan = planOf("q_scd2")
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
