@@ -214,7 +214,8 @@ private[sources] class SqlDumpTable(tableSchema: StructType, path: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new SqlDumpBatchWrite(path, tbl, info.schema(), dialect, batch)
+          new SqlDumpBatchWrite(path, tbl, info.schema(), dialect, batch,
+            info.queryId())
       }
     }
   }
@@ -236,7 +237,8 @@ private[sources] class SqlDumpTable(tableSchema: StructType, path: String,
 private[sources] class SqlDumpBatchWrite(dir: String, table: String,
                                          schema: StructType,
                                          dialect: graft.dialect.Dialect,
-                                         batchSize: Int) extends BatchWrite {
+                                         batchSize: Int,
+                                         queryId: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val d = new File(dir)
@@ -247,7 +249,7 @@ private[sources] class SqlDumpBatchWrite(dir: String, table: String,
       w.write(dialect.dropTableStatement(table) + "\n\n")
       w.write(Source.ddlFor(table, schema, dialect.quoteIdentifier) + "\n")
     } finally w.close()
-    SqlDumpWriterFactory(dir, table, schema, dialect.name, batchSize)
+    SqlDumpWriterFactory(dir, table, schema, dialect.name, batchSize, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -273,21 +275,25 @@ private[sources] final case class SqlDumpCommit(tmpPath: String, finalPath: Stri
 
 private[sources] final case class SqlDumpWriterFactory(
     dir: String, table: String, schema: StructType,
-    dialectName: String, batchSize: Int) extends DataWriterFactory {
+    dialectName: String, batchSize: Int, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SqlDumpDataWriter(dir, table, schema,
-      graft.dialect.Dialect.forName(dialectName), batchSize, partitionId, taskId)
+      graft.dialect.Dialect.forName(dialectName), batchSize, partitionId, taskId,
+      queryId)
 }
 
 private[sources] final class SqlDumpDataWriter(
     dir: String, table: String, schema: StructType,
     dialect: graft.dialect.Dialect, batchSize: Int,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, queryId: String) extends DataWriter[InternalRow] {
 
-  private val finalFile = new File(dir, f"part-$partitionId%05d.sql")
+  // queryId in the committed name makes a second append job into the
+  // same directory additive instead of a silent part-file overwrite —
+  // the same per-job-UUID recipe Spark's own file sinks use
+  private val finalFile = new File(dir, f"part-$queryId-$partitionId%05d.sql")
   // taskId in the temp name keeps speculative / retried attempts from
   // colliding; only the committed attempt's rename lands
-  private val tmpFile = new File(dir, f".part-$partitionId%05d-$taskId.sql.inprogress")
+  private val tmpFile = new File(dir, f".part-$queryId-$partitionId%05d-$taskId.sql.inprogress")
   private val out = new java.io.BufferedWriter(
     new OutputStreamWriter(new FileOutputStream(tmpFile), UTF_8), 64 * 1024)
 

@@ -176,6 +176,20 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
     assert(rowSet(back) == rowSet(df))
   }
 
+  test("parallel sink: a second append job adds part files, never overwrites") {
+    import spark.implicits._
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val df2 = Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+    val dir = Files.createTempDirectory("sqldump_append").toFile
+    val out = new File(dir, "dump")
+    def save(d: DataFrame): Unit =
+      d.coalesce(1).write.format("graft.sources.SqlDumpSource")
+        .option("table", "t_app").mode("append").save(out.getPath)
+    save(df1); save(df2)
+    assert(out.listFiles().count(_.getName.startsWith("part-")) == 2)
+    assert(rowSet(readBack(out.getPath, "t_app")) == rowSet(df1.unionByName(df2)))
+  }
+
   test("parallel sink and serial DumpWriter render byte-identical tuple literals") {
     import spark.implicits._
     val df = Seq((7L, "esc'aped\ntext", 2.5, java.sql.Timestamp.valueOf("2001-02-03 04:05:06")))
