@@ -2,6 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import graft.functions.CosineSimilarity
 
 /** Session extensions registering the engine's native functions for SQL
@@ -9,12 +11,50 @@ import graft.functions.CosineSimilarity
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`; DataFrame users
   * can instead call `graft.ops.Similarity.cosine` directly.
+  *
+  * Registered functions:
+  *  - `cosine_similarity(array<float>, array<float>)` — native codegen
+  *    expression (`functions.CosineSimilarity`);
+  *  - `graft_bucket(id, modulus)` — THE portable md5 bucket
+  *    (`ops.Sampling.bucket`) as a SQL function, so SQL-frontend users
+  *    get the identical deterministic split/sample assignments as the
+  *    DataFrame API (and as the DuckDB oracle twin);
+  *  - `jaccard(array, array)` — exact set Jaccard
+  *    (`ops.Dedup.jaccard`), composed from native set expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Catalyst tree of `Sampling.bucket`: pmod(conv(substr(md5(cast(id
+    * as string)), 1, 15), 16, 10)::long, modulus::long). Composed from
+    * built-in expressions — fully codegen'd, no UDF.
+    */
+  private[graft] def bucketExpr(id: Expression, modulus: Expression): Expression =
+    Pmod(
+      Cast(
+        Conv(
+          Substring(Md5(Cast(id, StringType)), Literal(1, IntegerType),
+            Literal(15, IntegerType)),
+          Literal(16, IntegerType), Literal(10, IntegerType)),
+        LongType),
+      Cast(modulus, LongType))
+
+  private[graft] def jaccardExpr(a: Expression, b: Expression): Expression =
+    Divide(
+      Cast(Size(ArrayIntersect(a, b)), org.apache.spark.sql.types.DoubleType),
+      Cast(Size(ArrayUnion(a, b)), org.apache.spark.sql.types.DoubleType))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       CosineSimilarity.info,
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bucket"),
+      exprs => bucketExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("jaccard"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "jaccard"),
+      exprs => jaccardExpr(exprs(0), exprs(1))))
   }
 }

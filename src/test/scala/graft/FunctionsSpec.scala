@@ -99,6 +99,36 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(out.filter(col("sim").isNull).count() == 0)
   }
 
+  test("graft_bucket and jaccard are SQL-callable and match the DataFrame recipes") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Sampling}
+    // register the builders on the live session (as above, the builder
+    // function itself is what we exercise)
+    val ext = new graft.plans.GraftExtensions()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucket", exprs => ext.bucketExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard", exprs => ext.jaccardExpr(exprs(0), exprs(1)), "scala_udf")
+
+    (1L to 50L).toDF("id").createOrReplaceTempView("ids_test")
+    val sqlBuckets = spark.sql(
+      "SELECT id, graft_bucket(id, 1000) AS b FROM ids_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfBuckets = (1L to 50L).toDF("id")
+      .select(col("id"), Sampling.bucketPerMille(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlBuckets == dfBuckets)
+
+    Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .createOrReplaceTempView("jac_test")
+    val viaSql = spark.sql("SELECT jaccard(x, y) AS j FROM jac_test")
+      .collect().head.getDouble(0)
+    val viaDf = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .collect().head.getDouble(0)
+    assert(viaSql == viaDf && math.abs(viaSql - 0.5) < 1e-12)
+  }
+
   test("type check rejects non-float arrays") {
     val bad = emb.select(col("vec_id"))
     assertThrows[org.apache.spark.sql.AnalysisException] {
