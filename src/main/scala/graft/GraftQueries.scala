@@ -1103,6 +1103,14 @@ object GraftQueries {
   def st4DedupKeys(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.dedupKeysBatch(tbl(s, dir, "events"))
 
+  /** Streaming SCD2 history, batch form (the `flatMapGroupsWithState`
+    * interval-emission form asserted equal in StreamingSpec): each
+    * user's run-length-compressed event_type sequence as closed
+    * validity intervals.
+    */
+  def st5Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.scd2Batch(tbl(s, dir, "events"))
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -1420,6 +1428,7 @@ object GraftQueries {
     "q_approx_topk"      -> (q_approxTopk _),
     "st3_latest_state"   -> (st3LatestState _),
     "st4_dedup_keys"     -> (st4DedupKeys _),
+    "st5_scd2_stream"    -> (st5Scd2 _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),

@@ -707,6 +707,25 @@ object Oracles {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
+    // closed SCD2 intervals of each user's event_type run-length sequence
+    "st5_scd2_stream" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |    CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS valid_to_us
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us
+        |FROM iv WHERE valid_to_us IS NOT NULL""".stripMargin,
+
     "st1_first_seen" ->
       """SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
         |FROM events GROUP BY 1, 2""".stripMargin,

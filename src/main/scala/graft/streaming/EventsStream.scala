@@ -182,6 +182,65 @@ object EventsStream {
       .select(col("user_id"), col("m.eid").as("latest_event_id"),
         col("m.v").as("latest_value"))
 
+  /** Streaming SCD Type-2 history — the streaming twin of
+    * `Cdc.scd2Merge`: per user, track the current `event_type` version;
+    * when the type CHANGES, emit the CLOSED interval
+    * (user_id, event_type, valid_from_us, valid_to_us). Open intervals
+    * live only in state (Append mode can't retract), so the stream
+    * yields exactly the closed subset of the batch history.
+    * `flatMapGroupsWithState` with ONE (type, since) tuple per key —
+    * state size tracks key cardinality like the latest-per-key view
+    * (NoTimeout for the same keyed-view reason). Rows are sorted by
+    * (ts, event_id) within each micro-batch; like `firstSeenDedupStream`
+    * the cross-batch contract is arrival order, which the bounded
+    * replay satisfies.
+    */
+  def scd2Stream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(String, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, String, Long, Long)]
+          for ((_, tsUs, _, tpe) <- sorted) cur match {
+            case Some((t, since)) if t != tpe =>
+              out += ((uid, t, since, tsUs))
+              cur = Some((tpe, tsUs))
+            case Some(_) => // same type: the open interval continues
+            case None    => cur = Some((tpe, tsUs))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "event_type", "valid_from_us", "valid_to_us")
+  }
+
+  /** Batch-equivalent of the streaming SCD2: run-length compress each
+    * user's type sequence with a lag filter, close intervals with lead,
+    * keep the closed ones. Both window passes share the user_id
+    * partitioning — one shuffle.
+    */
+  def scd2Batch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us")
+  }
+
   private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                                 gapMinutes: Int): DataFrame =
     clicks.join(purchases,

@@ -133,6 +133,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0, "streamed lost keys")
   }
 
+  test("flatMapGroupsWithState streaming SCD2 matches the batch closed intervals") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.scd2Stream(
+        ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "scd2_stream_test")
+    val batch = EventsStream.scd2Batch(events)
+    assert(batch.count() > 0, "fixture should contain type changes")
+    assert(streamed.exceptAll(batch).count() == 0, "stream emitted extra intervals")
+    assert(batch.exceptAll(streamed).count() == 0, "stream lost intervals")
+  }
+
   test("mapGroupsWithState latest-per-key view matches batch equivalent") {
     val streamed = EventsStream.runOnceOnParquet(
       spark, s"$sfDir/events.parquet", rawSchema,
