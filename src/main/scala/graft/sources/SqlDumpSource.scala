@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -368,15 +369,36 @@ private[sources] final class SqlDumpDataWriter(
 
 private[sources] class SqlDumpScanBuilder(fullSchema: StructType, path: String,
                                           table: Option[String], maxSplit: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accept the predicates the reader can evaluate EXACTLY on decoded
+    * tuple values — equality on any scalar, ordering on
+    * numeric/temporal/boolean (string ordering and NOT are declined —
+    * NOT over a NULL comparison is NULL in SQL, not a boolean flip; string order declined: Java
+    * UTF-16 order differs from Spark's UTF-8 binary order on
+    * supplementary characters), and null tests. Accepted filters are
+    * claimed (not returned), so Catalyst plans NO residual Filter node
+    * above the scan — rows failing the predicate are skipped before
+    * the InternalRow is ever built.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(SqlDumpFilters.supports(fullSchema, _))
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def description(): String =
+      s"SqlDumpScan pushedFilters=[${pushed.mkString(", ")}]"
 
     override def planInputPartitions(): Array[InputPartition] =
       SqlDumpSource.listFiles(path).flatMap { f =>
@@ -388,7 +410,118 @@ private[sources] class SqlDumpScanBuilder(fullSchema: StructType, path: String,
       }.toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      SqlDumpReaderFactory(table, required)
+      SqlDumpReaderFactory(table, required, fullSchema, pushed)
+  }
+}
+
+/** Exact tuple-level evaluation of pushed-down `sources.Filter`s for
+  * the dump reader. A filter column is decoded straight off the token
+  * (by the FULL schema's type, independent of output pruning) and
+  * compared in the domain Spark would compare in — long micros/days
+  * for temporals, exact string equality, numeric order otherwise.
+  */
+private[sources] object SqlDumpFilters {
+
+  private def fieldType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private def orderable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  def supports(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => fieldType(schema, a).exists(dt =>
+      orderable(dt) || dt == StringType)
+    case GreaterThan(a, _) => fieldType(schema, a).exists(orderable)
+    case GreaterThanOrEqual(a, _) => fieldType(schema, a).exists(orderable)
+    case LessThan(a, _) => fieldType(schema, a).exists(orderable)
+    case LessThanOrEqual(a, _) => fieldType(schema, a).exists(orderable)
+    case IsNull(a) => fieldType(schema, a).isDefined
+    case IsNotNull(a) => fieldType(schema, a).isDefined
+    case And(l, r) => supports(schema, l) && supports(schema, r)
+    case Or(l, r) => supports(schema, l) && supports(schema, r)
+    case _ => false
+  }
+
+  /** Spark filter literal → comparison double (numeric/temporal) —
+    * doubles order all supported domains exactly here because micros,
+    * days, and the fixture integrals... do NOT fit: use BigDecimal to
+    * stay exact for longs beyond 2^53.
+    */
+  private def toBig(v: Any): java.math.BigDecimal = v match {
+    case b: Boolean => if (b) java.math.BigDecimal.ONE else java.math.BigDecimal.ZERO
+    case b: Byte    => java.math.BigDecimal.valueOf(b.toLong)
+    case s: Short   => java.math.BigDecimal.valueOf(s.toLong)
+    case i: Int     => java.math.BigDecimal.valueOf(i.toLong)
+    case l: Long    => java.math.BigDecimal.valueOf(l)
+    case f: Float   => new java.math.BigDecimal(f.toString)
+    case d: Double  => java.math.BigDecimal.valueOf(d)
+    case d: java.math.BigDecimal => d
+    case d: BigDecimal => d.bigDecimal
+    case t: java.sql.Timestamp =>
+      java.math.BigDecimal.valueOf(
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L)
+    case t: java.time.Instant =>
+      java.math.BigDecimal.valueOf(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case t: java.time.LocalDateTime =>
+      val i = t.toInstant(ZoneOffset.UTC)
+      java.math.BigDecimal.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date => java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay)
+    case d: LocalDate => java.math.BigDecimal.valueOf(d.toEpochDay)
+    case other => new java.math.BigDecimal(other.toString)
+  }
+
+  /** Decode a raw token into the comparison domain of its column type:
+    * Left(BigDecimal) for orderable, Right(String) for strings.
+    */
+  private def tokenValue(tok: String, dt: DataType): Either[java.math.BigDecimal, String] =
+    dt match {
+      case StringType => Right(tok)
+      case DateType => Left(java.math.BigDecimal.valueOf(
+        LocalDate.parse(tok.take(10)).toEpochDay))
+      case TimestampType | TimestampNTZType =>
+        val i = LocalDateTime.parse(tok,
+          DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")).toInstant(ZoneOffset.UTC)
+        Left(java.math.BigDecimal.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+      case BooleanType => Left(if (tok != "0") java.math.BigDecimal.ONE
+                               else java.math.BigDecimal.ZERO)
+      case _ => Left(new java.math.BigDecimal(tok))
+    }
+
+  /** Evaluate one filter against the raw tokens of a statement, given
+    * the statement's column-name → token-index map. SQL three-valued
+    * logic: a comparison on a NULL token is false (the row is
+    * skipped), exactly as the post-scan Filter would decide.
+    */
+  def eval(f: Filter, schema: StructType, colIdx: Map[String, Int],
+           tokens: Array[String]): Boolean = {
+    def tok(a: String): Option[String] =
+      colIdx.get(a).flatMap(i => if (i < tokens.length) Option(tokens(i)) else None)
+    def cmp(a: String, v: Any): Option[Int] = for {
+      t <- tok(a)
+      dt <- schema.fields.find(_.name == a).map(_.dataType)
+    } yield tokenValue(t, dt) match {
+      case Right(s) => s.compareTo(v.toString)
+      case Left(b)  => b.compareTo(toBig(v))
+    }
+    f match {
+      case EqualTo(a, v) => schema.fields.find(_.name == a).map(_.dataType) match {
+        case Some(StringType) => tok(a).contains(v.toString)
+        case _ => cmp(a, v).contains(0)
+      }
+      case GreaterThan(a, v)        => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v)           => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(a, v).exists(_ <= 0)
+      case IsNull(a)    => tok(a).isEmpty
+      case IsNotNull(a) => tok(a).isDefined
+      case And(l, r) => eval(l, schema, colIdx, tokens) && eval(r, schema, colIdx, tokens)
+      case Or(l, r)  => eval(l, schema, colIdx, tokens) || eval(r, schema, colIdx, tokens)
+      case _ => true
+    }
   }
 }
 
@@ -396,10 +529,13 @@ private[sources] final case class SqlDumpInputPartition(
     path: String, start: Long, end: Long) extends InputPartition
 
 private[sources] final case class SqlDumpReaderFactory(
-    table: Option[String], required: StructType) extends PartitionReaderFactory {
+    table: Option[String], required: StructType,
+    fullSchema: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SqlDumpInputPartition]
-    new SqlDumpPartitionReader(sp.path, sp.start, sp.end, table, required)
+    new SqlDumpPartitionReader(sp.path, sp.start, sp.end, table, required,
+      fullSchema, pushed)
   }
 }
 
@@ -426,7 +562,8 @@ private[sources] final class OffsetLineReader(in: java.io.InputStream) {
 
 private[sources] final class SqlDumpPartitionReader(
     path: String, start: Long, end: Long,
-    table: Option[String], required: StructType)
+    table: Option[String], required: StructType,
+    fullSchema: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val stream = {
@@ -446,6 +583,8 @@ private[sources] final class SqlDumpPartitionReader(
     * whose INSERTs list columns in different orders still decode right.
     */
   private var proj: Array[Int] = _
+  /** Filter-column name → token position for the CURRENT statement. */
+  private var colIdx: Map[String, Int] = Map.empty
   private var inStatement = false
   private var done = false
   private var current: InternalRow = _
@@ -477,12 +616,18 @@ private[sources] final class SqlDumpPartitionReader(
       if (inStatement) {
         if (line.nonEmpty && line.head == '(') {
           if (line.endsWith(";")) inStatement = false
-          current = decodeTuple(line)
-          return true
+          val tokens = SqlDumpPartitionReader.tokenize(line)
+          // pushed filters run on raw tokens BEFORE any row is built —
+          // a failing tuple costs only its tokenisation
+          if (pushed.forall(SqlDumpFilters.eval(_, fullSchema, colIdx, tokens))) {
+            current = decodeTuple(tokens)
+            return true
+          }
         } else inStatement = false // malformed / empty — resync on headers
       } else headerFor(line) match {
         case Some(cols) =>
           proj = required.fields.map(f => cols.indexOf(f.name))
+          colIdx = cols.zipWithIndex.toMap
           inStatement = true
         case None => // DDL, comments, other tables' statements: skip
       }
@@ -495,11 +640,10 @@ private[sources] final class SqlDumpPartitionReader(
 
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
-  /** Tokenise one `(v1, v2, …)[,;]` tuple line and decode only the
-    * required columns into an InternalRow.
+  /** Decode only the required columns of a tokenised tuple into an
+    * InternalRow.
     */
-  private def decodeTuple(line: String): InternalRow = {
-    val tokens = SqlDumpPartitionReader.tokenize(line)
+  private def decodeTuple(tokens: Array[String]): InternalRow = {
     val row = new GenericInternalRow(proj.length)
     var i = 0
     while (i < proj.length) {

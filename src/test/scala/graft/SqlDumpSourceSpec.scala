@@ -133,6 +133,35 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
     assert(scan.get.scan.readSchema().fieldNames.toSeq == Seq("name"))
   }
 
+  test("filter pushdown: claimed predicates leave no Filter node and skip rows in the reader") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i =>
+      (i, s"n$i", i * 0.5, if (i % 7 == 0) null else s"x$i")).toDF("id", "name", "v", "opt")
+    val dump = writeDump(df, "t_filter", batchSize = 9)
+    val base = readBack(dump.getPath, "t_filter")
+
+    // numeric range + null test: all claimable — plan must have NO Filter
+    val q1 = base.filter(col("id") > 400 && col("v") <= 230.0 && col("opt").isNotNull)
+    val plan1 = q1.queryExecution.executedPlan.toString
+    assert(!plan1.contains("Filter"), plan1)
+    val expect1 = (401L to 460L).filterNot(_ % 7 == 0).toSet
+    assert(q1.collect().map(_.getLong(0)).toSet == expect1)
+
+    // string EQUALITY is claimable; string ORDERING is not (UTF-16 vs
+    // UTF-8 order) — the residual comparison keeps a Filter node and
+    // still evaluates correctly
+    val q2 = base.filter(col("name") === "n42")
+    assert(!q2.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    val q3 = base.filter(col("name") > "n98")
+    assert(q3.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(q3.collect().map(_.getString(1)).forall(_ > "n98"))
+
+    // pushdown must not break when the filter column is pruned from output
+    val q4 = base.filter(col("id") === 123L).select("name")
+    assert(q4.collect().map(_.getString(0)).toSeq == Seq("n123"))
+  }
+
   test("NOT NULL columns in the dump DDL infer as non-nullable") {
     val dir = Files.createTempDirectory("sqldump_ddl").toFile
     val f = new File(dir, "d.sql")
