@@ -49,6 +49,11 @@ object Bench {
     // "failed" error deep in the run — fail fast instead
     val unknown = preferredOrder.filterNot(GraftQueries.all.contains)
     require(unknown.isEmpty, s"preferredOrder keys not in catalog: ${unknown.mkString(", ")}")
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite — for quiet-host
+    // re-measures of flagged queries without paying a full catalog run
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val suite = only.fold(headline)(f => headline.filter(f.contains))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -105,7 +110,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     for (pass <- 0 to 3) {
-      headline.foreach { name =>
+      suite.foreach { name =>
         val t = once(name)
         if (pass > 0)
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
@@ -125,7 +130,7 @@ object Bench {
         System.err.println(f"[bench] pass=$pass $name $t%.3fs codecache=${ccUsed}m")
       }
     }
-    val results = headline.map(name => name -> best(name))
+    val results = suite.map(name => name -> best(name))
     // a failed query's elapsed-to-failure is NOT a benchmark time: report
     // it as -1 and list it in "errors" so a fast failure can never be
     // mistaken for a fast run by a JSON-only consumer

@@ -17,6 +17,37 @@ object SqlValueCodec {
   private val tsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
+  /** Timestamp text: second precision for whole seconds (format parity
+    * with the reference, exporter.go:331-332), with a `.SSSSSS` micros
+    * suffix only when the value has a fractional second — so the
+    * round-trip through the dump reader is lossless for micros while
+    * whole-second dumps stay byte-identical to the reference format.
+    */
+  def formatInstant(t: java.time.Instant): String = {
+    val base = tsFmt.format(t)
+    val micros = t.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
+  }
+
+  /** Binary → hex literal `X'…'` (MySQL/SQLite syntax). The Go reference
+    * renders `[]byte` via `string(v)` (exporter.go:327-328), which is
+    * byte-transparent in Go but unrepresentable through a Java UTF-8
+    * writer (invalid sequences would become U+FFFD). Hex keeps the
+    * round-trip lossless for arbitrary bytes; deliberate divergence.
+    */
+  def formatBinary(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2 + 3)
+    sb.append("X'")
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      sb.append(Character.forDigit(v >> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+      i += 1
+    }
+    sb.append('\'')
+    sb.toString
+  }
+
   /** Escape + single-quote a string: backslash, quote-doubling, and the
     * control characters NUL, LF, CR, SUB — same set and same order as the
     * reference (exporter.go:339-349).
@@ -65,12 +96,12 @@ object SqlValueCodec {
     case i: BigDecimal            => i.bigDecimal.toPlainString
     case d: Double                => formatDouble(d)
     case f: Float                 => formatFloat(f)
-    case b: Array[Byte]           => escapeString(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    case b: Array[Byte]           => formatBinary(b)
     case s: String                => escapeString(s)
-    case t: java.sql.Timestamp    => escapeString(tsFmt.format(t.toInstant))
-    case t: java.time.Instant     => escapeString(tsFmt.format(t))
+    case t: java.sql.Timestamp    => escapeString(formatInstant(t.toInstant))
+    case t: java.time.Instant     => escapeString(formatInstant(t))
     case t: java.time.LocalDateTime => // TIMESTAMP_NTZ external type
-      escapeString(tsFmt.format(t.toInstant(ZoneOffset.UTC)))
+      escapeString(formatInstant(t.toInstant(ZoneOffset.UTC)))
     case d: java.sql.Date         => escapeString(d.toString + " 00:00:00")
     case d: java.time.LocalDate   => escapeString(d.toString + " 00:00:00")
     case other                    => escapeString(other.toString)

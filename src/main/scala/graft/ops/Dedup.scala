@@ -204,6 +204,15 @@ object Dedup {
     * faster, but lost partitions are unrecoverable mid-fixpoint — fine
     * for single-JVM and short-lived jobs).
     */
+  /** Convergence telemetry of the last `clusters` run in this process:
+    * rounds to fixpoint and labels changed per round. At 100× data the
+    * fixpoint's behavior (O(log diameter) rounds expected) is the thing
+    * to watch — these counters make it observable from logs/monitoring
+    * without rerunning anything. Written once, at the end of each run.
+    */
+  final case class ClusterStats(rounds: Int, changedPerRound: Seq[Long])
+  @volatile var lastClusterStats: Option[ClusterStats] = None
+
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
@@ -239,6 +248,7 @@ object Dedup {
         .select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
+    val changedLog = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged && it < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -253,7 +263,12 @@ object Dedup {
         labels.withColumnRenamed("label", "old").join(viaNeighbor, Seq("id"), "left")
           .select(col("id"), col("old"),
             least(col("old"), coalesce(col("nl"), col("old"))).as("label")))
-      if (prop.filter(col("label") =!= col("old")).limit(1).count() == 0) {
+      // full changed-count (not limit(1)): a flat scan of the round's
+      // checkpoint, and the number IS the convergence telemetry
+      val changed = prop.filter(col("label") =!= col("old")).count()
+      changedLog += changed
+      System.err.println(s"[graft] clusters round=$it changed=$changed")
+      if (changed == 0) {
         converged = true
         labels = prop.select(col("id"), col("label"))
       } else {
@@ -278,6 +293,7 @@ object Dedup {
       throw new IllegalStateException(
         s"cluster label propagation did not converge within $maxIter rounds; " +
           "raise maxIter or inspect the pair graph for pathological diameter")
+    lastClusterStats = Some(ClusterStats(it, changedLog.toSeq))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -63,6 +63,15 @@ object Sampling {
     * its weight. The training-mix primitive: upweight quality-scored
     * documents without hard thresholds.
     *
+    * Cross-engine caveat: the micro-unit quantisation makes the key
+    * integral, but it is computed from `Math.log`, so bit-identity with
+    * another engine (DuckDB's libm) rests on both libms agreeing to the
+    * last ulp before `floor` — a 1-ulp difference exactly at a
+    * quantisation boundary could flip one key and change the selected
+    * set. Within Spark the result is fully deterministic (same libm);
+    * the oracle fixture is green, but the quantisation itself does not
+    * *guarantee* it for adversarial weights.
+    *
     * Determinism: u derives from the portable md5 bucket of the id
     * (never an RNG), and the key is ranked as ln(u)/w quantised to
     * integer micro-units with the id as tiebreak — so the selected set

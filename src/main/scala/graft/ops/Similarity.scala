@@ -52,6 +52,65 @@ object Similarity {
     toColumn(graft.functions.CosineSimilarity(toExpression(a), toExpression(b)))
   }
 
+  /** Euclidean squared distance over the common prefix. */
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Index of the nearest centroid; strict < keeps the lowest index on
+    * ties, so assignment is deterministic.
+    */
+  private[ops] def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = dist2(cents(c), v)
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic driver-side Lloyd k-means over a bounded sample:
+    * evenly-strided init, fixed iteration count, lowest-index
+    * tie-breaks, all double math — fully reproducible with no stored
+    * model and no RNG. Shared by the PQ codebook trainer and the IVF
+    * coarse quantizer (it replaced the MLlib `KMeans.fit`, whose fixed
+    * driver/MLlib overhead of ~2-3 s dominated s3/mm4 at bench scale;
+    * cluster quality only affects ANN recall/speed, never exactness).
+    * k is capped by the sample size so tiny inputs still train.
+    */
+  private[ops] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(pts.nonEmpty, "lloyd: empty training sample")
+    val kk = math.max(1, math.min(k, pts.length))
+    val dim = pts.head.length
+    var cents = Array.tabulate(kk)(c => pts((c.toLong * pts.length / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      for (p <- pts) {
+        val c = nearestCentroid(cents, p)
+        counts(c) += 1
+        var i = 0
+        val n = math.min(dim, p.length)
+        while (i < n) { sums(c)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val out = new Array[Double](dim)
+          var i = 0; while (i < dim) { out(i) = sums(c)(i) / counts(c); i += 1 }
+          out
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Exact top-k neighbours for the query rows against the corpus.
     * Queries are broadcast (small by contract); ranking uses a window
     * partitioned by query with a deterministic (sim DESC, id) order.
@@ -165,34 +224,35 @@ object Similarity {
     * only the vectors in its `nprobe` nearest cells. The other classic
     * ANN scale path next to LSH — better cell balance when the data IS
     * clustered, degrades gracefully to brute force as nprobe → nlist.
-    * Composes Spark MLlib's KMeans (no custom training loop needed).
+    * Coarse quantizer = the in-house deterministic Lloyd over a bounded
+    * sample (no MLlib fit, no Vectors conversion pass).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Array[Float]) =>
-      Vectors.dense(a.map(_.toDouble)))
-    val featured = corpus
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("features", toVec(col("cv")))
+      .repartition(spark.sparkContext.defaultParallelism)
     // Train the coarse quantizer on a bounded sample (the standard IVF
-    // recipe: ~256 vectors per cell suffice) — k-means at maxIter=10
+    // recipe: ~256 vectors per cell suffice) — k-means at 10 iters
     // over the FULL corpus would be 10 extra whole-corpus passes at
     // 100 TB. Assignment below still covers every corpus vector.
-    val trainSample = featured.select("features").limit(math.max(nlist * 256, 4096))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(trainSample)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val assigned = model.transform(featured)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    val sample = c.select("cv").as[Array[Float]]
+      .limit(math.max(nlist * 256, 4096)).collect()
+      .map(_.map(_.toDouble))
+    val cents = lloyd(sample, nlist, iters = 10)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val assignCell = udf((v: Array[Float]) =>
+      nearestCentroid(bcCents.value, v.map(_.toDouble)))
+    val assigned = c.withColumn("cell", assignCell(col("cv")))
+    val centroids = cents.map(_.map(_.toFloat))
     // query → its nprobe nearest cells by centroid cosine
     val probeCells = udf((qv: Array[Float]) =>
       centroids.zipWithIndex
-        .map { case (c, i) => (i, cosineKernel(qv, c)) }
+        .map { case (cc, i) => (i, cosineKernel(qv, cc)) }
         .sortBy(-_._2).take(nprobe).map(_._1))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -252,52 +312,16 @@ object Similarity {
 
     def slice(v: Array[Double], s: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, s * subDim, math.min((s + 1) * subDim, v.length))
-    def dist2(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val t = a(i) - b(i); d += t * t; i += 1 }
-      d
-    }
-    def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cents.length) {
-        val d = dist2(cents(c), v)
-        if (d < bd) { bd = d; best = c } // strict < keeps lowest index on ties
-        c += 1
-      }
-      best
-    }
 
-    // per-subspace Lloyd with evenly-strided deterministic init
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val pts = sample.map(slice(_, s))
-      var cents = Array.tabulate(math.min(kCent, pts.length)) { c =>
-        pts((c.toLong * pts.length / math.min(kCent, pts.length)).toInt).clone()
-      }
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(cents.length)(new Array[Double](subDim))
-        val counts = new Array[Long](cents.length)
-        for (p <- pts) {
-          val c = nearest(cents, p)
-          counts(c) += 1
-          var i = 0; while (i < subDim && i < p.length) { sums(c)(i) += p(i); i += 1 }
-        }
-        cents = Array.tabulate(cents.length) { c =>
-          if (counts(c) == 0) cents(c)
-          else { val out = new Array[Double](subDim)
-            var i = 0; while (i < subDim) { out(i) = sums(c)(i) / counts(c); i += 1 }; out }
-        }
-        it += 1
-      }
-      cents
-    }
+    // per-subspace deterministic Lloyd (shared trainer, evenly-strided init)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => lloyd(sample.map(slice(_, s)), kCent, iters))
     val bcCodebooks = spark.sparkContext.broadcast(codebooks)
 
     val encode = udf { (v: Array[Float]) =>
       val cb = bcCodebooks.value
       val nv = normalise(v)
-      Array.tabulate(cb.length)(s => nearest(cb(s), slice(nv, s)).toByte)
+      Array.tabulate(cb.length)(s => nearestCentroid(cb(s), slice(nv, s)).toByte)
     }
     val lutOf = udf { (v: Array[Float]) =>
       val cb = bcCodebooks.value
@@ -383,25 +407,20 @@ object Similarity {
                          nlist: Int = 16, maxBlock: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.ml.linalg.Vectors
     val parallelism = spark.sparkContext.defaultParallelism
-    val toVec = udf((a: Array[Float]) => Vectors.dense(a.map(_.toDouble)))
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .repartition(parallelism)
-      .withColumn("features", toVec(col("v")))
-    // bounded-sample quantizer training (same recipe as ivfTopK); k is
-    // capped by the sample size so tiny inputs still train
-    val trainSample = vecs.select("features")
-      .limit(math.max(nlist * 256, 4096))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = math.max(1, math.min(nlist.toLong, trainSample.count()).toInt)
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(42L).setMaxIter(10)
-      .fit(trainSample)
-    trainSample.unpersist()
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val assigned = OpCaches.persist(model.transform(vecs)
-      .select(col("id"), col("v"), col("prediction").as("cell")))
+    // bounded-sample quantizer training (same recipe as ivfTopK); lloyd
+    // caps k at the sample size so tiny inputs still train
+    val sample = vecs.select("v").as[Array[Float]]
+      .limit(math.max(nlist * 256, 4096)).collect()
+      .map(_.map(_.toDouble))
+    val cents = lloyd(sample, nlist, iters = 10)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val assignCell = udf((v: Array[Float]) =>
+      nearestCentroid(bcCents.value, v.map(_.toDouble)))
+    val centroids = cents.map(_.map(_.toFloat))
+    val assigned = OpCaches.persist(vecs.withColumn("cell", assignCell(col("v"))))
     // per-cell metadata (nlist rows — metadata-scale driver traffic, not
     // the corpus): member count + angular radius around the centroid
     val angleToCentroid = udf((cell: Int, v: Array[Float]) => angleKernel(v, centroids(cell)))

@@ -60,7 +60,7 @@ class SqlDumpSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = SqlDumpSource.listFiles(SqlDumpSource.pathOf(options))
+    val files = SqlDumpSource.listFiles(SqlDumpSource.pathsOf(options))
     require(files.nonEmpty, "sqldump: no .sql files under the given path")
     SqlDumpSource.inferFromCreate(files.head, Option(options.get("table")))
   }
@@ -68,7 +68,7 @@ class SqlDumpSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new SqlDumpTable(schema, SqlDumpSource.pathOf(options),
+    new SqlDumpTable(schema, SqlDumpSource.pathsOf(options),
       Option(options.get("table")), SqlDumpSource.splitBytes(options))
   }
 }
@@ -76,22 +76,63 @@ class SqlDumpSource extends TableProvider {
 object SqlDumpSource {
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
-  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+  /** All load paths. `DataFrameReader.load(paths*)` hands the source a
+    * JSON-encoded list under "paths" (and a single `.load(p)` may encode
+    * the same way), so parse it as JSON rather than string-stripping —
+    * `.load(a, b)` yields two real paths, not the mangled `a","b`.
+    */
+  private[sources] def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val p = Option(options.get("paths")).orElse(Option(options.get("path")))
     require(p.isDefined, "sqldump: a path is required (use .load(path))")
-    // DataFrameReader.load(single path) may encode as a JSON list
-    p.get.stripPrefix("[\"").stripSuffix("\"]")
+    val raw = p.get.trim
+    if (raw.startsWith("[")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+      require(node.isArray, s"sqldump: unparseable paths option: $raw")
+      (0 until node.size()).map(node.get(_).asText())
+    } else Seq(raw)
   }
 
   private[sources] def splitBytes(options: CaseInsensitiveStringMap): Long =
     Option(options.get("maxSplitBytes")).map(_.toLong).getOrElse(DefaultSplitBytes)
 
-  private[sources] def listFiles(path: String): Seq[java.io.File] = {
-    val f = new java.io.File(path)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".sql")).sortBy(_.getName).toSeq
-    else Seq(f)
+  private[sources] def listFiles(paths: Seq[String]): Seq[java.io.File] =
+    paths.flatMap { path =>
+      val f = new java.io.File(path)
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".sql")).sortBy(_.getName).toSeq
+      else Seq(f)
+    }
+
+  /** Timestamp parser accepting the writer's optional micros suffix. */
+  private[sources] val tsParser: DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 6, true)
+      .optionalEnd()
+      .toFormatter
+
+  private[sources] def parseTimestampMicros(tok: String): Long = {
+    val inst = LocalDateTime.parse(tok, tsParser).toInstant(ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
+
+  /** Decode a binary literal: `X'…'` hex (the codec's lossless form) or,
+    * for legacy dumps, UTF-8 bytes of the quoted string.
+    */
+  private[sources] def decodeBinary(tok: String): Array[Byte] =
+    if (tok.length >= 3 && (tok.charAt(0) == 'X' || tok.charAt(0) == 'x') &&
+        tok.charAt(1) == '\'' && tok.last == '\'') {
+      val hex = tok.substring(2, tok.length - 1)
+      val out = new Array[Byte](hex.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+          Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+        i += 1
+      }
+      out
+    } else tok.getBytes(UTF_8)
 
   /** Strip one layer of identifier quoting (backtick or double-quote,
     * either dialect) and undo the doubling.
@@ -196,17 +237,19 @@ object SqlDumpSource {
   }
 }
 
-private[sources] class SqlDumpTable(tableSchema: StructType, path: String,
+private[sources] class SqlDumpTable(tableSchema: StructType, paths: Seq[String],
                                     table: Option[String], maxSplit: Long)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"sqldump:${table.getOrElse(path)}"
+  override def name(): String = s"sqldump:${table.getOrElse(paths.mkString(","))}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SqlDumpScanBuilder(tableSchema, path, table, maxSplit)
+    new SqlDumpScanBuilder(tableSchema, paths, table, maxSplit)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"sqldump: writing requires exactly one target directory, got ${paths.size}")
     val batch = Option(info.options.get("insertBatchSize"))
       .map(_.toInt).getOrElse(graft.export.DumpWriter.DefaultBatchSize)
     val dialect = graft.dialect.Dialect.forName(
@@ -215,7 +258,7 @@ private[sources] class SqlDumpTable(tableSchema: StructType, path: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new SqlDumpBatchWrite(path, tbl, info.schema(), dialect, batch,
+          new SqlDumpBatchWrite(paths.head, tbl, info.schema(), dialect, batch,
             info.queryId())
       }
     }
@@ -257,7 +300,11 @@ private[sources] class SqlDumpBatchWrite(dir: String, table: String,
     messages.foreach {
       case SqlDumpCommit(tmp, fin) =>
         val t = new File(tmp)
-        if (t.exists() && !t.renameTo(new File(fin)))
+        // a committed task's temp MUST exist — a missing one means lost
+        // output, and skipping it would mark an incomplete dump _SUCCESS
+        if (!t.exists())
+          throw new java.io.IOException(s"sqldump: committed task output missing: $tmp")
+        if (!t.renameTo(new File(fin)))
           throw new java.io.IOException(s"sqldump: commit rename failed: $tmp -> $fin")
       case _ =>
     }
@@ -302,8 +349,6 @@ private[sources] final class SqlDumpDataWriter(
     schema.fieldNames.map(dialect.quoteIdentifier).mkString(", ") + ") VALUES\n"
   private var inBatch = 0
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-
   override def write(row: InternalRow): Unit = {
     if (inBatch == 0) out.write(insertPrefix) else out.write(",\n")
     val sb = new java.lang.StringBuilder(64)
@@ -341,13 +386,13 @@ private[sources] final class SqlDumpDataWriter(
         row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
       case TimestampType | TimestampNTZType =>
         val micros = row.getLong(i)
-        escapeString(tsFmt.format(
+        escapeString(graft.dialect.SqlValueCodec.formatInstant(
           java.time.Instant.ofEpochSecond(
             Math.floorDiv(micros, 1000000L),
-            Math.floorMod(micros, 1000000L) * 1000L).atOffset(ZoneOffset.UTC)))
+            Math.floorMod(micros, 1000000L) * 1000L)))
       case DateType =>
         escapeString(LocalDate.ofEpochDay(row.getInt(i).toLong).toString + " 00:00:00")
-      case BinaryType    => escapeString(new String(row.getBinary(i), UTF_8))
+      case BinaryType    => graft.dialect.SqlValueCodec.formatBinary(row.getBinary(i))
       case other =>
         throw new IllegalArgumentException(s"sqldump: cannot render $other")
     }
@@ -367,7 +412,7 @@ private[sources] final class SqlDumpDataWriter(
   override def close(): Unit = ()
 }
 
-private[sources] class SqlDumpScanBuilder(fullSchema: StructType, path: String,
+private[sources] class SqlDumpScanBuilder(fullSchema: StructType, paths: Seq[String],
                                           table: Option[String], maxSplit: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -401,7 +446,7 @@ private[sources] class SqlDumpScanBuilder(fullSchema: StructType, path: String,
       s"SqlDumpScan pushedFilters=[${pushed.mkString(", ")}]"
 
     override def planInputPartitions(): Array[InputPartition] =
-      SqlDumpSource.listFiles(path).flatMap { f =>
+      SqlDumpSource.listFiles(paths).flatMap { f =>
         val len = f.length()
         if (len == 0) Nil
         else (0L until len by maxSplit).map { start =>
@@ -483,9 +528,7 @@ private[sources] object SqlDumpFilters {
       case DateType => Left(java.math.BigDecimal.valueOf(
         LocalDate.parse(tok.take(10)).toEpochDay))
       case TimestampType | TimestampNTZType =>
-        val i = LocalDateTime.parse(tok,
-          DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")).toInstant(ZoneOffset.UTC)
-        Left(java.math.BigDecimal.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+        Left(java.math.BigDecimal.valueOf(SqlDumpSource.parseTimestampMicros(tok)))
       case BooleanType => Left(if (tok != "0") java.math.BigDecimal.ONE
                                else java.math.BigDecimal.ZERO)
       case _ => Left(new java.math.BigDecimal(tok))
@@ -638,8 +681,6 @@ private[sources] final class SqlDumpPartitionReader(
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-
   /** Decode only the required columns of a tokenised tuple into an
     * InternalRow.
     */
@@ -667,12 +708,10 @@ private[sources] final class SqlDumpPartitionReader(
     case d: DecimalType =>
       org.apache.spark.sql.types.Decimal(BigDecimal(tok), d.precision, d.scale)
     case TimestampType | TimestampNTZType =>
-      val ldt = LocalDateTime.parse(tok, tsFmt)
-      val inst = ldt.toInstant(ZoneOffset.UTC)
-      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      SqlDumpSource.parseTimestampMicros(tok)
     case DateType =>
       LocalDate.parse(tok.take(10)).toEpochDay.toInt
-    case BinaryType    => tok.getBytes(UTF_8)
+    case BinaryType    => SqlDumpSource.decodeBinary(tok)
     case other =>
       throw new IllegalArgumentException(s"sqldump: cannot decode to $other")
   }

@@ -25,11 +25,28 @@ class CodecSpec extends AnyFunSuite {
       ("a\\b", "'a\\\\b'"),
       ("line1\nline2", "'line1\\nline2'"),
       ("a\rb", "'a\\rb'"),
-      ("binary".getBytes("UTF-8"), "'binary'"),
+      // deliberate divergence from the reference's `string(v)` (which is
+      // byte-transparent only in Go): binary renders as a hex literal so
+      // arbitrary bytes survive a UTF-8 writer losslessly
+      ("binary".getBytes("UTF-8"), "X'62696e617279'"),
       (java.sql.Timestamp.valueOf("2024-01-15 10:30:00"), "'2024-01-15 10:30:00'"),
     )
     for ((in, want) <- vectors)
       assert(SqlValueCodec.formatValue(in) == want, s"input: $in")
+  }
+
+  test("binary literals round-trip arbitrary non-UTF-8 bytes") {
+    val bytes = Array[Byte](0, 1, -1, -128, 127, 0x27, 0x5c, -30, -126) // invalid UTF-8 tail
+    assert(SqlValueCodec.formatBinary(bytes) == "X'0001ff807f275ce282'")
+  }
+
+  test("timestamps with sub-second micros keep them; whole seconds stay second-precision") {
+    val whole = java.time.Instant.parse("2024-01-15T10:30:00Z")
+    assert(SqlValueCodec.formatValue(whole) == "'2024-01-15 10:30:00'")
+    val frac = java.time.Instant.parse("2024-01-15T10:30:00.123456Z")
+    assert(SqlValueCodec.formatValue(frac) == "'2024-01-15 10:30:00.123456'")
+    val milli = java.time.Instant.parse("2024-01-15T10:30:00.005Z")
+    assert(SqlValueCodec.formatValue(milli) == "'2024-01-15 10:30:00.005000'")
   }
 
   test("whole doubles print without fraction (Go %v parity)") {

@@ -469,6 +469,14 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(Seq(1L, 2L, 3L, 4L, 10L).forall(out(_) == 1L),
       s"chain component must all take min label 1: $out")
     assert(out(7L) == 7L && out(8L) == 7L)
+    // convergence telemetry: recorded rounds, last round changed nothing
+    val stats = Dedup.lastClusterStats.get
+    assert(stats.rounds >= 1 && stats.rounds <= 25)
+    assert(stats.changedPerRound.length == stats.rounds)
+    assert(stats.changedPerRound.last == 0L,
+      s"final round must be the no-change fixpoint check: $stats")
+    assert(stats.changedPerRound.init.forall(_ > 0L),
+      s"every non-final round must have made progress: $stats")
   }
 
   test("dup clusters: pointer jumping converges a deep chain in O(log d) rounds") {
