@@ -213,8 +213,22 @@ object Dedup {
   final case class ClusterStats(rounds: Int, changedPerRound: Seq[Long])
   @volatile var lastClusterStats: Option[ClusterStats] = None
 
+  /** `driverMaxEdges`: cost-based plan chooser. A near-dup pair graph is
+    * usually TINY relative to its corpus (pairs are the output of a
+    * threshold join), and the distributed fixpoint's per-round cost is
+    * fixed overhead (two joins + a checkpoint per round, ~7 rounds) that
+    * dwarfs a small graph's actual work. At or below the budget the
+    * symmetrized edge list (16 B/edge; the default 1M edges ≈ 16 MB) is
+    * collected and solved with union-find on the driver — O(E α(E)),
+    * exact same labels (component min). Above it, the O(log d)-round
+    * distributed fixpoint runs unchanged — the 100 TB path. The count
+    * that decides is free at fixpoint time: the edge list is persisted
+    * either way, and the count materialises the cache the first round
+    * would have built anyway. Pass 0 to force the distributed path.
+    */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+               maxIter: Int = 25, checkpointDir: Option[String] = None,
+               driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val ckBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
       .map(d => s"$d/graft_clusters_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -222,6 +236,33 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (driverMaxEdges > 0 && edges.count() <= driverMaxEdges) {
+      import spark.implicits._
+      val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      // union-find, union-by-min: the larger root always points at the
+      // smaller, so every component's root IS its min id — identical
+      // label semantics to the fixpoint. Path compression keeps finds
+      // near-constant at this size.
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((a, b) <- e) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      lastClusterStats = Some(ClusterStats(0, Seq.empty)) // 0 = driver path
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("doc_id", "cluster_id")
+    }
     // eager materialisation, NOT persist: each round's plan embeds the
     // previous round's tree ~4× (neighbor join + self-join + convergence
     // check), so without lineage truncation Catalyst analysis time grows

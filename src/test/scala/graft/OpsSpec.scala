@@ -464,7 +464,9 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), pair 7-8, plus 10-2 joining the chain
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 2L)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(pairs).collect()
+    // driverMaxEdges = 0 forces the distributed fixpoint (the thing
+    // under test); the driver union-find path is asserted equal below
+    val out = Dedup.clusters(pairs, driverMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L, 10L).forall(out(_) == 1L),
       s"chain component must all take min label 1: $out")
@@ -485,10 +487,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // rounds and would be cut off by maxIter; path doubling must finish
     // well inside 8 (log2 63 + 2 slack proves doubling is happening)
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(pairs, maxIter = 8).collect()
+    val out = Dedup.clusters(pairs, maxIter = 8, driverMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 64)
     assert(out.values.forall(_ == 1L), s"deep chain did not fully converge: $out")
+  }
+
+  test("dup clusters: driver union-find path equals the distributed fixpoint") {
+    import spark.implicits._
+    // pseudo-random graph: 200 nodes, 150 deterministic edges — several
+    // components of varying shape (chains, merges, singletons-with-edge)
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 150).map { _ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastClusterStats.get.rounds == 0, "small graph must take the driver path")
+    val viaFixpoint = Dedup.clusters(pairs, driverMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastClusterStats.get.rounds > 0, "forced path must be distributed")
+    assert(viaDriver == viaFixpoint)
   }
 
   test("winnowing near-dups: copies score 1.0, edits stay high, disjoint docs absent") {
@@ -538,7 +557,7 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (10L, 2L)).toDF("id_a", "id_b")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
-    val out = Dedup.clusters(pairs, checkpointDir = Some(ckDir)).collect()
+    val out = Dedup.clusters(pairs, checkpointDir = Some(ckDir), driverMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L, 10L).forall(out(_) == 1L))
     assert(out(7L) == 7L && out(8L) == 7L)
@@ -553,7 +572,7 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // a 64-node path cannot converge in 1 round even with doubling
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
-      Dedup.clusters(pairs, maxIter = 1).collect()
+      Dedup.clusters(pairs, maxIter = 1, driverMaxEdges = 0).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
   }

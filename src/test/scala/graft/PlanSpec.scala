@@ -265,6 +265,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("partial_count"), "token counts must combine map-side")
   }
 
+  test("s3 knn ivf: queries broadcast into the cell join; corpus shuffles at most once") {
+    val df = GraftQueries.all("s3_knn_ivf")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe side (queries × probed cells) must broadcast — the
+    // corpus-sized assigned table must never shuffle INTO the join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // quantizer is the in-house Lloyd: no MLlib stages may appear
+    assert(!plan.contains("KMeans") && !plan.contains("ml."), plan.take(2000))
+  }
+
   test("st1 first-seen: partial+final aggregate (map-side combine)") {
     val plan = planOf("st1_first_seen")
     assert(plan.contains("partial_min"), plan.take(2000))
