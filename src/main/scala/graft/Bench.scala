@@ -30,6 +30,7 @@ object Bench {
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq",
     "t1_text_stats", "t2_lang_id", "t3_token_counts", "t4_fingerprint",
     "t5_winnowing", "t6_repetition", "t7_pii_scrub", "t8_top_terms",
+    "t10_tfidf_keywords",
     "q_approx_topk", "q_approx_quantile",
     "q_train_split", "q_stratified_sample",
     "p1_pipeline",
@@ -54,6 +55,15 @@ object Bench {
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val suite = only.fold(headline)(f => headline.filter(f.contains))
+    // SPARK_GRAFT_BENCH_MODE=consecutive samples each query back-to-back
+    // (warm-up + 3 timed) instead of suite-interleaved passes: generated
+    // classes stay hot between samples, so this measures the STEADY-STATE
+    // per-query cost a long-running cluster sees (the r2 protocol).
+    // Interleaved (default) decorrelates from host-contention episodes
+    // but pays a per-sample re-JIT when the catalog cycles the 100-entry
+    // codegen cache — both numbers are real; they answer different
+    // questions (see MEASUREMENTS.md).
+    val consecutive = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("consecutive")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -109,27 +119,29 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    for (pass <- 0 to 3) {
-      suite.foreach { name =>
-        val t = once(name)
-        if (pass > 0)
-          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-        // release operator-internal caches BETWEEN query executions:
-        // every sample carries the query's own cache-build cost (the
-        // honest per-query number; keeps the storage pool flat), and no
-        // query ever reuses a neighbour's intermediates
-        graft.ops.OpCaches.releaseAll()
-        // JIT code-cache occupancy: exhaustion (flushing + hot-method
-        // eviction) is the one JVM-state failure mode that has produced
-        // 10-25× per-query degradation late in a bench run — keep it
-        // visible next to every sample, with the pass for correlating
-        // contention episodes across the run.
-        val ccUsed = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
-          .stream().filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
-          .mapToLong(_.getUsage.getUsed).sum() >> 20
-        System.err.println(f"[bench] pass=$pass $name $t%.3fs codecache=${ccUsed}m")
-      }
+    def sample(pass: Int, name: String): Unit = {
+      val t = once(name)
+      if (pass > 0)
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      // release operator-internal caches BETWEEN query executions:
+      // every sample carries the query's own cache-build cost (the
+      // honest per-query number; keeps the storage pool flat), and no
+      // query ever reuses a neighbour's intermediates
+      graft.ops.OpCaches.releaseAll()
+      // JIT code-cache occupancy: exhaustion (flushing + hot-method
+      // eviction) is the one JVM-state failure mode that has produced
+      // 10-25× per-query degradation late in a bench run — keep it
+      // visible next to every sample, with the pass for correlating
+      // contention episodes across the run.
+      val ccUsed = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .stream().filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        .mapToLong(_.getUsage.getUsed).sum() >> 20
+      System.err.println(f"[bench] pass=$pass $name $t%.3fs codecache=${ccUsed}m")
     }
+    if (consecutive)
+      suite.foreach(name => (0 to 3).foreach(pass => sample(pass, name)))
+    else
+      for (pass <- 0 to 3) suite.foreach(name => sample(pass, name))
     val results = suite.map(name => name -> best(name))
     // a failed query's elapsed-to-failure is NOT a benchmark time: report
     // it as -1 and list it in "errors" so a fast failure can never be

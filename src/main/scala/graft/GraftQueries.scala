@@ -1346,6 +1346,12 @@ object GraftQueries {
   def t9Surprisal(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramSurprisal(tbl(s, dir, "documents"))
 
+  /** Per-document TF-IDF keyword extraction (top-3 terms, integer
+    * micro-bit scoring — hash-exact vs the SQL twin).
+    */
+  def t10TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(tbl(s, dir, "documents"), k = 3)
+
   /** PII scrub over the documents table (RE2-safe patterns, identical
     * in DuckDB — masking is oracle-checked byte-for-byte).
     */
@@ -1480,6 +1486,7 @@ object GraftQueries {
     "t7_pii_scrub"       -> (t7PiiScrub _),
     "t8_top_terms"       -> (t8TopTerms _),
     "t9_surprisal"       -> (t9Surprisal _),
+    "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),

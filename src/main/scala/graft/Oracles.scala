@@ -938,6 +938,28 @@ object Oracles {
     // per-token log2 quantised to integer micro-bits in the vocab CTE,
     // then integer-summed per doc — order-independent, so the
     // transcendental surprisal is hash-exact across engines
+    // per-doc TF-IDF top-3 keywords — idf quantised once per token to
+    // integer micro-bits (t9's recipe), tf·idf ranked in pure integer
+    // math with token-ascending tie-breaks: hash-exact cross-engine
+    "t10_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT tok, CAST(floor(log2(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) * 1000000) AS BIGINT) AS idf_micro
+        |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1)),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf * idf.idf_micro AS score_micro
+        |  FROM tf JOIN idf USING (tok)),
+        |r AS (SELECT doc_id, tok, score_micro,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, tok AS term,
+        |  CAST(score_micro AS BIGINT) AS score_micro
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
     "t9_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok

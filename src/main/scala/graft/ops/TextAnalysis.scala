@@ -269,6 +269,51 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** Per-document TF-IDF keyword extraction — the classic corpus-aware
+    * "what is this document about" signal a curation pipeline uses for
+    * topic balancing and near-duplicate triage: for each document the
+    * top-`k` tokens by tf·idf with idf = log2(N/df).
+    *
+    * Numeric determinism (t9's recipe): idf is quantised ONCE per token
+    * in the document-frequency table to integer micro-bits
+    * (⌊log2(N/df)·10⁶⌋) and multiplied by the integer tf — all ranking
+    * is integer math, so the result is bit-stable under any
+    * partitioning and hash-exact against a SQL oracle. Ties (same
+    * score) break by token ascending; rank is dense over (score desc,
+    * token asc).
+    *
+    * Scale shape: tf aggregate keyed on (doc, token) [shuffle 1], df
+    * aggregate keyed on token with map-side combine [shuffle 2], the
+    * corpus doc count rides a broadcast (one row), tf→idf equi-join on
+    * token [shuffle 3, AQE handles the Zipf head], then the per-doc
+    * top-k window [shuffle 4, doc-keyed]. Four shuffles each on a
+    * natural key, no driver-side state at any corpus size — tokens
+    * appearing in EVERY doc get idf exactly 0 and never outrank a
+    * discriminative token.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(tokens(col("t"))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        floor(log2(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1000000L)).cast("long").as("idf_micro"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("tok"))
+    tf.join(idf, "tok")
+      .select(col("id"), col("tok"), (col("tf") * col("idf_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank").cast("int").as("rank"),
+        col("tok").as("term"), col("score_micro"))
+  }
+
   /** Corpus-conditional unigram surprisal — the classic cheap perplexity
     * proxy for pre-training quality filtering: a document whose tokens
     * are all corpus-frequent scores low (templated/boilerplate); rare

@@ -431,6 +431,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
 
+  test("tfidfKeywords: hand-computed integer scores, ascending-token tie-break") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"),
+    ).toDF("doc_id", "text")
+    // N=3; df: apple=1, banana=2, cherry=2, date=1
+    // idf_micro: log2(3)→1584962, log2(1.5)→584962
+    val out = TextAnalysis.tfidfKeywords(corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 1, "apple", 2L * 1584962L),
+      (1L, 2, "banana", 584962L),
+      (2L, 1, "banana", 584962L),  // tie with cherry → token asc wins
+      (2L, 2, "cherry", 584962L),
+      (3L, 1, "cherry", 3L * 584962L),
+      (3L, 2, "date", 1584962L),
+    ), s"got $out")
+  }
+
   test("PII scrub masks planted emails/SSNs/phones/IPs and counts them") {
     import spark.implicits._
     val planted = Seq(
