@@ -26,7 +26,7 @@ object Bench {
     "q_bucketed_join", "q_partition_prune", "q_zorder", "q_cdc_apply", "q_profile",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
     "d5_embedding_dups", "d6_incremental_dedup", "d7_dup_clusters",
-    "d8_contamination", "d9_winnowing_dups",
+    "d8_contamination", "d9_winnowing_dups", "d10_dedup_canonical",
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq",
     "t1_text_stats", "t2_lang_id", "t3_token_counts", "t4_fingerprint",
     "t5_winnowing", "t6_repetition", "t7_pii_scrub", "t8_top_terms",

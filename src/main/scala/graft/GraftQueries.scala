@@ -992,6 +992,23 @@ object GraftQueries {
     Dedup.winnowingNearDups(tbl(s, dir, "documents"), "doc_id", "text",
       k = 5, window = 4, threshold = 0.5, portableHash = true)
 
+  /** Cluster-collapse dedup — the terminal op the whole near-dup
+    * pipeline exists for: one canonical doc (the cluster-min id)
+    * survives per duplicate cluster, unclustered docs pass through.
+    * Composes d2's verified near-dup pairs and d7's connected
+    * components; the dropped-id set is small relative to the corpus
+    * (it IS the duplicate mass), so the anti join broadcasts under AQE
+    * and the corpus never shuffles.
+    */
+  def d10DedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val clusters = Dedup.clusters(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -1471,6 +1488,7 @@ object GraftQueries {
     "d7_dup_clusters"    -> (d7DupClusters _),
     "d8_contamination"   -> (d8Contamination _),
     "d9_winnowing_dups"  -> (d9WinnowingDups _),
+    "d10_dedup_canonical" -> (d10DedupCanonical _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

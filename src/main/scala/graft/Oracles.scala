@@ -662,6 +662,29 @@ object Oracles {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
 
+    // cluster-collapse dedup: keep the cluster-min doc per component,
+    // pass unclustered docs through (d7's recursive-CTE components
+    // anti-joined back onto the corpus)
+    "d10_dedup_canonical" ->
+      s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT ia AS id_a, ib AS id_b FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id
+         |  JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+         |clusters AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
+
     // incremental dedup: the exact near-dup join restricted to pairs
     // touching the new batch (doc_id ≡ 0 mod 5)
     "d6_incremental_dedup" ->

@@ -104,7 +104,7 @@ object SqlDumpSource {
     }
 
   /** Timestamp parser accepting the writer's optional micros suffix. */
-  private[sources] val tsParser: DateTimeFormatter =
+  private[graft] val tsParser: DateTimeFormatter =
     new java.time.format.DateTimeFormatterBuilder()
       .appendPattern("yyyy-MM-dd HH:mm:ss")
       .optionalStart()
@@ -112,7 +112,7 @@ object SqlDumpSource {
       .optionalEnd()
       .toFormatter
 
-  private[sources] def parseTimestampMicros(tok: String): Long = {
+  private[graft] def parseTimestampMicros(tok: String): Long = {
     val inst = LocalDateTime.parse(tok, tsParser).toInstant(ZoneOffset.UTC)
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
@@ -120,7 +120,7 @@ object SqlDumpSource {
   /** Decode a binary literal: `X'…'` hex (the codec's lossless form) or,
     * for legacy dumps, UTF-8 bytes of the quoted string.
     */
-  private[sources] def decodeBinary(tok: String): Array[Byte] =
+  private[graft] def decodeBinary(tok: String): Array[Byte] =
     if (tok.length >= 3 && (tok.charAt(0) == 'X' || tok.charAt(0) == 'x') &&
         tok.charAt(1) == '\'' && tok.last == '\'') {
       val hex = tok.substring(2, tok.length - 1)
@@ -717,7 +717,7 @@ private[sources] final class SqlDumpPartitionReader(
   }
 }
 
-private[sources] object SqlDumpPartitionReader {
+private[graft] object SqlDumpPartitionReader {
 
   /** Split a tuple line into literal tokens: null for NULL, the decoded
     * text for strings (inverse of `SqlValueCodec.escapeString` — quote

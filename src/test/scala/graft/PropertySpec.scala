@@ -118,4 +118,35 @@ class PropertySpec extends AnyFunSuite {
       assert(rendered.toDouble == d, s"double $d rendered as $rendered")
     }
   }
+
+  test("dump tuple round-trip: escape → tokenize → decode is the identity for strings") {
+    import graft.sources.SqlDumpPartitionReader.tokenize
+    for (ss <- samples(Gen.listOfN(3, strGen), 300)) {
+      val line = "(" + ss.map(SqlValueCodec.escapeString).mkString(", ") + ");"
+      val toks = tokenize(line)
+      assert(toks.toSeq == ss, s"round-trip mismatch for ${ss.map(_.length)}-char inputs")
+    }
+  }
+
+  test("dump binary round-trip: formatBinary → tokenize → decodeBinary is the identity") {
+    val bytesGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Arbitrary.arbitrary[Byte]).map(_.toArray))
+    for (bs <- samples(bytesGen, 300)) {
+      val line = "(" + SqlValueCodec.formatBinary(bs) + ", 'x');"
+      val toks = graft.sources.SqlDumpPartitionReader.tokenize(line)
+      assert(graft.sources.SqlDumpSource.decodeBinary(toks(0)).toSeq == bs.toSeq)
+      assert(toks(1) == "x")
+    }
+  }
+
+  test("dump timestamp round-trip: formatInstant → parseTimestampMicros is exact micros") {
+    val microsGen = Gen.chooseNum(-62135596800000000L, 253402300799999999L) // years 1..9999
+    for (micros <- samples(microsGen, 500)) {
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+      val text = SqlValueCodec.formatInstant(inst)
+      assert(graft.sources.SqlDumpSource.parseTimestampMicros(text) == micros,
+        s"micros $micros rendered '$text'")
+    }
+  }
 }
