@@ -54,6 +54,12 @@ object Bench {
     // re-measures of flagged queries without paying a full catalog run
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail fast, not yield a successful-looking
+    // empty/partial run (same rule as the preferredOrder require above)
+    only.foreach { f =>
+      val bad = f -- headline.toSet
+      require(bad.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in catalog: ${bad.mkString(", ")}")
+    }
     val suite = only.fold(headline)(f => headline.filter(f.contains))
     // SPARK_GRAFT_BENCH_MODE=consecutive samples each query back-to-back
     // (warm-up + 3 timed) instead of suite-interleaved passes: generated

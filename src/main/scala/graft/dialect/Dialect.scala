@@ -23,6 +23,12 @@ sealed trait Dialect {
 
   /** Dialect-specific dump footer. */
   def footer: String
+
+  /** Binary → replayable literal. `X'…'` is a hex BLOB literal in MySQL
+    * and SQLite; PostgreSQL overrides (there `X'…'` is a BIT-string
+    * literal, not bytea).
+    */
+  def binaryLiteral(b: Array[Byte]): String = SqlValueCodec.formatBinary(b)
 }
 
 case object MySqlDialect extends Dialect {
@@ -48,6 +54,11 @@ case object PostgresDialect extends Dialect {
   def quoteIdentifier(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
   override def dropTableStatement(table: String): String =
     s"DROP TABLE IF EXISTS ${quoteIdentifier(table)} CASCADE;"
+  /** bytea hex-format input: '\xDEADBEEF' (the header sets
+    * standard_conforming_strings = on, so the backslash is literal).
+    */
+  override def binaryLiteral(b: Array[Byte]): String =
+    "'\\x" + SqlValueCodec.hex(b) + "'"
   val header: String =
     """SET client_encoding = 'UTF8';
       |SET standard_conforming_strings = on;

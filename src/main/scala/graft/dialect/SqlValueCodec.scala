@@ -35,18 +35,19 @@ object SqlValueCodec {
     * writer (invalid sequences would become U+FFFD). Hex keeps the
     * round-trip lossless for arbitrary bytes; deliberate divergence.
     */
-  def formatBinary(b: Array[Byte]): String = {
-    val sb = new StringBuilder(b.length * 2 + 3)
-    sb.append("X'")
+  /** Lower-case hex of a byte array. */
+  def hex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
     var i = 0
     while (i < b.length) {
       val v = b(i) & 0xff
       sb.append(Character.forDigit(v >> 4, 16)).append(Character.forDigit(v & 0xf, 16))
       i += 1
     }
-    sb.append('\'')
     sb.toString
   }
+
+  def formatBinary(b: Array[Byte]): String = "X'" + hex(b) + "'"
 
   /** Escape + single-quote a string: backslash, quote-doubling, and the
     * control characters NUL, LF, CR, SUB — same set and same order as the

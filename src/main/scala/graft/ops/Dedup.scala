@@ -218,13 +218,19 @@ object Dedup {
     * threshold join), and the distributed fixpoint's per-round cost is
     * fixed overhead (two joins + a checkpoint per round, ~7 rounds) that
     * dwarfs a small graph's actual work. At or below the budget the
-    * symmetrized edge list (16 B/edge; the default 1M edges ≈ 16 MB) is
-    * collected and solved with union-find on the driver — O(E α(E)),
-    * exact same labels (component min). Above it, the O(log d)-round
+    * symmetrized edge list is collected and solved with union-find on
+    * the driver — O(E α(E)), exact same labels (component min). Driver
+    * footprint at the default 1M-edge budget: tuple array + boxed
+    * HashMap ≈ 150-250 MB transient — sized for a real driver heap,
+    * lower the budget for a small one. Above it, the O(log d)-round
     * distributed fixpoint runs unchanged — the 100 TB path. The count
     * that decides is free at fixpoint time: the edge list is persisted
     * either way, and the count materialises the cache the first round
     * would have built anyway. Pass 0 to force the distributed path.
+    * The driver path requires BIGINT ids (it would change both label
+    * semantics — numeric vs lexicographic min — and the output schema
+    * for other types); non-long ids always take the distributed path,
+    * which is type-agnostic.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 25, checkpointDir: Option[String] = None,
@@ -236,10 +242,11 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (driverMaxEdges > 0 && edges.count() <= driverMaxEdges) {
+    val idsAreLong = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (driverMaxEdges > 0 && idsAreLong && edges.count() <= driverMaxEdges) {
       import spark.implicits._
-      val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
+      val e = edges.as[(Long, Long)].collect()
       edges.unpersist()
       // union-find, union-by-min: the larger root always points at the
       // smaller, so every component's root IS its min id — identical

@@ -117,22 +117,46 @@ object SqlDumpSource {
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
-  /** Decode a binary literal: `X'…'` hex (the codec's lossless form) or,
-    * for legacy dumps, UTF-8 bytes of the quoted string.
+  private def isHex(s: String): Boolean = {
+    if (s.length % 2 != 0) return false
+    var i = 0
+    while (i < s.length) {
+      if (Character.digit(s.charAt(i), 16) < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private def fromHex(hex: String): Array[Byte] = {
+    val out = new Array[Byte](hex.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+        Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a binary literal: `X'…'` (mysql/sqlite raw token) or the
+    * bytea hex form `\x…` (postgres, after the tokenizer's unquote) —
+    * validated as well-formed hex, since `Character.digit` would turn a
+    * corrupted literal into silent garbage bytes; anything else (incl.
+    * malformed hex) falls back to the legacy UTF-8-bytes reading.
     */
-  private[graft] def decodeBinary(tok: String): Array[Byte] =
+  private[graft] def decodeBinary(tok: String): Array[Byte] = {
     if (tok.length >= 3 && (tok.charAt(0) == 'X' || tok.charAt(0) == 'x') &&
         tok.charAt(1) == '\'' && tok.last == '\'') {
       val hex = tok.substring(2, tok.length - 1)
-      val out = new Array[Byte](hex.length / 2)
-      var i = 0
-      while (i < out.length) {
-        out(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
-          Character.digit(hex.charAt(2 * i + 1), 16)).toByte
-        i += 1
-      }
-      out
-    } else tok.getBytes(UTF_8)
+      if (isHex(hex)) return fromHex(hex)
+    }
+    if (tok.length >= 2 && tok.charAt(0) == '\\' &&
+        (tok.charAt(1) == 'x' || tok.charAt(1) == 'X')) {
+      val hex = tok.substring(2)
+      if (isHex(hex)) return fromHex(hex)
+    }
+    tok.getBytes(UTF_8)
+  }
 
   /** Strip one layer of identifier quoting (backtick or double-quote,
     * either dialect) and undo the doubling.
@@ -392,7 +416,7 @@ private[sources] final class SqlDumpDataWriter(
             Math.floorMod(micros, 1000000L) * 1000L)))
       case DateType =>
         escapeString(LocalDate.ofEpochDay(row.getInt(i).toLong).toString + " 00:00:00")
-      case BinaryType    => graft.dialect.SqlValueCodec.formatBinary(row.getBinary(i))
+      case BinaryType    => dialect.binaryLiteral(row.getBinary(i))
       case other =>
         throw new IllegalArgumentException(s"sqldump: cannot render $other")
     }

@@ -40,6 +40,14 @@ class CodecSpec extends AnyFunSuite {
     assert(SqlValueCodec.formatBinary(bytes) == "X'0001ff807f275ce282'")
   }
 
+  test("binary literal per dialect: X'…' for mysql/sqlite, bytea hex for postgres") {
+    val bytes = Array[Byte](0x0a, 0x1b, -1)
+    assert(MySqlDialect.binaryLiteral(bytes) == "X'0a1bff'")
+    assert(SqliteDialect.binaryLiteral(bytes) == "X'0a1bff'")
+    // X'…' is a BIT-string literal in PostgreSQL — bytea takes '\x…'
+    assert(PostgresDialect.binaryLiteral(bytes) == "'\\x0a1bff'")
+  }
+
   test("timestamps with sub-second micros keep them; whole seconds stay second-precision") {
     val whole = java.time.Instant.parse("2024-01-15T10:30:00Z")
     assert(SqlValueCodec.formatValue(whole) == "'2024-01-15 10:30:00'")

@@ -99,6 +99,20 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
       assert(got(id) == Option(bytes).map(_.toSeq), s"id=$id")
   }
 
+  test("binary round-trip: postgres-dialect bytea hex form decodes identically") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array[Byte](0, 10, 27, -1, -128)),
+      (2L, "pg".getBytes(UTF_8)))
+    val df = rows.toDF("id", "blob")
+    val dump = writeDump(df, "t_pgbin", dialect = PostgresDialect)
+    val text = new String(Files.readAllBytes(dump.toPath), UTF_8)
+    assert(text.contains("'\\x000a1bff80'"), text.linesIterator.filter(_.startsWith("(")).mkString("\n"))
+    val back = readBack(dump.getPath, "t_pgbin")
+    val got = back.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    for ((id, bytes) <- rows) assert(got(id) == bytes.toSeq, s"id=$id")
+  }
+
   test("timestamp round-trip keeps sub-second micros") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("ts", TimestampNTZType)))

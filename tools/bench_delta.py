@@ -20,13 +20,26 @@ def load(path):
         return {k: v for k, v in doc["queries"].items() if v >= 0}
     # driver wrapper: parse the tail's JSON fragment and/or stderr lines
     tail = doc.get("tail", "")
+    # non-query numeric JSON keys that the fragment regex would otherwise
+    # swallow (e.g. "value": the whole-suite total)
+    NOT_QUERIES = {"value", "sf", "n", "rc", "cpus"}
     out = {}
     for m in re.finditer(r'"([a-z0-9_]+)":(-?[0-9.]+)', tail):
         v = float(m.group(2))
-        if v >= 0:
+        if v >= 0 and m.group(1) not in NOT_QUERIES:
             out[m.group(1)] = v
-    for m in re.finditer(r"\[bench\] (?:pass=\d+ )?([a-z0-9_]+) ([0-9.]+)s", tail):
-        out.setdefault(m.group(1), float(m.group(2)))
+    # stderr fallback (JSON-fragment values win): min across TIMED
+    # passes only — pass=0 is the untimed warm-up; bare lines without
+    # pass= are the old per-query format, which had no warm-up marker
+    stderr_min = {}
+    for m in re.finditer(r"\[bench\] (?:pass=(\d+) )?([a-z0-9_]+) ([0-9.]+)s", tail):
+        if m.group(1) == "0":
+            continue
+        k, v = m.group(2), float(m.group(3))
+        if k not in stderr_min or v < stderr_min[k]:
+            stderr_min[k] = v
+    for k, v in stderr_min.items():
+        out.setdefault(k, v)
     return out
 
 
@@ -41,10 +54,12 @@ def main():
           f"shared: {len(shared)} "
           f"(old {sum(old[k] for k in shared):.1f}s -> "
           f"new {sum(new[k] for k in shared):.1f}s)")
-    rows = sorted(shared, key=lambda k: -(new[k] / old[k]))
+    def ratio(k):
+        return new[k] / old[k] if old[k] > 0 else float("inf")
+    rows = sorted(shared, key=lambda k: -ratio(k))
     flagged = 0
     for k in rows:
-        r = new[k] / old[k]
+        r = ratio(k)
         mark = " <-- REGRESSED" if r > threshold and new[k] - old[k] > 0.25 else ""
         if mark:
             flagged += 1
