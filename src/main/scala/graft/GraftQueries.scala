@@ -1009,6 +1009,21 @@ object GraftQueries {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Bloom-prefiltered incremental exact screen: docs of the new batch
+    * (doc_id ≡ 0 mod 5, d6's marker) genuinely new against the
+    * historical corpus by normalized-text fingerprint, one canonical
+    * per batch fingerprint. The fixture plants no exact dups, so the
+    * correct answer here is "every batch doc survives" — the value
+    * verified is the full bloom → broadcast-semi → anti route ending in
+    * exactly the SQL answer; the dropping behavior (planted dups, bloom
+    * vs fallback route equality, adversarial fpp) is spec-asserted in
+    * `OpsSpec`.
+    */
+  def d11BloomScreen(s: SparkSession, dir: String): DataFrame =
+    Dedup.bloomScreenNew(tbl(s, dir, "documents"), "doc_id", "text",
+      isNew = id => pmod(id, lit(5)) === 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -1369,6 +1384,14 @@ object GraftQueries {
   def t10TfidfKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfKeywords(tbl(s, dir, "documents"), k = 3)
 
+  /** Per-domain document cap (C4-style): at most 10 docs per source,
+    * selected by the portable md5 order — skew-safe two-phase top-k
+    * per key, result identical to the one-phase window.
+    */
+  def t11DomainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.domainCap(tbl(s, dir, "documents"), "doc_id", "source", k = 10)
+      .select(col("doc_id"), col("source"), col("lang"))
+
   /** PII scrub over the documents table (RE2-safe patterns, identical
     * in DuckDB — masking is oracle-checked byte-for-byte).
     */
@@ -1489,6 +1512,7 @@ object GraftQueries {
     "d8_contamination"   -> (d8Contamination _),
     "d9_winnowing_dups"  -> (d9WinnowingDups _),
     "d10_dedup_canonical" -> (d10DedupCanonical _),
+    "d11_bloom_screen"   -> (d11BloomScreen _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),
@@ -1505,6 +1529,7 @@ object GraftQueries {
     "t8_top_terms"       -> (t8TopTerms _),
     "t9_surprisal"       -> (t9Surprisal _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
+    "t11_domain_cap"     -> (t11DomainCap _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),

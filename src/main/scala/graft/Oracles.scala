@@ -685,6 +685,24 @@ object Oracles {
          |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
          |WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""".stripMargin,
 
+    // bloom-prefiltered incremental exact screen: batch docs (doc_id ≡ 0
+    // mod 5) whose normalized fingerprint (the d1 key) has no historical
+    // match, min-id canonical per batch fingerprint — the bloom is
+    // routing only, so the answer is this plain SQL
+    "d11_bloom_screen" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |surv AS (
+        |  SELECT b.* FROM fp b
+        |  WHERE b.doc_id % 5 = 0
+        |    AND NOT EXISTS (SELECT 1 FROM fp h WHERE h.doc_id % 5 != 0 AND h.fp = b.fp))
+        |SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM surv) WHERE rn = 1""".stripMargin,
+
     // incremental dedup: the exact near-dup join restricted to pairs
     // touching the new batch (doc_id ≡ 0 mod 5)
     "d6_incremental_dedup" ->
@@ -903,6 +921,17 @@ object Oracles {
         |       lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) IS NULL
         |         AS is_current
         |FROM f""".stripMargin,
+
+    // per-domain cap: ≤ 10 docs per source, chosen by portable md5
+    // order with id tiebreak — the Spark side's two-phase salted top-k
+    // equals this one-phase window
+    "t11_domain_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
 
     // salted skew join == plain join (salting is invisible to results)
     "q_skew_join" ->

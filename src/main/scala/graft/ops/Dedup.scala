@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Deduplication operators over the `documents` table: exact,
   * MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -673,5 +674,81 @@ object Dedup {
     jaccardFromExploded(
       fps, fps.groupBy("id").agg(count(lit(1)).as("n")),
       "fp", threshold, "fp_jaccard")
+  }
+
+  /** Bloom-prefiltered incremental exact-dedup screen: which docs of a
+    * new batch are genuinely new against a historical corpus, by exact
+    * normalized-text fingerprint (`TextAnalysis.fingerprint` — the d1
+    * key), keeping the min-id doc per fingerprint within the batch.
+    *
+    * The output is EXACT (SQL-expressible: batch docs whose fingerprint
+    * has no historical match, one canonical per batch fingerprint) —
+    * the bloom filter only routes, it never decides. Scale shape, for a
+    * small batch against a 100 TB history:
+    *  1. one pass over history builds a bloom of fingerprint hashes
+    *     (driver-side sketch, ~1.2 GB per 10^9 docs at fpp=0.01 —
+    *     mergeable, cacheable, appendable across ingests);
+    *  2. the batch probes the bloom; rows that miss are definitely new
+    *     and never join anything. Survived candidate fingerprints =
+    *     true dups + fpp × batch — small;
+    *  3. candidates broadcast into a left-semi STREAM over history
+    *     (history is scanned, never shuffled), yielding the hit set;
+    *  4. hits broadcast back as a left-anti over the batch.
+    * So history is scanned twice and shuffled zero times, and the only
+    * shuffles are candidate-sized distincts plus the batch-sized
+    * min-id window. If the candidate set exceeds
+    * `broadcastMaxCandidates` (bloom mis-sized, or a batch that's
+    * mostly dups), falls back to the plain shuffle anti-join — same
+    * output, spec-asserted.
+    *
+    * `expectedHistItems` sizes the bloom; -1 counts history (cheap
+    * metadata-only count on parquet sources). `fpp` trades bloom bits
+    * against false-candidate broadcast volume.
+    */
+  def bloomScreenNew(df: DataFrame, idCol: String, textCol: String,
+                     isNew: Column => Column,
+                     fpp: Double = 0.01,
+                     expectedHistItems: Long = -1L,
+                     broadcastMaxCandidates: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val outCols = df.columns.map(col).toIndexedSeq
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val hist = df.filter(!isNew(col(idCol)))
+    val histFp = hist.select(fp.as("fp"))
+    val batch = df.filter(isNew(col(idCol))).withColumn("fp", fp)
+
+    val nHist = if (expectedHistItems >= 0) expectedHistItems
+                else hist.select(col(idCol)).count()
+    // treeAggregate with an explicit zero instead of `stat.bloomFilter`:
+    // the built-in aggregate NPEs on an empty relation (null sketch
+    // buffer), and an empty history is a legitimate first-ingest case
+    val bloom = histFp.select(xxhash64(col("fp")).as("fph")).rdd
+      .treeAggregate(BloomFilter.create(math.max(nHist, 1L), fpp))(
+        (bf, row) => { bf.putLong(row.getLong(0)); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+
+    val candFps = OpCaches.persist(
+      batch.filter(mightContain(xxhash64(col("fp")))).select("fp").distinct())
+    val survivors =
+      if (candFps.count() <= broadcastMaxCandidates) {
+        // hit set = historical fingerprints matching a candidate: history
+        // streams against the broadcast candidates, then the (≤ candidate
+        // sized) hit set broadcasts back over the whole batch — rows the
+        // bloom already cleared anti-join against a set that cannot
+        // contain them, so one uniform anti covers both routes
+        val hits = histFp.join(broadcast(candFps), Seq("fp"), "left_semi").distinct()
+        batch.join(broadcast(hits), Seq("fp"), "left_anti")
+      } else {
+        batch.join(histFp, Seq("fp"), "left_anti")
+      }
+    // within-batch canonical: min id per fingerprint — the d1 recipe on
+    // the batch only (batch-sized shuffle, the op's one unavoidable cost)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col(idCol))
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(outCols: _*)
   }
 }

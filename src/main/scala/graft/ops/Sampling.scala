@@ -93,4 +93,37 @@ object Sampling {
       .limit(k)
       .drop("__wkey")
   }
+
+  /** Per-domain document cap (the C4/web-crawl recipe: no single host
+    * dominates the training mix): keep at most `k` rows per domain,
+    * chosen by the portable md5 order of the id (a deterministic
+    * uniform draw — NOT "first k seen", which would depend on scan
+    * order) with the id itself as tiebreak. The selected set is
+    * identical across runs, partitionings, and engines.
+    *
+    * Scale shape — per-key top-k is where a naive window dies on web
+    * data: `row_number() OVER (PARTITION BY domain)` puts an entire hot
+    * domain (a crawl can be 10% one host) into ONE task. Instead,
+    * two-phase with a salt: phase 1 ranks within (domain, salt-bucket)
+    * — ≤ saltBuckets tasks share a hot domain — and keeps ≤ k per
+    * bucket; phase 2 ranks the ≤ k·saltBuckets survivors per domain.
+    * Any row in a domain's global top-k is in its salt bucket's top-k
+    * (a subset has no extra smaller keys), so the two-phase result is
+    * exactly the one-phase result — asserted in `OpsSpec`, and the
+    * final partition is bounded by k·saltBuckets rows regardless of
+    * domain skew. The salt derives from the id (portable bucket), not
+    * an RNG, so phase 1 is itself deterministic.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String, k: Int,
+                saltBuckets: Int = 32): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "domainCap: k and saltBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val orderKey = md5(col(idCol).cast("string"))
+    val local = Window.partitionBy(col(domainCol), bucket(col(idCol), saltBuckets))
+      .orderBy(orderKey, col(idCol))
+    val global = Window.partitionBy(col(domainCol)).orderBy(orderKey, col(idCol))
+    df.withColumn("__rn", row_number().over(local)).filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

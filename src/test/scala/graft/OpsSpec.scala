@@ -724,4 +724,70 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
         org.apache.spark.util.sketch.BloomFilter.create(64))
     }
   }
+
+  test("bloomScreenNew: drops historical dups (incl. normalization), keeps min-id per batch fp") {
+    import spark.implicits._
+    // ids ≡ 0 mod 5 are the new batch; hist has "alpha beta gamma"
+    // (also present in batch under whitespace/case variation), batch
+    // has an internal dup pair (10, 20) and two genuinely new docs
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),            // hist
+      (2L, "delta epsilon"),               // hist
+      (5L, "  Alpha   BETA gamma "),       // batch: normalized dup of 1 → dropped
+      (10L, "zeta eta theta"),             // batch: new, canonical of {10,20}
+      (20L, "zeta eta theta"),             // batch: internal dup of 10 → dropped
+      (15L, "iota kappa")                  // batch: new
+    ).toDF("doc_id", "text")
+    val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
+    val out = Dedup.bloomScreenNew(corpus, "doc_id", "text", isNew)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L, 15L))
+    // bloom route (broadcast) == forced fallback route (shuffle anti)
+    val fallback = Dedup.bloomScreenNew(corpus, "doc_id", "text", isNew,
+      broadcastMaxCandidates = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fallback == out)
+    // adversarial fpp: a bloom that false-positives half the batch only
+    // grows the candidate set — the output is still exact
+    val noisy = Dedup.bloomScreenNew(corpus, "doc_id", "text", isNew, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noisy == out)
+    // empty history: everything new survives (modulo within-batch dedup)
+    val batchOnly = corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val noHist = Dedup.bloomScreenNew(batchOnly, "doc_id", "text", isNew)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noHist == Set(5L, 10L, 15L))
+  }
+
+  test("bloomScreenNew on the fixture equals the plain anti-join definition") {
+    val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
+    val out = Dedup.bloomScreenNew(docs, "doc_id", "text", isNew)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).select(fp.as("fp"))
+    val naive = docs.filter(pmod(col("doc_id"), lit(5)) === 0).withColumn("fp", fp)
+      .join(hist, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == naive && out.nonEmpty)
+  }
+
+  test("domainCap: two-phase salted top-k equals the one-phase window, any salt count") {
+    import org.apache.spark.sql.expressions.Window
+    val onePhase = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    for (salts <- Seq(1, 2, 7, 32)) {
+      val capped = Sampling.domainCap(docs, "doc_id", "source", k = 3, saltBuckets = salts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(capped == onePhase, s"saltBuckets=$salts")
+    }
+    assert(onePhase.nonEmpty)
+    // the cap binds: no domain exceeds k, and domains with ≥ k docs hit it
+    val counts = Sampling.domainCap(docs, "doc_id", "source", k = 3)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
+  }
 }

@@ -235,6 +235,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the benchmark side is small by nature; the corpus must not sort-merge-shuffle")
   }
 
+  test("d11 bloom screen: both dedup joins broadcast — history never sort-merge-shuffles") {
+    val plan = planOf("d11_bloom_screen")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"semi + anti must both broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 100 TB history side must stream against broadcast candidates, never shuffle")
+  }
+
+  test("t11 domain cap: two-phase — the final per-domain window reads the salted pre-cut") {
+    val plan = planOf("t11_domain_cap")
+    // two window stages = two hash exchanges (salted then global); the
+    // point is the global stage exists AND is not the only one (a
+    // one-phase plan would put a hot domain into a single task)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected salted + global exchanges, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("q_global_sort: total order via a range-partitioning Exchange, no single-node sort") {
     val plan = planOf("q_global_sort")
     assert(plan.contains("rangepartitioning"), plan.take(2000))
