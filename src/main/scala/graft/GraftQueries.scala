@@ -1024,6 +1024,26 @@ object GraftQueries {
       isNew = id => pmod(id, lit(5)) === 0)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** SemDeDup-style embedding-space dedup (Abbas et al. 2023's
+    * semantic-dedup recipe, computed EXACTLY): connected components of
+    * the cosine≥τ graph over embeddings, keep the min-id vector per
+    * component, pass unclustered vectors through. Composition of the
+    * d5 pair chooser (broadcast kernel small / blocked-IVF cell join
+    * large — never all-pairs at scale) and the d7 component machinery
+    * (driver union-find under the edge budget, O(log d)-round label
+    * propagation above it); the corpus itself never shuffles — dropped
+    * ids come back as a broadcast anti join, the d10 shape.
+    */
+  def d12SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val clusters = Dedup.clusters(
+      Similarity.cosineNearDupPairsAuto(emb, threshold = 0.45))
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -1384,6 +1404,14 @@ object GraftQueries {
   def t10TfidfKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfKeywords(tbl(s, dir, "documents"), k = 3)
 
+  /** Gopher-style hard quality gates with a per-rule audit trail
+    * (which rule rejected what), scan-speed narrow map.
+    */
+  def t12QualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQualityFilter(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("r_len"), col("r_mean_len"), col("r_stopwords"),
+        col("r_symbol"), col("r_digit"), col("r_alpha"), col("keep"))
+
   /** Per-domain document cap (C4-style): at most 10 docs per source,
     * selected by the portable md5 order — skew-safe two-phase top-k
     * per key, result identical to the one-phase window.
@@ -1513,6 +1541,7 @@ object GraftQueries {
     "d9_winnowing_dups"  -> (d9WinnowingDups _),
     "d10_dedup_canonical" -> (d10DedupCanonical _),
     "d11_bloom_screen"   -> (d11BloomScreen _),
+    "d12_semdedup"       -> (d12SemDedup _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),
@@ -1530,6 +1559,7 @@ object GraftQueries {
     "t9_surprisal"       -> (t9Surprisal _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
+    "t12_quality_filter" -> (t12QualityFilter _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),

@@ -703,6 +703,29 @@ object Oracles {
         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |  FROM surv) WHERE rn = 1""".stripMargin,
 
+    // SemDeDup-style embedding dedup: connected components of the
+    // cosine≥0.45 graph (d5's exact pair definition), keep the min-id
+    // vector per component, unclustered vectors pass through — the d7
+    // recursive-CTE component machinery over the d5 edge set
+    "d12_semdedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+        |clusters AS (
+        |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id
+        |WHERE c.vec_id IS NULL OR c.cluster_id = e.vec_id""".stripMargin,
+
     // incremental dedup: the exact near-dup join restricted to pairs
     // touching the new batch (doc_id ≡ 0 mod 5)
     "d6_incremental_dedup" ->
@@ -921,6 +944,37 @@ object Oracles {
         |       lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) IS NULL
         |         AS is_current
         |FROM f""".stripMargin,
+
+    // Gopher hard gates: per-rule booleans + conjunction — identical
+    // tokenisation and single-division ratio shapes as t1, so boundary
+    // comparisons are bit-reproducible
+    "t12_quality_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, len(toks) AS nt,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS na
+        |  FROM f)
+        |SELECT doc_id,
+        |  nt BETWEEN 5 AND 1000 AS r_len,
+        |  (CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1))
+        |    BETWEEN 2.0 AND 12.0 AS r_mean_len,
+        |  len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) >= 2
+        |    AS r_stopwords,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / greatest(length(text), 1) < 0.2 AS r_symbol,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |    / greatest(length(text), 1) < 0.3 AS r_digit,
+        |  CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7 AS r_alpha,
+        |  (nt BETWEEN 5 AND 1000)
+        |    AND ((CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1)) BETWEEN 2.0 AND 12.0)
+        |    AND (len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) >= 2)
+        |    AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2)
+        |    AND (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3)
+        |    AND (CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7) AS keep
+        |FROM g""".stripMargin,
 
     // per-domain cap: ≤ 10 docs per source, chosen by portable md5
     // order with id tiebreak — the Spark side's two-phase salted top-k

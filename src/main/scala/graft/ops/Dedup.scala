@@ -701,9 +701,11 @@ object Dedup {
     * mostly dups), falls back to the plain shuffle anti-join — same
     * output, spec-asserted.
     *
-    * `expectedHistItems` sizes the bloom; -1 counts history (cheap
-    * metadata-only count on parquet sources). `fpp` trades bloom bits
-    * against false-candidate broadcast volume.
+    * `expectedHistItems` sizes the bloom; -1 sizes it by the UNFILTERED
+    * table count — an upper bound on the history rows, and metadata-only
+    * on a parquet source where a `hist.count()` would be a real filtered
+    * scan (over-sizing a bloom only lowers its fpp). `fpp` trades bloom
+    * bits against false-candidate broadcast volume.
     */
   def bloomScreenNew(df: DataFrame, idCol: String, textCol: String,
                      isNew: Column => Column,
@@ -713,12 +715,12 @@ object Dedup {
     val spark = df.sparkSession
     val outCols = df.columns.map(col).toIndexedSeq
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val hist = df.filter(!isNew(col(idCol)))
+    val src = Partitioning.ensureParallelism(df)
+    val hist = src.filter(!isNew(col(idCol)))
     val histFp = hist.select(fp.as("fp"))
-    val batch = df.filter(isNew(col(idCol))).withColumn("fp", fp)
+    val batch = src.filter(isNew(col(idCol))).withColumn("fp", fp)
 
-    val nHist = if (expectedHistItems >= 0) expectedHistItems
-                else hist.select(col(idCol)).count()
+    val nHist = if (expectedHistItems >= 0) expectedHistItems else df.count()
     // treeAggregate with an explicit zero instead of `stat.bloomFilter`:
     // the built-in aggregate NPEs on an empty relation (null sketch
     // buffer), and an empty history is a legitimate first-ingest case

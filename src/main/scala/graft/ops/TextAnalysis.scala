@@ -99,6 +99,35 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Gopher-style HARD quality filter (Rae et al. 2021's rule family,
+    * as used by the Dolma/RedPajama curation pipelines): per-document
+    * pass/fail per rule plus the conjunction verdict, so a pipeline can
+    * both filter (`keep`) and audit which rule rejected what. Distinct
+    * from `withQualityFeatures`' soft score: these are the hard gates.
+    *
+    * Pure narrow map over codegen'd functions — no shuffle, no UDF; at
+    * 100 TB this runs at scan speed. Every ratio is a single `a/b`
+    * double division with the same operand shapes as the SQL twin, so
+    * booleans at the threshold boundary are bit-reproducible.
+    */
+  def gopherQualityFilter(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val meanLen = (length(t) - nTok + lit(1)).cast("double") / greatest(nTok, lit(1))
+    val punctR = punctCount(t).cast("double") / greatest(length(t), lit(1))
+    val digitR = digitCount(t).cast("double") / greatest(length(t), lit(1))
+    val alphaTok = size(filter(tokens(t), x => regexp_like(x, lit("[A-Za-z]"))))
+    df.withColumn("r_len", nTok.between(5, 1000))
+      .withColumn("r_mean_len", meanLen.between(2.0, 12.0))
+      .withColumn("r_stopwords", langScore(t, "en") >= 2)
+      .withColumn("r_symbol", punctR < 0.2)
+      .withColumn("r_digit", digitR < 0.3)
+      .withColumn("r_alpha", alphaTok.cast("double") / greatest(nTok, lit(1)) >= 0.7)
+      .withColumn("keep",
+        col("r_len") && col("r_mean_len") && col("r_stopwords")
+          && col("r_symbol") && col("r_digit") && col("r_alpha"))
+  }
+
   /** Positional (ordered, with repeats) k-token shingles — winnowing
     * needs sequence order, unlike `Dedup.shingles`' distinct sets. Same
     * tight JVM kernel rationale (Dedup.scala:54-62): a

@@ -772,6 +772,52 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == naive && out.nonEmpty)
   }
 
+  test("gopherQualityFilter: each rule rejects its construction; conjunction gates keep") {
+    import spark.implicits._
+    val fixture = Seq(
+      // passes every gate: long enough, normal word shape, stopwords, clean
+      (1L, "the cat sat on the mat and it is a fine day for all of us to be here now"),
+      (2L, "hi there"),                                   // r_len: 2 tokens < 5
+      (3L, "the of 1 2 3 4 5 6 7 8 9 0 11 22 33"),        // r_digit + r_alpha
+      (4L, "the !!! ??? *** ### @@@ &&& %%% of it is"),    // r_symbol
+      (5L, "cat dog fish bird mouse horse goat sheep")     // r_stopwords: zero markers
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFilter(fixture)
+      .select("doc_id", "r_len", "r_stopwords", "r_symbol", "r_digit", "r_alpha", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._6)                     // len gate fails → keep false
+    assert(!out(3L)._4 && !out(3L)._5 && !out(3L)._6)      // digit + alpha gates fail
+    assert(!out(4L)._3 && !out(4L)._6)                     // symbol gate fails
+    assert(!out(5L)._2 && !out(5L)._6)                     // stopword gate fails
+    // on the fixture corpus the gates are live in both directions
+    val corpus = TextAnalysis.gopherQualityFilter(docs).select("keep")
+      .collect().map(_.getBoolean(0))
+    assert(corpus.exists(identity) && corpus.exists(!_))
+  }
+
+  test("d12 semdedup: component-min canonicals equal driver union-find over the exact pairs") {
+    val pairs = Similarity.cosineNearDupPairsAuto(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = allIds.filter(id => find(id) == id)
+    val kept = GraftQueries.d12SemDedup(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected && pairs.nonEmpty,
+      s"semdedup kept ${kept.size} of ${allIds.size}, expected ${expected.size}")
+  }
+
   test("domainCap: two-phase salted top-k equals the one-phase window, any salt count") {
     import org.apache.spark.sql.expressions.Window
     val onePhase = docs.withColumn("rn", row_number().over(

@@ -243,6 +243,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the 100 TB history side must stream against broadcast candidates, never shuffle")
   }
 
+  test("d12 semdedup: no cartesian pair generation; dropped ids broadcast back over the corpus") {
+    val plan = planOf("d12_semdedup")
+    assert(!plan.contains("CartesianProduct"),
+      "pair generation must stay chooser-bounded (broadcast kernel or IVF cells), never all-pairs")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the corpus must not shuffle to drop ids:\n${plan.take(2000)}")
+  }
+
+  test("t12 quality filter: scan-speed narrow map — zero exchanges") {
+    val plan = planOf("t12_quality_filter")
+    assert(!plan.contains("Exchange"),
+      s"hard quality gates must not shuffle:\n${plan.take(2000)}")
+  }
+
   test("t11 domain cap: two-phase — the final per-domain window reads the salted pre-cut") {
     val plan = planOf("t11_domain_cap")
     // two window stages = two hash exchanges (salted then global); the
