@@ -1404,6 +1404,15 @@ object GraftQueries {
   def t10TfidfKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfKeywords(tbl(s, dir, "documents"), k = 3)
 
+  /** Water-filling rebalance of the corpus to a target language mix
+    * (en-heavy): the largest deterministic subsample hitting the
+    * proportions, binding group kept whole up to floor rounding.
+    */
+  def t13MixRebalance(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixRebalance(tbl(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15))
+      .select(col("doc_id"), col("lang"))
+
   /** Gopher-style hard quality gates with a per-rule audit trail
     * (which rule rejected what), scan-speed narrow map.
     */
@@ -1560,6 +1569,7 @@ object GraftQueries {
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),
+    "t13_mix_rebalance"  -> (t13MixRebalance _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),

@@ -976,6 +976,25 @@ object Oracles {
         |    AND (CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7) AS keep
         |FROM g""".stripMargin,
 
+    // water-filling mix rebalance: scale = min over target groups of
+    // n_g / w_g (all five langs present in the fixture, so the inner
+    // join sees every target), per-group limit = floor(scale · w_g),
+    // rows chosen by the portable md5 order — double shapes match the
+    // Spark side exactly
+    "t13_mix_rebalance" ->
+      """WITH t(lang, w) AS (VALUES ('en', 0.4), ('de', 0.15), ('fr', 0.15),
+        |                           ('es', 0.15), ('zh', 0.15)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT min(CAST(n AS DOUBLE) / w) AS scale FROM c JOIN t USING (lang)),
+        |lim AS (SELECT t.lang, CAST(floor(s.scale * t.w) AS BIGINT) AS lim
+        |        FROM t CROSS JOIN s),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |      FROM documents d)
+        |SELECT r.doc_id, r.lang FROM r JOIN lim ON r.lang = lim.lang
+        |WHERE r.rn <= lim.lim""".stripMargin,
+
     // per-domain cap: ≤ 10 docs per source, chosen by portable md5
     // order with id tiebreak — the Spark side's two-phase salted top-k
     // equals this one-phase window

@@ -126,4 +126,50 @@ object Sampling {
       .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Water-filling rebalance to a target training mix: the LARGEST
+    * subsample whose group proportions exactly hit `targets` (up to
+    * floor rounding), selected deterministically. The binding group is
+    * kept whole(-ish); every other group is downsampled by the portable
+    * md5 order to `floor(scale · target_g)` rows, where
+    * `scale = min_g(count_g / target_g)` — the classic water-fill. A
+    * target group absent from the data drives scale to 0 (an empty mix
+    * is the honest answer to "40% of a language we have none of").
+    *
+    * Scale shape: the only driver-side data is one (group, count) pair
+    * per TARGET group — the mix spec's own cardinality (a handful of
+    * languages / sources), never the data's; the count aggregation is
+    * map-side-combined and filtered to target groups before collecting.
+    * Row selection reuses the salted two-phase top-k of [[domainCap]]
+    * (per-group limit instead of a constant k), so a hot group spreads
+    * across `saltBuckets` tasks and the final per-group partition is
+    * bounded. Groups without a target are dropped (inner join with the
+    * broadcast limit table), which is the contract: the mix defines the
+    * output.
+    */
+  def mixRebalance(df: DataFrame, idCol: String, groupCol: String,
+                   targets: Map[String, Double],
+                   saltBuckets: Int = 32): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "mixRebalance: targets must be non-empty with positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val groups = targets.keys.toSeq
+    val counts = df.filter(col(groupCol).isin(groups: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same double shapes as the SQL twin: n/w per group, min, scale·w
+    val scale = targets.map { case (g, w) => counts.getOrElse(g, 0L).toDouble / w }.min
+    val limits = targets.toSeq.map { case (g, w) => (g, math.floor(scale * w).toLong) }
+    val limDf = broadcast(limits.toDF(groupCol, "__lim"))
+    val orderKey = md5(col(idCol).cast("string"))
+    val local = Window.partitionBy(col(groupCol), bucket(col(idCol), saltBuckets))
+      .orderBy(orderKey, col(idCol))
+    val global = Window.partitionBy(col(groupCol)).orderBy(orderKey, col(idCol))
+    df.join(limDf, Seq(groupCol))
+      .withColumn("__rn", row_number().over(local)).filter(col("__rn") <= col("__lim"))
+      .withColumn("__rn", row_number().over(global)).filter(col("__rn") <= col("__lim"))
+      .drop("__rn", "__lim")
+  }
 }

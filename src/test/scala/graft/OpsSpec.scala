@@ -818,6 +818,35 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       s"semdedup kept ${kept.size} of ${allIds.size}, expected ${expected.size}")
   }
 
+  test("mixRebalance: water-fill hits the target mix; binding group kept whole") {
+    import spark.implicits._
+    // 10 a, 6 b, 2 c; targets 50/25/25 → scale = min(20, 24, 8) = 8
+    // → limits a=4, b=2, c=2 (c is binding and kept whole)
+    val rows = ((1L to 10L).map(i => (i, "a")) ++ (11L to 16L).map(i => (i, "b"))
+      ++ Seq((17L, "c"), (18L, "c"))).toDF("id", "g")
+    val out = Sampling.mixRebalance(rows, "id", "g",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 4L, "b" -> 2L, "c" -> 2L))
+    // deterministic: the selected ids are the md5-least per group
+    import org.apache.spark.sql.expressions.Window
+    val expected = rows.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("rn") <= when(col("g") === "a", 4).otherwise(2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == expected)
+    // a target group with zero rows waters the whole mix down to empty
+    val noC = rows.filter(col("g") =!= "c")
+    assert(Sampling.mixRebalance(noC, "id", "g",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).count() == 0L)
+    // untargeted groups are dropped, not sampled
+    val extra = rows.union(Seq((99L, "junk")).toDF("id", "g"))
+    val outE = Sampling.mixRebalance(extra, "id", "g",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(!outE.select("g").collect().map(_.getString(0)).contains("junk"))
+  }
+
   test("domainCap: two-phase salted top-k equals the one-phase window, any salt count") {
     import org.apache.spark.sql.expressions.Window
     val onePhase = docs.withColumn("rn", row_number().over(
