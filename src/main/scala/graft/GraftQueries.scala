@@ -1163,6 +1163,21 @@ object GraftQueries {
   def st5Scd2(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.scd2Batch(tbl(s, dir, "events"))
 
+  /** Stream-static ingest screen, batch form (streaming form asserted
+    * equal in StreamingSpec): arriving docs (doc_id ≡ 0 mod 5, the d6/
+    * d11 batch marker) whose fingerprint has no match in the static
+    * history fingerprint table. Stateless in streaming — no watermark,
+    * no state store; the static side is the maintained artifact.
+    */
+  def st6ScreenStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val histFps = graft.streaming.DocsStream.historyFingerprints(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    graft.streaming.DocsStream.screenNewBatch(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), histFps)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -1512,6 +1527,7 @@ object GraftQueries {
     "st3_latest_state"   -> (st3LatestState _),
     "st4_dedup_keys"     -> (st4DedupKeys _),
     "st5_scd2_stream"    -> (st5Scd2 _),
+    "st6_screen_stream"  -> (st6ScreenStream _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),

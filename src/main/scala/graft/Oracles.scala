@@ -772,6 +772,18 @@ object Oracles {
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
     // closed SCD2 intervals of each user's event_type run-length sequence
+    // stream-static ingest screen, batch twin: batch docs whose
+    // fingerprint has no historical match — d11's survivor set without
+    // the within-batch canonical (streaming emits every new arrival)
+    "st6_screen_stream" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang, b.source FROM fp b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp h WHERE h.doc_id % 5 != 0 AND h.fp = b.fp)""".stripMargin,
+
     "st5_scd2_stream" ->
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -759,6 +759,35 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(noHist == Set(5L, 10L, 15L))
   }
 
+  test("bloomScreenNew == naive anti-join on randomized corpora (planted dups, random fpp)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(60)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+      // short random texts from a small vocab → natural cross-batch and
+      // within-batch collisions, plus whitespace/case noise
+      val rows = (1L to n.toLong).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+        val noise = if (rnd.nextBoolean()) words.mkString("  ").toUpperCase
+                    else " " + words.mkString(" ")
+        (i, noise)
+      }
+      val df = rows.toDF("doc_id", "text")
+      val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(3)) === 0
+      val fpp = Seq(0.5, 0.05, 0.01)(trial % 3)
+      val out = Dedup.bloomScreenNew(df, "doc_id", "text", isNew, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val naive = df.filter(pmod(col("doc_id"), lit(3)) === 0).withColumn("fp", fp)
+        .join(df.filter(pmod(col("doc_id"), lit(3)) =!= 0).select(fp.as("fp")),
+          Seq("fp"), "left_anti")
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == naive, s"trial=$trial n=$n fpp=$fpp")
+    }
+  }
+
   test("bloomScreenNew on the fixture equals the plain anti-join definition") {
     val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(5)) === 0
     val out = Dedup.bloomScreenNew(docs, "doc_id", "text", isNew)
@@ -845,6 +874,35 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val outE = Sampling.mixRebalance(extra, "id", "g",
       Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
     assert(!outE.select("g").collect().map(_.getString(0)).contains("junk"))
+  }
+
+  test("mixRebalance: randomized groups — proportions hit floor(scale*w), two-phase == one-phase") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val groups = ('a' to ('a' + 2 + rnd.nextInt(3)).toChar).map(_.toString)
+      val sizes = groups.map(g => g -> (1 + rnd.nextInt(40))).toMap
+      val weights = groups.map(g => g -> (0.1 + rnd.nextDouble())).toMap
+      var id = 0L
+      val rows = groups.flatMap(g => (1 to sizes(g)).map { _ => id += 1; (id, g) })
+      val df = rows.toDF("id", "g")
+      val out = Sampling.mixRebalance(df, "id", "g", weights,
+        saltBuckets = 1 + rnd.nextInt(8))
+      // exact per-group sizes from the water-fill formula (same doubles)
+      val scale = groups.map(g => sizes(g).toDouble / weights(g)).min
+      val expectSizes = groups.map(g => g -> math.floor(scale * weights(g)).toLong).toMap
+      val gotSizes = out.groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(groups.forall(g => gotSizes.getOrElse(g, 0L) == expectSizes(g)),
+        s"trial=$trial got=$gotSizes expected=$expectSizes")
+      // selected ids = md5-least per group (one-phase definition)
+      val expected = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))))
+        .collect().filter(r => r.getInt(2) <= expectSizes(r.getString(1)))
+        .map(_.getLong(0)).toSet
+      assert(out.select("id").collect().map(_.getLong(0)).toSet == expected, s"trial=$trial")
+    }
   }
 
   test("domainCap: two-phase salted top-k equals the one-phase window, any salt count") {

@@ -106,6 +106,24 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static anti-join screen matches batch equivalent, stateless") {
+    import graft.streaming.DocsStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docsSchema = docs.schema
+    val histFps = DocsStream.historyFingerprints(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/documents.parquet", docsSchema,
+      df => DocsStream.screenNewStream(
+        df.filter(pmod(col("doc_id"), lit(5)) === 0), histFps),
+      queryName = "screen_stream_test")
+    val batch = GraftQueries.st6ScreenStream(spark, sfDir)
+    val streamedSel = streamed.select("doc_id", "lang", "source")
+    assert(batch.count() > 0)
+    assert(streamedSel.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamedSel).count() == 0)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch equivalent") {
     val streamed = EventsStream.runOnceOnParquet(
       spark, s"$sfDir/events.parquet", rawSchema,
