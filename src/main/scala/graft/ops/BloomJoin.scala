@@ -47,7 +47,29 @@ object BloomJoin {
     val n = if (expectedKeys > 0) expectedKeys
     else math.max(64L,
       build.agg(approx_count_distinct(col(keyCol))).head().getLong(0))
-    build.stat.bloomFilter(keyCol, n, fpp)
+    buildFilter(build, keyCol, n, fpp)
+  }
+
+  /** THE bloom constructor (d11 and `keyFilter` both route here): one
+    * `treeAggregate` pass with an explicit zero sketch, because the
+    * built-in `stat.bloomFilter` aggregate returns a null buffer on an
+    * empty relation (NPE) — and an empty build side (first ingest, a
+    * filter that matched nothing) is a legitimate input whose correct
+    * answer is a filter that contains nothing. NULL keys are skipped,
+    * matching `stat.bloomFilter`.
+    */
+  def buildFilter(build: DataFrame, keyCol: String,
+                  expectedKeys: Long, fpp: Double): BloomFilter = {
+    val zero = BloomFilter.create(math.max(expectedKeys, 64L), fpp)
+    val keys = build.select(col(keyCol))
+    val seqOp: (BloomFilter, org.apache.spark.sql.Row) => BloomFilter =
+      keys.schema.head.dataType match {
+        case LongType   => (bf, r) => { if (!r.isNullAt(0)) bf.putLong(r.getLong(0)); bf }
+        case StringType => (bf, r) => { if (!r.isNullAt(0)) bf.putString(r.getString(0)); bf }
+        case other => throw new IllegalArgumentException(
+          s"bloom key must be long or string, got ${other.simpleString}")
+      }
+    keys.rdd.treeAggregate(zero)(seqOp, (a, b) => { a.mergeInPlace(b); a })
   }
 
   /** Inner equi-join with the probe side pre-filtered by a Bloom sketch

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 /** Deduplication operators over the `documents` table: exact,
   * MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -712,7 +711,6 @@ object Dedup {
                      fpp: Double = 0.01,
                      expectedHistItems: Long = -1L,
                      broadcastMaxCandidates: Long = 1000000L): DataFrame = {
-    val spark = df.sparkSession
     val outCols = df.columns.map(col).toIndexedSeq
     val fp = TextAnalysis.fingerprint(col(textCol))
     val src = Partitioning.ensureParallelism(df)
@@ -721,18 +719,16 @@ object Dedup {
     val batch = src.filter(isNew(col(idCol))).withColumn("fp", fp)
 
     val nHist = if (expectedHistItems >= 0) expectedHistItems else df.count()
-    // treeAggregate with an explicit zero instead of `stat.bloomFilter`:
-    // the built-in aggregate NPEs on an empty relation (null sketch
-    // buffer), and an empty history is a legitimate first-ingest case
-    val bloom = histFp.select(xxhash64(col("fp")).as("fph")).rdd
-      .treeAggregate(BloomFilter.create(math.max(nHist, 1L), fpp))(
-        (bf, row) => { bf.putLong(row.getLong(0)); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    // empty-safe construction (BloomJoin.buildFilter): an empty history
+    // is a legitimate first-ingest case where the right answer is a
+    // sketch that contains nothing
+    val bloom = BloomJoin.buildFilter(
+      histFp.select(xxhash64(col("fp")).as("fph")), "fph", nHist, fpp)
 
+    val probed = batch.withColumn("__fph", xxhash64(col("fp")))
     val candFps = OpCaches.persist(
-      batch.filter(mightContain(xxhash64(col("fp")))).select("fp").distinct())
+      probed.filter(BloomJoin.mightContain(probed, "__fph", bloom))
+        .select("fp").distinct())
     val survivors =
       if (candFps.count() <= broadcastMaxCandidates) {
         // hit set = historical fingerprints matching a candidate: history

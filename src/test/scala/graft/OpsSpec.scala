@@ -725,6 +725,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("BloomJoin: empty build side yields an empty join, not an NPE") {
+    import spark.implicits._
+    val probe = Seq(1L, 2L).toDF("k")
+    val build = Seq((9L, "z")).toDF("bk", "bv").filter(col("bk") < 0)
+    assert(graft.ops.BloomJoin.bloomFilteredJoin(probe, build, "k", "bk").count() == 0)
+    // null keys are skipped during construction (parity with stat.bloomFilter)
+    val withNulls = Seq(Some(1L), None).map(k => (k, "v")).toDF("bk", "bv")
+    val bf = graft.ops.BloomJoin.buildFilter(withNulls, "bk", 64L, 0.01)
+    assert(bf.mightContainLong(1L))
+  }
+
   test("bloomScreenNew: drops historical dups (incl. normalization), keeps min-id per batch fp") {
     import spark.implicits._
     // ids ≡ 0 mod 5 are the new batch; hist has "alpha beta gamma"
