@@ -1044,6 +1044,24 @@ object GraftQueries {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Exact duplicated-span detection (Lee et al. ExactSubstr, shingle-
+    * join formulation): maximal merged spans of 5-token grams occurring
+    * ≥ 2 times anywhere in the corpus. Token indices 0-based inclusive.
+    */
+  def d13DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+
+  /** Keep-first exact-substring strip: repeat occurrences of duplicated
+    * 5-token grams are removed from the text, the globally-first
+    * occurrence of each gram survives. One output row per input doc.
+    */
+  def d14SpanStrip(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDupSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("clean_text"),
+        col("n_tokens_kept"), col("n_tokens_dropped"))
+
   /** Embedding cosine near-dup pairs (exact threshold join), via the
     * cost-based chooser: broadcast kernel under the row budget, blocked
     * IVF-cell pair join (no driver materialisation, no cartesian) above
@@ -1567,6 +1585,8 @@ object GraftQueries {
     "d10_dedup_canonical" -> (d10DedupCanonical _),
     "d11_bloom_screen"   -> (d11BloomScreen _),
     "d12_semdedup"       -> (d12SemDedup _),
+    "d13_dup_spans"      -> (d13DupSpans _),
+    "d14_span_strip"     -> (d14SpanStrip _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

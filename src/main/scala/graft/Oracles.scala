@@ -726,6 +726,98 @@ object Oracles {
         |FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id
         |WHERE c.vec_id IS NULL OR c.cluster_id = e.vec_id""".stripMargin,
 
+    // Lee et al. ExactSubstr at gram size 5: the gram hash is the same
+    // portable md5-top-60-bits as t5_winnowing; pos is 0-based
+    "d13_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |         CAST(('0x' || substr(md5(array_to_string(tk[g.i : g.i + 4], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i) AS g
+        |  WHERE len(tk) >= 5
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM sh
+        |  ) WHERE cnt >= 2
+        |),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > coalesce(max(pos + 4) OVER (
+        |             PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM marked
+        |),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl
+        |)
+        |SELECT doc_id,
+        |       CAST(min(pos) AS INTEGER) AS span_start,
+        |       CAST(max(pos) + 4 AS INTEGER) AS span_end,
+        |       CAST(max(pos) + 4 - min(pos) + 1 AS INTEGER) AS span_tokens
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
+
+    // keep-first strip: rank-1 occurrence of each duplicated gram is
+    // protected; repeat occurrences mark removal intervals
+    "d14_span_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |         CAST(('0x' || substr(md5(array_to_string(tk[g.i : g.i + 4], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i) AS g
+        |  WHERE len(tk) >= 5
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           count(*) OVER (PARTITION BY h) AS cnt,
+        |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+        |    FROM sh
+        |  ) WHERE cnt >= 2 AND rk >= 2
+        |),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > coalesce(max(pos + 4) OVER (
+        |             PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM marked
+        |),
+        |grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl
+        |),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e FROM grp GROUP BY doc_id, g
+        |),
+        |tok AS (
+        |  SELECT doc_id, g.i - 1 AS ti, tk[g.i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) AS g
+        |),
+        |kept AS (
+        |  SELECT t.doc_id, t.ti, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                    WHERE s.doc_id = t.doc_id AND t.ti BETWEEN s.s AND s.e)
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_tokens_kept,
+        |       CAST(len(d.tk) - coalesce(a.n_kept, 0) AS INTEGER) AS n_tokens_dropped
+        |FROM toks d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
     // incremental dedup: the exact near-dup join restricted to pairs
     // touching the new batch (doc_id ≡ 0 mod 5)
     "d6_incremental_dedup" ->

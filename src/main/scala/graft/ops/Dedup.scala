@@ -749,4 +749,125 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(outCols: _*)
   }
+
+  /** Positioned k-token gram hashes: one row per gram OCCURRENCE —
+    * `(id, pos, h)` with `pos` the 0-based token index of the gram's
+    * first token. Unlike `shingles` (distinct grams, for Jaccard), this
+    * keeps every occurrence and its position, which is what span-level
+    * dedup needs. Hash = top 60 bits of md5 of the space-joined gram,
+    * the same DuckDB-reproducible portable hash as `t5_winnowing`.
+    * Narrow after the parallelism guard: explode + codegen'd md5.
+    */
+  private def positionedGramHashes(df: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame =
+    Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"),
+        posexplode(TextAnalysis.orderedShingles(col("t"), k)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** Duplicated-gram occurrences with their global occurrence order.
+    *
+    * Scale shape (the 100 TB story): per-hash counts and the global
+    * first occurrence come from ONE `groupBy(h)` with map-side partial
+    * aggregation — `min(struct(id, pos))` is a mergeable agg, so a
+    * mega-hot gram ("the the the…" boilerplate) never funnels through a
+    * single window sort the way `row_number() over (partition by h)`
+    * would. The gram relation then equi-joins the (hash, first, cnt)
+    * table on `h`; a skewed hash has many rows on the gram side but ONE
+    * on the agg side, the shape AQE skew-splitting handles.
+    */
+  private def dupGramOccurrences(df: DataFrame, idCol: String,
+                                 textCol: String, k: Int): DataFrame = {
+    val grams = positionedGramHashes(df, idCol, textCol, k)
+    val firsts = grams.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    grams.join(firsts, "h")
+      .withColumn("is_first",
+        col("id") === col("first.id") && col("pos") === col("first.pos"))
+      .select("id", "pos", "is_first")
+  }
+
+  /** Merge marked gram-start positions into maximal token spans
+    * (classic gaps-and-islands): a new span starts when a gram's
+    * interval `[pos, pos+k-1]` neither overlaps nor touches the running
+    * maximum end of its predecessors. One doc-keyed shuffle; both
+    * windows share the partitioning.
+    */
+  private def mergeSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Exact duplicated-span detection (the shingle-join formulation of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — ExactSubstr): every k-token gram that occurs ≥ 2
+    * times ANYWHERE in the corpus (another document or the same one)
+    * marks its token interval as duplicated; overlapping/adjacent
+    * marked intervals merge into maximal spans.
+    *
+    * Output: one row per maximal span — `(id, span_start, span_end,
+    * span_tokens)`, token indices 0-based inclusive.
+    *
+    * Lee et al. build a corpus suffix array; on Spark the equivalent
+    * exact semantics at a fixed gram size is this gram-hash self-join —
+    * all relations are gram-scale and distributed (no driver state, no
+    * all-pairs), at the cost of shuffling the gram relation twice
+    * (once by hash, once by doc).
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame =
+    mergeSpans(dupGramOccurrences(df, idCol, textCol, k).select("id", "pos"), k)
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+
+  /** Keep-first exact-substring strip: d13's duplicated spans, but the
+    * globally FIRST occurrence of each duplicated gram (min `(id, pos)`)
+    * is protected — only repeat occurrences mark removal intervals — so
+    * one copy of every duplicated substring survives in the corpus
+    * (Lee et al.'s dedup policy). Tokens covered by a removal span are
+    * dropped; the cleaned text is the surviving tokens re-joined.
+    *
+    * Output: one row PER INPUT DOC — `(id, clean_text, n_tokens_kept,
+    * n_tokens_dropped)`; a fully-duplicated doc survives with empty
+    * text, a doc with < k tokens passes through untouched.
+    *
+    * Scale: the spans relation (only docs that contain repeats) is
+    * aggregated per doc and joined back onto INTACT doc rows — the
+    * corpus never shuffles; the strip itself is an array filter
+    * evaluated per doc row against its own (small) span list.
+    */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val marked = dupGramOccurrences(df, idCol, textCol, k)
+      .filter(!col("is_first")).select("id", "pos")
+    val spansByDoc = mergeSpans(marked, k)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val toks = TextAnalysis.tokens(col("t"))
+    df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(spansByDoc, Seq("id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept",
+        filter(toks, (_, i) =>
+          !exists(col("spans"), sp => i >= sp("s") && i <= sp("e"))))
+      .select(col("id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).as("n_tokens_kept"),
+        (size(toks) - size(col("kept"))).as("n_tokens_dropped"))
+  }
 }

@@ -934,4 +934,94 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .groupBy("source").count().collect().map(_.getLong(1))
     assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
   }
+
+  /** In-memory reference for dupSpans / stripDupSpans: mark every (or
+    * every non-first) occurrence of a k-gram occurring ≥ 2 times in the
+    * corpus, merge overlapping/adjacent [pos, pos+k-1] intervals.
+    */
+  private def naiveSpans(corpus: Seq[(Long, String)], k: Int,
+                         keepFirst: Boolean): Map[Long, Seq[(Int, Int)]] = {
+    val grams = for {
+      (id, t) <- corpus
+      toks = t.split("\\s+").filter(_.nonEmpty)
+      i <- 0 to toks.length - k
+    } yield (id, i, toks.slice(i, i + k).mkString(" "))
+    val marked = grams.groupBy(_._3).values.filter(_.size >= 2).toSeq.flatMap { occ =>
+      val sorted = occ.sortBy(o => (o._1, o._2))
+      (if (keepFirst) sorted.drop(1) else sorted).map(o => (o._1, o._2))
+    }
+    marked.groupBy(_._1).map { case (id, ps) =>
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- ps.map(_._2).distinct.sorted) {
+        if (spans.nonEmpty && p <= spans.last._2 + 1) {
+          val (s, e) = spans.remove(spans.length - 1)
+          spans += ((s, math.max(e, p + k - 1)))
+        } else spans += ((p, p + k - 1))
+      }
+      id -> spans.toSeq
+    }
+  }
+
+  test("dupSpans: cross-doc, within-doc, and untouched docs (hand-computed)") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "a b c d e f",            // shares "a b c d" with doc 2
+      2L -> "x y a b c d z",
+      3L -> "p q r s t u",            // unique — no spans
+      4L -> "m n o m n o m n o")     // self-repeating — one full-doc span
+    val out = Dedup.dupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out == Map(1L -> Seq((0, 3)), 2L -> Seq((2, 5)), 4L -> Seq((0, 8))))
+  }
+
+  test("stripDupSpans: keep-first protection, full-dup doc empties, short doc passes") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "a b c d e f",
+      2L -> "x y a b c d z",           // repeat of doc 1's grams → "a b c d" stripped
+      4L -> "m n o m n o m n o",       // first "m n o" survives, repeats stripped
+      5L -> "u v",                     // shorter than k → untouched
+      6L -> "q r s t",                 // first copy — untouched
+      7L -> "q r s t")                 // exact dup of 6 → fully stripped
+    val out = Dedup.stripDupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 6, 0)))
+    assert(out(2L) == (("x y z", 3, 4)))
+    assert(out(4L) == (("m n o", 3, 6)))
+    assert(out(5L) == (("u v", 2, 0)))
+    assert(out(6L) == (("q r s t", 4, 0)))
+    assert(out(7L) == (("", 0, 4)))
+  }
+
+  test("dupSpans / stripDupSpans == naive reference on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 4) {
+      val k = 2 + rnd.nextInt(2)
+      val corpus = (1L to (20 + rnd.nextInt(20)).toLong).map { i =>
+        i -> Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val gotSpans = Dedup.dupSpans(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val wantSpans = naiveSpans(corpus, k, keepFirst = false)
+        .filter(_._2.nonEmpty).view.mapValues(_.sorted).toMap
+      assert(gotSpans == wantSpans, s"trial=$trial k=$k spans")
+      val gotStrip = Dedup.stripDupSpans(df, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      val stripRef = naiveSpans(corpus, k, keepFirst = true)
+      val wantStrip = corpus.map { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val sp = stripRef.getOrElse(id, Seq.empty)
+        val kept = toks.zipWithIndex.collect {
+          case (tok, i) if !sp.exists(s => i >= s._1 && i <= s._2) => tok
+        }
+        id -> ((kept.mkString(" "), kept.length, toks.length - kept.length))
+      }.toMap
+      assert(gotStrip == wantStrip, s"trial=$trial k=$k strip")
+    }
+  }
 }

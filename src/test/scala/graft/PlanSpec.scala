@@ -251,6 +251,37 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"the corpus must not shuffle to drop ids:\n${plan.take(2000)}")
   }
 
+  test("d13 dup spans: skew-safe gram counts (partial+final agg, no per-hash window sort)") {
+    val plan = planOf("d13_dup_spans")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // the ≥2-occurrence mark comes from a mergeable aggregate on h, never
+    // a row_number window partitioned by h (a hot boilerplate gram would
+    // funnel through one task's sort)
+    assert(plan.contains("partial_count"),
+      s"gram counts must partial-aggregate map-side:\n${plan.take(2000)}")
+    assert(!plan.linesIterator.exists(l => l.contains("Window") && l.contains("[h#")),
+      s"no window may partition by the gram hash:\n${plan.take(2000)}")
+    // both island windows (running max-end, running break sum) share the
+    // single doc-keyed Exchange
+    val idExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(id#"))
+    assert(idExchanges == 1,
+      s"island merge must reuse one doc partitioning, got $idExchanges:\n${plan.take(3000)}")
+  }
+
+  test("d14 span strip: spans aggregate per doc and join back — doc rows never shuffle") {
+    val plan = planOf("d14_span_strip")
+    assert(!plan.contains("CartesianProduct"))
+    // the corpus-side scan feeds the spans join directly (broadcast at
+    // fixture scale); the only id-partitioned Exchange belongs to the
+    // span-merge windows, not to the doc relation
+    val idExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(id#"))
+    assert(idExchanges == 1, s"got $idExchanges id exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"spans must broadcast back over intact doc rows at fixture scale:\n${plan.take(2000)}")
+  }
+
   test("t12 quality filter: scan-speed narrow map — zero exchanges") {
     val plan = planOf("t12_quality_filter")
     assert(!plan.contains("Exchange"),
