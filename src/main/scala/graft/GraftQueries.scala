@@ -1446,6 +1446,20 @@ object GraftQueries {
       Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15))
       .select(col("doc_id"), col("lang"))
 
+  /** Token-budget selection: the best docs by t1's quality score until
+    * 30% of the corpus' tokens are spent — the distributed prefix-sum
+    * pattern (range partition + per-partition running sums + metadata-
+    * scale offset broadcast), never a single-task global window.
+    */
+  def t14TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val budget = q.agg(sum("n_tokens")).head().getLong(0) * 3 / 10
+    Sampling.tokenBudgetPrefix(q, "doc_id", "quality_score", "n_tokens", budget)
+      .select(col("id").as("doc_id"), col("rank").as("quality_score"),
+        col("tokens").as("n_tokens"), col("running_total"))
+  }
+
   /** Gopher-style hard quality gates with a per-rule audit trail
     * (which rule rejected what), scan-speed narrow map.
     */
@@ -1606,6 +1620,7 @@ object GraftQueries {
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),
     "t13_mix_rebalance"  -> (t13MixRebalance _),
+    "t14_token_budget"   -> (t14TokenBudget _),
     "q_stratified_sample" -> (q_stratifiedSample _),
     "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),

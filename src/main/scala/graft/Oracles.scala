@@ -1099,6 +1099,36 @@ object Oracles {
         |SELECT r.doc_id, r.lang FROM r JOIN lim ON r.lang = lim.lang
         |WHERE r.rn <= lim.lim""".stripMargin,
 
+    // token-budget prefix: t1's quality score ranks docs; the budget is
+    // 30% (integer floor) of the corpus' whitespace tokens; the Spark
+    // side's distributed prefix sum equals this one global window
+    "t14_token_budget" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) / greatest(nt, 1) AS stopword_ratio,
+        |    CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1) AS mean_token_len
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST((CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END
+        |        + CASE WHEN punct_ratio < 0.2 AND digit_ratio < 0.3 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality_score
+        |  FROM g),
+        |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 10 AS budget FROM q),
+        |r AS (
+        |  SELECT doc_id, quality_score, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS running_total
+        |  FROM q)
+        |SELECT r.doc_id, r.quality_score, r.n_tokens, r.running_total
+        |FROM r, b WHERE r.running_total <= b.budget""".stripMargin,
+
     // per-domain cap: ≤ 10 docs per source, chosen by portable md5
     // order with id tiebreak — the Spark side's two-phase salted top-k
     // equals this one-phase window

@@ -935,6 +935,31 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
   }
 
+  test("tokenBudgetPrefix == naive global cumsum; invariant to input partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(50)
+      val rows = (1L to n.toLong).map(i =>
+        (i, rnd.nextInt(5) * 0.25, 1L + rnd.nextInt(40)))
+      val naive = {
+        var acc = 0L
+        rows.sortBy { case (id, r, _) => (-r, id) }.map { case (id, r, t) =>
+          acc += t; (id, r, t, acc)
+        }
+      }
+      val budget = naive.map(_._3).sum * (1 + rnd.nextInt(8)) / 10
+      val want = naive.takeWhile(_._4 <= budget).toSet
+      for (parts <- Seq(1, 3, 7)) {
+        val df = rows.toDF("doc_id", "rank", "tokens").repartition(parts)
+        val got = graft.ops.Sampling
+          .tokenBudgetPrefix(df, "doc_id", "rank", "tokens", budget)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == want, s"trial=$trial parts=$parts budget=$budget")
+      }
+    }
+  }
+
   /** In-memory reference for dupSpans / stripDupSpans: mark every (or
     * every non-first) occurrence of a k-gram occurring ≥ 2 times in the
     * corpus, merge overlapping/adjacent [pos, pos+k-1] intervals.

@@ -282,6 +282,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"spans must broadcast back over intact doc rows at fixture scale:\n${plan.take(2000)}")
   }
 
+  test("t14 token budget: distributed prefix sum — no single-task global window") {
+    val df = GraftQueries.all("t14_token_budget")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the running total must come from pid-partitioned windows over a
+    // range Exchange, never a partitionless window (whose required
+    // distribution is AllTuples → Exchange SinglePartition)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window detected:\n${plan.take(2500)}")
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected the sampled-boundary range Exchange:\n${plan.take(2500)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__pid")),
+      s"running sum must partition by __pid:\n${plan.take(2500)}")
+  }
+
   test("t12 quality filter: scan-speed narrow map — zero exchanges") {
     val plan = planOf("t12_quality_filter")
     assert(!plan.contains("Exchange"),
