@@ -1077,6 +1077,14 @@ object GraftQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
   }
 
+  /** Threshold range search (cosine ≥ 0.3) for the first 10 vectors —
+    * shuffle-free: queries broadcast, one narrow corpus scan, no window.
+    */
+  def s5RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
+  }
+
   /** LSH-bucketed ANN top-k with an oracle-checkable contract: the ANN
     * result is joined against the exact brute-force top-10 INSIDE the
     * query, and each query row emits whether recall@10 clears the 0.2
@@ -1605,6 +1613,7 @@ object GraftQueries {
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),
     "s4_knn_pq"          -> (s4KnnPq _),
+    "s5_range_search"    -> (s5RangeSearch _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),

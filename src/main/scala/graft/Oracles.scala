@@ -830,6 +830,13 @@ object Oracles {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
+    "s5_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
+        |SELECT q.query_id, e.vec_id AS neighbor_id
+        |FROM q CROSS JOIN embeddings e
+        |WHERE e.vec_id != q.query_id
+        |  AND list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+
     "s1_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -131,6 +131,28 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Range search: every corpus vector with cosine ≥ `threshold` of
+    * each query (self excluded) — the threshold twin of `bruteForceTopK`.
+    *
+    * Unlike top-k, the threshold predicate needs NO ranking state, so
+    * the whole operator is a narrow map: queries broadcast (small by
+    * contract), the corpus is scanned once, and every (query, vector)
+    * sim above τ emits — zero shuffles, zero windows, scan-bounded at
+    * any corpus size (spec-asserted plan shape). For query sets too big
+    * to broadcast, compose with the IVF cell pruning of
+    * `cosineNearDupPairs` instead.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = Partitioning.ensureParallelism(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        cosine(col("qv"), col("cv")) >= threshold)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component [i][d] from a
     * splitmix64 stream — reproducible with no stored model.
     */

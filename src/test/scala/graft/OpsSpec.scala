@@ -935,6 +935,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
   }
 
+  test("rangeSearch == in-memory threshold scan on the fixture") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = vecs.filter(_._1 < 10)
+    val want = (for {
+      (qid, qv) <- queries.toSeq
+      (nid, nv) <- vecs.toSeq if nid != qid
+      if graft.ops.Similarity.cosineKernel(qv, nv) >= 0.3
+    } yield (qid, nid)).toSet
+    val got = graft.ops.Similarity
+      .rangeSearch(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("tokenBudgetPrefix == naive global cumsum; invariant to input partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

@@ -297,6 +297,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"running sum must partition by __pid:\n${plan.take(2500)}")
   }
 
+  test("s5 range search: shuffle-free — broadcast queries, no window, no hash Exchange") {
+    val plan = planOf("s5_range_search")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"queries must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Window"),
+      s"threshold search needs no ranking state:\n${plan.take(2000)}")
+  }
+
   test("t12 quality filter: scan-speed narrow map — zero exchanges") {
     val plan = planOf("t12_quality_filter")
     assert(!plan.contains("Exchange"),
