@@ -500,6 +500,17 @@ object GraftQueries {
       .limit(20)
   }
 
+  /** Size-targeted training-shard layout: walk the corpus in doc_id
+    * order, cut a new ~2000-token shard at every boundary — the same
+    * distributed prefix sum as t14, reused for data layout.
+    */
+  def qShardLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    val d = tbl(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Layout.shardLayout(d, Seq(col("doc_id")), "n_tokens", target = 2000L)
+  }
+
   /** Window functions: per-customer order ranking. */
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1572,6 +1583,7 @@ object GraftQueries {
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),
     "q_zorder"           -> (qZorder _),
+    "q_shard_layout"     -> (qShardLayout _),
     "q_funnel"           -> (qFunnel _),
     "q_window_rank"      -> (qWindowRank _),
     "q_window_stats"     -> (qWindowStats _),

@@ -525,6 +525,19 @@ object Oracles {
 
     // Morton interleave generated positionally — the same 32 shift/mask
     // terms the Spark expression folds
+    "q_shard_layout" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running_total
+        |  FROM f)
+        |SELECT doc_id, n_tokens, running_total,
+        |       (running_total - n_tokens) // 2000 AS shard
+        |FROM r""".stripMargin,
+
     "q_zorder" -> {
       val terms = (0 until 16).flatMap(i => Seq(
         s"(((x >> $i) & 1) << ${2 * i})",

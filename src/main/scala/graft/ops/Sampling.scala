@@ -147,38 +147,33 @@ object Sampling {
     * broadcast limit table), which is the contract: the mix defines the
     * output.
     */
-  /** Largest quality-ranked prefix of the corpus fitting a token
-    * budget: order docs by `(rankCol DESC, idCol ASC)` and keep every
-    * doc whose INCLUSIVE running token total stays ≤ `budget` — the
-    * "best docs until the budget is spent" selection every
-    * fixed-token-count training run needs.
+  /** Append an inclusive `running_total` of `valueCol` over the total
+    * order given by `sortCols` — THE distributed prefix sum, shared by
+    * `tokenBudgetPrefix` and `Layout.shardLayout`.
     *
-    * Scale shape — a distributed prefix sum. A bare
-    * `sum over (ORDER BY …)` window has no PARTITION BY, so Spark moves
-    * the corpus through ONE task. Instead: range-partition on the sort
-    * key (the same sampled-boundary Exchange a global sort uses —
-    * partition p holds ranks strictly before partition p+1), compute
-    * per-partition running sums, and close the gap with per-partition
-    * OFFSETS: the (#partitions)-row per-partition totals collect to the
-    * driver, prefix-sum there, and broadcast-join back. Driver state is
-    * metadata-scale; the output is partitioning-INDEPENDENT because the
-    * global order (rank, id) is total — where the range cuts fall can
-    * never change any row's running total.
-    *
-    * Output: the selected rows as `(id, rank, tokens, running_total)`.
+    * A bare `sum over (ORDER BY …)` window has no PARTITION BY, so
+    * Spark moves the corpus through ONE task. Instead: range-partition
+    * on the sort key (the same sampled-boundary Exchange a global sort
+    * uses — partition p holds keys strictly before partition p+1),
+    * compute per-partition running sums, and close the gap with
+    * per-partition OFFSETS: the (#partitions)-row per-partition totals
+    * collect to the driver, prefix-sum there, and broadcast-join back.
+    * Driver state is metadata-scale; the output is partitioning-
+    * INDEPENDENT because `sortCols` must be a total order — where the
+    * range cuts fall can never change any row's running total.
     */
-  def tokenBudgetPrefix(df: DataFrame, idCol: String, rankCol: String,
-                        tokensCol: String, budget: Long): DataFrame = {
+  def runningTotal(df: DataFrame, sortCols: Seq[Column],
+                   valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
+    val outCols = df.columns.map(col).toIndexedSeq
     val ranked = OpCaches.persist(
-      df.select(col(idCol).as("id"), col(rankCol).as("rank"),
-          col(tokensCol).cast("long").as("tokens"))
-        .repartitionByRange(parallelism, col("rank").desc, col("id"))
+      df.repartitionByRange(parallelism, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
     // exclusive prefix offsets over the ≤ `parallelism` partition totals
-    val totals = ranked.groupBy("__pid").agg(sum("tokens").as("t"))
+    val totals = ranked.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
@@ -186,12 +181,27 @@ object Sampling {
     val offDf = spark.createDataFrame(offsets.toSeq)
       .toDF("__pid", "__offset")
     val w = Window.partitionBy("__pid")
-      .orderBy(col("rank").desc, col("id"))
+      .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("running_total", sum(col("tokens")).over(w) + col("__offset"))
+      .withColumn("running_total",
+        sum(col(valueCol)).over(w) + col("__offset"))
+      .select(outCols :+ col("running_total"): _*)
+  }
+
+  /** Largest quality-ranked prefix of the corpus fitting a token
+    * budget: order docs by `(rankCol DESC, idCol ASC)` and keep every
+    * doc whose INCLUSIVE running token total stays ≤ `budget` — the
+    * "best docs until the budget is spent" selection every
+    * fixed-token-count training run needs. Distributed prefix sum via
+    * `runningTotal`; output `(id, rank, tokens, running_total)`.
+    */
+  def tokenBudgetPrefix(df: DataFrame, idCol: String, rankCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(rankCol).as("rank"),
+      col(tokensCol).cast("long").as("tokens"))
+    runningTotal(base, Seq(col("rank").desc, col("id")), "tokens")
       .filter(col("running_total") <= budget)
-      .select(col("id"), col("rank"), col("tokens"), col("running_total"))
   }
 
   def mixRebalance(df: DataFrame, idCol: String, groupCol: String,

@@ -45,4 +45,26 @@ object Layout {
         .bitwiseOR(shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+
+  /** Size-targeted shard assignment: walk the corpus in `sortCols`
+    * order and cut a new output shard every `target` size units —
+    * `shard = start_offset div target`, the sequential bin-packing
+    * every "write ~N-token/~N-byte training shards in a stable order"
+    * job needs. A row whose interval straddles a boundary belongs to
+    * the shard its START offset falls in, so shard ids are a pure
+    * function of the running total — computed with the SAME distributed
+    * prefix sum as `Sampling.tokenBudgetPrefix` (range partition +
+    * per-partition sums + metadata-scale offsets), never a single-task
+    * global window.
+    *
+    * Output: the input columns + `(running_total, shard)`.
+    */
+  def shardLayout(df: DataFrame, sortCols: Seq[Column], sizeCol: String,
+                  target: Long): DataFrame = {
+    require(target > 0, s"shard target must be positive, got $target")
+    // DIV, not `/`+cast: integral division stays exact past 2^53
+    graft.ops.Sampling.runningTotal(df, sortCols, sizeCol)
+      .withColumn("shard",
+        expr(s"(running_total - $sizeCol) DIV ${target}L"))
+  }
 }

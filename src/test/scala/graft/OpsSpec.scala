@@ -950,6 +950,21 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("shardLayout: straddling row takes its start-offset shard; invariant to partitioning") {
+    import spark.implicits._
+    // sizes 600+600 fill shard 0 up to 1200; the 900-row STARTS at 1200
+    // (shard 1) and straddles into 2100; the next row starts at 2100 (shard 2)
+    val rows = Seq((1L, 600L), (2L, 600L), (3L, 900L), (4L, 10L))
+    for (parts <- Seq(1, 3)) {
+      val df = rows.toDF("doc_id", "n_tokens").repartition(parts)
+      val got = graft.sources.Layout
+        .shardLayout(df, Seq(col("doc_id")), "n_tokens", target = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, 600L, 0L), (2L, 1200L, 0L), (3L, 2100L, 1L), (4L, 2110L, 2L)),
+        s"parts=$parts got=$got")
+    }
+  }
+
   test("tokenBudgetPrefix == naive global cumsum; invariant to input partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
