@@ -1288,6 +1288,25 @@ object GraftQueries {
     graft.analyse.Profiler.profile(tbl(s, dir, "events"),
       Seq("event_id", "user_id", "event_type", "props"))
 
+  /** Deequ-style expectations over the fixture: completeness,
+    * uniqueness, domain membership, a row invariant, an array-dim
+    * contract, and orders→customer referential integrity — single-scan
+    * rule aggregates plus one key-sized anti join.
+    */
+  def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.analyse.Expectations._
+    val docs = evaluate(tbl(s, dir, "documents"), "documents", Seq(
+      notNull("doc_id"), unique("doc_id"), notNull("text"),
+      inSet("lang", Seq("en", "de", "fr", "es", "zh")),
+      satisfies("chars_match", "n_chars", col("n_chars") === length(col("text")))))
+    val emb = evaluate(tbl(s, dir, "embeddings"), "embeddings", Seq(
+      notNull("vec_id"), unique("vec_id"),
+      satisfies("dim_64", "embedding", size(col("embedding")) === 64)))
+    val ri = refIntegrity(tbl(s, dir, "orders"), "o_custkey",
+      tbl(s, dir, "customer"), "c_custkey", "orders")
+    docs.unionAll(emb).unionAll(ri)
+  }
+
   /** CDC changelog application over the customer snapshot: updates,
     * deletes, inserts, and a two-step same-key update proving
     * latest-seq-wins. The changelog is derived deterministically from
@@ -1648,6 +1667,7 @@ object GraftQueries {
     "q_cdc_apply"        -> (q_cdcApply _),
     "q_scd2"             -> (q_scd2 _),
     "q_profile"          -> (q_profile _),
+    "q_expectations"     -> (qExpectations _),
     "p1_pipeline"        -> (p1Pipeline _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),

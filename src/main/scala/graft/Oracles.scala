@@ -1017,6 +1017,36 @@ object Oracles {
 
     // column profile: one branch per column; min/max aggregated in the
     // native type then cast to VARCHAR (identical for bigint/string)
+    "q_expectations" -> {
+      def row(tbl: String, rule: String, c: String, viol: String) =
+        s"""SELECT '$tbl' AS tbl, '$rule' AS rule, '$c' AS col_name,
+           |  CAST(($viol) AS BIGINT) AS n_violations,
+           |  (CAST(($viol) AS BIGINT) = 0) AS pass FROM $tbl""".stripMargin
+      Seq(
+        row("documents", "not_null", "doc_id",
+          "coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)"),
+        row("documents", "unique", "doc_id",
+          "count(doc_id) - count(DISTINCT doc_id)"),
+        row("documents", "not_null", "text",
+          "coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)"),
+        row("documents", "in_set", "lang",
+          "coalesce(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END), 0)"),
+        row("documents", "chars_match", "n_chars",
+          "coalesce(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END), 0)"),
+        row("embeddings", "not_null", "vec_id",
+          "coalesce(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END), 0)"),
+        row("embeddings", "unique", "vec_id",
+          "count(vec_id) - count(DISTINCT vec_id)"),
+        row("embeddings", "dim_64", "embedding",
+          "coalesce(sum(CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END), 0)"),
+        """SELECT 'orders' AS tbl, 'ref_integrity' AS rule, 'o_custkey' AS col_name,
+          |  CAST(count(*) AS BIGINT) AS n_violations, (count(*) = 0) AS pass
+          |FROM orders o
+          |WHERE o.o_custkey IS NOT NULL
+          |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+      ).mkString("\nUNION ALL\n")
+    },
+
     "q_profile" -> Seq("event_id", "user_id", "event_type", "props").map(c =>
       s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,

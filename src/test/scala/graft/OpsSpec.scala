@@ -950,6 +950,34 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("Expectations: dirty fixture trips each rule; clean columns pass; RI counts orphans") {
+    import spark.implicits._
+    import graft.analyse.Expectations._
+    val dirty = Seq(
+      (Option(1L), Option("en"), 5L, Option("hello")),
+      (Option(1L), Option("xx"), 3L, Option("abc")),   // dup id, bad lang
+      (None, Option("de"), 2L, None),                  // null id, null text, null-pred invariant
+      (Option(3L), None, 9L, Option("bad"))            // null lang (in_set violation), 9 != 3
+    ).toDF("id", "lang", "n", "text")
+    val rep = evaluate(dirty, "t", Seq(
+        notNull("id"), unique("id"), inSet("lang", Seq("en", "de")),
+        satisfies("len_match", "n", col("n") === length(col("text")))))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rep(("not_null", "id")) == 1L)
+    assert(rep(("unique", "id")) == 1L)
+    assert(rep(("in_set", "lang")) == 2L)   // 'xx' and NULL
+    assert(rep(("len_match", "n")) == 2L)   // 9!=3 and the NULL predicate row
+    val ri = refIntegrity(
+        Seq(1L, 2L, 7L, 7L).toDF("fk"), "fk",
+        Seq(1L, 2L, 3L).toDF("pk"), "pk", "t")
+      .collect().head
+    assert(ri.getLong(3) == 2L && !ri.getBoolean(4))
+    // empty table: zero violations everywhere, never null
+    val empty = evaluate(dirty.filter(lit(false)), "t", Seq(notNull("id"), unique("id")))
+      .collect().map(_.getLong(3))
+    assert(empty.forall(_ == 0L))
+  }
+
   test("shardLayout: straddling row takes its start-offset shard; invariant to partitioning") {
     import spark.implicits._
     // sizes 600+600 fill shard 0 up to 1200; the 900-row STARTS at 1200
