@@ -1096,6 +1096,14 @@ object GraftQueries {
     Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10), threshold = 0.3)
   }
 
+  /** JL sparse-sign projection 64 → 16 dims, portable md5 sign matrix;
+    * long-format output so each component is independently oracle-
+    * checked (the DuckDB twin re-derives the signs from md5 itself).
+    */
+  def s6RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(tbl(s, dir, "embeddings"), dOut = 16)
+      .select(col("id").as("vec_id"), col("dim"), col("value"))
+
   /** LSH-bucketed ANN top-k with an oracle-checkable contract: the ANN
     * result is joined against the exact brute-force top-10 INSIDE the
     * query, and each query row emits whether recall@10 clears the 0.2
@@ -1645,6 +1653,7 @@ object GraftQueries {
     "s3_knn_ivf"         -> (s3KnnIvf _),
     "s4_knn_pq"          -> (s4KnnPq _),
     "s5_range_search"    -> (s5RangeSearch _),
+    "s6_random_projection" -> (s6RandomProjection _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),

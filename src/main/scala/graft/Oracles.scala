@@ -843,6 +843,21 @@ object Oracles {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
+    // JL projection: the oracle re-derives the +-1 sign matrix from md5
+    // itself (same top-60-bits bucket recipe as Sampling.bucket), so the
+    // check covers both the arithmetic AND the sign recipe; terms are
+    // left-associated in ascending j to match the kernel's loop order
+    "s6_random_projection" -> {
+      def sign(n: Int) =
+        s"(CASE WHEN CAST(('0x' || substr(md5('$n'), 1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+      (0 until 16).map { i =>
+        val terms = (0 until 64)
+          .map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) * ${sign(i * 64 + j)}")
+          .mkString(" + ")
+        s"SELECT vec_id, $i AS dim, $terms AS value FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+    },
+
     "s5_range_search" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)
         |SELECT q.query_id, e.vec_id AS neighbor_id

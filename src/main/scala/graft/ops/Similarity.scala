@@ -153,6 +153,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Portable ±1 sign for flat index `n`: the md5-top-60-bits bucket
+    * recipe (`Sampling.bucket`'s JVM twin), so the projection matrix is
+    * reproducible in ANY engine with md5 — no stored model, no RNG.
+    */
+  private[graft] def portableSign(n: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(n.toString.getBytes("UTF-8"))
+    val top = d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
+    if (top % 2 == 0) 1 else -1
+  }
+
+  /** Sparse-sign random projection (Achlioptas 2003 / the JL transform
+    * in its cheapest form): `out[i] = Σ_j sign(i·dIn+j) · v[j]` with a
+    * deterministic ±1 matrix from [[portableSign]]. The standard cheap
+    * dimensionality reduction in front of ANN / near-dup — distances
+    * are preserved within (1±ε) at dOut = O(log n / ε²); callers scale
+    * by 1/√dOut when they need the isometry constant.
+    *
+    * Narrow map, no shuffle: one kernel call per row via
+    * posexplode (a Generate evaluates the kernel ONCE per row — 16
+    * repeated struct-field projections of a UDF alias might not).
+    * Summation order is fixed (j ascending) so every element is
+    * bit-identical to the DuckDB twin's left-associated sum.
+    * Output: `(id, dim, value)` — long format, one row per projected
+    * component.
+    */
+  def randomProjection(df: DataFrame, dOut: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val project = udf { (v: Array[Float]) =>
+      Array.tabulate(dOut) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < v.length) {
+          acc += v(j).toDouble * portableSign(i * v.length + j)
+          j += 1
+        }
+        acc
+      }
+    }
+    Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"), posexplode(project(col("v"))).as(Seq("dim", "value")))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component [i][d] from a
     * splitmix64 stream — reproducible with no stored model.
     */

@@ -935,6 +935,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
   }
 
+  test("randomProjection: sign recipe matches Sampling.bucket; JL norm bound holds") {
+    import spark.implicits._
+    // the JVM portableSign and the SQL-twin bucket recipe must agree
+    val fromSql = (0 until 256).toDF("n")
+      .select(graft.ops.Sampling.bucket(col("n"), 2)).collect().map(_.getLong(0))
+    (0 until 256).foreach { n =>
+      val want = if (fromSql(n) == 0L) 1 else -1
+      assert(graft.ops.Similarity.portableSign(n) == want, s"n=$n")
+    }
+    // E[||Px||^2] = dOut * ||x||^2 for a +-1 matrix; the fixture mean
+    // ratio must sit near 1 (loose 2-sided bound, deterministic data)
+    val ratios = graft.ops.Similarity.randomProjection(emb, dOut = 16)
+      .groupBy("id").agg(sum(col("value") * col("value")).as("p2"))
+      .join(emb.select(col("vec_id").as("id"),
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("x2")), "id")
+      .select(col("p2") / (col("x2") * 16)).collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean JL ratio $mean")
+  }
+
   test("rangeSearch == in-memory threshold scan on the fixture") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
