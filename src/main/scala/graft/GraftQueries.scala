@@ -1437,6 +1437,40 @@ object GraftQueries {
         coalesce(bool_and(col("size_ok")), lit(true)).as("sketch_within_budget"))
   }
 
+  /** Count–min sketch frequency estimates, verdict-checked: Spark's
+    * mergeable `count_min_sketch` (fixed seed) estimates the count of
+    * each of the top-20 tokens; a CMS never undercounts, and with
+    * depth-many independent rows each estimate stays within ε·N with
+    * confidence 1−δ. Both properties are checked against the exact
+    * counts and emitted as a deterministic verdict row (the sketch's
+    * raw counters depend on merge order; the GUARANTEE does not — the
+    * q_approx_topk recipe). At 100 TB the sketch pass is the only
+    * pass; the exact side exists to check the guarantee.
+    */
+  def q_approxCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.OpCaches.persist(
+      graft.ops.Partitioning.ensureParallelism(
+          tbl(s, dir, "documents").select(col("text")))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token")))
+    val skBytes = toks
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val bc = s.sparkContext.broadcast(
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes))
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val stats = exact.agg(sum(col("cnt")).as("n"))
+    exact.orderBy(col("cnt").desc, col("token")).limit(20)
+      .withColumn("est", est(col("token")))
+      .crossJoin(broadcast(stats))
+      .agg(count(lit(1)).as("n_checked"),
+        coalesce(bool_and(col("est") >= col("cnt")), lit(true))
+          .as("never_undercounts"),
+        coalesce(bool_and(col("est") <= col("cnt")
+            + ceil(col("n").cast("double") * 0.001).cast("long")), lit(true))
+          .as("all_within_eps"))
+  }
+
   /** Approximate median via Spark's mergeable Greenwald–Khanna quantile
     * sketch (`percentile_approx`, accuracy 100 ⇒ rank error ≤ 1%).
     * Like `q_approx_topk`, the sketch value itself depends on merge
@@ -1602,6 +1636,7 @@ object GraftQueries {
     "q_running_total"    -> (qRunningTotal _),
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),
+    "q_approx_cms"       -> (q_approxCms _),
     "st3_latest_state"   -> (st3LatestState _),
     "st4_dedup_keys"     -> (st4DedupKeys _),
     "st5_scd2_stream"    -> (st5Scd2 _),

@@ -1238,6 +1238,18 @@ object Oracles {
 
     // MG sketch verdict: n_heavy is exact; the two booleans are the
     // sketch's mathematical guarantee, so the oracle expects true
+    // CMS verdict: n_checked = the top-20 cut (or fewer distinct
+    // tokens); the one-sided and eps-band guarantees asserted
+    // Spark-side read as literal true here (the q_approx_topk recipe)
+    "q_approx_cms" ->
+      """WITH c AS (
+        |  SELECT t AS token, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS t
+        |    FROM documents) GROUP BY 1)
+        |SELECT CAST(least(20, count(*)) AS BIGINT) AS n_checked,
+        |       true AS never_undercounts, true AS all_within_eps
+        |FROM c""".stripMargin,
+
     "q_approx_topk" ->
       """WITH c AS (
         |  SELECT t AS token, count(*) AS cnt FROM (

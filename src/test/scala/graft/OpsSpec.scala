@@ -935,6 +935,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
   }
 
+  test("q_approx_cms verdict: both CMS guarantees hold on the fixture") {
+    val r = GraftQueries.all("q_approx_cms")(spark, sfDir).collect().head
+    assert(r.getLong(0) > 0 && r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("randomProjection: sign recipe matches Sampling.bucket; JL norm bound holds") {
     import spark.implicits._
     // the JVM portableSign and the SQL-twin bucket recipe must agree
