@@ -293,6 +293,45 @@ object GraftQueries {
         max(col("l_shipdate")).as("max_ship"))
   }
 
+  /** O25 [EXT] — JSONL training-shard export round-trip: the standard
+    * LLM-training delivery format, composed with q_shard_layout's
+    * size-targeted shards. Docs render to canonical one-line JSON
+    * (fixed key order, portable `\\`/`\"`/control escaping), write in
+    * parallel as one `shard=N` directory per ~2000-token shard, read
+    * back through partition discovery + `from_json`, and aggregate;
+    * the oracle aggregates the original parquet and re-derives the
+    * shard count from its own running-total window. The md5 content
+    * sum proves byte fidelity of the round-tripped text; write happens
+    * once per process behind the text sink's `_SUCCESS` marker.
+    */
+  def o25JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_jsonl/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val sharded = graft.sources.Layout
+        .shardLayout(d, Seq(col("doc_id")), "n_tokens", target = 2000L)
+      val json = graft.export.Jsonl.docLine(col("doc_id"), col("lang"), col("text"))
+      sharded.select(col("shard"), json.as("value"))
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").text(out)
+    }
+    val parsed = s.read.text(out)
+      .select(col("shard"),
+        from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, lang STRING, text STRING")).as("j"))
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("j.doc_id")).as("n_keys"),
+      countDistinct(col("j.lang")).as("n_langs"),
+      sum(length(col("j.text"))).as("sum_chars"),
+      sum(conv(substring(md5(col("j.text")), 1, 10), 16, 10).cast("long"))
+        .as("sum_text_h"),
+      countDistinct(col("shard")).as("n_shards"))
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -1619,6 +1658,7 @@ object GraftQueries {
     "o16_dump_stats"     -> (o16DumpStats _),
     "o23_dump_roundtrip" -> (o23DumpRoundtrip _),
     "o24_dump_parallel"  -> (o24DumpParallel _),
+    "o25_jsonl_roundtrip" -> (o25JsonlRoundtrip _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),

@@ -200,6 +200,25 @@ object Oracles {
         |       max(l_shipdate) AS max_ship
         |FROM lineitem""".stripMargin,
 
+    // JSONL round-trip: truth aggregates over the original parquet; the
+    // shard count re-derived from the oracle's own running-total window
+    "o25_jsonl_roundtrip" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running
+        |  FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 10)) AS BIGINT)) AS BIGINT) AS sum_text_h,
+        |       CAST(count(DISTINCT (running - n_tokens) // 2000) AS BIGINT) AS n_shards
+        |FROM r""".stripMargin,
+
     "o16_dump_stats" ->
       """SELECT
         |CAST(10 AS BIGINT) AS tables_exported,

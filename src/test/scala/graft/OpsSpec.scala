@@ -935,6 +935,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(counts.forall(_ <= 3) && counts.exists(_ == 3))
   }
 
+  test("Jsonl.docLine round-trips dirty strings through from_json byte-for-byte") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "en", "plain words"),
+      (2L, "de", "quote \" and backslash \\ mixed \\\" here"),
+      (3L, "fr", "line\nbreak and\ttab"),
+      (4L, "es", "trailing backslash \\"),
+      (5L, "zh", ""))
+    val back = dirty.toDF("doc_id", "lang", "text")
+      .select(graft.export.Jsonl.docLine(col("doc_id"), col("lang"), col("text")).as("value"))
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, lang STRING, text STRING")).as("j"))
+      .select("j.doc_id", "j.lang", "j.text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == dirty.toSet)
+  }
+
   test("q_approx_cms verdict: both CMS guarantees hold on the fixture") {
     val r = GraftQueries.all("q_approx_cms")(spark, sfDir).collect().head
     assert(r.getLong(0) > 0 && r.getBoolean(1) && r.getBoolean(2))
