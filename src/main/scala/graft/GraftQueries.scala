@@ -1200,6 +1200,28 @@ object GraftQueries {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
   }
 
+  /** IVF-PQ ANN (IVFADC): s3's coarse-cell routing composed with s4's
+    * residual PQ compression + asymmetric-distance scoring — the
+    * billion-vector configuration. Probes 4 of 8 cells, so unlike s3
+    * this is genuinely approximate on BOTH axes (routing and codes);
+    * verdict contract like s2/s4: recall@10 vs the exact in-query brute
+    * force clears the 0.2 floor (deterministic quantizers → stable).
+    */
+  def s7KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 4,
+      m = 16, codebookBits = 6)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+  }
+
   /** The media → features → ANN composition a training-data pipeline
     * runs end-to-end: stub feature extraction (L2-normalised byte
     * histogram — deterministic, so DuckDB re-derives the identical
@@ -1550,6 +1572,13 @@ object GraftQueries {
   def t9Surprisal(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramSurprisal(tbl(s, dir, "documents"))
 
+  /** Bigram-LM surprisal per document (the KenLM/CCNet perplexity-
+    * filter shape with the corpus as its own LM) — same integer
+    * micro-bit recipe as t9, bigrams built by a NARROW array zip.
+    */
+  def t15BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(tbl(s, dir, "documents"))
+
   /** Per-document TF-IDF keyword extraction (top-3 terms, integer
     * micro-bit scoring — hash-exact vs the SQL twin).
     */
@@ -1729,6 +1758,7 @@ object GraftQueries {
     "s4_knn_pq"          -> (s4KnnPq _),
     "s5_range_search"    -> (s5RangeSearch _),
     "s6_random_projection" -> (s6RandomProjection _),
+    "s7_knn_ivfpq"       -> (s7KnnIvfPq _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),
@@ -1740,6 +1770,7 @@ object GraftQueries {
     "t7_pii_scrub"       -> (t7PiiScrub _),
     "t8_top_terms"       -> (t8TopTerms _),
     "t9_surprisal"       -> (t9Surprisal _),
+    "t15_bigram_surprisal" -> (t15BigramSurprisal _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),

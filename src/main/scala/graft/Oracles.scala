@@ -905,6 +905,10 @@ object Oracles {
     "s4_knn_pq" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // s7 (IVF-PQ) emits the same deterministic recall-floor verdict
+    "s7_knn_ivfpq" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
     // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
     "s3_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1328,6 +1332,28 @@ object Oracles {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(n_tok * (SELECT l2n FROM tot) - s AS BIGINT) AS surprisal_micro,
         |  CAST((n_tok * (SELECT l2n FROM tot) - s) // n_tok AS BIGINT) AS mean_surprisal_micro
+        |FROM per""".stripMargin,
+
+    // bigram-LM surprisal: Σ (log2 c(w1·) − log2 c(w1w2)) with both
+    // factors quantised once in the bigram vocab to integer micro-bits
+    // (the t9 recipe) — integer sums, hash-exact
+    "t15_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tk[i.i] AS w1, tk[i.i] || ' ' || tk[i.i + 1] AS bg
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) AS i),
+        |vocab AS (SELECT bg, any_value(w1) AS w1, count(*) AS c FROM bi GROUP BY bg),
+        |vb AS (SELECT bg, CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS l2b FROM vocab),
+        |vf AS (SELECT w1, CAST(floor(log2(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT) AS l2f
+        |       FROM vocab GROUP BY w1),
+        |per AS (
+        |  SELECT b.doc_id, count(*) AS n, sum(vf.l2f - vb.l2b) AS s
+        |  FROM bi b JOIN vb USING (bg) JOIN vf USING (w1)
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(s AS BIGINT) AS surprisal_micro,
+        |  CAST(s // n AS BIGINT) AS mean_surprisal_micro
         |FROM per""".stripMargin,
 
     // word-level Gopher repetition ratios — exact integer ratios, so the

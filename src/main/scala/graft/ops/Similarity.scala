@@ -433,6 +433,149 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** IVF-PQ ANN (IVFADC — Jégou, Douze, Schmid, TPAMI 2011 §IV): the
+    * composition that actually ships at billion-vector scale. A coarse
+    * quantizer routes every (unit-normalised) corpus vector to one of
+    * `nlist` cells, and within cells vectors are stored as `m`-byte PQ
+    * codes of their RESIDUAL v − c(cell) — the residual distribution is
+    * tighter than the raw vectors', so the same code budget quantises
+    * finer than s4's flat PQ. A query probes only its `nprobe` best
+    * cells, scoring candidates as
+    *   ⟨q, v⟩ ≈ ⟨q, c(cell)⟩ + Σ_s LUT_s[code_s]
+    * — the cell term computed once per (query, probed cell), the
+    * residual term `m` byte-indexed lookups per candidate (the ADC).
+    *
+    * Residual codebooks are POOLED across cells (one shared set — the
+    * standard memory/quality tradeoff vs per-cell books), trained with
+    * the same deterministic Lloyd as the coarse quantizer over the
+    * bounded sample's residuals. Everything is deterministic (strided
+    * init, lowest-index ties, tie-broken ranking windows), so the
+    * recall verdict the catalog emits is stable and oracle-checkable.
+    *
+    * Scale shape: one narrow pass encodes the corpus to (cell, m bytes)
+    * — 256 B float vectors become `m`+4 B rows, the compression that
+    * lets the index live in cluster RAM; queries (small by contract)
+    * broadcast with their LUTs; the cell equi-join touches only probed
+    * cells' codes, cutting scan cost ≈ nlist/nprobe further. Driver
+    * state is metadata-scale: nlist centroids + m·2^bits codebook rows.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, codebookBits: Int = 4, iters: Int = 10,
+                sampleRows: Int = 4096,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kCent = 1 << codebookBits
+
+    def normalise(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      val out = new Array[Double](v.length)
+      if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+      out
+    }
+
+    // bounded, deterministic training sample (lowest ids, as in pqTopK)
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].orderBy(col(idCol)).limit(sampleRows)
+      .collect().map { case (_, v) => normalise(v) }
+    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val dim = sample.head.length
+    val subDim = math.max(1, dim / m)
+    def slice(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, s * subDim, math.min((s + 1) * subDim, v.length))
+
+    val cents = lloyd(sample, nlist, iters)
+    def residualOf(nv: Array[Double]): (Int, Array[Double]) = {
+      val c = nearestCentroid(cents, nv)
+      val cent = cents(c)
+      val r = new Array[Double](nv.length)
+      var i = 0
+      while (i < nv.length) {
+        r(i) = nv(i) - (if (i < cent.length) cent(i) else 0.0); i += 1
+      }
+      (c, r)
+    }
+    val codebooks: Array[Array[Array[Double]]] = {
+      val res = sample.map(residualOf(_)._2)
+      Array.tabulate(m)(s => lloyd(res.map(slice(_, s)), kCent, iters))
+    }
+    val bcModel = spark.sparkContext.broadcast((cents, codebooks))
+
+    val encode = udf { (v: Array[Float]) =>
+      val (cs, cb) = bcModel.value
+      val nv = normalise(v)
+      val c = nearestCentroid(cs, nv)
+      val cent = cs(c)
+      val r = new Array[Double](nv.length)
+      var i = 0
+      while (i < nv.length) {
+        r(i) = nv(i) - (if (i < cent.length) cent(i) else 0.0); i += 1
+      }
+      val codes = Array.tabulate(cb.length)(s =>
+        nearestCentroid(cb(s), slice(r, s)).toByte)
+      (c, codes)
+    }
+    // per-query probe list: nprobe best cells by exact ⟨q, centroid⟩,
+    // index-ascending tie-break — deterministic
+    val probeOf = udf { (v: Array[Float]) =>
+      val (cs, _) = bcModel.value
+      val nq = normalise(v)
+      cs.zipWithIndex.map { case (cc, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(nq.length, cc.length)
+        while (j < n) { d += nq(j) * cc(j); j += 1 }
+        (i, d)
+      }.sortBy { case (i, d) => (-d, i) }.take(nprobe)
+    }
+    val lutOf = udf { (v: Array[Float]) =>
+      val (_, cb) = bcModel.value
+      val nq = normalise(v)
+      val lut = new Array[Double](cb.length * kCent)
+      var s = 0
+      while (s < cb.length) {
+        val qs = slice(nq, s)
+        var c = 0
+        while (c < cb(s).length) {
+          val cent = cb(s)(c)
+          var d = 0.0; var i = 0
+          val n = math.min(qs.length, cent.length)
+          while (i < n) { d += qs(i) * cent(i); i += 1 }
+          lut(s * kCent + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val adc = udf { (codes: Array[Byte], lut: Array[Double], qc: Double) =>
+      var s = 0; var acc = qc
+      while (s < codes.length) { acc += lut(s * kCent + (codes(s) & 0xff)); s += 1 }
+      acc
+    }
+
+    val coded = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cc", encode(col("cv")))
+      .select(col("neighbor_id"), col("cc._1").as("cell"), col("cc._2").as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", lutOf(col("qv")))
+      .select(col("query_id"), col("lut"), explode(probeOf(col("qv"))).as("pc"))
+      .select(col("query_id"), col("lut"),
+        col("pc._1").as("cell"), col("pc._2").as("qc"))
+    val scored = coded.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", adc(col("codes"), col("lut"), col("qc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** Angle (radians) between two float vectors, double-precision with
     * the acos input clamped to [-1, 1]. Zero-norm vectors yield NaN,
     * which the cell-pruning below treats as "radius unknown ⇒ never

@@ -384,4 +384,54 @@ object TextAnalysis {
         (col("n_tok") * col("log2n_micro") - col("sum_micro")).as("surprisal_micro"),
         expr("(n_tok * log2n_micro - sum_micro) div n_tok").as("mean_surprisal_micro"))
   }
+
+  /** Corpus-conditional BIGRAM surprisal — one LM order up from
+    * [[unigramSurprisal]], the shape of the KenLM-style perplexity
+    * filter (CCNet; Wenzek et al. 2020) with the corpus itself as the
+    * language model. Per doc, with bigram MLE p(w₂|w₁) = c(w₁w₂)/c(w₁·):
+    * surprisal = Σ −log2 p = Σ (log2 c(w₁·) − log2 c(w₁w₂)), where
+    * c(w₁·) counts bigrams starting with w₁ (the standard conditional
+    * denominator). Templated text repeating corpus-frequent
+    * TRANSITIONS scores low even when its unigrams are rare.
+    *
+    * Numeric determinism (the t9 recipe): both log2 factors are
+    * quantised ONCE in the bigram vocab to integer micro-bits, then
+    * integer-summed per doc — order-independent, hash-exact vs the SQL
+    * twin. Docs with < 2 tokens have no bigrams and drop out (join
+    * semantics, matching the twin).
+    *
+    * Scale shape: bigram construction is a NARROW zip of the token
+    * array with its own tail (no positional self-join, no window —
+    * nothing shuffles to build transitions). Then the t9 MapReduce
+    * shape: one vocab aggregate keyed by bigram, a metadata-scale
+    * re-aggregate of that vocab for the w₁ margins (never a second
+    * pass over the token relation), the score join, one doc aggregate.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val tk = tokens(col("t"))
+    val bigrams = when(size(tk) >= 2,
+        zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val bi = Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(bigrams).as("bg"))
+      // tokens are \s+-split so w₁ contains no space: the first field
+      // of the bigram string IS the first token
+      .withColumn("w1", split(col("bg"), " ", 2).getItem(0))
+    val vocab = OpCaches.persist(
+      bi.groupBy("bg", "w1").agg(count(lit(1)).as("c")))
+    val vb = vocab.select(col("bg"),
+      floor(log2(col("c").cast("double")) * lit(1000000L)).cast("long").as("l2b"))
+    val vf = vocab.groupBy("w1").agg(sum(col("c")).as("cf"))
+      .select(col("w1"),
+        floor(log2(col("cf").cast("double")) * lit(1000000L)).cast("long").as("l2f"))
+    bi.join(vb, "bg").join(vf, "w1")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("l2f") - col("l2b")).as("surprisal_micro"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("surprisal_micro"),
+        expr("surprisal_micro div n_bigrams").as("mean_surprisal_micro"))
+  }
 }

@@ -686,6 +686,28 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.6, s"recall=$recall (found $hits of ${base.length})")
   }
 
+  test("IVF-PQ ANN recalls planted near-duplicates through cells + residual codes") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val queries = base.map { case (id, v) =>
+      val noisy = v.zipWithIndex.map { case (x, i) =>
+        x + 0.02f * (graft.anonymise.Faker.mix64(id * 131 + i) % 1000) / 1000f
+      }
+      (id + 100000L, noisy)
+    }.toSeq.toDF("vec_id", "embedding")
+    // nprobe = nlist isolates the code-quality axis: a planted
+    // near-identical query must land in its base vector's cell anyway;
+    // residual codes must then rank the base first
+    val ann = Similarity.ivfPqTopK(emb, queries, k = 3, nlist = 8, nprobe = 8,
+        m = 16, codebookBits = 6)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = base.count { case (id, _) => ann.get(id + 100000L).contains(id) }
+    val recall = hits.toDouble / base.length
+    assert(recall >= 0.6, s"recall=$recall (found $hits of ${base.length})")
+  }
+
   test("unigram surprisal: integer micro-bit math matches hand computation") {
     import spark.implicits._
     // vocab: c(a)=2, c(b)=2, N=4 → l2n=2e6, l2c=1e6 each; every token
@@ -695,6 +717,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out == Map(1L -> ((3L, 3000000L, 1000000L)),
                       2L -> ((1L, 1000000L, 1000000L))))
+  }
+
+  test("bigram surprisal: integer micro-bit math matches hand computation") {
+    import spark.implicits._
+    // bigram counts: c(a b)=2, c(b a)=1, c(a c)=1; margins c(a·)=3, c(b·)=1
+    // l2b: ab=1e6, ba=0, ac=0; l2f: a=⌊log2(3)·1e6⌋=1584962, b=0
+    // doc1 = (1584962−1e6) + (0−0) + (1584962−0) = 2169924 over 3 bigrams
+    // doc3 has one token → no bigrams → drops out
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((3L, 2169924L, 723308L)),
+                      2L -> ((1L, 584962L, 584962L))))
   }
 
   test("BloomJoin: output row-identical to the plain join; null probe keys dropped") {
