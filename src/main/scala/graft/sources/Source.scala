@@ -123,21 +123,34 @@ final case class ParquetSource(
 
 object ParquetSource {
 
-  /** Spark's TimestampType is microsecond-precision, so parquet
-    * TIMESTAMP(NANOS) columns are unreadable unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces them as
-    * nanosecond longs. This converts such columns (recognised by the
-    * `isNanoTs` field metadata set by that flag, plus the known fixture
-    * column `ts`) back to proper µs timestamps — the same ns→µs floor
-    * DuckDB applies in epoch_us(), keeping engines comparable.
+  /** Normalise fixture timestamp columns to Spark's TimestampType,
+    * whatever physical shape the parquet writer chose:
+    *
+    *  - TIMESTAMP(NANOS): unreadable unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` surfaces them as
+    *    nanosecond longs (recognised by the `isNanoTs` field metadata
+    *    set by that flag, plus the known fixture column `ts`) —
+    *    converted back to µs timestamps with the same ns→µs floor
+    *    DuckDB applies in epoch_us(), keeping engines comparable.
+    *  - TIMESTAMP without `isAdjustedToUTC`: Spark 4 infers
+    *    TIMESTAMP_NTZ, which `unix_micros`/watermarks and the rest of
+    *    the catalog don't accept — cast to TimestampType. The session
+    *    timezone is pinned to UTC everywhere (Bench/Verify/Main/specs),
+    *    so the NTZ wall-clock is reinterpreted as the identical UTC
+    *    instant DuckDB's naive reader sees.
     */
   def normalizeNanoTimestamps(df: DataFrame, nanoCols: Seq[String] = Seq("ts")): DataFrame = {
     val longNanoCols = df.schema.fields.collect {
       case f if f.dataType == LongType &&
         (f.metadata.contains("isNanoTs") || nanoCols.contains(f.name)) => f.name
     }
-    longNanoCols.foldLeft(df)((acc, c) =>
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    val deNano = longNanoCols.foldLeft(df)((acc, c) =>
       acc.withColumn(c, timestamp_micros(expr(s"$c div 1000"))))
+    ntzCols.foldLeft(deNano)((acc, c) =>
+      acc.withColumn(c, col(c).cast(TimestampType)))
   }
 
   /** FK edges of the driver fixture star schema (FIXTURES.md §B). */
