@@ -44,7 +44,8 @@ object Bench {
     "t9_surprisal", "t11_domain_cap", "t12_quality_filter",
     "t13_mix_rebalance", "t14_token_budget", "t15_bigram_surprisal",
     "st1_first_seen", "st2_interval_join", "st4_dedup_keys",
-    "st5_scd2_stream", "st6_screen_stream",
+    "st5_scd2_stream", "st6_screen_stream", "st7_cdc_upsert",
+    "t16_classifier_score", "t17_ppl_buckets",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",
     "o16_dump_stats", "o24_dump_parallel", "o25_jsonl_roundtrip",

@@ -1284,6 +1284,49 @@ object GraftQueries {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** ST7 [EXT] — streaming CDC upsert round-trip through the
+    * merge-on-read [[graft.streaming.KeyedTable]] sink: the customer
+    * snapshot seeds the base generation, events arrive as three delta
+    * batches, batch 1 is REPLAYED (must commit as a no-op — the
+    * streaming-restart path), a compaction folds mid-stream, and a
+    * post-compaction replay proves the version-max merge is idempotent
+    * even after its delta was GC'd. The maintained table then reads
+    * back as the latest state per user — users without events keep
+    * their snapshot row.
+    */
+  def st7CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_upsert/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val snapshot = tbl(s, dir, "customer").select(
+      col("c_custkey").as("user_id"), lit("snapshot").as("src"),
+      col("c_acctbal").as("value"), lit(-1L).as("ts_us"), lit(-1L).as("eid"))
+    val ev = tbl(s, dir, "events").select(
+      col("user_id"), lit("event").as("src"), col("value"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
+    def batch(b: Int) = ev.filter(pmod(col("eid"), lit(3)) === b)
+    val table = new graft.streaming.KeyedTable(
+      s, out, Seq("user_id"), Seq("ts_us", "eid"))
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // stale partial run
+      table.initBase(snapshot)
+      require(table.upsert(batch(0), 0) && table.upsert(batch(1), 1),
+        "fresh deltas must commit")
+      require(!table.upsert(batch(1), 1),
+        "replayed delta must be a no-op")
+      table.compact()
+      require(table.upsert(batch(2), 2), "post-compaction delta must commit")
+      // replay batch 1 AFTER its delta was compacted away: commits as a
+      // new delta, but version-max makes re-applied rows change nothing
+      require(table.upsert(batch(1), 1), "post-GC replay commits")
+      new java.io.FileOutputStream(marker).close()
+    }
+    table.read().select(col("user_id"), col("src"),
+      col("eid").as("latest_event_id"), col("value").as("latest_value"))
+  }
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -1579,6 +1622,21 @@ object GraftQueries {
   def t15BigramSurprisal(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprisal(tbl(s, dir, "documents"))
 
+  /** Fasttext-style linear quality-classifier inference: broadcast
+    * vocab→weight table + one doc aggregate (`TextAnalysis.
+    * classifierScore`) — model-based filtering with the model as data,
+    * weights deterministic so the twin rebuilds them bit-exactly.
+    */
+  def t16ClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(tbl(s, dir, "documents"))
+
+  /** CCNet perplexity partition: head/middle/tail thirds of the corpus
+    * by unigram surprisal, ranked via the distributed prefix sum
+    * (never a partitionless window) — `TextAnalysis.perplexityBuckets`.
+    */
+  def t17PplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(tbl(s, dir, "documents"))
+
   /** Per-document TF-IDF keyword extraction (top-3 terms, integer
     * micro-bit scoring — hash-exact vs the SQL twin).
     */
@@ -1710,6 +1768,7 @@ object GraftQueries {
     "st4_dedup_keys"     -> (st4DedupKeys _),
     "st5_scd2_stream"    -> (st5Scd2 _),
     "st6_screen_stream"  -> (st6ScreenStream _),
+    "st7_cdc_upsert"     -> (st7CdcUpsert _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),
@@ -1771,6 +1830,8 @@ object GraftQueries {
     "t8_top_terms"       -> (t8TopTerms _),
     "t9_surprisal"       -> (t9Surprisal _),
     "t15_bigram_surprisal" -> (t15BigramSurprisal _),
+    "t16_classifier_score" -> (t16ClassifierScore _),
+    "t17_ppl_buckets"    -> (t17PplBuckets _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),

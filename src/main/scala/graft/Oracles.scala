@@ -967,6 +967,24 @@ object Oracles {
     "st4_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // maintained CDC upsert table: snapshot rows carry version (-1,-1)
+    // so any event beats them; latest (ts_us, eid) per user wins
+    "st7_cdc_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT c_custkey AS user_id, 'snapshot' AS src, c_acctbal AS value,
+        |         CAST(-1 AS BIGINT) AS ts_us, CAST(-1 AS BIGINT) AS eid
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT user_id, 'event', value,
+        |         CAST(epoch_us(ts) AS BIGINT), event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us DESC, eid DESC) AS rn
+        |  FROM all_rows)
+        |SELECT user_id, src, eid AS latest_event_id, value AS latest_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
     "st2_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id
         |FROM events a JOIN events b
@@ -1355,6 +1373,52 @@ object Oracles {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(s AS BIGINT) AS surprisal_micro,
         |  CAST(s // n AS BIGINT) AS mean_surprisal_micro
         |FROM per""".stripMargin,
+
+    // linear classifier inference: top-1000 doc-frequency vocab, each
+    // weight the portable md5 bucket mapped to micro-logits — the twin
+    // rebuilds the identical model table, scores are integer-exact
+    "t16_classifier_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT tok, ${bucketSql("tok", 2001)} * 1000 - 1000000 AS w_micro
+         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
+         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS n_tok, count(v.w_micro) AS n_hits,
+         |    coalesce(sum(v.w_micro), 0) AS lm
+         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(n_hits AS BIGINT) AS n_hits, CAST(lm AS BIGINT) AS logit_micro,
+         |  lm > 0 AS pass
+         |FROM per""".stripMargin,
+
+    // CCNet head/middle/tail perplexity thirds: global rank over
+    // (mean surprisal, doc_id) — integer 3·pos vs n boundary arithmetic
+    "t17_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(floor(log2(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT) AS l2n FROM vocab),
+        |vl AS (SELECT tok, CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS l2c FROM vocab),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tok, sum(vl.l2c) AS s
+        |  FROM toks t JOIN vl USING (tok) GROUP BY t.doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST((n_tok * (SELECT l2n FROM tot) - s) // n_tok AS BIGINT) AS mean_surprisal_micro
+        |  FROM per),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY mean_surprisal_micro, doc_id) AS pos,
+        |    count(*) OVER () AS n
+        |  FROM scored)
+        |SELECT doc_id, mean_surprisal_micro, CAST(pos AS BIGINT) AS pos,
+        |  CASE WHEN pos * 3 <= n THEN 'head'
+        |       WHEN pos * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM ranked""".stripMargin,
 
     // word-level Gopher repetition ratios — exact integer ratios, so the
     // doubles match bit-exactly

@@ -434,4 +434,73 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_bigrams"), col("surprisal_micro"),
         expr("surprisal_micro div n_bigrams").as("mean_surprisal_micro"))
   }
+
+  /** Linear bag-of-words classifier INFERENCE at corpus scale — the
+    * fasttext-style model-based quality filter (CCNet, Wenzek et al.
+    * 2020; RefinedWeb) with the model held as DATA: a vocab→weight
+    * table broadcast to every executor and scored with one equi-join +
+    * one doc aggregate. No per-row UDF, no model object on the
+    * executors — swap the deterministic weights for trained ones and
+    * the plan is unchanged.
+    *
+    * The vocabulary is the corpus's top-`vocabSize` tokens by DOCUMENT
+    * frequency (ties broken token-ascending), so it is reproducible;
+    * each weight derives from the portable md5 bucket, mapped to
+    * integer micro-logits in [-1e6, 1e6] — the DuckDB twin rebuilds
+    * the identical table, making every score hash-exact. OOV tokens
+    * score 0 (left join); `pass` is the sign of the logit sum.
+    *
+    * Scale shape: token relation aggregates by token (distinct-doc
+    * partial agg), top-V via TakeOrderedAndProject (driver holds V
+    * rows, never the vocabulary), weights broadcast into the token
+    * scan, one id-keyed doc aggregate. Zero-token docs drop out (the
+    * t9 convention).
+    */
+  def classifierScore(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      vocabSize: Int = 1000): DataFrame = {
+    val toks = Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(tokens(col("t"))).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(countDistinct(col("id")).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"),
+        (Sampling.bucket(col("tok"), 2001) * lit(1000L) - lit(1000000L))
+          .as("w_micro"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        count(col("w_micro")).as("n_hits"),
+        coalesce(sum(col("w_micro")), lit(0L)).as("logit_micro"))
+      .select(col("id").as(idCol), col("n_tok"), col("n_hits"),
+        col("logit_micro"), (col("logit_micro") > 0L).as("pass"))
+  }
+
+  /** CCNet-style perplexity partition: rank every doc by its [[
+    * unigramSurprisal]] quality proxy and cut the corpus into
+    * head / middle / tail THIRDS (low surprisal = head, the slice
+    * CCNet keeps for training). The cut is an exact global ranking —
+    * but never a partitionless window: position comes from the
+    * distributed prefix sum (`Sampling.runningTotal`, the t14
+    * machinery) over the total order (surprisal, id), and the corpus
+    * size joins in as one broadcast row. Bucket boundaries use integer
+    * arithmetic (3·pos vs n), so the assignment is bit-reproducible.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val scored = OpCaches.persist(
+      unigramSurprisal(df, idCol, textCol)
+        .select(col(idCol), col("mean_surprisal_micro")))
+    val n = broadcast(scored.agg(count(lit(1)).as("__n")))
+    Sampling.runningTotal(
+        scored.withColumn("__one", lit(1L)),
+        Seq(col("mean_surprisal_micro"), col(idCol)), "__one")
+      .withColumnRenamed("running_total", "pos")
+      .crossJoin(n)
+      .select(col(idCol), col("mean_surprisal_micro"), col("pos"),
+        when(col("pos") * 3 <= col("__n"), lit("head"))
+          .when(col("pos") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 }

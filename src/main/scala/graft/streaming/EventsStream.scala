@@ -281,6 +281,32 @@ object EventsStream {
     clickPurchaseJoin(clicks, purchases, gapMinutes)
   }
 
+  /** Streaming CDC upsert: commit each micro-batch as one [[KeyedTable]]
+    * delta, keyed by the engine's batchId. The table's rename-commit +
+    * replay no-op turns the engine's at-least-once `foreachBatch`
+    * contract into an exactly-once TABLE — a restart that replays a
+    * batch finds its delta already committed. Each batch is first
+    * reduced to its own latest-per-key (a batch-local aggregate) so a
+    * delta holds one row per touched key; cross-batch resolution
+    * happens on the read side via version-max.
+    */
+  def upsertStream(changes: DataFrame, table: KeyedTable,
+                   keyCols: Seq[String], versionCols: Seq[String],
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val payload = df.columns.filterNot(keyCols.contains).toSeq
+        val packed = versionCols ++ payload.filterNot(versionCols.contains)
+        val reduced = df.groupBy(keyCols.map(col): _*)
+          .agg(max(struct(packed.map(col): _*)).as("__m"))
+          .select(df.columns.map(c =>
+            if (keyCols.contains(c)) col(c) else col(s"__m.$c")): _*)
+        table.upsert(reduced, id)
+        ()
+      }
+      .start()
+
   /** Drive a streaming DataFrame built by `build` over the fixture
     * parquet as a bounded stream, collect via the memory sink.
     */

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read keyed parquet table — the maintained-state SINK for a
+  * streaming CDC upsert (the missing half of `Cdc.applyChangelog`:
+  * that op merges a bounded changelog once; this table absorbs an
+  * unbounded stream of them).
+  *
+  * Layout under `dir`:
+  *  - `base-<gen>/`    parquet snapshot; the live one is named by `_CURRENT`
+  *  - `delta=<batchId>/` one parquet dir per committed upsert batch
+  *  - `_CURRENT`       single-line pointer file naming the live base
+  *
+  * Write protocol (single writer — the streaming query):
+  *  - `upsert(df, batchId)` stages to a hidden temp dir, then RENAMES to
+  *    `delta=<batchId>` — the rename is the commit point (the o24 dump
+  *    sink's two-phase pattern). A replayed batch (restart from an old
+  *    checkpoint) finds its delta already present and becomes a no-op:
+  *    at-least-once delivery turns exactly-once by construction.
+  *  - `compact()` folds base + the deltas it LISTED into `base-<gen+1>`,
+  *    commits by atomically rewriting `_CURRENT`, then deletes the
+  *    consumed deltas. Deletion is post-commit GC: a crash between
+  *    commit and GC leaves consumed deltas on disk, and re-reading them
+  *    is harmless — see below.
+  *
+  * Read protocol: `read()` = live base ∪ all deltas → latest row per
+  * key, resolved by the LEXICOGRAPHIC MAX of `versionCols` (which must
+  * totally order each key's rows — e.g. `(ts_us, event_id)`; base rows
+  * carry a version below any live event, e.g. -1). Max-resolution makes
+  * the merge IDEMPOTENT and COMMUTATIVE: re-applying any delta, in any
+  * order, cannot change the result — which is what makes the crash
+  * windows above (lingering consumed deltas, replayed batches) safe
+  * without a transaction log. One hash shuffle on the key, no sort.
+  *
+  * Scale: reads shuffle base+deltas once on the key — at 100 TB the
+  * base dominates, which is why `compact()` exists (run it when
+  * #deltas grows, exactly Delta/Iceberg's minor-compaction cadence).
+  * Object-store caveat: dir rename is not atomic on S3-style stores;
+  * there the rename-commit needs an atomic-rename layer (HDFS, ABFS,
+  * or a commit service), same as every rename-committed Spark sink.
+  */
+final class KeyedTable(spark: SparkSession, dir: String,
+                       keyCols: Seq[String], versionCols: Seq[String]) {
+  require(keyCols.nonEmpty && versionCols.nonEmpty)
+
+  private val root = new Path(dir)
+  private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val current = new Path(root, "_CURRENT")
+
+  private def readPointer(): Option[String] =
+    if (!fs.exists(current)) None
+    else {
+      val in = fs.open(current)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+
+  /** Atomic pointer swap: write `_CURRENT.tmp`, rename over `_CURRENT`. */
+  private def commitPointer(baseName: String): Unit = {
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(baseName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(current)) fs.delete(current, false)
+    if (!fs.rename(tmp, current))
+      sys.error(s"KeyedTable: failed to commit pointer $baseName")
+  }
+
+  private def listDeltas(): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("delta="))
+      .sortBy(p => p.getName.stripPrefix("delta=").toLong)
+
+  /** Seed the table: write the initial snapshot as generation 0. */
+  def initBase(df: DataFrame): Unit = {
+    fs.mkdirs(root)
+    val gen = "base-0"
+    df.write.mode("overwrite").parquet(new Path(root, gen).toString)
+    commitPointer(gen)
+  }
+
+  /** Commit one upsert batch. Returns false (no-op) when `batchId` is
+    * already committed — the streaming-restart replay path.
+    */
+  def upsert(df: DataFrame, batchId: Long): Boolean = {
+    val target = new Path(root, s"delta=$batchId")
+    if (fs.exists(target)) return false
+    val tmp = new Path(root, s".tmp-delta-$batchId")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // leftover from a crashed attempt
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true)
+      sys.error(s"KeyedTable: failed to commit delta $batchId")
+    }
+    true
+  }
+
+  /** Latest row per key over base ∪ deltas — one key-shuffle, resolved
+    * by max(struct(version..., payload...)). Version uniqueness per key
+    * means payload fields never decide the max.
+    */
+  def read(): DataFrame = {
+    val paths = readPointer().map(g => new Path(root, g)).toSeq ++ listDeltas()
+    require(paths.nonEmpty, s"KeyedTable at $dir is empty — initBase first")
+    resolve(spark.read.parquet(paths.map(_.toString): _*))
+  }
+
+  private def resolve(all: DataFrame): DataFrame = {
+    val payload = all.columns.filterNot(keyCols.contains).toSeq
+    require(versionCols.forall(payload.contains),
+      "versionCols must be non-key columns")
+    // versions lead the struct so they alone decide the lexicographic max
+    val packed = versionCols ++ payload.filterNot(versionCols.contains)
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(packed.map(col): _*)).as("__m"))
+      .select(all.columns.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__m.$c")): _*)
+  }
+
+  /** Fold the deltas present NOW into a new base generation; commit via
+    * the pointer, then GC exactly the consumed deltas.
+    */
+  def compact(): Unit = {
+    val basePath = readPointer().map(g => new Path(root, g)).toSeq
+    val deltas = listDeltas()
+    if (deltas.isEmpty) return
+    val consumed = basePath ++ deltas
+    val gen = readPointer().map(_.stripPrefix("base-").toLong + 1).getOrElse(0L)
+    val newBase = s"base-$gen"
+    resolve(spark.read.parquet(consumed.map(_.toString): _*))
+      .write.mode("overwrite").parquet(new Path(root, newBase).toString)
+    commitPointer(newBase)
+    (basePath ++ deltas).foreach(p => fs.delete(p, true))
+  }
+}
