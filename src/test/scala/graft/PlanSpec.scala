@@ -366,4 +366,38 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("partial_min"), plan.take(2000))
     assert(plan.contains("HashAggregate"))
   }
+
+  test("t16 classifier: the weight table broadcasts into the token scan") {
+    val plan = planOf("t16_classifier_score")
+    // model-as-data inference: vocab joins as a broadcast, the
+    // corpus-sized token relation must never sort-merge into it
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("t17 ppl buckets: global ranking via range Exchange, no single-task window") {
+    val df = GraftQueries.all("t17_ppl_buckets")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the one-row corpus count legitimately finishes on a
+    // SinglePartition Exchange (metadata scale) — the thing that must
+    // NOT be single-task is the ranking WINDOW: every window spec has
+    // to partition by __pid over the range Exchange
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected the sampled-boundary range Exchange:\n${plan.take(2500)}")
+    assert(plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")),
+      s"partitionless ranking window detected:\n${plan.take(2500)}")
+    // the corpus size joins in as one broadcast row, never a cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2500))
+  }
+
+  test("st7 upsert read: one key shuffle resolves base+deltas (partial+final max)") {
+    val df = GraftQueries.all("st7_cdc_upsert")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"merge-on-read resolution must be ONE key shuffle, got $exchanges:\n${plan.take(2000)}")
+  }
 }
