@@ -1318,12 +1318,47 @@ object GraftQueries {
         "replayed delta must be a no-op")
       table.compact()
       require(table.upsert(batch(2), 2), "post-compaction delta must commit")
-      // replay batch 1 AFTER its delta was compacted away: commits as a
-      // new delta, but version-max makes re-applied rows change nothing
+      table.vacuum()
+      // replay batch 1 AFTER vacuum dropped its delta: commits as a new
+      // delta, but version-max makes re-applied rows change nothing
       require(table.upsert(batch(1), 1), "post-GC replay commits")
       new java.io.FileOutputStream(marker).close()
     }
     table.read().select(col("user_id"), col("src"),
+      col("eid").as("latest_event_id"), col("value").as("latest_value"))
+  }
+
+  /** ST8 [EXT] — time travel on the merge-on-read table: three delta
+    * batches land and a compaction folds them into a new generation,
+    * then `readAsOf(1)` reconstructs the pre-batch-2 state from the
+    * RETAINED history (base-0 + deltas 0,1) — generation watermarks
+    * (`_MAX_BATCH`) pick the newest base at-or-below the asked batch.
+    * History survives compaction by design; only `vacuum()` trades it
+    * away (st7 exercises that side).
+    */
+  def st8TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_timetravel/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val snapshot = tbl(s, dir, "customer").select(
+      col("c_custkey").as("user_id"), lit("snapshot").as("src"),
+      col("c_acctbal").as("value"), lit(-1L).as("ts_us"), lit(-1L).as("eid"))
+    val ev = tbl(s, dir, "events").select(
+      col("user_id"), lit("event").as("src"), col("value"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
+    val table = new graft.streaming.KeyedTable(
+      s, out, Seq("user_id"), Seq("ts_us", "eid"))
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      table.initBase(snapshot)
+      (0 to 2).foreach(b =>
+        table.upsert(ev.filter(pmod(col("eid"), lit(3)) === b), b))
+      table.compact() // folds all three; base-0 + deltas remain as history
+      new java.io.FileOutputStream(marker).close()
+    }
+    table.readAsOf(1).select(col("user_id"), col("src"),
       col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
@@ -1769,6 +1804,7 @@ object GraftQueries {
     "st5_scd2_stream"    -> (st5Scd2 _),
     "st6_screen_stream"  -> (st6ScreenStream _),
     "st7_cdc_upsert"     -> (st7CdcUpsert _),
+    "st8_time_travel"    -> (st8TimeTravel _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),

@@ -967,6 +967,24 @@ object Oracles {
     "st4_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // table state as of batch 1: events of batches 0 and 1 only
+    // (eid % 3 < 2) over the snapshot — batch 2 must be invisible
+    "st8_time_travel" ->
+      """WITH all_rows AS (
+        |  SELECT c_custkey AS user_id, 'snapshot' AS src, c_acctbal AS value,
+        |         CAST(-1 AS BIGINT) AS ts_us, CAST(-1 AS BIGINT) AS eid
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT user_id, 'event', value,
+        |         CAST(epoch_us(ts) AS BIGINT), event_id
+        |  FROM events WHERE event_id % 3 < 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us DESC, eid DESC) AS rn
+        |  FROM all_rows)
+        |SELECT user_id, src, eid AS latest_event_id, value AS latest_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
     // maintained CDC upsert table: snapshot rows carry version (-1,-1)
     // so any event beats them; latest (ts_us, eid) per user wins
     "st7_cdc_upsert" ->

@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   *    sink's two-phase pattern). A replayed batch (restart from an old
   *    checkpoint) finds its delta already present and becomes a no-op:
   *    at-least-once delivery turns exactly-once by construction.
-  *  - `compact()` folds base + the deltas it LISTED into `base-<gen+1>`,
-  *    commits by atomically rewriting `_CURRENT`, then deletes the
-  *    consumed deltas. Deletion is post-commit GC: a crash between
-  *    commit and GC leaves consumed deltas on disk, and re-reading them
-  *    is harmless — see below.
+  *  - `compact()` folds the live base + the deltas it LISTED into
+  *    `base-<gen+1>` (stamped with `_MAX_BATCH`, the highest batchId it
+  *    contains), and commits by atomically rewriting `_CURRENT`.
+  *    Compaction deletes NOTHING: old generations and consumed deltas
+  *    are immutable history, which is what makes `readAsOf` (time
+  *    travel) possible. `vacuum()` is the explicit GC — it drops every
+  *    generation except the live one and every delta the live base
+  *    already contains, after which as-of reads below the compaction
+  *    watermark fail loudly (the Delta VACUUM trade).
   *
   * Read protocol: `read()` = live base ∪ all deltas → latest row per
   * key, resolved by the LEXICOGRAPHIC MAX of `versionCols` (which must
@@ -76,11 +80,41 @@ final class KeyedTable(spark: SparkSession, dir: String,
       .filter(p => p.getName.startsWith("delta="))
       .sortBy(p => p.getName.stripPrefix("delta=").toLong)
 
+  private def deltaId(p: Path): Long = p.getName.stripPrefix("delta=").toLong
+
+  private def listBases(): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("base-"))
+      .sortBy(_.getName.stripPrefix("base-").toLong)
+
+  /** Highest batchId folded into a base generation (-1: none). Written
+    * INSIDE the generation dir before the pointer commit, so a
+    * generation is never live without its watermark.
+    */
+  private def maxBatchOf(base: Path): Long = {
+    val f = new Path(base, "_MAX_BATCH")
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeMaxBatch(base: Path, id: Long): Unit = {
+    val out = fs.create(new Path(base, "_MAX_BATCH"), true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Seed the table: write the initial snapshot as generation 0. */
   def initBase(df: DataFrame): Unit = {
     fs.mkdirs(root)
     val gen = "base-0"
     df.write.mode("overwrite").parquet(new Path(root, gen).toString)
+    writeMaxBatch(new Path(root, gen), -1L)
     commitPointer(gen)
   }
 
@@ -105,9 +139,27 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * means payload fields never decide the max.
     */
   def read(): DataFrame = {
-    val paths = readPointer().map(g => new Path(root, g)).toSeq ++ listDeltas()
-    require(paths.nonEmpty, s"KeyedTable at $dir is empty — initBase first")
+    val base = readPointer().map(g => new Path(root, g))
+    require(base.nonEmpty, s"KeyedTable at $dir is empty — initBase first")
+    // deltas at-or-below the base's watermark are already folded in;
+    // re-reading them would be harmless (max-merge) but wasted IO
+    val wm = base.map(maxBatchOf).getOrElse(-1L)
+    val paths = base.toSeq ++ listDeltas().filter(deltaId(_) > wm)
     resolve(spark.read.parquet(paths.map(_.toString): _*))
+  }
+
+  /** Time travel: the table as of `batchId` — the newest generation at
+    * or below the watermark plus the deltas in (watermark, batchId].
+    * Fails loudly when `vacuum()` has dropped the needed history.
+    */
+  def readAsOf(batchId: Long): DataFrame = {
+    val candidates = listBases().map(p => (p, maxBatchOf(p)))
+      .filter(_._2 <= batchId)
+    require(candidates.nonEmpty,
+      s"KeyedTable at $dir: history before batch $batchId was vacuumed")
+    val (base, wm) = candidates.maxBy(_._2)
+    val deltas = listDeltas().filter(p => deltaId(p) > wm && deltaId(p) <= batchId)
+    resolve(spark.read.parquet((base +: deltas).map(_.toString): _*))
   }
 
   private def resolve(all: DataFrame): DataFrame = {
@@ -122,19 +174,33 @@ final class KeyedTable(spark: SparkSession, dir: String,
         if (keyCols.contains(c)) col(c) else col(s"__m.$c")): _*)
   }
 
-  /** Fold the deltas present NOW into a new base generation; commit via
-    * the pointer, then GC exactly the consumed deltas.
+  /** Fold the live base and the deltas present NOW into a new base
+    * generation, commit via the pointer. History is kept — `vacuum()`
+    * is the explicit GC.
     */
   def compact(): Unit = {
-    val basePath = readPointer().map(g => new Path(root, g)).toSeq
-    val deltas = listDeltas()
+    val basePath = readPointer().map(g => new Path(root, g))
+    val wm = basePath.map(maxBatchOf).getOrElse(-1L)
+    val deltas = listDeltas().filter(deltaId(_) > wm)
     if (deltas.isEmpty) return
-    val consumed = basePath ++ deltas
+    val consumed = basePath.toSeq ++ deltas
     val gen = readPointer().map(_.stripPrefix("base-").toLong + 1).getOrElse(0L)
-    val newBase = s"base-$gen"
+    val newBase = new Path(root, s"base-$gen")
     resolve(spark.read.parquet(consumed.map(_.toString): _*))
-      .write.mode("overwrite").parquet(new Path(root, newBase).toString)
-    commitPointer(newBase)
-    (basePath ++ deltas).foreach(p => fs.delete(p, true))
+      .write.mode("overwrite").parquet(newBase.toString)
+    writeMaxBatch(newBase, deltas.map(deltaId).max)
+    commitPointer(s"base-$gen")
+  }
+
+  /** GC all history the live base supersedes: every other generation
+    * and every delta at-or-below the live watermark. After this,
+    * `readAsOf` below the watermark fails (the Delta VACUUM trade).
+    */
+  def vacuum(): Unit = {
+    val live = readPointer().getOrElse(
+      sys.error(s"KeyedTable at $dir is empty — nothing to vacuum"))
+    val wm = maxBatchOf(new Path(root, live))
+    listBases().filter(_.getName != live).foreach(p => fs.delete(p, true))
+    listDeltas().filter(deltaId(_) <= wm).foreach(p => fs.delete(p, true))
   }
 }

@@ -44,7 +44,7 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(state(t) == before)
   }
 
-  test("compact folds deltas into a new generation; reads unchanged; deltas GC'd") {
+  test("compact folds deltas into a new generation; reads unchanged; history kept") {
     val dir = tmpDir("compact")
     val t = mk(dir)
     t.initBase(rows((1L, -1L, -1L, "base")))
@@ -54,11 +54,38 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     t.compact()
     assert(state(t) == before)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(names.contains("base-1") && !names.contains("base-0"))
-    assert(!names.exists(_.startsWith("delta=")))
-    // post-GC replay of an already-applied batch commits as a fresh
-    // delta, and the version-max merge makes it a semantic no-op
-    assert(t.upsert(rows((1L, 1L, 1L, "v1"), (2L, 1L, 1L, "n2")), 0))
+    // compaction never destroys history — old generation + deltas stay
+    assert(names.contains("base-1") && names.contains("base-0"))
+    assert(names.contains("delta=0") && names.contains("delta=1"))
+    // a delta landing after the compaction is visible immediately
+    t.upsert(rows((2L, 5L, 1L, "n2b")), 2)
+    assert(state(t) == Set(
+      (1L, 2L, 1L, "v2"), (2L, 5L, 1L, "n2b")))
+  }
+
+  test("readAsOf reconstructs any batch watermark; vacuum trades history away") {
+    val dir = tmpDir("asof")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    t.upsert(rows((1L, 1L, 1L, "v1")), 0)
+    t.upsert(rows((1L, 2L, 1L, "v2")), 1)
+    t.compact() // base-1 watermark = 1
+    t.upsert(rows((1L, 3L, 1L, "v3")), 2)
+    assert(t.readAsOf(0).as[(Long, Long, Long, String)].collect().toSet ==
+      Set((1L, 1L, 1L, "v1")))
+    assert(t.readAsOf(1).as[(Long, Long, Long, String)].collect().toSet ==
+      Set((1L, 2L, 1L, "v2")))
+    assert(t.readAsOf(2).as[(Long, Long, Long, String)].collect().toSet ==
+      Set((1L, 3L, 1L, "v3")))
+    val before = state(t)
+    t.vacuum() // drops base-0 and deltas <= 1; delta=2 survives
+    assert(state(t) == before)
+    assert(t.readAsOf(2).as[(Long, Long, Long, String)].collect().toSet ==
+      Set((1L, 3L, 1L, "v3")))
+    assertThrows[IllegalArgumentException](t.readAsOf(0))
+    // post-vacuum replay of a consumed batch commits as a fresh delta,
+    // and the version-max merge makes it a semantic no-op
+    assert(t.upsert(rows((1L, 1L, 1L, "v1")), 0))
     assert(state(t) == before)
   }
 
