@@ -1180,6 +1180,37 @@ object GraftQueries {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 8)
   }
 
+  /** S8 [EXT] — PERSISTED IVF index: built once on disk
+    * (cell-partitioned parquet = the inverted file, `ops.VectorIndex`),
+    * then queried with partition pruning — only probed cell
+    * directories are scanned (plan-asserted). nprobe=4 of nlist=8 →
+    * approximate; s4's recall-verdict oracle (measured recall@10 well
+    * clear of the 0.2 floor at all fixture SFs).
+    */
+  def s8KnnPersisted(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_vindex/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val emb = tbl(s, dir, "embeddings")
+    val marker = new java.io.File(s"$out/_DONE")
+    if (!marker.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.ops.VectorIndex.buildIvf(emb, out, nlist = 8)
+      new java.io.FileOutputStream(marker).close()
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = graft.ops.VectorIndex.queryIvf(s, out, q, k = 10, nprobe = 4)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+  }
+
   /** Product-quantization ANN with the s2-style oracle contract: PQ
     * codes (16 B/vector, 16× compression) + asymmetric-distance top-k,
     * verdict row = recall@10 vs the exact in-query brute force clears
@@ -1854,6 +1885,7 @@ object GraftQueries {
     "s5_range_search"    -> (s5RangeSearch _),
     "s6_random_projection" -> (s6RandomProjection _),
     "s7_knn_ivfpq"       -> (s7KnnIvfPq _),
+    "s8_knn_persisted"   -> (s8KnnPersisted _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),

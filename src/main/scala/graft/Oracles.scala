@@ -909,6 +909,10 @@ object Oracles {
     "s7_knn_ivfpq" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // s8 (persisted partition-pruned IVF) — same verdict contract
+    "s8_knn_persisted" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
     // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
     "s3_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

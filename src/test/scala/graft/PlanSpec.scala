@@ -392,6 +392,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       plan.take(2500))
   }
 
+  test("s8 persisted IVF: probed cells prune partitions — the inverted file is the layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    val emb = graft.sources.ParquetSource.normalizeNanoTimestamps(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    graft.ops.VectorIndex.buildIvf(emb, dir, nlist = 8)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val df = graft.ops.VectorIndex.queryIvf(spark, dir, q, k = 5, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cell filter must resolve against partition METADATA (driver-
+    // side pruning), never as a post-scan data filter
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probed cells must prune partitions:\n${plan.take(2500)}")
+  }
+
   test("st7 upsert read: one key shuffle resolves base+deltas (partial+final max)") {
     val df = GraftQueries.all("st7_cdc_upsert")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
