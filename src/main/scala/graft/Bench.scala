@@ -46,7 +46,7 @@ object Bench {
     "t13_mix_rebalance", "t14_token_budget", "t15_bigram_surprisal",
     "st1_first_seen", "st2_interval_join", "st4_dedup_keys",
     "st5_scd2_stream", "st6_screen_stream", "st7_cdc_upsert",
-    "st8_time_travel",
+    "st8_time_travel", "st9_outer_interval",
     "t16_classifier_score", "t17_ppl_buckets",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",

@@ -1359,6 +1359,14 @@ object GraftQueries {
       col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** ST9 [EXT] — left-outer interval join, batch form (the streaming
+    * watermark-expiry null-emission form asserted against this in
+    * `StreamingSpec`): every click with the purchases it converted to
+    * within 30 minutes, null when unconverted.
+    */
+  def st9OuterInterval(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.clickToPurchaseLeftBatch(tbl(s, dir, "events"))
+
   /** ST8 [EXT] — time travel on the merge-on-read table: three delta
     * batches land and a compaction folds them into a new generation,
     * then `readAsOf(1)` reconstructs the pre-batch-2 state from the
@@ -1836,6 +1844,7 @@ object GraftQueries {
     "st6_screen_stream"  -> (st6ScreenStream _),
     "st7_cdc_upsert"     -> (st7CdcUpsert _),
     "st8_time_travel"    -> (st8TimeTravel _),
+    "st9_outer_interval" -> (st9OuterInterval _),
     "q_global_sort"      -> (qGlobalSort _),
     "q_sql_cte"          -> (qSqlCte _),
     "q_approx_quantile"  -> (q_approxQuantile _),

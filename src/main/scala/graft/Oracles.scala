@@ -1014,6 +1014,14 @@ object Oracles {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin,
 
+    // left-outer interval join: unconverted clicks survive with NULL
+    "st9_outer_interval" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin,
+
     "t1_text_stats" ->
       """WITH f AS (
         |  SELECT doc_id, text,

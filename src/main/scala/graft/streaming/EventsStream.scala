@@ -242,11 +242,13 @@ object EventsStream {
   }
 
   private def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-                                gapMinutes: Int): DataFrame =
+                                gapMinutes: Int,
+                                joinType: String = "inner"): DataFrame =
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapMinutes MINUTES"),
+      joinType)
       .select(col("click_id"), col("purchase_id"))
 
   /** Stream-stream interval self-join: purchases within `gapMinutes` of
@@ -279,6 +281,43 @@ object EventsStream {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
     clickPurchaseJoin(clicks, purchases, gapMinutes)
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the attribution query
+    * where unconverted clicks must still be emitted. The engine buffers
+    * a left row until the WATERMARK proves no matching right row can
+    * still arrive, then emits it null-extended: the null side of the
+    * result is produced by state EXPIRY, not by a scan finishing — the
+    * semantic difference between outer joins in the two worlds. Both
+    * watermarks plus the time bound keep join state bounded exactly as
+    * in the inner form; on a bounded replay, left rows the final
+    * watermark never passes stay buffered and are dropped on stop —
+    * the spec compares accordingly (matched rows must be identical,
+    * null emissions must be a subset of the batch's null set).
+    */
+  def clickToPurchaseLeftStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clickPurchaseJoin(clicks, purchases, gapMinutes, "leftOuter")
+  }
+
+  /** Batch-equivalent of the left-outer interval join: every click,
+    * null purchase_id when none followed within the gap.
+    */
+  def clickToPurchaseLeftBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clickPurchaseJoin(clicks, purchases, gapMinutes, "left")
   }
 
   /** Streaming CDC upsert: commit each micro-batch as one [[KeyedTable]]

@@ -106,6 +106,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: matches exact, nulls only from expiry") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.clickToPurchaseLeftStream(
+        ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "outer_interval_test")
+    val batch = EventsStream.clickToPurchaseLeftBatch(events)
+    val streamedMatched = streamed.filter(col("purchase_id").isNotNull)
+    val batchMatched = batch.filter(col("purchase_id").isNotNull)
+    // matched rows never wait on the watermark — they must be identical
+    assert(streamedMatched.exceptAll(batchMatched).count() == 0)
+    assert(batchMatched.exceptAll(streamedMatched).count() == 0)
+    // null emissions come from state expiry: every one must be a click
+    // the batch join also left unmatched (no false nulls), and clicks
+    // the final watermark never passed are allowed to be missing
+    val streamedNulls = streamed.filter(col("purchase_id").isNull).select("click_id")
+    val batchNulls = batch.filter(col("purchase_id").isNull).select("click_id")
+    assert(streamedNulls.exceptAll(batchNulls).count() == 0)
+    assert(streamedNulls.count() > 0, "expiry should emit unconverted clicks")
+  }
+
   test("stream-static anti-join screen matches batch equivalent, stateless") {
     import graft.streaming.DocsStream
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
