@@ -89,6 +89,48 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(state(t) == before)
   }
 
+  test("model check: random op sequence always reads as latest-per-key of applied batches") {
+    // deterministic PRNG drives a random interleaving of upserts,
+    // replays, compactions and vacuums; after every step the table must
+    // equal an in-memory model that applies max-version-wins per key.
+    // Replays feed CORRUPTED rows on purpose — a table that ever reads
+    // them leaked a duplicate commit.
+    val rnd = new scala.util.Random(42)
+    val t = mk(tmpDir("model"))
+    var model = Map.empty[Long, (Long, Long, String)]
+    def apply(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.foreach { case (k, ts, seq, p) =>
+        val v = (ts, seq, p)
+        model += k -> model.get(k).map(old => if (Ordering[(Long, Long, String)].gt(v, old)) v else old).getOrElse(v)
+      }
+    val seed = Seq.tabulate(5)(i => (i.toLong, -1L, -1L, s"base$i"))
+    t.initBase(rows(seed: _*)); apply(seed)
+    var committed = Map.empty[Long, Seq[(Long, Long, Long, String)]]
+    var vacuumedUpTo = -1L
+    for (batch <- 0L until 12L) {
+      val fresh = Seq.fill(1 + rnd.nextInt(4))(
+        (rnd.nextInt(8).toLong, batch, rnd.nextInt(3).toLong, s"b$batch-${rnd.nextInt(100)}"))
+      assert(t.upsert(rows(fresh: _*), batch)); apply(fresh)
+      committed += batch -> fresh
+      rnd.nextInt(4) match {
+        case 0 =>
+          val (id, orig) = committed.toSeq(rnd.nextInt(committed.size))
+          if (id > vacuumedUpTo)
+            // delta still on disk: a corrupted replay must be REJECTED
+            assert(!t.upsert(rows((99L, 999L, 999L, "corrupt")), id))
+          else
+            // delta GC'd: the at-least-once contract is value-level —
+            // replaying the ORIGINAL rows commits but changes nothing
+            t.upsert(rows(orig: _*), id)
+        case 1 => t.compact()
+        case 2 => t.compact(); t.vacuum(); vacuumedUpTo = batch
+        case _ =>
+      }
+      assert(state(t) == model.map { case (k, (ts, seq, p)) => (k, ts, seq, p) }.toSet,
+        s"divergence after batch $batch")
+    }
+  }
+
   test("streaming foreachBatch upsert equals the batch latest-per-key twin") {
     val dir = tmpDir("stream")
     val events = ParquetSource.normalizeNanoTimestamps(
