@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * unbounded stream of them).
   *
   * Layout under `dir`:
-  *  - `base-<gen>/`    parquet snapshot; the live one is named by `_CURRENT`
+  *  - `base-<gen>/`    parquet snapshot; committed generations carry a
+  *    `_COMMITTED` marker, and the LIVE base is the max committed
+  *    generation — commit is one atomic file CREATE, so there is no
+  *    pointer-swap window and no dependence on rename-overwrite
+  *    semantics (which Hadoop filesystems don't guarantee)
   *  - `delta=<batchId>/` one parquet dir per committed upsert batch
-  *  - `_CURRENT`       single-line pointer file naming the live base
   *
   * Write protocol (single writer — the streaming query):
   *  - `upsert(df, batchId)` stages to a hidden temp dir, then RENAMES to
@@ -22,7 +25,7 @@ import org.apache.spark.sql.functions._
   *    at-least-once delivery turns exactly-once by construction.
   *  - `compact()` folds the live base + the deltas it LISTED into
   *    `base-<gen+1>` (stamped with `_MAX_BATCH`, the highest batchId it
-  *    contains), and commits by atomically rewriting `_CURRENT`.
+  *    contains), committed via the generation marker.
   *    Compaction deletes NOTHING: old generations and consumed deltas
   *    are immutable history, which is what makes `readAsOf` (time
   *    travel) possible. `vacuum()` is the explicit GC — it drops every
@@ -52,27 +55,22 @@ final class KeyedTable(spark: SparkSession, dir: String,
 
   private val root = new Path(dir)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val current = new Path(root, "_CURRENT")
 
-  private def readPointer(): Option[String] =
-    if (!fs.exists(current)) None
-    else {
-      val in = fs.open(current)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-      finally in.close()
-    }
-
-  /** Atomic pointer swap: write `_CURRENT.tmp`, rename over `_CURRENT`. */
-  private def commitPointer(baseName: String): Unit = {
-    val tmp = new Path(root, "_CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(baseName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(current)) fs.delete(current, false)
-    if (!fs.rename(tmp, current))
-      sys.error(s"KeyedTable: failed to commit pointer $baseName")
+  /** The live base: the max-generation dir carrying `_COMMITTED`. An
+    * uncommitted generation (compaction crashed mid-write) is invisible
+    * garbage, never a torn read.
+    */
+  private def liveBase(): Option[Path] = {
+    val committed = listBases().filter(p => fs.exists(new Path(p, "_COMMITTED")))
+    if (committed.isEmpty) None
+    else Some(committed.maxBy(_.getName.stripPrefix("base-").toLong))
   }
+
+  /** Commit a generation: one atomic marker CREATE — readers switch the
+    * instant the marker exists.
+    */
+  private def commitGeneration(base: Path): Unit =
+    fs.create(new Path(base, "_COMMITTED"), true).close()
 
   private def listDeltas(): Seq[Path] =
     if (!fs.exists(root)) Seq.empty
@@ -89,7 +87,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
       .sortBy(_.getName.stripPrefix("base-").toLong)
 
   /** Highest batchId folded into a base generation (-1: none). Written
-    * INSIDE the generation dir before the pointer commit, so a
+    * INSIDE the generation dir before its `_COMMITTED` marker, so a
     * generation is never live without its watermark.
     */
   private def maxBatchOf(base: Path): Long = {
@@ -115,7 +113,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
     val gen = "base-0"
     df.write.mode("overwrite").parquet(new Path(root, gen).toString)
     writeMaxBatch(new Path(root, gen), -1L)
-    commitPointer(gen)
+    commitGeneration(new Path(root, gen))
   }
 
   /** Commit one upsert batch. Returns false (no-op) when `batchId` is
@@ -139,7 +137,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * means payload fields never decide the max.
     */
   def read(): DataFrame = {
-    val base = readPointer().map(g => new Path(root, g))
+    val base = liveBase()
     require(base.nonEmpty, s"KeyedTable at $dir is empty — initBase first")
     // deltas at-or-below the base's watermark are already folded in;
     // re-reading them would be harmless (max-merge) but wasted IO
@@ -153,7 +151,9 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * Fails loudly when `vacuum()` has dropped the needed history.
     */
   def readAsOf(batchId: Long): DataFrame = {
-    val candidates = listBases().map(p => (p, maxBatchOf(p)))
+    val candidates = listBases()
+      .filter(p => fs.exists(new Path(p, "_COMMITTED")))
+      .map(p => (p, maxBatchOf(p)))
       .filter(_._2 <= batchId)
     require(candidates.nonEmpty,
       s"KeyedTable at $dir: history before batch $batchId was vacuumed")
@@ -175,21 +175,23 @@ final class KeyedTable(spark: SparkSession, dir: String,
   }
 
   /** Fold the live base and the deltas present NOW into a new base
-    * generation, commit via the pointer. History is kept — `vacuum()`
-    * is the explicit GC.
+    * generation; the commit is the generation's `_COMMITTED` marker.
+    * History is kept — `vacuum()` is the explicit GC.
     */
   def compact(): Unit = {
-    val basePath = readPointer().map(g => new Path(root, g))
+    val basePath = liveBase()
     val wm = basePath.map(maxBatchOf).getOrElse(-1L)
     val deltas = listDeltas().filter(deltaId(_) > wm)
     if (deltas.isEmpty) return
     val consumed = basePath.toSeq ++ deltas
-    val gen = readPointer().map(_.stripPrefix("base-").toLong + 1).getOrElse(0L)
+    val gen = basePath
+      .map(_.getName.stripPrefix("base-").toLong + 1).getOrElse(0L)
     val newBase = new Path(root, s"base-$gen")
+    fs.delete(newBase, true) // uncommitted leftover from a crashed attempt
     resolve(spark.read.parquet(consumed.map(_.toString): _*))
       .write.mode("overwrite").parquet(newBase.toString)
     writeMaxBatch(newBase, deltas.map(deltaId).max)
-    commitPointer(s"base-$gen")
+    commitGeneration(newBase)
   }
 
   /** GC all history the live base supersedes: every other generation
@@ -197,10 +199,10 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * `readAsOf` below the watermark fails (the Delta VACUUM trade).
     */
   def vacuum(): Unit = {
-    val live = readPointer().getOrElse(
+    val live = liveBase().getOrElse(
       sys.error(s"KeyedTable at $dir is empty — nothing to vacuum"))
-    val wm = maxBatchOf(new Path(root, live))
-    listBases().filter(_.getName != live).foreach(p => fs.delete(p, true))
+    val wm = maxBatchOf(live)
+    listBases().filter(_.getName != live.getName).foreach(p => fs.delete(p, true))
     listDeltas().filter(deltaId(_) <= wm).foreach(p => fs.delete(p, true))
   }
 }
