@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ParquetSource
+
+/** Input-layout invariance: every catalog query must produce the
+  * IDENTICAL multiset of rows whether a table arrives as one file (the
+  * fixture shape, 1 input split) or many (the 100 TB shape, thousands
+  * of splits). The DuckDB oracle gate can't see this — it always reads
+  * the single-file layout — so layout-dependence (partition-local
+  * row_number leaks, first()/limit nondeterminism, accumulation-order
+  * floats) would slip straight through it. Representative queries from
+  * every family run against an 8-way-split copy of sf0.001 and must
+  * match the single-file result exactly (exceptAll in both directions:
+  * bit-exact doubles, no tolerance).
+  */
+class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
+
+  private val queries = Seq(
+    "q1_pricing_summary", "q5_local_supplier", "q_window_rank",
+    "q_global_sort", "q_seq_pack", "q_sessionize", "q_rollup",
+    "q_salted_agg", "q_skew_join", "q_cdc_apply", "q_scd2",
+    "q_train_split", "q_weighted_sample", "q_stratified_sample",
+    "q_shard_layout", "q_approx_topk", "q_approx_distinct",
+    "d1_exact_dedup", "d2_minhash_lsh", "d7_dup_clusters",
+    "d13_dup_spans", "d14_span_strip",
+    "s1_knn_brute", "s6_random_projection",
+    "t5_winnowing", "t9_surprisal", "t11_domain_cap",
+    "t13_mix_rebalance", "t14_token_budget", "t16_classifier_score",
+    "t17_ppl_buckets",
+    "st1_first_seen", "st3_latest_state", "st5_scd2_stream")
+
+  private lazy val splitDir: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
+    val tables = new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+    tables.foreach { t =>
+      ParquetSource.normalizeNanoTimestamps(spark.read.parquet(s"$sfDir/$t.parquet"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    out
+  }
+
+  queries.foreach { name =>
+    test(s"$name: result independent of input split layout") {
+      val single = GraftQueries.all(name)(spark, sfDir)
+      val split = GraftQueries.all(name)(spark, splitDir)
+      val extra = split.exceptAll(single).count()
+      val missing = single.exceptAll(split).count()
+      assert(extra == 0 && missing == 0,
+        s"$name drifts with input layout: +$extra/-$missing rows")
+      graft.ops.OpCaches.releaseAll()
+    }
+  }
+}
