@@ -33,7 +33,7 @@ object Bench {
     "t10_tfidf_keywords",
     "q_approx_topk", "q_approx_quantile",
     "q_train_split", "q_stratified_sample",
-    "p1_pipeline",
+    "p1_pipeline", "p2_pipeline",
     "mm1_decode_meta", "mm2_frame_samples",
     "mm3_resize_spec", "mm4_feature_knn",
     // rounds 3-4 flagship additions — listed (rather than left to the

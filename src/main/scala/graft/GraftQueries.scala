@@ -1467,6 +1467,40 @@ object GraftQueries {
         sum(TextAnalysis.tokenCount(col("scrubbed")).cast("long")).as("n_tokens"))
   }
 
+  /** P2 [EXT] — the modern pretraining-data recipe (RefinedWeb/FineWeb
+    * shape) composed end-to-end from round-4/5 operators, each stage
+    * independently oracle-verified elsewhere: Gopher hard gates (t12)
+    * → linear-classifier filter (t16, vocab rebuilt on the gate
+    * survivors) → exact-fingerprint dedup keeping the min-id canonical
+    * → per-source domain cap (t11 machinery, ≤40) → token-budget
+    * prefix by classifier logit (t14 distributed prefix sum, 20k
+    * tokens) → per-source summary. Every stage is integer/boolean/md5
+    * deterministic, so the composition is hash-exact vs the stitched
+    * SQL twin.
+    */
+  def p2Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(s, dir, "documents")
+    val gated = TextAnalysis.gopherQualityFilter(docs).filter(col("keep"))
+      .select(docs.columns.map(col): _*)
+    val scores = TextAnalysis.classifierScore(gated)
+    val filtered = gated.join(
+      scores.filter(col("pass")).select("doc_id", "n_tok", "logit_micro"), "doc_id")
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val canon = filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val capped = Sampling.domainCap(canon, "doc_id", "source", k = 40)
+    val chosen = Sampling.tokenBudgetPrefix(
+      capped.select(col("doc_id"), col("logit_micro"), col("n_tok")),
+      "doc_id", "logit_micro", "n_tok", budget = 20000L)
+    capped.join(chosen.select(col("id").as("doc_id")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("logit_micro")).as("sum_logit_micro"))
+  }
+
   /** Column profile of the events table (bigint/string columns — the
     * types whose min/max render identically in both engines).
     */
@@ -1922,6 +1956,7 @@ object GraftQueries {
     "q_profile"          -> (q_profile _),
     "q_expectations"     -> (qExpectations _),
     "p1_pipeline"        -> (p1Pipeline _),
+    "p2_pipeline"        -> (p2Pipeline _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

@@ -1069,6 +1069,61 @@ object Oracles {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // the pretraining recipe: t12 gates -> t16 classifier (vocab over
+    // gate survivors) -> fingerprint dedup -> t11 source cap(40) ->
+    // t14 token-budget prefix (20k by logit) -> per-source summary
+    "p2_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, text, len(toks) AS nt,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS na
+         |  FROM f),
+         |gated AS (
+         |  SELECT d.doc_id, d.text, d.source FROM documents d JOIN g USING (doc_id)
+         |  WHERE (g.nt BETWEEN 5 AND 1000)
+         |    AND ((CAST(length(g.text) - g.nt + 1 AS DOUBLE) / greatest(g.nt, 1)) BETWEEN 2.0 AND 12.0)
+         |    AND (len(regexp_extract_all(g.text, '\\b(the|a|of|and|to|in|is|that|it|for)\\b')) >= 2)
+         |    AND (CAST(len(regexp_extract_all(g.text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(g.text), 1) < 0.2)
+         |    AND (CAST(len(regexp_extract_all(g.text, '[0-9]')) AS DOUBLE) / greatest(length(g.text), 1) < 0.3)
+         |    AND (CAST(g.na AS DOUBLE) / greatest(g.nt, 1) >= 0.7)),
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+         |  FROM gated),
+         |vocab AS (
+         |  SELECT tok, ${bucketSql("tok", 2001)} * 1000 - 1000000 AS w_micro
+         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
+         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS n_tok, coalesce(sum(v.w_micro), 0) AS lm
+         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         |filtered AS (
+         |  SELECT ga.doc_id, ga.text, ga.source, per.n_tok, per.lm
+         |  FROM gated ga JOIN per USING (doc_id) WHERE per.lm > 0),
+         |canon AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rn
+         |    FROM filtered) WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, n_tok, lm, row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn2
+         |    FROM canon) WHERE rn2 <= 40),
+         |budget AS (
+         |  SELECT doc_id, sum(n_tok) OVER (
+         |    ORDER BY lm DESC, doc_id ROWS UNBOUNDED PRECEDING) AS rt
+         |  FROM capped),
+         |chosen AS (SELECT doc_id FROM budget WHERE rt <= 20000)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lm) AS BIGINT) AS sum_logit_micro
+         |FROM capped JOIN chosen USING (doc_id) GROUP BY source""".stripMargin,
+
     // the composed pipeline: t1 quality filter -> t7 scrub -> t4/d1
     // fingerprint dedup (min-id canonical) -> q_train_split buckets
     "p1_pipeline" ->
