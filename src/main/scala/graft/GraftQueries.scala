@@ -1482,7 +1482,7 @@ object GraftQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = tbl(s, dir, "documents")
     val gated = TextAnalysis.gopherQualityFilter(docs).filter(col("keep"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     val scores = TextAnalysis.classifierScore(gated)
     val filtered = gated.join(
       scores.filter(col("pass")).select("doc_id", "n_tok", "logit_micro"), "doc_id")

@@ -339,7 +339,7 @@ object EventsStream {
         val packed = versionCols ++ payload.filterNot(versionCols.contains)
         val reduced = df.groupBy(keyCols.map(col): _*)
           .agg(max(struct(packed.map(col): _*)).as("__m"))
-          .select(df.columns.map(c =>
+          .select(df.columns.toIndexedSeq.map(c =>
             if (keyCols.contains(c)) col(c) else col(s"__m.$c")): _*)
         table.upsert(reduced, id)
         ()

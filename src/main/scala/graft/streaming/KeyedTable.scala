@@ -170,7 +170,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
     val packed = versionCols ++ payload.filterNot(versionCols.contains)
     all.groupBy(keyCols.map(col): _*)
       .agg(max(struct(packed.map(col): _*)).as("__m"))
-      .select(all.columns.map(c =>
+      .select(all.columns.toIndexedSeq.map(c =>
         if (keyCols.contains(c)) col(c) else col(s"__m.$c")): _*)
   }
 
