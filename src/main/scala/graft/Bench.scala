@@ -206,9 +206,18 @@ object Bench {
     val ordered = results.sortBy(prio)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = render(Nil, results.size).length
-    for (r <- ordered) {
+    // failures are force-included before any budgeting: a -1 must never
+    // be invisible, even in the pathological many-failures case
+    val (failures, rest) = ordered.partition(r => failed.contains(r._1))
+    for (r <- failures) { kept += r; len += entry(r._1, r._2).length + 1 }
+    // then a STRICT priority prefix: stop at the first entry that does
+    // not fit, so the cut is a clean boundary in priority order (never a
+    // greedy fit that admits small low-priority entries past a skipped
+    // high-priority one)
+    var cut = false
+    for (r <- rest if !cut) {
       val add = entry(r._1, r._2).length + 1
-      if (len + add <= budget) { kept += r; len += add }
+      if (len + add <= budget) { kept += r; len += add } else cut = true
     }
     // restore suite order among the kept entries for stable round-over-round diffs
     val keptSet = kept.map(_._1).toSet

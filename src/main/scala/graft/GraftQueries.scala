@@ -25,6 +25,36 @@ object GraftQueries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     ParquetSource.normalizeNanoTimestamps(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Build-once cache for queries with side-effectful fixtures (s8's
+    * persisted index, st7/st8's keyed tables): `build` runs the first
+    * time this process sees this (fixture, tag) and is skipped after.
+    * The cache key includes the fixture dir's max file mtime, so a
+    * fixture regenerated in place mid-process gets a FRESH build
+    * instead of a stale index/table; the `_DONE` marker is created and
+    * checked through the same Hadoop FileSystem that writes the data,
+    * so marker and data can never land on different filesystems.
+    */
+  private def cachedBuild(s: SparkSession, tag: String, dir: String)
+                         (build: String => Unit): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fixture = new org.apache.hadoop.fs.Path(dir)
+    val ffs = fixture.getFileSystem(conf)
+    val mtime =
+      if (!ffs.exists(fixture)) 0L
+      else ffs.listStatus(fixture).map(_.getModificationTime).foldLeft(0L)(math.max)
+    val out = s"/tmp/graft_$tag/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_m$mtime"
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(root, "_DONE")
+    if (!fs.exists(marker)) {
+      fs.delete(root, true) // stale partial build
+      build(out)
+      fs.create(marker, true).close()
+    }
+    out
+  }
+
   /** sum(cast(x as decimal(18,2))) rendered back to double. */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -1183,24 +1213,18 @@ object GraftQueries {
   /** S8 [EXT] — PERSISTED IVF index: built once on disk
     * (cell-partitioned parquet = the inverted file, `ops.VectorIndex`),
     * then queried with partition pruning — only probed cell
-    * directories are scanned (plan-asserted). nprobe=4 of nlist=8 →
-    * approximate; s4's recall-verdict oracle (measured recall@10 well
-    * clear of the 0.2 floor at all fixture SFs).
+    * directories are scanned (plan-asserted). nprobe=8 of nlist=64:
+    * the probed cells are ⅛ of the partitions (spec-asserted via the
+    * scan's numFiles metric — the pruning ratio is REAL, not just a
+    * filter in the plan), and the recall verdict stays clear of s4's
+    * 0.2 floor at all fixture SFs.
     */
   def s8KnnPersisted(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_vindex/p${ProcessHandle.current().pid()}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val emb = tbl(s, dir, "embeddings")
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.exists()) {
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      graft.ops.VectorIndex.buildIvf(emb, out, nlist = 8)
-      new java.io.FileOutputStream(marker).close()
-    }
+    val out = cachedBuild(s, "vindex", dir)(
+      graft.ops.VectorIndex.buildIvf(emb, _, nlist = 64))
     val q = emb.filter(col("vec_id") < 10)
-    val ann = graft.ops.VectorIndex.queryIvf(s, out, q, k = 10, nprobe = 4)
+    val ann = graft.ops.VectorIndex.queryIvf(s, out, q, k = 10, nprobe = 8)
     val exact = Similarity.bruteForceTopK(emb, q, k = 10)
     val hits = ann.select("query_id", "neighbor_id")
       .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
@@ -1320,14 +1344,12 @@ object GraftQueries {
     * snapshot seeds the base generation, events arrive as three delta
     * batches, batch 1 is REPLAYED (must commit as a no-op — the
     * streaming-restart path), a compaction folds mid-stream, and a
-    * post-compaction replay proves the version-max merge is idempotent
-    * even after its delta was GC'd. The maintained table then reads
-    * back as the latest state per user — users without events keep
-    * their snapshot row.
+    * post-GC replay of a folded batch is refused by the compaction
+    * watermark (monotonic-batchId contract — the rows are already in
+    * the base). The maintained table then reads back as the latest
+    * state per user — users without events keep their snapshot row.
     */
   def st7CdcUpsert(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_upsert/p${ProcessHandle.current().pid()}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val snapshot = tbl(s, dir, "customer").select(
       col("c_custkey").as("user_id"), lit("snapshot").as("src"),
       col("c_acctbal").as("value"), lit(-1L).as("ts_us"), lit(-1L).as("eid"))
@@ -1335,13 +1357,10 @@ object GraftQueries {
       col("user_id"), lit("event").as("src"), col("value"),
       unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
     def batch(b: Int) = ev.filter(pmod(col("eid"), lit(3)) === b)
-    val table = new graft.streaming.KeyedTable(
+    def tableAt(out: String) = new graft.streaming.KeyedTable(
       s, out, Seq("user_id"), Seq("ts_us", "eid"))
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.exists()) {
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true) // stale partial run
+    val out = cachedBuild(s, "upsert", dir) { out =>
+      val table = tableAt(out)
       table.initBase(snapshot)
       require(table.upsert(batch(0), 0) && table.upsert(batch(1), 1),
         "fresh deltas must commit")
@@ -1350,12 +1369,13 @@ object GraftQueries {
       table.compact()
       require(table.upsert(batch(2), 2), "post-compaction delta must commit")
       table.vacuum()
-      // replay batch 1 AFTER vacuum dropped its delta: commits as a new
-      // delta, but version-max makes re-applied rows change nothing
-      require(table.upsert(batch(1), 1), "post-GC replay commits")
-      new java.io.FileOutputStream(marker).close()
+      // replay batch 1 AFTER vacuum dropped its delta: its id sits at
+      // the compaction watermark, so the upsert is a refused no-op —
+      // the rows are already folded into the live base
+      require(!table.upsert(batch(1), 1),
+        "post-GC replay below the watermark must be a no-op")
     }
-    table.read().select(col("user_id"), col("src"),
+    tableAt(out).read().select(col("user_id"), col("src"),
       col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
@@ -1376,28 +1396,22 @@ object GraftQueries {
     * away (st7 exercises that side).
     */
   def st8TimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_timetravel/p${ProcessHandle.current().pid()}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
     val snapshot = tbl(s, dir, "customer").select(
       col("c_custkey").as("user_id"), lit("snapshot").as("src"),
       col("c_acctbal").as("value"), lit(-1L).as("ts_us"), lit(-1L).as("eid"))
     val ev = tbl(s, dir, "events").select(
       col("user_id"), lit("event").as("src"), col("value"),
       unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
-    val table = new graft.streaming.KeyedTable(
+    def tableAt(out: String) = new graft.streaming.KeyedTable(
       s, out, Seq("user_id"), Seq("ts_us", "eid"))
-    val marker = new java.io.File(s"$out/_DONE")
-    if (!marker.exists()) {
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val out = cachedBuild(s, "timetravel", dir) { out =>
+      val table = tableAt(out)
       table.initBase(snapshot)
       (0 to 2).foreach(b =>
         table.upsert(ev.filter(pmod(col("eid"), lit(3)) === b), b))
       table.compact() // folds all three; base-0 + deltas remain as history
-      new java.io.FileOutputStream(marker).close()
     }
-    table.readAsOf(1).select(col("user_id"), col("src"),
+    tableAt(out).readAsOf(1).select(col("user_id"), col("src"),
       col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
@@ -1447,17 +1461,18 @@ object GraftQueries {
     * exact dedup on the scrubbed fingerprint (d1's key, min-id
     * canonical) → reproducible split (q_train_split's bucket) →
     * per-split doc/token counts. Narrow maps end-to-end except one
-    * window on the content fingerprint and the final 3-row aggregate.
+    * mergeable keep-canonical aggregate on the content fingerprint
+    * (`Dedup.exactCanonicalRows` — partial min collapses a hot
+    * fingerprint map-side; never a fingerprint-partitioned window,
+    * which would funnel a viral duplicate through one task) and the
+    * final 3-row aggregate.
     */
   def p1Pipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val quality = TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
       .filter(col("quality_score") >= 0.5)
     val scrubbed = TextAnalysis.scrubPii(quality)
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col("scrubbed")))
-      .orderBy(col("doc_id"))
-    val canon = scrubbed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val canon = Dedup.exactCanonicalRows(scrubbed, "doc_id",
+      TextAnalysis.fingerprint(col("scrubbed")))
     val bucket = Sampling.bucket(col("doc_id"), 100)
     canon
       .withColumn("split",
@@ -1472,24 +1487,23 @@ object GraftQueries {
     * independently oracle-verified elsewhere: Gopher hard gates (t12)
     * → linear-classifier filter (t16, vocab rebuilt on the gate
     * survivors) → exact-fingerprint dedup keeping the min-id canonical
-    * → per-source domain cap (t11 machinery, ≤40) → token-budget
+    * (the skew-safe `Dedup.exactCanonicalRows` aggregate, not a
+    * fingerprint window) → per-source domain cap (t11 machinery, ≤40)
+    * → token-budget
     * prefix by classifier logit (t14 distributed prefix sum, 20k
     * tokens) → per-source summary. Every stage is integer/boolean/md5
     * deterministic, so the composition is hash-exact vs the stitched
     * SQL twin.
     */
   def p2Pipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = tbl(s, dir, "documents")
     val gated = TextAnalysis.gopherQualityFilter(docs).filter(col("keep"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
     val scores = TextAnalysis.classifierScore(gated)
     val filtered = gated.join(
       scores.filter(col("pass")).select("doc_id", "n_tok", "logit_micro"), "doc_id")
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
-      .orderBy(col("doc_id"))
-    val canon = filtered.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val canon = Dedup.exactCanonicalRows(filtered, "doc_id",
+      TextAnalysis.fingerprint(col("text")))
     val capped = Sampling.domainCap(canon, "doc_id", "source", k = 40)
     val chosen = Sampling.tokenBudgetPrefix(
       capped.select(col("doc_id"), col("logit_micro"), col("n_tok")),

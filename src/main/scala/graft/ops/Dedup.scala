@@ -75,6 +75,27 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
   }
 
+  /** Exact-dedup keep-canonical over FULL rows: for each distinct
+    * dedup key, the surviving row is the one with the smallest id —
+    * computed as ONE mergeable aggregate, `groupBy(key).agg(min(struct
+    * (id, rest…)))`, never a `row_number` window partitioned by the
+    * key. The distinction is the whole point at scale: a window
+    * funnels every row of a hot key (a viral boilerplate document
+    * duplicated millions of times) through a single task, while the
+    * aggregate's partial step collapses that key to one row PER INPUT
+    * PARTITION map-side, so the shuffle moves one row per (key,
+    * partition) and no task ever sees the duplicate mass. Output rows
+    * and column order are identical to the window formulation (the id
+    * leads the struct, so struct-min ≡ min-id row).
+    */
+  def exactCanonicalRows(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val fields = df.columns.toIndexedSeq
+    val ordered = col(idCol) +: fields.filterNot(_ == idCol).map(col)
+    df.groupBy(key.as("__fp"))
+      .agg(min(struct(ordered: _*)).as("__row"))
+      .select(fields.map(c => col(s"__row.`$c`").as(c)): _*)
+  }
+
   /** Exact Jaccard between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -726,17 +726,37 @@ object Similarity {
     *    pruning; pays a fixed quantizer-training cost that only
     *    amortises on corpora the broadcast path couldn't hold anyway.
     *
-    * The chooser's statistic is a plain count — metadata-only on a
-    * parquet scan, one cheap column-pruned pass otherwise (the same
-    * pre-pass cost-based planning AQE pays).
+    * The chooser's statistic costs O(broadcastMaxRows), NOT a corpus
+    * scan: Catalyst plan statistics when the node knows its row count
+    * (zero jobs), else a `head(max+1)` probe — `executeTake` starts on
+    * ONE partition and scales up (×`spark.sql.limit.scaleUpFactor`)
+    * only until it holds max+1 rows, so a 100 TB corpus answers "too
+    * big" after reading a bounded handful of partitions instead of
+    * every row-group footer. Either way the DECISION is exact, never
+    * sampled.
     */
   def cosineNearDupPairsAuto(df: DataFrame, threshold: Double,
                              idCol: String = "vec_id", vecCol: String = "embedding",
                              broadcastMaxRows: Long = 100000): DataFrame =
-    if (df.select(idCol).count() <= broadcastMaxRows)
+    if (fitsInBroadcast(df, idCol, broadcastMaxRows))
       cosineNearDupPairsBroadcast(df, threshold, idCol, vecCol)
     else
       cosineNearDupPairs(df, threshold, idCol, vecCol)
+
+  /** True iff `df` has ≤ `maxRows` rows, decided without a full scan:
+    * exact plan statistics when available, otherwise a bounded
+    * `head(maxRows+1)` probe (incremental executeTake — NOT
+    * `limit().count()`, whose LocalLimit still launches a task per
+    * partition). Package-visible for the spec that asserts the probe's
+    * task count stays independent of partition count.
+    */
+  private[graft] def fitsInBroadcast(df: DataFrame, idCol: String, maxRows: Long): Boolean =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n <= BigInt(maxRows)
+      case None =>
+        val probe = math.min(maxRows, Int.MaxValue - 2L).toInt + 1
+        df.select(idCol).head(probe).length <= maxRows
+    }
 
   /** Exact cosine near-dup pairs, broadcast form — the small-corpus fast
     * path: for a corpus whose (id, vector, norm) fits in executor memory,

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *  - `centroids/`       nlist rows (cell, centroid) — metadata scale
   *
   * Training follows the ivfTopK recipe: deterministic strided-init
-  * Lloyd over a bounded sample (~256 vectors/cell) — never a
-  * whole-corpus k-means; assignment covers every vector in one narrow
-  * pass that lands directly in the partitioned write.
+  * Lloyd over a bounded DETERMINISTIC sample (~256 vectors/cell, the
+  * lowest-xxhash64(id) vectors — a content-addressed pseudo-random
+  * draw that is identical across runs regardless of input split
+  * layout or scan order, so the on-disk cell layout is reproducible;
+  * a bare `limit()` would sample whatever partitions answered first) —
+  * never a whole-corpus k-means; assignment covers every vector in one
+  * narrow pass that lands directly in the partitioned write.
   */
 object VectorIndex {
 
@@ -28,8 +32,10 @@ object VectorIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
-    val sample = c.select("cv").as[Array[Float]]
-      .limit(math.max(nlist * 256, 4096)).collect()
+    // distributed top-N by hash (TakeOrderedAndProject), never a global sort
+    val sample = c.orderBy(xxhash64(col("vid")), col("vid"))
+      .limit(math.max(nlist * 256, 4096))
+      .select("cv").as[Array[Float]].collect()
       .map(_.map(_.toDouble))
     val cents = Similarity.lloyd(sample, nlist, iters = 10)
     val bc = spark.sparkContext.broadcast(cents)

@@ -117,11 +117,23 @@ final class KeyedTable(spark: SparkSession, dir: String,
   }
 
   /** Commit one upsert batch. Returns false (no-op) when `batchId` is
-    * already committed — the streaming-restart replay path.
+    * already committed — the streaming-restart replay path — or when it
+    * sits at-or-below the live base's compaction watermark.
+    *
+    * The watermark case encodes the MONOTONIC-BATCHID contract: ids at
+    * or below `_MAX_BATCH` were folded into the base (their deltas may
+    * since be vacuumed), so under the contract such a call can only be
+    * a replay, and a replay is a no-op. Writing the delta anyway would
+    * create a directory `read()` permanently ignores while returning
+    * true — silent row loss for a writer that (wrongly) reuses low ids
+    * for NEW data, e.g. a stream restarted with a FRESH checkpoint
+    * against an existing table, whose foreachBatch ids restart at 0.
+    * Returning false tells that writer its rows were NOT applied.
     */
   def upsert(df: DataFrame, batchId: Long): Boolean = {
     val target = new Path(root, s"delta=$batchId")
     if (fs.exists(target)) return false
+    if (batchId <= liveBase().map(maxBatchOf).getOrElse(-1L)) return false
     val tmp = new Path(root, s".tmp-delta-$batchId")
     if (fs.exists(tmp)) fs.delete(tmp, true) // leftover from a crashed attempt
     df.write.mode("overwrite").parquet(tmp.toString)
@@ -177,8 +189,21 @@ final class KeyedTable(spark: SparkSession, dir: String,
   /** Fold the live base and the deltas present NOW into a new base
     * generation; the commit is the generation's `_COMMITTED` marker.
     * History is kept — `vacuum()` is the explicit GC.
+    *
+    * Compaction is designed SINGLE-WRITER; a best-effort writer lease
+    * makes a second concurrent compactor FAIL LOUDLY instead of
+    * silently racing the generation commit (two compactors computing
+    * the same target generation could tear each other's staging dir).
+    * The lease is `.compact-claim-<gen>` at the table root, taken with
+    * an exclusive CREATE (atomic on HDFS-like stores) and re-verified
+    * by token before the commit steps. Even where the lease itself can
+    * race (no atomic create-no-overwrite), the snapshot is staged in a
+    * claimant-unique dir and RENAMED onto `base-<gen>` — at most one
+    * rename lands, so a lost race is always a loud abort, never a torn
+    * generation. A claimant that died leaves a stale lease, evicted
+    * once older than `leaseTtlMs`.
     */
-  def compact(): Unit = {
+  def compact(leaseTtlMs: Long = 600000L): Unit = {
     val basePath = liveBase()
     val wm = basePath.map(maxBatchOf).getOrElse(-1L)
     val deltas = listDeltas().filter(deltaId(_) > wm)
@@ -186,12 +211,66 @@ final class KeyedTable(spark: SparkSession, dir: String,
     val consumed = basePath.toSeq ++ deltas
     val gen = basePath
       .map(_.getName.stripPrefix("base-").toLong + 1).getOrElse(0L)
-    val newBase = new Path(root, s"base-$gen")
-    fs.delete(newBase, true) // uncommitted leftover from a crashed attempt
-    resolve(spark.read.parquet(consumed.map(_.toString): _*))
-      .write.mode("overwrite").parquet(newBase.toString)
-    writeMaxBatch(newBase, deltas.map(deltaId).max)
-    commitGeneration(newBase)
+    val claim = new Path(root, s".compact-claim-$gen")
+    val token = java.util.UUID.randomUUID().toString
+    if (fs.exists(claim)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+      if (age <= leaseTtlMs)
+        sys.error(s"KeyedTable at $dir: another compactor holds generation $gen " +
+          s"(lease age ${age}ms <= ttl ${leaseTtlMs}ms) — refusing to race it")
+      fs.delete(claim, false) // dead claimant: evict the stale lease
+    }
+    try {
+      val out = fs.create(claim, false) // exclusive create = the claim
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        sys.error(s"KeyedTable at $dir: lost the compaction claim race for " +
+          s"generation $gen (${e.getMessage})")
+    }
+    // ownership = our token is (still) the claim's content. A loser must
+    // NEVER delete the winner's claim, so every release is guarded by an
+    // ownership check (best-effort: check-then-delete, not atomic).
+    def ownsClaim(): Boolean =
+      try {
+        val in = fs.open(claim)
+        val tok = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        tok == token
+      } catch { case _: java.io.IOException => false }
+    if (!ownsClaim())
+      sys.error(s"KeyedTable at $dir: compaction claim for generation $gen was " +
+        "overwritten by a concurrent compactor — aborting")
+    try {
+      val newBase = new Path(root, s"base-$gen")
+      // a crashed predecessor may have renamed its snapshot into place
+      // but died before committing: uncommitted → invisible to readers →
+      // safe to clear under the lease
+      if (fs.exists(newBase) && !fs.exists(new Path(newBase, "_COMMITTED")))
+        fs.delete(newBase, true)
+      // stage to a CLAIMANT-UNIQUE dir: even if the lease races on a
+      // filesystem without atomic create-no-overwrite, two compactors
+      // never write into the same directory, and the rename below is
+      // the final arbiter — at most one rename onto base-<gen> can
+      // succeed (rename-no-overwrite), so at most one generation lands
+      val staging = new Path(root, s".tmp-base-$gen-$token")
+      resolve(spark.read.parquet(consumed.map(_.toString): _*))
+        .write.mode("overwrite").parquet(staging.toString)
+      writeMaxBatch(staging, deltas.map(deltaId).max)
+      if (!ownsClaim()) {
+        fs.delete(staging, true)
+        sys.error(s"KeyedTable at $dir: compaction claim for generation $gen " +
+          "changed hands mid-write — aborting without committing")
+      }
+      if (!fs.rename(staging, newBase)) {
+        fs.delete(staging, true)
+        sys.error(s"KeyedTable at $dir: another compactor landed base-$gen " +
+          "first — aborting")
+      }
+      commitGeneration(newBase)
+    } finally if (ownsClaim()) fs.delete(claim, false)
   }
 
   /** GC all history the live base supersedes: every other generation

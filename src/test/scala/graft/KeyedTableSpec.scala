@@ -83,10 +83,75 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(t.readAsOf(2).as[(Long, Long, Long, String)].collect().toSet ==
       Set((1L, 3L, 1L, "v3")))
     assertThrows[IllegalArgumentException](t.readAsOf(0))
-    // post-vacuum replay of a consumed batch commits as a fresh delta,
-    // and the version-max merge makes it a semantic no-op
-    assert(t.upsert(rows((1L, 1L, 1L, "v1")), 0))
+    // post-vacuum replay of a consumed batch: its id sits below the
+    // compaction watermark, so it is REFUSED (the rows already live in
+    // the base) — no invisible delta, no silent "true"
+    assert(!t.upsert(rows((1L, 1L, 1L, "v1")), 0))
     assert(state(t) == before)
+    assert(!new java.io.File(dir, "delta=0").exists(),
+      "a watermark-refused upsert must write nothing")
+  }
+
+  test("upsert below the compaction watermark is refused, not silently lost") {
+    // a writer reusing low batchIds with NEW data (fresh checkpoint
+    // against an existing table) must see false — the old behaviour
+    // committed an invisible delta and reported success
+    val dir = tmpDir("wm")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    t.upsert(rows((1L, 1L, 1L, "v1")), 0)
+    t.upsert(rows((1L, 2L, 1L, "v2")), 1)
+    t.compact() // watermark = 1
+    val before = state(t)
+    assert(!t.upsert(rows((2L, 9L, 9L, "new-data-low-id")), 1))
+    assert(!t.upsert(rows((2L, 9L, 9L, "new-data-low-id")), 0))
+    assert(state(t) == before)
+    assert(t.upsert(rows((2L, 9L, 9L, "fresh-id")), 2))
+  }
+
+  test("concurrent compaction: lease holder wins, intruder fails loudly") {
+    val dir = tmpDir("lease")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    t.upsert(rows((1L, 1L, 1L, "v1")), 0)
+    // simulate a live peer compactor holding the generation-1 lease
+    val claim = new java.io.File(dir, ".compact-claim-1")
+    val w = new java.io.FileOutputStream(claim)
+    w.write("peer-token".getBytes); w.close()
+    val e = intercept[RuntimeException](t.compact())
+    assert(e.getMessage.contains("another compactor"), e.getMessage)
+    // the peer's claim survives our refused attempt; no generation landed
+    assert(claim.exists())
+    assert(!new java.io.File(dir, "base-1").exists())
+    // peer dies: its lease goes stale and is evicted after the TTL
+    assert(claim.setLastModified(System.currentTimeMillis() - 120000))
+    t.compact(leaseTtlMs = 60000L)
+    assert(new java.io.File(dir, "base-1/_COMMITTED").exists())
+    assert(!claim.exists(), "winner must release the lease")
+    assert(state(t) == Set((1L, 1L, 1L, "v1")))
+  }
+
+  test("two racing compactors: exactly one commits the generation") {
+    val dir = tmpDir("race")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    t.upsert(rows((1L, 1L, 1L, "v1")), 0)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = Seq.fill(2)(new Thread(() => {
+      gate.countDown(); gate.await()
+      try { t.compact(); outcomes.add(true) }
+      catch { case _: Exception => outcomes.add(false) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(outcomes.size == 2, s"a compactor thread vanished: $outcomes")
+    val wins = outcomes.toArray(Array.empty[java.lang.Boolean]).count(_.booleanValue)
+    // the staged-rename arbiter guarantees at least one clean landing
+    // and that a loser can never tear the winner's result — the
+    // committed generation reads back intact either way
+    assert(wins >= 1, s"no compactor won: $outcomes")
+    assert(state(t) == Set((1L, 1L, 1L, "v1")))
+    assert(new java.io.File(dir, "base-1/_COMMITTED").exists())
   }
 
   test("model check: random op sequence always reads as latest-per-key of applied batches") {

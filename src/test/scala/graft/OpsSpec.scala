@@ -893,6 +893,41 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       s"semdedup kept ${kept.size} of ${allIds.size}, expected ${expected.size}")
   }
 
+  test("auto chooser probe: bounded tasks, not a full corpus count") {
+    import spark.implicits._
+    // 32-partition narrow-scan corpus, probe budget far below the row
+    // count: a full count() would launch one task per partition; the
+    // head() probe must satisfy itself from the first escalation step
+    // (1 or a few tasks). The map keeps the plan shuffle-free but wipes
+    // the leaf's row-count statistic, forcing the probe path.
+    val df = spark.range(0, 10000, 1, 32).map(i => (i, "x")).toDF("vec_id", "p")
+    assert(df.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+      "fixture unexpectedly carries exact stats — probe path not exercised")
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        started.incrementAndGet()
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        ended.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(!Similarity.fitsInBroadcast(df, "vec_id", maxRows = 100))
+      // the chooser's probe job(s) have finished when their JobEnd events
+      // arrive; the ordered bus delivers task starts before the job end
+      val deadline = System.currentTimeMillis() + 30000
+      while (ended.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(ended.get() >= 1, "probe ran no job at all?")
+      Thread.sleep(200) // drain any trailing escalation job's events
+      assert(started.get() < 32,
+        s"probe launched ${started.get()} tasks — looks like a full scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // decision flips exactly at the boundary (still bounded probes)
+    assert(Similarity.fitsInBroadcast(df, "vec_id", maxRows = 10000))
+    assert(!Similarity.fitsInBroadcast(df, "vec_id", maxRows = 9999))
+  }
+
   test("mixRebalance: water-fill hits the target mix; binding group kept whole") {
     import spark.implicits._
     // 10 a, 6 b, 2 c; targets 50/25/25 → scale = min(20, 24, 8) = 8

@@ -202,6 +202,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"driver-built relations must be nlist-bounded, got sizes $localSizes")
   }
 
+  test("p1/p2: exact-dedup is a mergeable aggregate, never a fingerprint window") {
+    // A window partitioned by the content fingerprint funnels every row
+    // of a hot key through one task; the pipelines must instead dedup
+    // via Dedup.exactCanonicalRows (partial+final min aggregate).
+    val p1 = planOf("p1_pipeline")
+    assert(!p1.contains("Window"),
+      "p1 must contain no window at all (its only shuffles are the dedup " +
+        "aggregate and the final split summary):\n" + p1.take(3000))
+    assert(p1.contains("partial_min"),
+      "p1 dedup must plan as a partial+final aggregate:\n" + p1.take(3000))
+    val p2 = planOf("p2_pipeline")
+    // p2 legitimately keeps the t11/t14 windows (salted top-k, range
+    // prefix sum) — but none of them may partition by the md5 fingerprint
+    val fpWindows = p2.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("md5")).toVector
+    assert(fpWindows.isEmpty,
+      s"p2 must not window-partition by the fingerprint: $fpWindows")
+    assert(p2.contains("partial_min"),
+      "p2 dedup must plan as a partial+final aggregate:\n" + p2.take(3000))
+  }
+
   test("d5 catalog query: no cartesian under either chooser branch") {
     val plan = planOf("d5_embedding_dups")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -404,6 +425,51 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // side pruning), never as a post-scan data filter
     assert(plan.contains("PartitionFilters: [cell"),
       s"probed cells must prune partitions:\n${plan.take(2500)}")
+  }
+
+  test("s8 catalog shape: the query READS ≤ nprobe/nlist of the index partitions") {
+    // not just a filter in the plan string — after execution the index
+    // scan's own metrics must show it touched only the probed cells'
+    // directories (⅛ of the inverted file at nprobe=8, nlist=64)
+    val df = GraftQueries.all("s8_knn_persisted")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps materialized stages in leaf nodes — expand them so the
+    // traversal reaches every scan wherever it ended up
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: QueryStageExec => allScans(qs.plan)
+    }.flatten
+    val scans = allScans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft_vindex")))
+    assert(scans.nonEmpty, "no index scan found in the executed plan")
+    def partsRead(ss: Seq[org.apache.spark.sql.execution.FileSourceScanExec]): Long =
+      ss.map(s =>
+        s.relation.location.listFiles(s.partitionFilters, s.dataFilters).size.toLong).max
+    // the index really has ~64 cells on disk, so ratios mean something
+    val out = scans.head.relation.location.rootPaths.head
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(out).count(_.getPath.getName.startsWith("cell="))
+    assert(cells >= 32, s"index should be split into many cells, found $cells")
+    // the catalog query batches 10 queries: its scan reads the UNION of
+    // their probed cells — bounded well below the full inverted file
+    val batchParts = partsRead(scans)
+    assert(batchParts < cells, s"batched probe must still prune: $batchParts of $cells")
+    // the per-query contract is the ⅛ ratio: ONE query's scan touches
+    // exactly its nprobe=8 cells of the 64
+    val emb = graft.sources.ParquetSource.normalizeNanoTimestamps(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val one = graft.ops.VectorIndex.queryIvf(spark, out.getParent.toString,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0), k = 10, nprobe = 8)
+    one.collect()
+    val oneScans = allScans(one.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft_vindex")))
+    assert(oneScans.nonEmpty, "no index scan in the single-query plan")
+    val oneParts = partsRead(oneScans)
+    assert(oneParts <= 8 && oneParts >= 1,
+      s"a single query must read ≤ nprobe=8 of $cells cell partitions, read $oneParts")
   }
 
   test("st7 upsert read: one key shuffle resolves base+deltas (partial+final max)") {
