@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Diff two PLANS_r{N}.json artifacts (graft.Plans output).
+
+Usage: tools/plan_delta.py PLANS_rA.json PLANS_rB.json
+
+Splits a bench-ratio shift into plan drift vs environment drift: queries
+whose digest is unchanged ran byte-identical (normalized) plans — any
+timing delta on them is host/JIT epoch, not a regression. Queries listed
+under CHANGED deserve a real look (rerun graft.Plans with
+SPARK_GRAFT_PLANS_DUMP=dir on both commits and diff the .txt trees).
+"""
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__.strip())
+        return 2
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    added = sorted(set(b) - set(a))
+    removed = sorted(set(a) - set(b))
+    shared = sorted(set(a) & set(b))
+    changed = [k for k in shared if a[k]["hash"] != b[k]["hash"]]
+    errors = sorted(k for k in b if b[k]["hash"] == "ERROR")
+    print(f"shared={len(shared)} unchanged={len(shared) - len(changed)} "
+          f"changed={len(changed)} added={len(added)} removed={len(removed)} "
+          f"errors={len(errors)}")
+    for k in changed:
+        print(f"  CHANGED {k}: nodes {a[k]['nodes']}->{b[k]['nodes']}, "
+              f"exchanges {a[k]['exchanges']}->{b[k]['exchanges']}")
+    for k in added:
+        print(f"  ADDED   {k}")
+    for k in removed:
+        print(f"  REMOVED {k}")
+    for k in errors:
+        print(f"  ERROR   {k}")
+    return 1 if (changed or errors) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
