@@ -25,18 +25,81 @@ object Multimodal {
       asset_id: Long, media_type: String, n_bytes: Long,
       width: Int, height: Int, duration_ms: Long, checksum: String)
 
+  /** REAL pure-JVM image header parser: width/height decoded from the
+    * container header bytes alone — PNG IHDR, GIF87a/89a logical screen
+    * descriptor, JPEG SOF0/1/2 frame header (walking the marker
+    * segments), BMP BITMAPINFOHEADER. No pixel decode, no native libs:
+    * this is the slice of the codec boundary that CAN be genuinely real
+    * in this container. Pixel-level decode stays behind `StubCodec`.
+    */
+  object ImageHeaders {
+    def parse(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' &&
+          u8(2) == 'N' && u8(3) == 'G')
+        Some(("png", be32(16), be32(20)))
+      else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+        Some(("gif", le16(6), le16(8)))
+      else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
+        jpegSof(bytes)
+      else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+        // BITMAPINFOHEADER: height is signed (negative = top-down rows)
+        Some(("bmp", le32(18), math.abs(le32(22))))
+      else None
+    }
+
+    /** Walk JPEG marker segments to the first start-of-frame. SOF layout
+      * after the 2-byte length: precision(1), height(2 BE), width(2 BE).
+      * C4/C8/CC in the C0-CF range are huffman/arithmetic tables, not
+      * frames.
+      */
+    private def jpegSof(b: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(i: Int): Int = b(i) & 0xff
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(i) != 0xff) return None // lost marker sync: corrupt header
+        val marker = u8(i + 1)
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+        else {
+          val len = (u8(i + 2) << 8) | u8(i + 3)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (i + 8 >= b.length) return None
+            return Some(("jpeg", (u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6)))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+  }
+
   /** STUB decode kernel — deterministic fake in place of the real
-    * image/audio/video codec (libs not present in this container).
-    * Metadata is derived from the payload's own bytes so the pipeline is
-    * fully testable end-to-end.
+    * pixel/audio/video codec (media libs not present in this container).
+    * Image WIDTH/HEIGHT are real when the payload carries a recognised
+    * container header (`ImageHeaders` — PNG/GIF/JPEG/BMP); everything
+    * else (pixel decode, audio/video duration) is derived from the
+    * payload's own bytes so the pipeline is fully testable end-to-end.
     */
   object StubCodec {
     def decode(a: Asset): AssetMeta = {
       val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
       def b(i: Int): Int = md(i) & 0xff
-      // ??? real codec goes here; fake dims/duration from the digest:
+      // ??? real pixel/audio codec goes here; header-only dims are real,
+      // the rest is faked from the digest:
       val (w, h, dur) = a.media_type match {
-        case "image" => (64 + b(0) * 8, 64 + b(1) * 8, 0L)
+        case "image" => ImageHeaders.parse(a.payload) match {
+          case Some((_, rw, rh)) => (rw, rh, 0L)
+          case None              => (64 + b(0) * 8, 64 + b(1) * 8, 0L)
+        }
         case "audio" => (0, 0, 1000L + b(2) * 256L)
         case "video" => (320 + b(0) * 4, 180 + b(1) * 4, 5000L + b(3) * 512L)
         case _       => (0, 0, 0L)

@@ -184,6 +184,43 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(img.filter(col("width") < 64 || col("width") > 64 + 255 * 8).count() == 0)
   }
 
+  test("image headers: real PNG/JPEG/GIF/BMP bytes parse to exact dims") {
+    import spark.implicits._
+    // real encoder output (javax.imageio is pure-JVM, headless-safe) —
+    // the parser must read the true dimensions from the header bytes
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+      bos.toByteArray
+    }
+    val cases = Seq(
+      ("png", 311, 47), ("jpg", 123, 456), ("gif", 640, 480), ("bmp", 17, 1025))
+    for ((fmt, w, h) <- cases) {
+      val parsed = Multimodal.ImageHeaders.parse(encoded(fmt, w, h))
+      assert(parsed.map(p => (p._2, p._3)) == Some((w, h)),
+        s"$fmt ${w}x$h parsed as $parsed")
+    }
+    // garbage and truncated payloads refuse to parse (stub fallback path)
+    assert(Multimodal.ImageHeaders.parse("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageHeaders.parse(encoded("png", 8, 8).take(12)).isEmpty)
+    assert(Multimodal.ImageHeaders.parse(Array[Byte]()).isEmpty)
+    // and the Spark decode path surfaces the REAL dims for image assets
+    val assets = Seq(
+      (1L, "image", encoded("png", 311, 47)),
+      (2L, "image", encoded("jpg", 123, 456)),
+      (3L, "image", "plain text payload".getBytes("UTF-8"))) // stub fallback
+      .toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.decodeMeta(assets)
+      .select("asset_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((311, 47)) && out(2L) == ((123, 456)))
+    assert(out(3L)._1 >= 64, "non-image payload keeps the documented stub range")
+  }
+
   test("multimodal resize preserves aspect ratio bound") {
     val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
     val resized = Multimodal.withResizeSpec(meta, maxSide = 256)
