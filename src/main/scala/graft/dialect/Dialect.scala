@@ -34,10 +34,17 @@ sealed trait Dialect {
 case object MySqlDialect extends Dialect {
   val name = "mysql"
   def quoteIdentifier(id: String): String = "`" + id.replace("`", "``") + "`"
+  /** Header follows the reference (exporter.go:106-108) plus
+    * ANSI_QUOTES: the reference replays backticked `SHOW CREATE TABLE`
+    * text verbatim (mysql.go:68-78), while our DDL is reconstructed
+    * with ANSI double-quoted identifiers — without ANSI_QUOTES a real
+    * MySQL server would reject the CREATE statements on replay
+    * (surfaced by the JdbcDumpGoldenSpec e2e snapshot).
+    */
   val header: String =
     """SET NAMES utf8mb4;
       |SET FOREIGN_KEY_CHECKS = 0;
-      |SET SQL_MODE = 'NO_AUTO_VALUE_ON_ZERO';
+      |SET SQL_MODE = 'NO_AUTO_VALUE_ON_ZERO,ANSI_QUOTES';
       |SET AUTOCOMMIT = 0;
       |START TRANSACTION;
       |

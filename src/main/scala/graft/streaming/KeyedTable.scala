@@ -194,9 +194,10 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * makes a second concurrent compactor FAIL LOUDLY instead of
     * silently racing the generation commit (two compactors computing
     * the same target generation could tear each other's staging dir).
-    * The lease is `.compact-claim-<gen>` at the table root, taken with
-    * an exclusive CREATE (atomic on HDFS-like stores) and re-verified
-    * by token before the commit steps. Even where the lease itself can
+    * The lease is `.compact-claim-<gen>` at the table root, taken by
+    * RENAMING a token file into place (atomic-exclusive on HDFS-like
+    * stores; last-wins on plain POSIX) and re-verified by token before
+    * the commit steps. Even where the lease itself can
     * race (no atomic create-no-overwrite), the snapshot is staged in a
     * claimant-unique dir and RENAMED onto `base-<gen>` — at most one
     * rename lands, so a lost race is always a loud abort, never a torn
@@ -220,14 +221,23 @@ final class KeyedTable(spark: SparkSession, dir: String,
           s"(lease age ${age}ms <= ttl ${leaseTtlMs}ms) — refusing to race it")
       fs.delete(claim, false) // dead claimant: evict the stale lease
     }
-    try {
-      val out = fs.create(claim, false) // exclusive create = the claim
+    // claim by RENAME, not create-no-overwrite: a failed exclusive
+    // create is not side-effect-free everywhere (local ChecksumFileSystem
+    // truncates the .crc sidecar before the data-stream create throws,
+    // corrupting the winner's claim reads), while a rename either lands
+    // whole or leaves no trace. HDFS rename-to-existing fails → clean
+    // loss; a POSIX rename last-wins → the ownership re-reads below
+    // arbitrate to a single winner either way.
+    locally {
+      val tmp = new Path(root, s".claim-tmp-$token")
+      val out = fs.create(tmp, true)
       try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-    } catch {
-      case e: java.io.IOException =>
+      if (!fs.rename(tmp, claim)) {
+        fs.delete(tmp, false)
         sys.error(s"KeyedTable at $dir: lost the compaction claim race for " +
-          s"generation $gen (${e.getMessage})")
+          s"generation $gen")
+      }
     }
     // ownership = our token is (still) the claim's content. A loser must
     // NEVER delete the winner's claim, so every release is guarded by an
