@@ -1471,15 +1471,22 @@ object GraftQueries {
     val quality = TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
       .filter(col("quality_score") >= 0.5)
     val scrubbed = TextAnalysis.scrubPii(quality)
-    val canon = Dedup.exactCanonicalRows(scrubbed, "doc_id",
-      TextAnalysis.fingerprint(col("scrubbed")))
+    // project to the dedup-relevant trio BEFORE the keep-canonical
+    // aggregate: every row of a fingerprint shares the same scrubbed
+    // text, so the token count is computed pre-dedup and the aggregate
+    // sorts/shuffles ~24-byte rows instead of full documents (Catalyst
+    // can't push this projection itself — the struct-min references
+    // every input column)
+    val slim = scrubbed.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("scrubbed")).cast("long").as("n_tok"),
+      TextAnalysis.fingerprint(col("scrubbed")).as("__fp"))
+    val canon = Dedup.exactCanonicalRows(slim, "doc_id", col("__fp"))
     val bucket = Sampling.bucket(col("doc_id"), 100)
     canon
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
       .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("scrubbed")).cast("long")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
   /** P2 [EXT] — the modern pretraining-data recipe (RefinedWeb/FineWeb
@@ -1502,8 +1509,12 @@ object GraftQueries {
     val scores = TextAnalysis.classifierScore(gated)
     val filtered = gated.join(
       scores.filter(col("pass")).select("doc_id", "n_tok", "logit_micro"), "doc_id")
-    val canon = Dedup.exactCanonicalRows(filtered, "doc_id",
-      TextAnalysis.fingerprint(col("text")))
+    // same pre-dedup projection trick as p1: the canonical-row aggregate
+    // only needs the columns the rest of the pipeline consumes
+    val slim = filtered.select(
+      col("doc_id"), col("source"), col("n_tok"), col("logit_micro"),
+      TextAnalysis.fingerprint(col("text")).as("__fp"))
+    val canon = Dedup.exactCanonicalRows(slim, "doc_id", col("__fp")).drop("__fp")
     val capped = Sampling.domainCap(canon, "doc_id", "source", k = 40)
     val chosen = Sampling.tokenBudgetPrefix(
       capped.select(col("doc_id"), col("logit_micro"), col("n_tok")),

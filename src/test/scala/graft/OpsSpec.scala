@@ -80,6 +80,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.select("canonical_id").distinct().count() == out.count())
   }
 
+  test("exactCanonicalRows: min-id row survives per key, columns intact, window-free") {
+    import spark.implicits._
+    // a hot key (5 dups) plus singletons; extra payload columns ride along
+    val rows = Seq(
+      (7L, "dup", "p7"), (3L, "dup", "p3"), (9L, "dup", "p9"),
+      (5L, "dup", "p5"), (4L, "dup", "p4"),
+      (1L, "solo-a", "p1"), (2L, "solo-b", "p2"))
+      .toDF("id", "text", "payload").repartition(4)
+    val out = Dedup.exactCanonicalRows(rows, "id", col("text"))
+    assert(out.columns.toSeq == Seq("id", "text", "payload"), "column order preserved")
+    val got = out.as[(Long, String, String)].collect().toSet
+    assert(got == Set((3L, "dup", "p3"), (1L, "solo-a", "p1"), (2L, "solo-b", "p2")),
+      s"min-id canonical per key expected, got $got")
+    // identical to the window formulation it replaces, without the window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("partial_min"), "must be a mergeable partial+final aggregate")
+  }
+
   test("shingle kernel: edge cases") {
     assert(Dedup.shingleKernel("", 3).isEmpty)
     assert(Dedup.shingleKernel("one two", 3).isEmpty)

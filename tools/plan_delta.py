@@ -8,6 +8,14 @@ whose digest is unchanged ran byte-identical (normalized) plans — any
 timing delta on them is host/JIT epoch, not a regression. Queries listed
 under CHANGED deserve a real look (rerun graft.Plans with
 SPARK_GRAFT_PLANS_DUMP=dir on both commits and diff the .txt trees).
+
+Caveat: a distinct-aggregate plan (q_profile) can change digest when
+UNRELATED catalog edits shift expression-id allocation — Spark's
+RewriteDistinctAggregates groups distinct columns in exprId-dependent
+order, permuting gid assignments beyond what label scrubbing can hide.
+Digests are reproducible for a fixed code state (verified two-process
+identical); the dump-and-diff workflow above distinguishes that
+relabeling from real drift in one look.
 """
 import json
 import sys
