@@ -1004,6 +1004,20 @@ object GraftQueries {
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
 
+  /** D15 [EXT] — keep-rows exact dedup: the corpus with ONE surviving
+    * row (the min doc_id) per normalised-content fingerprint — d1's
+    * terminal form, and exactly the stage the composed pipelines run.
+    * One mergeable `groupBy(fp).agg(min(struct(...)))` aggregate
+    * (`Dedup.exactCanonicalRows`), never a fingerprint-partitioned
+    * window: a viral duplicate collapses map-side instead of
+    * funnelling through one task.
+    */
+  def d15ExactKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonicalRows(
+      tbl(s, dir, "documents").select("doc_id", "lang", "source", "n_chars", "text"),
+      "doc_id", TextAnalysis.fingerprint(col("text")))
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** MinHash + LSH banding + exact verify (≡ exact threshold join). */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
@@ -1946,6 +1960,7 @@ object GraftQueries {
     "d12_semdedup"       -> (d12SemDedup _),
     "d13_dup_spans"      -> (d13DupSpans _),
     "d14_span_strip"     -> (d14SpanStrip _),
+    "d15_exact_keep"     -> (d15ExactKeep _),
     "s1_knn_brute"       -> (s1KnnBrute _),
     "s2_knn_lsh"         -> (s2KnnLsh _),
     "s3_knn_ivf"         -> (s3KnnIvf _),

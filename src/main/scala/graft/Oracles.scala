@@ -614,6 +614,17 @@ object Oracles {
         |CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // keep-rows form: one surviving row (min doc_id) per fingerprint
+    "d15_exact_keep" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM documents)
+        |SELECT fp.doc_id, fp.lang, fp.source, fp.n_chars
+        |FROM fp
+        |JOIN (SELECT f, min(doc_id) AS m FROM fp GROUP BY f) k
+        |  ON fp.f = k.f AND fp.doc_id = k.m""".stripMargin,
+
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
 
     "d3_simhash" -> jaccardPairsSql(1.0),

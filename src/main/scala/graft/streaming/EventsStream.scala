@@ -328,6 +328,14 @@ object EventsStream {
     * reduced to its own latest-per-key (a batch-local aggregate) so a
     * delta holds one row per touched key; cross-batch resolution
     * happens on the read side via version-max.
+    *
+    * Monotonic-batchId contract: batchIds come from THIS query's
+    * checkpoint. Restarting the same checkpoint replays ids (safe:
+    * replay no-op); pointing a FRESH checkpoint at an existing table
+    * restarts ids at 0, and every upsert at-or-below the table's
+    * compaction watermark is REFUSED (`KeyedTable.upsert` returns
+    * false) rather than silently dropped — use a new table dir or keep
+    * the checkpoint when re-deploying.
     */
   def upsertStream(changes: DataFrame, table: KeyedTable,
                    keyCols: Seq[String], versionCols: Seq[String],

@@ -286,6 +286,12 @@ final class KeyedTable(spark: SparkSession, dir: String,
   /** GC all history the live base supersedes: every other generation
     * and every delta at-or-below the live watermark. After this,
     * `readAsOf` below the watermark fails (the Delta VACUUM trade).
+    *
+    * Also sweeps compactor debris no run can ever use again: orphaned
+    * `.claim-tmp-*` token files, and staging dirs / leases whose target
+    * generation is at-or-below the live one (the next compact targets
+    * `live+1`, so those can never commit). Vacuum shares compaction's
+    * single-maintenance-writer assumption.
     */
   def vacuum(): Unit = {
     val live = liveBase().getOrElse(
@@ -293,5 +299,20 @@ final class KeyedTable(spark: SparkSession, dir: String,
     val wm = maxBatchOf(live)
     listBases().filter(_.getName != live.getName).foreach(p => fs.delete(p, true))
     listDeltas().filter(deltaId(_) <= wm).foreach(p => fs.delete(p, true))
+    val liveGen = live.getName.stripPrefix("base-").toLong
+    def gen(s: String): Option[Long] = {
+      val digits = s.takeWhile(_.isDigit)
+      if (digits.nonEmpty) Some(digits.toLong) else None
+    }
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val dead =
+        n.startsWith(".claim-tmp-") ||
+        (n.startsWith(".tmp-base-") &&
+          gen(n.stripPrefix(".tmp-base-")).exists(_ <= liveGen)) ||
+        (n.startsWith(".compact-claim-") &&
+          gen(n.stripPrefix(".compact-claim-")).exists(_ <= liveGen))
+      if (dead) fs.delete(p, true)
+    }
   }
 }

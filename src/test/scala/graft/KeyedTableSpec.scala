@@ -131,6 +131,34 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(state(t) == Set((1L, 1L, 1L, "v1")))
   }
 
+  test("vacuum sweeps dead compactor debris, never the live lease or future staging") {
+    val dir = tmpDir("debris")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    t.upsert(rows((1L, 1L, 1L, "v1")), 0)
+    t.compact() // live = base-1
+    t.upsert(rows((1L, 2L, 1L, "v2")), 1)
+    // plant crashed-compactor leftovers: an orphan claim token, a dead
+    // staging dir and lease for an already-committed generation — and a
+    // staging dir + lease for the NEXT generation (a live compactor's)
+    def touch(name: String): Unit = {
+      val f = new java.io.File(dir, name)
+      if (name.contains("tmp-base")) f.mkdirs()
+      else { val w = new java.io.FileOutputStream(f); w.write("x".getBytes); w.close() }
+    }
+    Seq(".claim-tmp-deadbeef", ".tmp-base-1-olduuid", ".compact-claim-1",
+      ".tmp-base-2-liveuuid", ".compact-claim-2").foreach(touch)
+    val before = state(t)
+    t.vacuum()
+    assert(state(t) == before)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains(".claim-tmp-deadbeef"))
+    assert(!names.contains(".tmp-base-1-olduuid") && !names.contains(".compact-claim-1"))
+    // generation-2 artifacts belong to a possible live compactor: kept
+    assert(names.contains(".tmp-base-2-liveuuid") && names.contains(".compact-claim-2"))
+    assert(names.contains("base-1") && names.contains("delta=1"))
+  }
+
   test("two racing compactors: exactly one commits the generation") {
     val dir = tmpDir("race")
     val t = mk(dir)
