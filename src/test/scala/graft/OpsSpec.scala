@@ -216,8 +216,14 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
       bos.toByteArray
     }
+    val rnd = new scala.util.Random(7)
     val cases = Seq(
-      ("png", 311, 47), ("jpg", 123, 456), ("gif", 640, 480), ("bmp", 17, 1025))
+      ("png", 311, 47), ("jpg", 123, 456), ("gif", 640, 480), ("bmp", 17, 1025)) ++
+      // randomized dims per format, including >255 (multi-byte encodings)
+      Seq.fill(4)(("png", 1 + rnd.nextInt(2000), 1 + rnd.nextInt(2000))) ++
+      Seq.fill(4)(("jpg", 1 + rnd.nextInt(2000), 1 + rnd.nextInt(2000))) ++
+      Seq.fill(4)(("gif", 1 + rnd.nextInt(2000), 1 + rnd.nextInt(2000))) ++
+      Seq.fill(4)(("bmp", 1 + rnd.nextInt(2000), 1 + rnd.nextInt(2000)))
     for ((fmt, w, h) <- cases) {
       val parsed = Multimodal.ImageHeaders.parse(encoded(fmt, w, h))
       assert(parsed.map(p => (p._2, p._3)) == Some((w, h)),
