@@ -131,6 +131,25 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(state(t) == Set((1L, 1L, 1L, "v1")))
   }
 
+  test("compact recovers from a predecessor that died between rename and commit") {
+    val dir = tmpDir("crash")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    t.upsert(rows((1L, 1L, 1L, "v1")), 0)
+    // simulate the crash window: base-1 renamed into place (with stale
+    // content!) but never committed — invisible to readers, and it must
+    // not block the next compaction
+    val ghost = new java.io.File(dir, "base-1"); ghost.mkdirs()
+    val w = new java.io.FileOutputStream(new java.io.File(ghost, "junk.parquet"))
+    w.write("not parquet".getBytes); w.close()
+    assert(state(t) == Set((1L, 1L, 1L, "v1")), "uncommitted ghost must be invisible")
+    t.compact()
+    assert(new java.io.File(dir, "base-1/_COMMITTED").exists())
+    assert(!new java.io.File(dir, "base-1/junk.parquet").exists(),
+      "ghost content must be cleared, not committed")
+    assert(state(t) == Set((1L, 1L, 1L, "v1")))
+  }
+
   test("vacuum sweeps dead compactor debris, never the live lease or future staging") {
     val dir = tmpDir("debris")
     val t = mk(dir)
