@@ -32,7 +32,7 @@ object Bench {
     "t5_winnowing", "t6_repetition", "t7_pii_scrub", "t8_top_terms",
     "t10_tfidf_keywords",
     "q_approx_topk", "q_approx_quantile",
-    "q_train_split", "q_stratified_sample",
+    "q_train_split", "q_stratified_sample", "q_upsample_mix",
     "p1_pipeline", "p2_pipeline",
     "mm1_decode_meta", "mm2_frame_samples",
     "mm3_resize_spec", "mm4_feature_knn",

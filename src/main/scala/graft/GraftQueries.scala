@@ -1643,6 +1643,25 @@ object GraftQueries {
           .otherwise(lit(0L))).as("tokens_sampled"))
   }
 
+  /** Deterministic epoch upsampling for a training mix — per-source
+    * fractional-epoch weights (the LLaMA-recipe sampling-proportion
+    * shape): heavy sources repeat 2.5×, mid 1×, light 0.7×, tail 0.25×,
+    * every repeat tagged with a 1-based copy index. Full repeated rows
+    * verified (not just counts), so the oracle pins both the
+    * multiplicity arithmetic and the copy numbering.
+    */
+  def qUpsampleMix(s: SparkSession, dir: String): DataFrame = {
+    val weights =
+      (0 to 4).map(i => s"src$i" -> 2500).toMap ++
+      (5 to 9).map(i => s"src$i" -> 1000).toMap ++
+      (10 to 14).map(i => s"src$i" -> 700).toMap ++
+      (15 to 19).map(i => s"src$i" -> 250).toMap
+    Sampling.upsampleByWeight(
+      tbl(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source", weights, defaultPerMille = 0)
+      .select(col("doc_id"), col("source"), col("copy").cast("long").as("copy"))
+  }
+
   /** Weighted sample (Efraimidis–Spirakis A-ES) of 100 documents with
     * probability ∝ document length — the soft quality-upweighting
     * primitive of a training-mix recipe. Deterministic via the portable
@@ -1989,6 +2008,7 @@ object GraftQueries {
     "t13_mix_rebalance"  -> (t13MixRebalance _),
     "t14_token_budget"   -> (t14TokenBudget _),
     "q_stratified_sample" -> (q_stratifiedSample _),
+    "q_upsample_mix"     -> (qUpsampleMix _),
     "q_weighted_sample"  -> (q_weightedSample _),
     "q_skew_join"        -> (q_skewJoin _),
     "q_cdc_apply"        -> (q_cdcApply _),

@@ -1373,6 +1373,25 @@ object Oracles {
          |  FROM documents)
          |GROUP BY 1""".stripMargin,
 
+    // fractional-epoch upsampling: floor(w) copies + one more iff the
+    // portable per-mille bucket clears the fractional part
+    "q_upsample_mix" ->
+      raw"""WITH n AS (
+         |  SELECT doc_id, source,
+         |    (wt // 1000) + CASE WHEN b < wt % 1000 THEN 1 ELSE 0 END AS copies
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      CASE WHEN CAST(substr(source, 4) AS INT) <= 4 THEN 2500
+         |           WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 1000
+         |           WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 700
+         |           WHEN CAST(substr(source, 4) AS INT) <= 19 THEN 250
+         |           ELSE 0 END AS wt,
+         |      ${bucketSql("doc_id", 1000)} AS b
+         |    FROM documents))
+         |SELECT doc_id, source, CAST(g.i AS BIGINT) AS copy
+         |FROM n, LATERAL (SELECT unnest(range(1, copies + 1)) AS i) AS g
+         |WHERE copies > 0""".stripMargin,
+
     // MG sketch verdict: n_heavy is exact; the two booleans are the
     // sketch's mathematical guarantee, so the oracle expects true
     // CMS verdict: n_checked = the top-20 cut (or fewer distinct

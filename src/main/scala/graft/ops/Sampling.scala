@@ -49,6 +49,39 @@ object Sampling {
     df.withColumn("sampled", bucketPerMille(col(idCol)) < frac.cast("long"))
   }
 
+  /** Deterministic weight-based UPSAMPLING — the pretraining-mix epoch
+    * recipe (per-source sampling proportions with fractional epochs): a
+    * row of group g with per-mille weight w appears ⌊w/1000⌋ times,
+    * plus one more iff its portable per-mille bucket falls below
+    * w mod 1000 — so each group's realised multiplicity averages
+    * exactly w/1000 epochs, weights below 1000 downsample (the
+    * stratified-sample special case), and the repeated multiset is a
+    * pure function of (id, weight): no RNG state, identical across
+    * engines, runs and input layouts. `copyCol` (1-based) disambiguates
+    * repeats for downstream keyed ops (e.g. sequence packing).
+    *
+    * Scale shape: a narrow codegen'd CASE + `explode(sequence(...))` —
+    * zero shuffle, trivially parallel. For group maps too large for a
+    * CASE, join a broadcast weights table instead — same semantics.
+    */
+  def upsampleByWeight(df: DataFrame, idCol: String, groupCol: String,
+                       weightsPerMille: Map[String, Int],
+                       defaultPerMille: Int = 1000,
+                       copyCol: String = "copy"): DataFrame = {
+    require(weightsPerMille.values.forall(_ >= 0) && defaultPerMille >= 0,
+      "weights are per-mille multiplicities and cannot be negative")
+    val w = weightsPerMille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+        when(col(groupCol) === k, lit(v)).otherwise(acc)
+      }
+    val copies = (w.cast("long") / 1000L).cast("int") +
+      when(bucketPerMille(col(idCol)) < pmod(w.cast("long"), lit(1000L)), 1).otherwise(0)
+    df.withColumn("__n_copies", copies)
+      .filter(col("__n_copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(1), col("__n_copies"))))
+      .drop("__n_copies")
+  }
+
   /** The rows the stratified sample keeps. */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        fractionsPerMille: Map[String, Int],

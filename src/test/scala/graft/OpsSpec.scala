@@ -990,6 +990,31 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!Similarity.fitsInBroadcast(df, "vec_id", maxRows = 9999))
   }
 
+  test("upsampleByWeight: multiplicity arithmetic, copy numbering, zero-weight drop") {
+    import spark.implicits._
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("g", concat(lit("g"), pmod(col("id"), lit(4))))
+    val weights = Map("g0" -> 2500, "g1" -> 1000, "g2" -> 700, "g3" -> 0)
+    val out = Sampling.upsampleByWeight(df, "id", "g", weights, defaultPerMille = 0)
+    // expected multiplicity recomputed independently per row
+    val buckets = df.withColumn("b", Sampling.bucketPerMille(col("id")))
+      .select("id", "g", "b").as[(Long, String, Long)].collect()
+    val expected = buckets.flatMap { case (id, g, b) =>
+      val w = weights(g)
+      val n = w / 1000 + (if (b < w % 1000) 1 else 0)
+      (1 to n).map(c => (id, g, c))
+    }.toSet
+    val got = out.select(col("id"), col("g"), col("copy"))
+      .as[(Long, String, Int)].collect()
+    assert(got.length == got.toSet.size, "copies must be distinct per (id, copy)")
+    assert(got.toSet == expected)
+    // sanity on the shape: every g0 doc ≥2 copies, g1 exactly 1, g3 gone
+    val byG = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byG("g0") >= 100 && byG("g1") == 50 && !byG.contains("g3"))
+    // fractional epochs land near the target in expectation: g2 = 0.7
+    assert(byG("g2") > 20 && byG("g2") < 50)
+  }
+
   test("mixRebalance: water-fill hits the target mix; binding group kept whole") {
     import spark.implicits._
     // 10 a, 6 b, 2 c; targets 50/25/25 → scale = min(20, 24, 8) = 8

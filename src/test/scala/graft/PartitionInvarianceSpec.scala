@@ -21,6 +21,7 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_global_sort", "q_seq_pack", "q_sessionize", "q_rollup",
     "q_salted_agg", "q_skew_join", "q_cdc_apply", "q_scd2",
     "q_train_split", "q_weighted_sample", "q_stratified_sample",
+    "q_upsample_mix",
     "q_shard_layout", "q_approx_topk", "q_approx_distinct",
     "d1_exact_dedup", "d2_minhash_lsh", "d7_dup_clusters",
     "d13_dup_spans", "d14_span_strip", "d15_exact_keep",
