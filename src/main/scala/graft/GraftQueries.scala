@@ -1891,6 +1891,49 @@ object GraftQueries {
       everyMs = 1000L)
       .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
 
+  /** MM5 [EXT] — REAL audio container parsing (the mm1 image-header
+    * counterpart): synthesise genuine PCM WAV payloads from the fixture
+    * (format parameters derived from doc_id, sample data from the
+    * text bytes), then decode channels / sample rate / bit depth /
+    * data length / duration back out of the RIFF structure with the
+    * pure-JVM `Multimodal.WavHeaders` walk. The oracle predicts every
+    * field analytically from the construction parameters — agreement
+    * means the parser read back exactly what the writer encoded.
+    */
+  def mm5AudioMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(
+      Multimodal.audioAssetsFromDocuments(tbl(s, dir, "documents")))
+      .select("asset_id", "channels", "sample_rate", "bits_per_sample",
+        "data_bytes", "duration_ms")
+
+  /** D16 [EXT] — C4-style segment-level dedup: every non-overlapping
+    * 10-token segment seen more than once in the corpus is stripped
+    * except its globally-first occurrence; docs reassemble from their
+    * surviving segments. One row per input doc.
+    */
+  def d16SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(tbl(s, dir, "documents"), "doc_id", "text", seg = 10)
+      .select(col("id").as("doc_id"), col("clean_text"),
+        col("n_seg_kept"), col("n_seg_dropped"))
+
+  /** ST10 [EXT] — streaming NEAR-dup ingest screen, batch form
+    * (streaming form asserted equal in `StreamingSpec`): arriving docs
+    * (doc_id ≡ 0 mod 5, the st6/d6 batch marker) that share no
+    * portable-MinHash LSH band with the static corpus band table —
+    * certainly-below-threshold docs admitted without an exact check.
+    * Stateless per band in streaming; the band table is the maintained
+    * artifact. The md5 hash family makes even this approximate op
+    * hash-exact against its DuckDB twin.
+    */
+  def st10NearDupScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val bands = graft.streaming.DocsStream.corpusBandKeys(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    graft.streaming.DocsStream.nearDupScreenBatch(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), bands)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** All queries, keyed for the driver harness. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_tables"          -> (o1Tables _),
@@ -2022,5 +2065,8 @@ object GraftQueries {
     "mm3_resize_spec"    -> (mm3ResizeSpec _),
     "mm4_feature_knn"    -> (mm4FeatureKnn _),
     "mm2_frame_samples"  -> (mm2FrameSamples _),
+    "mm5_audio_meta"     -> (mm5AudioMeta _),
+    "d16_segment_dedup"  -> (d16SegmentDedup _),
+    "st10_neardup_screen" -> (st10NearDupScreen _),
   )
 }

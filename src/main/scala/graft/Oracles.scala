@@ -1685,5 +1685,84 @@ object Oracles {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
+
+    // the WAV payloads are REAL RIFF files built from (doc_id-derived
+    // format params, text bytes truncated to whole frames); the oracle
+    // predicts each field analytically from that construction, so
+    // agreement means the parser read back exactly what the writer
+    // encoded
+    "mm5_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |    (doc_id % 2 + 1) * 2 AS block_align,
+        |    octet_length(encode(text)) AS raw
+        |  FROM documents)
+        |SELECT doc_id AS asset_id, channels, sample_rate,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(raw // block_align * block_align AS BIGINT) AS data_bytes,
+        |  CAST((raw // block_align * block_align) * 1000
+        |       // (sample_rate * block_align) AS BIGINT) AS duration_ms
+        |FROM p""".stripMargin,
+
+    // C4-style segment dedup: the keeper per segment fingerprint is the
+    // min (doc_id, idx) — the window keeps the same row the Spark
+    // struct-min aggregate keeps
+    "d16_segment_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS idx,
+        |         array_to_string(ts[g.i*10+1 : g.i*10+10], ' ') AS seg
+        |  FROM tok, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ts)/10.0) AS BIGINT))) AS i) g),
+        |marked AS (
+        |  SELECT doc_id, idx, seg,
+        |         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn,
+        |         count(*) OVER (PARTITION BY md5(seg)) AS cnt
+        |  FROM segs),
+        |kept AS (SELECT doc_id, idx, seg FROM marked WHERE rn = 1 OR cnt = 1),
+        |agg AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (SELECT doc_id, count(*) AS n FROM segs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_seg_kept,
+        |  CAST(coalesce(t.n, 0) - coalesce(a.n_kept, 0) AS INTEGER) AS n_seg_dropped
+        |FROM documents d
+        |LEFT JOIN totals t USING (doc_id)
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the portable md5 MinHash family makes the APPROXIMATE band screen
+    // hash-exact: DuckDB re-derives signatures, bands, and the anti
+    // join byte-for-byte
+    "st10_neardup_screen" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shs
+        |  FROM toks WHERE len(t) >= 3),
+        |sx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |fam AS (
+        |  SELECT doc_id, g.i AS i, min(md5(md5(s) || '_' || CAST(g.i AS VARCHAR))) AS sig
+        |  FROM sx, LATERAL (SELECT unnest(range(0, 8)) AS i) g
+        |  GROUP BY doc_id, g.i),
+        |bands AS (
+        |  SELECT a.doc_id, CAST(a.i // 2 AS INTEGER) AS band_idx,
+        |         md5(a.sig || '|' || b.sig || '|' || CAST(a.i // 2 AS VARCHAR)) AS h
+        |  FROM fam a JOIN fam b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |corpus AS (SELECT DISTINCT band_idx, h FROM bands WHERE doc_id % 5 != 0),
+        |matched AS (
+        |  SELECT DISTINCT b.doc_id FROM bands b JOIN corpus c USING (band_idx, h)
+        |  WHERE b.doc_id % 5 = 0)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d ANTI JOIN matched m ON d.doc_id = m.doc_id
+        |WHERE d.doc_id % 5 = 0""".stripMargin,
   )
 }

@@ -891,4 +891,83 @@ object Dedup {
         size(col("kept")).as("n_tokens_kept"),
         (size(toks) - size(col("kept"))).as("n_tokens_dropped"))
   }
+
+  /** Non-overlapping `seg`-token segments of a document (last one may be
+    * shorter). Same tight-JVM-kernel rationale as `shingleKernel`
+    * (`Dedup.scala:54-62`): a `transform`/`slice` composition
+    * re-evaluates the tokenisation per produced element.
+    */
+  private def segmentKernel(t: String, seg: Int): Array[String] = {
+    val toks = t.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty
+    else Array.tabulate((toks.length + seg - 1) / seg) { i =>
+      val sb = new java.lang.StringBuilder(8 * seg)
+      var j = i * seg
+      val end = math.min(j + seg, toks.length)
+      while (j < end) {
+        if (j > i * seg) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  private def segmentsCol(text: Column, seg: Int): Column = {
+    val u = udf((t: String) => segmentKernel(t, seg))
+    u(text)
+  }
+
+  /** C4-style SEGMENT-level dedup (Raffel et al. 2020 drop repeated
+    * three-sentence spans; Penedo et al. 2023 drop repeated paragraphs —
+    * here the unit is a fixed `seg`-token chunk, the tokenised analogue):
+    * every non-overlapping `seg`-token segment that occurs more than
+    * once ANYWHERE in the corpus is removed except its globally first
+    * occurrence (min `(doc_id, segment_index)`), and each document is
+    * reassembled from its surviving segments.
+    *
+    * Output: one row PER INPUT DOC — `(id, clean_text, n_seg_kept,
+    * n_seg_dropped)`; a doc made entirely of previously-seen segments
+    * survives with empty text.
+    *
+    * Distinct from d13/d14's overlapping-gram spans: segments tile the
+    * document (corpus-token-scale / `seg` rows, not one row per token
+    * position), so this is the cheap first-pass boilerplate strip a
+    * crawl pipeline runs before the finer gram-level pass.
+    *
+    * Scale shape: the global keeper per segment fingerprint is ONE
+    * mergeable `groupBy(fp).agg(min(struct(id, idx)))` — a viral
+    * boilerplate segment collapses map-side instead of funnelling
+    * through a window task (the d15 recipe). Removal indices aggregate
+    * per doc (bounded by the doc's own segment count) and join back
+    * onto INTACT doc rows, so the corpus text itself never shuffles;
+    * the reassembly is a per-row array filter against the doc's own
+    * removal list.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   seg: Int = 10): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val segs = Partitioning.ensureParallelism(docs)
+      .select(col("id"), posexplode(segmentsCol(col("t"), seg)).as(Seq("idx", "seg")))
+      .select(col("id"), col("idx"), md5(col("seg")).as("fp"))
+    val firsts = segs.groupBy("fp")
+      .agg(min(struct(col("id"), col("idx"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    // only repeat occurrences mark removals; segments of a unique
+    // fingerprint never join anything (the firsts table keeps dup
+    // fingerprints only, so the join input is already removal-scale)
+    val removed = segs.join(firsts, "fp")
+      .filter(!(col("id") === col("first.id") && col("idx") === col("first.idx")))
+      .groupBy("id").agg(collect_list(col("idx")).as("rm"))
+    val chunks = segmentsCol(col("t"), seg)
+    docs.join(removed, Seq("id"), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(chunks, (c, i) => !array_contains(col("rm"), i)))
+      .select(col("id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).as("n_seg_kept"),
+        size(col("rm")).as("n_seg_dropped"))
+  }
 }

@@ -82,6 +82,125 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM WAV/RIFF header parser — the audio twin of
+    * [[ImageHeaders]]: channel count, sample rate, bits per sample and
+    * the data-chunk byte length decoded from the container bytes alone
+    * (no sample decode, no native codec). Duration follows from the
+    * header's own byte rate: `data_bytes * 1000 / byte_rate`.
+    *
+    * The chunk walk honours the RIFF spec: chunks are (id, LE32 size,
+    * payload) triples padded to even offsets, in any order, with
+    * unknown chunks (LIST/INFO/fact/...) skipped — so WAVs written by
+    * arbitrary encoders parse, not just our own writer
+    * (`MultimodalSpec` checks against `javax.sound.sampled`-encoded
+    * bytes as the independent reference).
+    */
+  object WavHeaders {
+    final case class WavMeta(channels: Int, sampleRate: Int,
+                             bitsPerSample: Int, byteRate: Long, dataBytes: Long) {
+      def durationMs: Long = if (byteRate <= 0) 0L else dataBytes * 1000L / byteRate
+    }
+
+    def parse(bytes: Array[Byte]): Option[WavMeta] = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+      var data: Option[Long] = None
+      var i = 12
+      while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(i)
+        val size = le32(i + 4)
+        val body = i + 8
+        if (id == "fmt ") {
+          if (size < 16 || body + 16 > bytes.length) return None
+          fmt = Some((le16(body + 2), le32(body + 4).toInt, le16(body + 14), le32(body + 8)))
+        } else if (id == "data") {
+          // size may legitimately exceed the buffer only for a truncated
+          // file; the header still tells the true payload length
+          data = Some(size)
+        }
+        // RIFF pads every odd-sized chunk to the next even offset
+        i = body + size.toInt + (size.toInt & 1)
+      }
+      for ((ch, rate, bits, byteRate) <- fmt; d <- data)
+        yield WavMeta(ch, rate, bits, byteRate, d)
+    }
+
+    /** Minimal canonical PCM WAV writer (RIFF + fmt + data) — the
+      * counterpart used to synthesise real parseable audio payloads.
+      */
+    def build(channels: Int, sampleRate: Int, bitsPerSample: Int,
+              data: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      val byteRate = sampleRate * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+        .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      bb.array()
+    }
+  }
+
+  final case class AudioMeta(
+      asset_id: Long, channels: Int, sample_rate: Int, bits_per_sample: Int,
+      data_bytes: Long, duration_ms: Long)
+
+  /** Synthesise REAL 16-bit PCM WAV payloads from the documents fixture:
+    * format parameters derive from `doc_id` (channels 1-2, one of four
+    * standard sample rates), sample data is the text's UTF-8 bytes
+    * truncated down to a whole number of frames. The payloads are
+    * genuine WAV files — `javax.sound.sampled` opens them — so the
+    * decode below exercises the real parser, not a stub.
+    */
+  def audioAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val channels = (id % 2).toInt + 1
+          val rate = rates((id % 4).toInt)
+          val blockAlign = channels * 2
+          val nData = raw.length / blockAlign * blockAlign
+          (id, WavHeaders.build(channels, rate, 16, java.util.Arrays.copyOf(raw, nData)))
+        }
+      }.toDF("asset_id", "payload")
+  }
+
+  /** Batched per-partition audio header decode — REAL parsing (the mm1
+    * counterpart for audio): every field in the output is read back out
+    * of the payload's RIFF structure. Narrow map, no shuffle; unparseable
+    * payloads are dropped (a real ingest would route them to a reject
+    * sink).
+    */
+  def decodeAudioMeta(assets: DataFrame, batchSize: Int = 128): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            WavHeaders.parse(payload).map(m =>
+              AudioMeta(id, m.channels, m.sampleRate, m.bitsPerSample,
+                m.dataBytes, m.durationMs))
+          }
+        }
+      }.toDF()
+  }
+
   /** STUB decode kernel — deterministic fake in place of the real
     * pixel/audio/video codec (media libs not present in this container).
     * Image WIDTH/HEIGHT are real when the payload carries a recognised

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis
 
@@ -48,4 +48,81 @@ object DocsStream {
   def screenNewBatch(docs: DataFrame, historyFps: DataFrame,
                      textCol: String = "text"): DataFrame =
     screenNewStream(docs, historyFps, textCol)
+
+  /** PER-ROW portable MinHash LSH band keys — the streaming-shaped twin
+    * of `Dedup.minhashCandidates`' banding. The batch form aggregates
+    * signature minima with an explode + `groupBy(id)`; a streaming
+    * screen can't (a stateless stream-static join permits no stateful
+    * aggregation), so each signature slot is an `array_min` over a
+    * higher-order `transform` of the row's OWN shingle hashes — the
+    * whole banding collapses to one narrow codegen'd projection, no
+    * shuffle, no state.
+    *
+    * The hash family is the repo's portable md5 recipe (the
+    * `t5_winnowing` rationale): slot i re-hashes the shingle digest
+    * with a salt, bands concatenate `rowsPerBand` adjacent slots —
+    * every byte DuckDB-reproducible, so even this approximate op is
+    * hash-checked exactly by its oracle. Docs with fewer than 3 tokens
+    * have no shingles and emit NULL (no bands, never matched).
+    *
+    * Lambdas here reference only their bound variables, so the
+    * documented HOF re-evaluation trap (`Dedup.scala:54-62`) does not
+    * bite: the shingle kernel runs once per row, each slot's transform
+    * is one md5 per (shingle, slot).
+    */
+  def portableBandKeys(text: Column, k: Int = 8, rowsPerBand: Int = 2): Column = {
+    val hs = transform(graft.ops.Dedup.shingles(text, 3), s => md5(s))
+    val sigs = (0 until k).map(i =>
+      array_min(transform(hs, h => md5(concat(h, lit("_" + i))))))
+    val bands = (0 until k / rowsPerBand).map { j =>
+      val slots = (0 until rowsPerBand).map(r => sigs(j * rowsPerBand + r))
+      md5(concat_ws("|", slots :+ lit(j.toString): _*))
+    }
+    when(size(hs) >= 1, array(bands: _*))
+  }
+
+  /** The maintained static side of the near-dup screen: every distinct
+    * (band index, band hash) the historical corpus occupies — like
+    * `historyFingerprints`, append-maintained on every accepted ingest.
+    */
+  def corpusBandKeys(docs: DataFrame, textCol: String = "text",
+                     k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    docs.select(posexplode(portableBandKeys(col(textCol), k, rowsPerBand))
+        .as(Seq("band_idx", "h")))
+      .distinct()
+
+  /** Streaming NEAR-dup ingest screen: emit every arriving doc that
+    * shares NO LSH band with the historical corpus — certainly below
+    * the banding's similarity knee (k=8, r=2 ⇒ s-curve threshold
+    * (1/4)^(1/2) = 0.5 Jaccard), so safe to admit without an exact
+    * check; docs with a band hit are near-dup SUSPECTS a pipeline
+    * routes to the exact verifier (`Dedup.minhashNearDupsIncremental`,
+    * the d6 batch op).
+    *
+    * Scale shape: one stateless stream-static `left_anti` per band (a
+    * fixed, small count — 4 here), each an equi-join of the micro-batch
+    * against the maintained band table; nothing accumulates in the
+    * state store and no watermark is needed. At 100 TB of history the
+    * band table is the artifact you maintain; Spark broadcasts it when
+    * small and shuffles only the micro-batch when not.
+    */
+  def nearDupScreenStream(stream: DataFrame, corpusBands: DataFrame,
+                          textCol: String = "text",
+                          k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val withBands = stream.withColumn("__bands",
+      portableBandKeys(col(textCol), k, rowsPerBand))
+    (0 until nBands).foldLeft(withBands) { (df, j) =>
+      df.join(
+        corpusBands.filter(col("band_idx") === j).select(col("h").as(s"__h$j")),
+        col("__bands")(j) === col(s"__h$j"), "left_anti")
+    }.drop("__bands")
+  }
+
+  /** Batch form (asserted equal to the streaming form in
+    * `StreamingSpec`). */
+  def nearDupScreenBatch(docs: DataFrame, corpusBands: DataFrame,
+                         textCol: String = "text",
+                         k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    nearDupScreenStream(docs, corpusBands, textCol, k, rowsPerBand)
 }

@@ -246,6 +246,115 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(out(3L)._1 >= 64, "non-image payload keeps the documented stub range")
   }
 
+  test("wav headers: JDK-encoded and hand-chunked RIFF bytes parse exactly") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // independent reference encoder: javax.sound writes canonical WAVs
+    def jdkWav(channels: Int, rate: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * channels * 2)
+      new scala.util.Random(11).nextBytes(pcm)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    for ((ch, rate, frames) <- Seq((1, 8000, 100), (2, 44100, 999), (2, 22050, 1))) {
+      val m = Multimodal.WavHeaders.parse(jdkWav(ch, rate, frames))
+        .getOrElse(fail(s"JDK wav $ch/$rate did not parse"))
+      assert(m.channels == ch && m.sampleRate == rate && m.bitsPerSample == 16)
+      assert(m.dataBytes == frames.toLong * ch * 2)
+      assert(m.durationMs == m.dataBytes * 1000 / (rate.toLong * ch * 2))
+    }
+    // our own writer must emit bytes the JDK decoder accepts (real WAVs,
+    // not just self-consistent ones)
+    val built = Multimodal.WavHeaders.build(2, 16000, 16, new Array[Byte](64))
+    val jdkFmt = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(built)).getFormat
+    assert(jdkFmt.getChannels == 2 && jdkFmt.getSampleRate == 16000f)
+    // chunk walk: an unknown ODD-sized LIST chunk before fmt must be
+    // skipped with the RIFF even-padding rule intact
+    val base = Multimodal.WavHeaders.build(1, 8000, 16, Array[Byte](1, 2, 3, 4))
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'I', 'N', 'F', 'O', 9, 0)
+    val padded = base.take(12) ++ list ++ base.drop(12)
+    val lenFixed = java.nio.ByteBuffer.wrap(padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lenFixed.putInt(4, padded.length - 8)
+    val m2 = Multimodal.WavHeaders.parse(lenFixed.array())
+      .getOrElse(fail("LIST-chunked wav did not parse"))
+    assert(m2.sampleRate == 8000 && m2.dataBytes == 4)
+    // refusals: garbage, truncated, empty
+    assert(Multimodal.WavHeaders.parse("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.WavHeaders.parse(built.take(20)).isEmpty)
+    assert(Multimodal.WavHeaders.parse(Array[Byte]()).isEmpty)
+  }
+
+  test("audio assets are genuine WAVs and decode is construction-exact") {
+    import javax.sound.sampled.AudioSystem
+    val assets = Multimodal.audioAssetsFromDocuments(docs.limit(8))
+    // every synthesised payload opens in the independent JDK decoder
+    assets.collect().foreach { r =>
+      val id = r.getLong(0)
+      val fmt = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))).getFormat
+      assert(fmt.getChannels == (id % 2 + 1).toInt, s"asset $id channels")
+    }
+    val meta = Multimodal.decodeAudioMeta(assets)
+    assert(meta.count() == 8, "all synthesised WAVs must parse")
+    // duration follows the header byte rate exactly
+    assert(meta.filter(col("duration_ms") =!=
+      floor(col("data_bytes") * 1000 /
+        (col("sample_rate") * col("channels") * 2)).cast("long")).count() == 0)
+    // batch size never changes results
+    val m2 = Multimodal.decodeAudioMeta(assets, batchSize = 3)
+    assert(meta.exceptAll(m2).count() == 0)
+  }
+
+  test("segment dedup keeps the globally-first occurrence and reassembles") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "a b c d e x1 x2 x3 x4 x5"),  // seg0="a b c d e" (first), seg1 unique
+      (20L, "a b c d e y1 y2 y3 y4 y5"),  // seg0 duplicated → dropped
+      (30L, "z1 z2 z3"),                  // short tail segment, unique
+      (40L, "a b c d e")                  // duplicated again → dropped, empty doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", seg = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(10L) == (("a b c d e x1 x2 x3 x4 x5", 2, 0)))
+    assert(out(20L) == (("y1 y2 y3 y4 y5", 1, 1)))
+    assert(out(30L) == (("z1 z2 z3", 1, 0)))
+    assert(out(40L) == (("", 0, 1)))
+    assert(out.size == 4, "one row per input doc")
+    // fixture sanity: segment-level dups exist and the removal is
+    // consistent — kept + dropped = ceil(tokens/seg) per doc
+    val fx = Dedup.segmentDedup(docs, "doc_id", "text", seg = 10)
+    assert(fx.filter(col("n_seg_dropped") > 0).count() > 0)
+    val bad = fx.join(docs, fx("id") === docs("doc_id"))
+      .filter(col("n_seg_kept") + col("n_seg_dropped") =!=
+        ceil(size(split(trim(col("text")), "\\s+")) / lit(10.0)).cast("int"))
+    assert(bad.count() == 0)
+  }
+
+  test("near-dup band screen: exact dup caught, unrelated passes, short doc passes") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val arriving = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup → screened
+      (101L, "totally different words here completely novel"), // new → passes
+      (102L, "tiny doc")                                        // <3 tokens → passes
+    ).toDF("doc_id", "text")
+    val bands = DocsStream.corpusBandKeys(corpus)
+    val out = DocsStream.nearDupScreenBatch(arriving, bands)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(101L, 102L))
+    // band table is (band_idx, h) distinct — bounded by 4 rows per corpus doc
+    assert(bands.count() <= corpus.count() * 4)
+  }
+
   test("multimodal resize preserves aspect ratio bound") {
     val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
     val resized = Multimodal.withResizeSpec(meta, maxSide = 256)

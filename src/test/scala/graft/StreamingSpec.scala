@@ -145,6 +145,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamedSel).count() == 0)
   }
 
+  test("stream-static near-dup band screen matches batch equivalent, stateless") {
+    import graft.streaming.DocsStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docsSchema = docs.schema
+    val bands = DocsStream.corpusBandKeys(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/documents.parquet", docsSchema,
+      df => DocsStream.nearDupScreenStream(
+        df.filter(pmod(col("doc_id"), lit(5)) === 0), bands),
+      queryName = "neardup_screen_stream_test")
+    val batch = GraftQueries.st10NearDupScreen(spark, sfDir)
+    val streamedSel = streamed.select("doc_id", "lang", "source")
+    assert(batch.count() > 0)
+    // the screen must actually screen something at this fixture
+    assert(batch.count() <
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0).count())
+    assert(streamedSel.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamedSel).count() == 0)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch equivalent") {
     val streamed = EventsStream.runOnceOnParquet(
       spark, s"$sfDir/events.parquet", rawSchema,
