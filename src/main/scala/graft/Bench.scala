@@ -35,19 +35,19 @@ object Bench {
     "q_train_split", "q_stratified_sample", "q_upsample_mix",
     "p1_pipeline", "p2_pipeline",
     "mm1_decode_meta", "mm2_frame_samples",
-    "mm3_resize_spec", "mm4_feature_knn",
+    "mm3_resize_spec", "mm4_feature_knn", "mm5_audio_meta",
     // rounds 3-4 flagship additions — listed (rather than left to the
     // alphabetical remainder) so the capped stdout line keeps them when
     // space runs out; the cut should land on o-series metadata trivia
     "d11_bloom_screen", "d12_semdedup", "d13_dup_spans", "d14_span_strip",
-    "d15_exact_keep",
+    "d15_exact_keep", "d16_segment_dedup",
     "s5_range_search", "s6_random_projection", "s7_knn_ivfpq",
     "s8_knn_persisted",
     "t9_surprisal", "t11_domain_cap", "t12_quality_filter",
     "t13_mix_rebalance", "t14_token_budget", "t15_bigram_surprisal",
     "st1_first_seen", "st2_interval_join", "st4_dedup_keys",
     "st5_scd2_stream", "st6_screen_stream", "st7_cdc_upsert",
-    "st8_time_travel", "st9_outer_interval",
+    "st8_time_travel", "st9_outer_interval", "st10_neardup_screen",
     "t16_classifier_score", "t17_ppl_buckets",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",

@@ -7,7 +7,7 @@ import graft.anonymise.{Anonymiser, Faker}
 import graft.config._
 import graft.dialect.{MySqlDialect, SqliteDialect, SqlValueCodec}
 import graft.export.{DumpWriter, ExportPipeline}
-import graft.ops.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, Partitioning, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.ParquetSource
 import graft.streaming.EventsStream
 
@@ -1927,10 +1927,15 @@ object GraftQueries {
     */
   def st10NearDupScreen(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val bands = graft.streaming.DocsStream.corpusBandKeys(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    // the band table is the MAINTAINED artifact (built once, appended on
+    // every accepted ingest) — persisting here mirrors that: without it
+    // each of the 4 band anti-joins would re-run the corpus banding
+    // (measured 4x the query cost at sf0.1)
+    val bands = graft.ops.OpCaches.persist(graft.streaming.DocsStream.corpusBandKeys(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)))
     graft.streaming.DocsStream.nearDupScreenBatch(
-      docs.filter(pmod(col("doc_id"), lit(5)) === 0), bands)
+      Partitioning.ensureParallelism(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+      bands)
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

@@ -87,7 +87,8 @@ object DocsStream {
     */
   def corpusBandKeys(docs: DataFrame, textCol: String = "text",
                      k: Int = 8, rowsPerBand: Int = 2): DataFrame =
-    docs.select(posexplode(portableBandKeys(col(textCol), k, rowsPerBand))
+    graft.ops.Partitioning.ensureParallelism(docs)
+      .select(posexplode(portableBandKeys(col(textCol), k, rowsPerBand))
         .as(Seq("band_idx", "h")))
       .distinct()
 

@@ -24,7 +24,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_upsample_mix",
     "q_shard_layout", "q_approx_topk", "q_approx_distinct",
     "d1_exact_dedup", "d2_minhash_lsh", "d7_dup_clusters",
-    "d13_dup_spans", "d14_span_strip", "d15_exact_keep",
+    "d13_dup_spans", "d14_span_strip", "d15_exact_keep", "d16_segment_dedup",
+    "st10_neardup_screen", "mm5_audio_meta",
     "s1_knn_brute", "s6_random_projection",
     "t5_winnowing", "t9_surprisal", "t11_domain_cap",
     "t13_mix_rebalance", "t14_token_budget", "t16_classifier_score",

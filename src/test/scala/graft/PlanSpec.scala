@@ -303,6 +303,34 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"spans must broadcast back over intact doc rows at fixture scale:\n${plan.take(2000)}")
   }
 
+  test("d16 segment dedup: mergeable keeper aggregate, docs join removals back") {
+    val plan = planOf("d16_segment_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // the global keeper per segment fingerprint is a partial+final
+    // min-struct aggregate — never a row_number window partitioned by
+    // the fingerprint (viral boilerplate would funnel one task)
+    assert(plan.contains("partial_min"),
+      s"keeper must partial-aggregate map-side:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"no window anywhere in the segment dedup:\n${plan.take(2000)}")
+    // removal lists broadcast back over intact doc rows at fixture scale
+    assert(plan.contains("BroadcastHashJoin"),
+      s"removals must broadcast back over doc rows:\n${plan.take(2000)}")
+  }
+
+  test("st10 band screen: narrow banding, anti joins broadcast, no window/state") {
+    val plan = planOf("st10_neardup_screen")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(!plan.contains("Window"), "per-row banding needs no window")
+    // four band anti-joins, each with the (small) band table broadcast —
+    // the arriving micro-batch never shuffles
+    val antis = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(antis == 4, s"expected 4 broadcast anti joins, got $antis:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the stream side must not shuffle into a merge join:\n${plan.take(2000)}")
+  }
+
   test("t14 token budget: distributed prefix sum — no single-task global window") {
     val df = GraftQueries.all("t14_token_budget")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
