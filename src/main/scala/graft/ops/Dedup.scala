@@ -897,7 +897,7 @@ object Dedup {
     * (`Dedup.scala:54-62`): a `transform`/`slice` composition
     * re-evaluates the tokenisation per produced element.
     */
-  private def segmentKernel(t: String, seg: Int): Array[String] = {
+  private[graft] def segmentKernel(t: String, seg: Int): Array[String] = {
     val toks = t.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) Array.empty
     else Array.tabulate((toks.length + seg - 1) / seg) { i =>

@@ -124,8 +124,12 @@ object Multimodal {
           // file; the header still tells the true payload length
           data = Some(size)
         }
-        // RIFF pads every odd-sized chunk to the next even offset
-        i = body + size.toInt + (size.toInt & 1)
+        // RIFF pads every odd-sized chunk to the next even offset; a
+        // corrupt size that would overflow Int or fail to advance ends
+        // the walk instead of looping or indexing negative
+        val next = body.toLong + size + (size & 1L)
+        if (next <= i || next > Int.MaxValue) i = bytes.length
+        else i = next.toInt
       }
       for ((ch, rate, bits, byteRate) <- fmt; d <- data)
         yield WavMeta(ch, rate, bits, byteRate, d)

@@ -110,6 +110,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("segment kernel: segments tile the token sequence exactly") {
+    val textGen = for {
+      k <- Gen.chooseNum(0, 60)
+      ws <- Gen.listOfN(k, Gen.oneOf("the", "a", "fast", "slow", "data", "x"))
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+    } yield ws.mkString(sep)
+    for {
+      text <- samples(textGen, 300)
+      seg <- Seq(1, 3, 10)
+    } {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val out = Dedup.segmentKernel(text, seg)
+      assert(out.length == (toks.length + seg - 1) / seg)
+      // segments rejoin to the normalised token sequence, in order
+      assert(out.flatMap(_.split(" ").filter(_.nonEmpty)).toSeq == toks.toSeq)
+      // every segment is full except possibly the last
+      out.dropRight(1).foreach(s => assert(s.split(" ").length == seg))
+    }
+  }
+
+  test("wav headers: build→parse is the identity over the parameter space") {
+    val caseGen = for {
+      ch <- Gen.chooseNum(1, 8)
+      rate <- Gen.oneOf(8000, 11025, 16000, 22050, 44100, 48000, 96000)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      n <- Gen.chooseNum(0, 500)
+    } yield (ch, rate, bits, n)
+    for ((ch, rate, bits, n) <- samples(caseGen, 200)) {
+      val built = ops.Multimodal.WavHeaders.build(ch, rate, bits, new Array[Byte](n))
+      val m = ops.Multimodal.WavHeaders.parse(built)
+        .getOrElse(fail(s"built wav ($ch/$rate/$bits/$n) did not parse"))
+      assert(m.channels == ch && m.sampleRate == rate && m.bitsPerSample == bits)
+      assert(m.dataBytes == n.toLong)
+      assert(m.byteRate == rate.toLong * ch * bits / 8)
+      assert(m.durationMs == n.toLong * 1000 / m.byteRate)
+    }
+  }
+
+  test("wav headers: parse never throws on corrupt bytes (mutations + noise)") {
+    val rnd = new scala.util.Random(23)
+    val valid = ops.Multimodal.WavHeaders.build(2, 16000, 16, Array.fill(64)(7: Byte))
+    // every truncation of a valid file
+    for (len <- 0 to valid.length)
+      ops.Multimodal.WavHeaders.parse(valid.take(len)) // must not throw
+    // point mutations — including the chunk-size fields (overflow,
+    // negative-as-unsigned, no-progress walks)
+    for (_ <- 0 until 2000) {
+      val b = valid.clone()
+      val k = 1 + rnd.nextInt(4)
+      for (_ <- 0 until k) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ops.Multimodal.WavHeaders.parse(b) // must not throw
+    }
+    // pure noise with a RIFF/WAVE prefix to force the walk
+    for (_ <- 0 until 500) {
+      val b = new Array[Byte](12 + rnd.nextInt(64))
+      rnd.nextBytes(b)
+      System.arraycopy("RIFF".getBytes, 0, b, 0, 4)
+      if (b.length >= 12) System.arraycopy("WAVE".getBytes, 0, b, 8, 4)
+      ops.Multimodal.WavHeaders.parse(b) // must not throw
+    }
+  }
+
   test("formatValue: numeric round-trip through the literal") {
     for (l <- samples(Arbitrary.arbitrary[Long], 300))
       assert(SqlValueCodec.formatValue(l) == l.toString)
