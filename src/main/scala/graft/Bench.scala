@@ -48,6 +48,7 @@ object Bench {
     "st1_first_seen", "st2_interval_join", "st4_dedup_keys",
     "st5_scd2_stream", "st6_screen_stream", "st7_cdc_upsert",
     "st8_time_travel", "st9_outer_interval", "st10_neardup_screen",
+    "st11_table_diff",
     "t16_classifier_score", "t17_ppl_buckets",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",

@@ -1429,6 +1429,39 @@ object GraftQueries {
       col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** ST11 [EXT] — CDC diff between two as-of versions of the
+    * merge-on-read table (`KeyedTable.diff`, the `table_changes`
+    * primitive): the base is seeded with only the EVEN-keyed half of
+    * the customer snapshot, three event delta batches land and a
+    * compaction folds them, then `diff(-1, 2)` reports every user whose
+    * resolved state changed between the initial snapshot and batch 2 —
+    * op 'I' for odd-keyed users (absent at the from-version), 'U' for
+    * even-keyed ones, each with the post-image payload. Candidate keys
+    * come from the touched deltas only, and both as-of unions are
+    * semi-joined down to them before resolution.
+    */
+  def st11TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val snapshot = tbl(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(2)) === 0).select(
+        col("c_custkey").as("user_id"), lit("snapshot").as("src"),
+        col("c_acctbal").as("value"), lit(-1L).as("ts_us"), lit(-1L).as("eid"))
+    val ev = tbl(s, dir, "events").select(
+      col("user_id"), lit("event").as("src"), col("value"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
+    def tableAt(out: String) = new graft.streaming.KeyedTable(
+      s, out, Seq("user_id"), Seq("ts_us", "eid"))
+    val out = cachedBuild(s, "diff", dir) { out =>
+      val table = tableAt(out)
+      table.initBase(snapshot)
+      (0 to 2).foreach(b =>
+        table.upsert(ev.filter(pmod(col("eid"), lit(3)) === b), b))
+      table.compact() // history (base-0 + deltas) retained for the diff
+    }
+    tableAt(out).diff(-1L, 2L)
+      .select(col("op"), col("user_id"), col("src"),
+        col("eid").as("latest_event_id"), col("value").as("latest_value"))
+  }
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -2073,5 +2106,6 @@ object GraftQueries {
     "mm5_audio_meta"     -> (mm5AudioMeta _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "st10_neardup_screen" -> (st10NearDupScreen _),
+    "st11_table_diff"    -> (st11TableDiff _),
   )
 }

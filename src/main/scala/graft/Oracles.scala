@@ -1737,6 +1737,23 @@ object Oracles {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // CDC diff of the maintained table between the seeded snapshot
+    // (even-keyed customers only) and batch 2: every user with an event
+    // changed state — 'I' when absent from the even-keyed base, 'U'
+    // otherwise; post-image = the latest (ts_us, eid) event
+    "st11_table_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, 'event' AS src, value,
+        |         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id AS eid
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us DESC, eid DESC) AS rn
+        |  FROM ev)
+        |SELECT CASE WHEN user_id % 2 = 0 THEN 'U' ELSE 'I' END AS op,
+        |       user_id, src, eid AS latest_event_id, value AS latest_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
     // the portable md5 MinHash family makes the APPROXIMATE band screen
     // hash-exact: DuckDB re-derives signatures, bands, and the anti
     // join byte-for-byte

@@ -201,6 +201,43 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(dir, "base-1/_COMMITTED").exists())
   }
 
+  test("diff classifies I/U with post-images, drops losing writes, spans compaction") {
+    val t = mk(tmpDir("diff"))
+    t.initBase(rows((1L, -1L, -1L, "base1"), (2L, -1L, -1L, "base2")))
+    // batch 0: updates key 1, inserts key 3
+    assert(t.upsert(rows((1L, 10L, 1L, "d1"), (3L, 5L, 1L, "d3")), 0))
+    // batch 1: a LOSING write to key 2 (version below its base row) and
+    // a genuine update to key 3
+    assert(t.upsert(rows((2L, -5L, -5L, "stale"), (3L, 6L, 1L, "d3b")), 1))
+    val d01 = t.diff(-1L, 1L).as[(String, Long, Long, Long, String)].collect().toSet
+    assert(d01 == Set(
+      ("U", 1L, 10L, 1L, "d1"),   // existed in base, state changed
+      ("I", 3L, 6L, 1L, "d3b")))  // absent at from; post-image is latest
+    // key 2 was TOUCHED by batch 1 but its write lost the version race —
+    // state diff drops it
+    assert(!d01.exists(_._2 == 2L))
+    // a window touching only the losing write diffs to empty
+    assert(t.diff(0L, 1L).count() == 1) // only key 3 changed in (0,1]
+    assert(t.diff(0L, 1L).as[(String, Long, Long, Long, String)].head() ==
+      (("U", 3L, 6L, 1L, "d3b")))
+    // compaction must not change any diff (history is retained)
+    t.compact()
+    val afterCompact = t.diff(-1L, 1L).as[(String, Long, Long, Long, String)]
+      .collect().toSet
+    assert(afterCompact == d01)
+    // an empty window (no touched deltas) is an empty diff with the op schema
+    assert(t.upsert(rows((1L, 20L, 1L, "d1c")), 2))
+    val empty = t.diff(5L, 9L)
+    assert(empty.columns.head == "op" && empty.count() == 0)
+    // vacuum drops pre-compaction history: a from below the watermark
+    // must fail loudly, not silently diff against the wrong base
+    t.vacuum()
+    assertThrows[IllegalArgumentException](t.diff(-1L, 2L).count())
+    // but diffs within retained history still work
+    assert(t.diff(1L, 2L).as[(String, Long, Long, Long, String)].head() ==
+      (("U", 1L, 20L, 1L, "d1c")))
+  }
+
   test("model check: random op sequence always reads as latest-per-key of applied batches") {
     // deterministic PRNG drives a random interleaving of upserts,
     // replays, compactions and vacuums; after every step the table must

@@ -331,6 +331,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"the stream side must not shuffle into a merge join:\n${plan.take(2000)}")
   }
 
+  test("st11 table diff: as-of unions semi-join to touched keys before resolution") {
+    val plan = planOf("st11_table_diff")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // both the old and the new as-of union are filtered by a BROADCAST
+    // semi join on the touched keys BEFORE their group-by resolution —
+    // the base is scanned, never shuffled un-filtered
+    val semis = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis == 2, s"expected 2 broadcast semi joins, got $semis:\n${plan.take(3000)}")
+    // resolution stays the mergeable partial+final max aggregate
+    assert(plan.contains("partial_max"),
+      s"resolution must partial-aggregate map-side:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), "the diff needs no window")
+  }
+
   test("t14 token budget: distributed prefix sum — no single-task global window") {
     val df = GraftQueries.all("t14_token_budget")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
