@@ -49,7 +49,7 @@ object Bench {
     "st5_scd2_stream", "st6_screen_stream", "st7_cdc_upsert",
     "st8_time_travel", "st9_outer_interval", "st10_neardup_screen",
     "st11_table_diff",
-    "t16_classifier_score", "t17_ppl_buckets",
+    "t16_classifier_score", "t17_ppl_buckets", "t18_char_entropy",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",
     "o16_dump_stats", "o24_dump_parallel", "o25_jsonl_roundtrip",

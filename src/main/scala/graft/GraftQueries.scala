@@ -1462,6 +1462,17 @@ object GraftQueries {
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** T18 [EXT] — character-entropy quality signal: exact integer n·H in
+    * micro-bits per doc (quantise-once-then-integer-sum, the t9 recipe
+    * applied per row) plus the 4.0-bits/char gate. Narrow kernel, zero
+    * shuffle; the JVM/DuckDB log2 quantisation agreement is pinned by a
+    * DuckDB-generated golden table in `OpsSpec`.
+    */
+  def t18CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_codepoints"),
+        col("entropy_microbits"), col("r_entropy"))
+
   /** Text quality features + composite score. */
   def t1TextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
@@ -2083,6 +2094,7 @@ object GraftQueries {
     "t15_bigram_surprisal" -> (t15BigramSurprisal _),
     "t16_classifier_score" -> (t16ClassifierScore _),
     "t17_ppl_buckets"    -> (t17PplBuckets _),
+    "t18_char_entropy"   -> (t18CharEntropy _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),

@@ -1737,6 +1737,27 @@ object Oracles {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // char entropy: the same floor(1e6*log2 m) quantisation as the JVM
+    // kernel (agreement pinned by the committed golden table), then an
+    // exact integer sum — order-independent, engine-exact
+    "t18_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 1) AS ch
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text)+1)) AS i) g),
+        |k AS (SELECT doc_id, ch, count(*) AS kc FROM chars GROUP BY 1, 2),
+        |n AS (SELECT doc_id, len(text) AS n FROM documents),
+        |s AS (
+        |  SELECT k.doc_id,
+        |    CAST(sum(kc * (CAST(floor(1000000.0*log2(CAST(n.n AS DOUBLE))) AS BIGINT)
+        |                 - CAST(floor(1000000.0*log2(CAST(kc AS DOUBLE))) AS BIGINT))) AS BIGINT) AS entropy_microbits,
+        |    CAST(any_value(n.n) AS INTEGER) AS n_codepoints
+        |  FROM k JOIN n ON k.doc_id = n.doc_id GROUP BY k.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_codepoints, 0) AS INTEGER) AS n_codepoints,
+        |  CAST(coalesce(s.entropy_microbits, 0) AS BIGINT) AS entropy_microbits,
+        |  coalesce(s.entropy_microbits, 0) >= CAST(4000000 AS BIGINT) * coalesce(s.n_codepoints, 0) AS r_entropy
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
     // CDC diff of the maintained table between the seeded snapshot
     // (even-keyed customers only) and batch 2: every user with an event
     // changed state — 'I' when absent from the even-keyed base, 'U'

@@ -503,4 +503,69 @@ object TextAnalysis {
           .when(col("pos") * 3 <= col("__n") * 2, lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
+
+  /** `floor(1e6 · log2 m)` — THE integer quantisation shared by the
+    * char-entropy score and its DuckDB twin. Cross-engine safety is
+    * pinned mechanically: `OpsSpec` asserts this function equals a
+    * committed golden table GENERATED BY DuckDB for every m ≤ 20000, so
+    * a libm divergence (JVM log intrinsic vs DuckDB's) would fail a
+    * unit test, not silently flip a floor boundary in production.
+    */
+  private[graft] def log2Microbits(m: Int): Long =
+    math.floor(1000000.0 * (math.log(m.toDouble) / math.log(2.0))).toLong
+
+  /** (codepoints, entropy·n in micro-bits) of one string: the exact
+    * integer Σ k_c·(Q(n) − Q(k_c)) over the codepoint counts, Q =
+    * [[log2Microbits]]. Quantise-then-integer-sum makes the score
+    * order-independent and engine-exact (the t9 recipe, applied
+    * per-row). Codepoint counting (not UTF-16 units) matches SQL
+    * `len`/`substr` semantics beyond the BMP.
+    */
+  private[graft] def charEntropyKernel(t: String): (Int, Long) = {
+    val counts = new java.util.HashMap[Int, Int]()
+    var i = 0
+    var n = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      counts.merge(cp, 1, (a, b) => a + b)
+    }
+    if (n == 0) (0, 0L)
+    else {
+      val qn = log2Microbits(n)
+      var score = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        score += k.toLong * (qn - log2Microbits(k))
+      }
+      (n, score)
+    }
+  }
+
+  /** Character-entropy quality signal (the classic gibberish /
+    * boilerplate detector: machine-generated repetition scores low,
+    * encrypted-or-random junk scores near the alphabet maximum):
+    * per-document Shannon entropy over codepoints, as the exact
+    * integer score n·H in micro-bits plus a hard gate at
+    * `gateMilliBits` mean bits per char (integer cross-multiplied —
+    * no float at the boundary).
+    *
+    * Narrow per-row kernel, no shuffle — at 100 TB this runs at scan
+    * speed next to the other Gopher gates; a per-char explode +
+    * `groupBy(doc, char)` would shuffle a corpus-CHARACTER-scale
+    * relation for the same answer.
+    */
+  def charEntropy(df: DataFrame, textCol: String = "text",
+                  gateMilliBits: Int = 4000): DataFrame = {
+    val u = udf((t: String) => charEntropyKernel(t))
+    df.withColumn("__e", u(col(textCol)))
+      .withColumn("n_codepoints", col("__e._1"))
+      .withColumn("entropy_microbits", col("__e._2"))
+      .withColumn("r_entropy", // score/(1e6·n) ≥ gate/1000 ⇔ score ≥ gate·1000·n
+        col("entropy_microbits") >=
+          lit(gateMilliBits.toLong * 1000L) * col("n_codepoints"))
+      .drop("__e")
+  }
 }

@@ -355,6 +355,38 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(bands.count() <= corpus.count() * 4)
   }
 
+  test("char entropy: JVM quantisation equals the DuckDB-generated golden table") {
+    // the golden file was produced by DuckDB's floor(1e6*log2(m)) for
+    // m = 1..20000 — line m is Q(m). Any libm divergence between the
+    // JVM log intrinsic and DuckDB's would flip a floor boundary here
+    // and fail THIS test instead of silently breaking the t18 oracle.
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/log2_microbits_1_20000.txt"))
+      .getLines().map(_.toLong).toArray
+    assert(golden.length == 20000)
+    for (m <- 1 to 20000)
+      assert(TextAnalysis.log2Microbits(m) == golden(m - 1),
+        s"Q($m): jvm=${TextAnalysis.log2Microbits(m)} duckdb=${golden(m - 1)}")
+  }
+
+  test("char entropy kernel: exact on analytic cases, order-independent") {
+    // uniform over 1 symbol → H = 0
+    assert(TextAnalysis.charEntropyKernel("aaaa") == ((4, 0L)))
+    // uniform over 2 symbols, n=4: score = 4·(Q(4)−Q(2)) = 4·1e6
+    assert(TextAnalysis.charEntropyKernel("abab") == ((4, 4000000L)))
+    assert(TextAnalysis.charEntropyKernel("aabb") == ((4, 4000000L)))
+    // uniform over 4 symbols, n=4: score = 4·Q(4) = 8e6 (2 bits/char)
+    assert(TextAnalysis.charEntropyKernel("abcd") == ((4, 8000000L)))
+    assert(TextAnalysis.charEntropyKernel("") == ((0, 0L)))
+    // codepoints, not UTF-16 units: an astral char is ONE symbol
+    val astral = new String(Character.toChars(0x1F600))
+    assert(TextAnalysis.charEntropyKernel(astral * 3) == ((3, 0L)))
+    // the 4.0-bit gate splits the fixture both ways
+    val e = TextAnalysis.charEntropy(docs)
+    assert(e.filter(col("r_entropy")).count() > 0)
+    assert(e.filter(!col("r_entropy")).count() > 0)
+  }
+
   test("multimodal resize preserves aspect ratio bound") {
     val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
     val resized = Multimodal.withResizeSpec(meta, maxSide = 256)
