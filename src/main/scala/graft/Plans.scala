@@ -34,6 +34,14 @@ object Plans {
     .replaceAll("p\\d+_+[A-Za-z0-9_.]*sf[0-9.]+[A-Za-z0-9_.]*", "pNORM")
     .replaceAll("_m\\d{10,}", "_mNORM")              // fixture-mtime cache keys
     .replaceAll("seed=-?\\d+", "seed=_")
+    // NamedLambdaVariable names carry a process-global counter assigned
+    // at expression-creation order — adding ANY query renumbers every
+    // later query's higher-order-function lambdas (x_78 → x_91) with
+    // zero plan change. Scrub the counter, keep the variable's base
+    // name. No trailing `#` anchor: inside TRUNCATED plan strings
+    // (FileScan's elided DataFilters) the counter appears cut off
+    // mid-token.
+    .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_N")
     .replaceAll("-?\\d{15,}", "_BIGLIT_")            // epoch-derived literals
     .replaceAll("\\*\\(\\d+\\)", "*(_)")             // whole-stage-codegen ids
     .replaceAll("(Broadcast|Shuffle|TableCache)QueryStage \\d+", "$1QueryStage _")

@@ -9,10 +9,14 @@ timing delta on them is host/JIT epoch, not a regression. Queries listed
 under CHANGED deserve a real look (rerun graft.Plans with
 SPARK_GRAFT_PLANS_DUMP=dir on both commits and diff the .txt trees).
 
-Caveat: a distinct-aggregate plan (q_profile) can change digest when
-UNRELATED catalog edits shift expression-id allocation — Spark's
-RewriteDistinctAggregates groups distinct columns in exprId-dependent
-order, permuting gid assignments beyond what label scrubbing can hide.
+Caveat: DISTINCT-AGGREGATE plans (q_profile, and the countDistinct in
+o23/o24/o25's roundtrip check) can change digest when UNRELATED catalog
+edits shift expression-id allocation — Spark's
+RewriteDistinctAggregates groups distinct columns and ORDERS the
+Expand/grouping keys in exprId-dependent order, permuting labels and
+key order beyond what textual scrubbing can hide. The tell: node and
+Exchange counts are identical and the tree diff shows the same keys,
+functions and children in a different order.
 Digests are reproducible for a fixed code state (verified two-process
 identical); the dump-and-diff workflow above distinguishes that
 relabeling from real drift in one look.
