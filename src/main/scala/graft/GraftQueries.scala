@@ -1462,6 +1462,20 @@ object GraftQueries {
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** Q_FORWARD_FILL [EXT] — time-series regularisation: each user's
+    * sparse event values onto an hourly grid with last-observation-
+    * carried-forward (`TimeSeries.forwardFill`). Per-bucket latest via
+    * one mergeable max-struct aggregate; the fill window partitions by
+    * user over the aggregated grid (span-bounded state, never
+    * event-count-bounded).
+    */
+  def q_forwardFill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.forwardFill(
+      tbl(s, dir, "events"), "user_id", "ts", "value",
+      orderCols = Seq("ts", "event_id"), stepSec = 3600L)
+      .select(col("user_id"), col("bucket_ts"),
+        col("value_filled"), col("is_observed"))
+
   /** T18 [EXT] — character-entropy quality signal: exact integer n·H in
     * micro-bits per doc (quantise-once-then-integer-sum, the t9 recipe
     * applied per row) plus the 4.0-bits/char gate. Narrow kernel, zero
@@ -2018,6 +2032,7 @@ object GraftQueries {
     "q_partition_prune"  -> (qPartitionPrune _),
     "q_outer_join"       -> (qOuterJoin _),
     "q_bloom_join"       -> (qBloomJoin _),
+    "q_forward_fill"     -> (q_forwardFill _),
     "q_running_total"    -> (qRunningTotal _),
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),

@@ -1737,6 +1737,31 @@ object Oracles {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // forward fill: per-bucket latest = the same (ts, event_id) ordering
+    // the Spark max-struct aggregate resolves; the fill is the standard
+    // IGNORE NULLS running last_value over the per-user grid
+    "q_forward_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b, value,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |o1 AS (SELECT user_id, b, value AS v_obs FROM obs WHERE rn = 1),
+        |spans AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM o1 GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, CAST(g.i AS BIGINT) AS b
+        |  FROM spans, LATERAL (SELECT unnest(range(b0, b1 + 1)) AS i) g),
+        |j AS (
+        |  SELECT g.user_id, g.b, o.v_obs
+        |  FROM grid g LEFT JOIN o1 o ON g.user_id = o.user_id AND g.b = o.b)
+        |SELECT user_id, make_timestamp(b * 3600000000) AS bucket_ts,
+        |  last_value(v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  v_obs IS NOT NULL AS is_observed
+        |FROM j""".stripMargin,
+
     // char entropy: the same floor(1e6*log2 m) quantisation as the JVM
     // kernel (agreement pinned by the committed golden table), then an
     // exact integer sum — order-independent, engine-exact

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularisation: sparse event streams onto fixed grids —
+  * the preprocessing a sensor/metrics/behavioural training corpus needs
+  * before sequence models can consume it (cf. `AsOfJoin` for the
+  * join-flavoured variant of the same problem).
+  */
+object TimeSeries {
+
+  /** Forward fill (last observation carried forward) onto a fixed
+    * `stepSec` grid: for each key, one row per grid bucket from the
+    * key's first observation to its last, carrying the latest observed
+    * value at-or-before that bucket. `orderCols` break ties WITHIN a
+    * bucket (latest wins), making the fill deterministic under any
+    * partitioning.
+    *
+    * Output: `(key, bucket_ts, value_filled, is_observed)`.
+    *
+    * Scale shape: the per-bucket latest observation is ONE mergeable
+    * `groupBy(key, bucket).agg(max(struct(order..., value)))` (the d15
+    * recipe — a hot bucket collapses map-side, never a window funnel);
+    * the grid explode is bounded by each key's own span; the fill
+    * window partitions BY KEY, which is not the partitionless-window
+    * trap: its per-partition state is span/step rows regardless of how
+    * many observations a hot key has, because the window runs over the
+    * already-aggregated grid, not the raw events.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, orderCols: Seq[String],
+                  stepSec: Long = 3600L): DataFrame = {
+    val stepUs = stepSec * 1000000L
+    // integral `div`, not `/` (which is always DOUBLE division in Spark)
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${stepUs}L").as("b")
+    val src = Partitioning.ensureParallelism(
+      df.select(col(keyCol).as("k"), bucket,
+        struct((orderCols.map(col) :+ col(valueCol).as("v")): _*).as("__o")))
+    val obs = src.groupBy("k", "b").agg(max(col("__o")).as("__o"))
+      .select(col("k"), col("b"), col("__o.v").as("v_obs"))
+    val spans = obs.groupBy("k")
+      .agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = spans.select(col("k"),
+      explode(sequence(col("b0"), col("b1"), lit(1L))).as("b"))
+    val w = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("k", "b"), "left")
+      .select(col("k").as(keyCol),
+        timestamp_seconds(col("b") * stepSec).as("bucket_ts"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("value_filled"),
+        col("v_obs").isNotNull.as("is_observed"))
+  }
+}

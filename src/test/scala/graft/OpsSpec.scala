@@ -387,6 +387,33 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(e.filter(!col("r_entropy")).count() > 0)
   }
 
+  test("forward fill: carries latest observation, tie-breaks within bucket") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    // buckets at step=10s: user 1 observes in buckets 0 (twice: the
+    // later (ts, seq) must win), skips 1-2, observes 3; user 2 has one
+    // observation (degenerate single-bucket grid)
+    val df = Seq(
+      (1L, 2L, 1L, 10.0),  // bucket 0
+      (1L, 8L, 2L, 20.0),  // bucket 0, later ts → wins
+      (1L, 8L, 1L, 15.0),  // bucket 0, same ts lower seq → loses
+      (1L, 35L, 3L, 40.0), // bucket 3
+      (2L, 11L, 4L, 7.0)   // bucket 1
+    ).toDF("k", "sec", "seq", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = TimeSeries.forwardFill(df, "k", "ts", "v",
+        orderCols = Seq("ts", "seq"), stepSec = 10L)
+      .select(col("k"), unix_seconds(col("bucket_ts")).as("bs"),
+        col("value_filled"), col("is_observed"))
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 20.0, true),   // in-bucket tiebreak picked the later obs
+      (1L, 10L, 20.0, false), // gap: carried forward
+      (1L, 20L, 20.0, false),
+      (1L, 30L, 40.0, true),
+      (2L, 10L, 7.0, true)))
+  }
+
   test("multimodal resize preserves aspect ratio bound") {
     val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
     val resized = Multimodal.withResizeSpec(meta, maxSide = 256)
