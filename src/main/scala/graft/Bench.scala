@@ -42,7 +42,7 @@ object Bench {
     "d11_bloom_screen", "d12_semdedup", "d13_dup_spans", "d14_span_strip",
     "d15_exact_keep", "d16_segment_dedup",
     "s5_range_search", "s6_random_projection", "s7_knn_ivfpq",
-    "s8_knn_persisted",
+    "s8_knn_persisted", "s9_knn_rerank",
     "t9_surprisal", "t11_domain_cap", "t12_quality_filter",
     "t13_mix_rebalance", "t14_token_budget", "t15_bigram_surprisal",
     "st1_first_seen", "st2_interval_join", "st4_dedup_keys",

@@ -1269,6 +1269,27 @@ object GraftQueries {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
   }
 
+  /** S9 [EXT] — two-stage ANN: s4's PQ ADC stage nominates a 50-deep
+    * shortlist, the shortlist's raw vectors are re-scored with exact
+    * cosine, final top-10 is the exact order (the production "refine"
+    * pass). Verdict contract like s4, but the floor is HIGHER (0.5 vs
+    * s4's 0.2) — re-ranking must demonstrably buy recall, not just run.
+    */
+  def s9KnnRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.pqRerankTopK(emb, q, k = 10, shortlist = 50,
+      m = 16, codebookBits = 6)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.5).as("recall_ok"))
+  }
+
   /** IVF-PQ ANN (IVFADC): s3's coarse-cell routing composed with s4's
     * residual PQ compression + asymmetric-distance scoring — the
     * billion-vector configuration. Probes 4 of 8 cells, so unlike s3
@@ -2095,6 +2116,7 @@ object GraftQueries {
     "s6_random_projection" -> (s6RandomProjection _),
     "s7_knn_ivfpq"       -> (s7KnnIvfPq _),
     "s8_knn_persisted"   -> (s8KnnPersisted _),
+    "s9_knn_rerank"      -> (s9KnnRerank _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),

@@ -916,6 +916,10 @@ object Oracles {
     "s4_knn_pq" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // s9 (PQ shortlist + exact re-rank) — same verdict contract, higher floor
+    "s9_knn_rerank" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
     // s7 (IVF-PQ) emits the same deterministic recall-floor verdict
     "s7_knn_ivfpq" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",

@@ -433,6 +433,43 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Two-stage ANN with exact re-ranking (the production "refine" pass
+    * every PQ deployment runs — Jégou et al. TPAMI 2011 §V's re-ranking
+    * with source coding, simplified to re-reading the raw vectors): the
+    * PQ ADC stage nominates a `shortlist`-sized candidate set per query
+    * (compressed-domain scan, the cheap part), then the shortlist's RAW
+    * vectors are fetched and scored with exact double cosine, and the
+    * final top-k is the exact order of that shortlist. ADC quantisation
+    * error then only affects WHICH candidates are considered, never
+    * their final ranking — recall@k rises toward the shortlist's
+    * ceiling at the cost of `shortlist` exact scores per query.
+    *
+    * Scale shape: the refine join BROADCASTS the (queries × shortlist)-
+    * sized candidate set into one scan of the corpus — the corpus never
+    * shuffles and the compressed stage's plan is untouched. (On a
+    * production serving path the fetch is a point-lookup store; the
+    * scan+broadcast-join is the batch-engine equivalent.) The final
+    * per-query window ranks ≤ `shortlist` rows — bounded state.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int = 50, m: Int = 8, codebookBits: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqTopK(corpus, queries, shortlist, m, codebookBits,
+      idCol = idCol, vecCol = vecCol)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cand = short.select("query_id", "neighbor_id").join(qv, "query_id")
+    val rescored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** IVF-PQ ANN (IVFADC — Jégou, Douze, Schmid, TPAMI 2011 §IV): the
     * composition that actually ships at billion-vector scale. A coarse
     * quantizer routes every (unit-normalised) corpus vector to one of

@@ -387,6 +387,44 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(e.filter(!col("r_entropy")).count() > 0)
   }
 
+  test("pq rerank: subset of shortlist, exact order, recall >= plain PQ") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val short = Similarity.pqTopK(emb, q, k = 50, m = 16, codebookBits = 6)
+    val rer = Similarity.pqRerankTopK(emb, q, k = 10, shortlist = 50,
+      m = 16, codebookBits = 6)
+    // final candidates all came from the compressed-domain shortlist
+    assert(rer.join(short.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_anti").count() == 0)
+    // within the shortlist the final order IS the exact cosine order
+    val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactOrder = short.select("query_id", "neighbor_id")
+      .join(qv, "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        "neighbor_id")
+      .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id")
+    assert(rer.exceptAll(exactOrder).count() == 0)
+    assert(exactOrder.exceptAll(rer).count() == 0)
+    // re-ranking buys recall: per-query hit count vs exact top-10 is
+    // at least the plain PQ stage's, and strictly better in aggregate
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "neighbor_id")
+    def recall(ann: org.apache.spark.sql.DataFrame): Long =
+      ann.select("query_id", "neighbor_id").join(exact,
+        Seq("query_id", "neighbor_id")).count()
+    val pq10 = Similarity.pqTopK(emb, q, k = 10, m = 16, codebookBits = 6)
+    val rPq = recall(pq10); val rRer = recall(rer)
+    assert(rRer >= rPq, s"rerank recall $rRer < pq recall $rPq")
+    assert(rRer * 10 >= 5 * 100, s"rerank recall@10 ${rRer / 100.0} below 0.5 floor")
+  }
+
   test("forward fill: carries latest observation, tie-breaks within bucket") {
     import spark.implicits._
     import graft.ops.TimeSeries
