@@ -50,6 +50,7 @@ object Bench {
     "st8_time_travel", "st9_outer_interval", "st10_neardup_screen",
     "st11_table_diff",
     "t16_classifier_score", "t17_ppl_buckets", "t18_char_entropy",
+    "t19_collocations",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",
     "o16_dump_stats", "o24_dump_parallel", "o25_jsonl_roundtrip",

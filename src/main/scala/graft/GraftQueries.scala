@@ -1483,6 +1483,14 @@ object GraftQueries {
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** T19 [EXT] — PMI collocation mining: top-50 bigrams by pointwise
+    * mutual information at count ≥ 5, integer-exact via the t15/t9
+    * quantise-once micro-bit recipe; selection via
+    * TakeOrderedAndProject, never a vocabulary sort.
+    */
+  def t19Collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(tbl(s, dir, "documents"))
+
   /** Q_FORWARD_FILL [EXT] — time-series regularisation: each user's
     * sparse event values onto an hourly grid with last-observation-
     * carried-forward (`TimeSeries.forwardFill`). Per-bucket latest via
@@ -2132,6 +2140,7 @@ object GraftQueries {
     "t16_classifier_score" -> (t16ClassifierScore _),
     "t17_ppl_buckets"    -> (t17PplBuckets _),
     "t18_char_entropy"   -> (t18CharEntropy _),
+    "t19_collocations"   -> (t19Collocations _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),

@@ -1741,6 +1741,37 @@ object Oracles {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // PMI collocations: identical quantise-once integer arithmetic;
+    // (pmi desc, bigram asc) is a deterministic total order so the
+    // LIMIT selects the same 50 rows
+    "t19_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bg, t[i] AS w1, t[i+1] AS w2, count(*) AS cb
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2, 3),
+        |nu AS (SELECT sum(cu) AS nu FROM uni),
+        |nb AS (SELECT sum(cb) AS nb FROM bi)
+        |SELECT bg AS bigram, cb AS c_bigram, u1.cu AS c_w1, u2.cu AS c_w2,
+        |  (CAST(floor(log2(CAST(cb AS DOUBLE)) * 1000000) AS BIGINT)
+        |   - CAST(floor(log2(CAST(nb.nb AS DOUBLE)) * 1000000) AS BIGINT)
+        |   - CAST(floor(log2(CAST(u1.cu AS DOUBLE)) * 1000000) AS BIGINT)
+        |   - CAST(floor(log2(CAST(u2.cu AS DOUBLE)) * 1000000) AS BIGINT)
+        |   + 2 * CAST(floor(log2(CAST(nu.nu AS DOUBLE)) * 1000000) AS BIGINT)) AS pmi_micro
+        |FROM bi
+        |JOIN uni u1 ON bi.w1 = u1.w
+        |JOIN uni u2 ON bi.w2 = u2.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE cb >= 5
+        |ORDER BY pmi_micro DESC, bg
+        |LIMIT 50""".stripMargin,
+
     // forward fill: per-bucket latest = the same (ts, event_id) ordering
     // the Spark max-struct aggregate resolves; the fill is the standard
     // IGNORE NULLS running last_value over the per-user grid

@@ -504,6 +504,56 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  /** Collocation mining by pointwise mutual information (Church &
+    * Hanks 1990 — the classic vocabulary-induction / multi-word-unit
+    * signal): the corpus's top bigrams by PMI = log2 P(ab) − log2 P(a)
+    * − log2 P(b), with bigram probability over the bigram total and
+    * unigram probabilities over the token total. Kept engine-exact the
+    * t15/t9 way: every count's log2 is quantised ONCE to integer
+    * micro-bits, PMI is then pure integer arithmetic — Q(c_ab) − Q(N_bi)
+    * − Q(c_a) − Q(c_b) + 2·Q(N_tok) — and the top-k order
+    * (pmi desc, bigram asc) is a deterministic total order.
+    *
+    * Scale shape: unigram/bigram counts are mergeable aggregates; the
+    * two totals ride in as broadcast single-row joins; final selection
+    * is `TakeOrderedAndProject` (driver holds k rows, never the
+    * vocabulary); the uni-into-bi joins shuffle only aggregated
+    * token-keyed relations.
+    */
+  def collocations(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val tk = tokens(col("t"))
+    val bigramsCol = when(size(tk) >= 2,
+        zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val src = Partitioning.ensureParallelism(
+      df.select(col(idCol).as("id"), col(textCol).as("t")))
+    val uni = OpCaches.persist(
+      src.select(explode(tk).as("w")).groupBy("w").agg(count(lit(1)).as("cu")))
+    val bi = OpCaches.persist(
+      src.select(explode(bigramsCol).as("bg"))
+        .withColumn("w1", split(col("bg"), " ", 2).getItem(0))
+        .withColumn("w2", split(col("bg"), " ", 2).getItem(1))
+        .groupBy("bg", "w1", "w2").agg(count(lit(1)).as("cb")))
+    val totU = uni.agg(sum("cu").as("nu"))
+    val totB = bi.agg(sum("cb").as("nb"))
+    def q(c: Column): Column =
+      floor(log2(c.cast("double")) * lit(1000000L)).cast("long")
+    bi.filter(col("cb") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .withColumn("pmi_micro",
+        q(col("cb")) - q(col("nb")) - q(col("c1")) - q(col("c2"))
+          + lit(2L) * q(col("nu")))
+      .orderBy(col("pmi_micro").desc, col("bg"))
+      .limit(topK)
+      .select(col("bg").as("bigram"), col("cb").as("c_bigram"),
+        col("c1").as("c_w1"), col("c2").as("c_w2"), col("pmi_micro"))
+  }
+
   /** `floor(1e6 · log2 m)` — THE integer quantisation shared by the
     * char-entropy score and its DuckDB twin. Cross-engine safety is
     * pinned mechanically: `OpsSpec` asserts this function equals a

@@ -29,7 +29,7 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "s1_knn_brute", "s6_random_projection",
     "t5_winnowing", "t9_surprisal", "t11_domain_cap",
     "t13_mix_rebalance", "t14_token_budget", "t16_classifier_score",
-    "t17_ppl_buckets", "t18_char_entropy",
+    "t17_ppl_buckets", "t18_char_entropy", "t19_collocations",
     "st1_first_seen", "st3_latest_state", "st5_scd2_stream", "st11_table_diff",
     "p1_pipeline", "p2_pipeline", "d10_dedup_canonical", "d12_semdedup",
     "t10_tfidf_keywords", "t15_bigram_surprisal", "q_percentiles")

@@ -331,6 +331,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"the stream side must not shuffle into a merge join:\n${plan.take(2000)}")
   }
 
+  test("t19 collocations: top-k via TakeOrderedAndProject, totals broadcast") {
+    val plan = planOf("t19_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the vocabulary:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "the single-row totals must ride in as broadcast joins")
+    assert(!plan.contains("Window"), "no window anywhere in the PMI ranking")
+  }
+
   test("st11 table diff: as-of unions semi-join to touched keys before resolution") {
     val plan = planOf("st11_table_diff")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
