@@ -40,7 +40,7 @@ object Bench {
     // alphabetical remainder) so the capped stdout line keeps them when
     // space runs out; the cut should land on o-series metadata trivia
     "d11_bloom_screen", "d12_semdedup", "d13_dup_spans", "d14_span_strip",
-    "d15_exact_keep", "d16_segment_dedup",
+    "d15_exact_keep", "d16_segment_dedup", "d17_bloom_persisted",
     "s5_range_search", "s6_random_projection", "s7_knn_ivfpq",
     "s8_knn_persisted", "s9_knn_rerank",
     "t9_surprisal", "t11_domain_cap", "t12_quality_filter",

@@ -1483,6 +1483,43 @@ object GraftQueries {
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** D17 [EXT] — PERSISTED incremental ingest screen
+    * (`ops.ScreenIndex`): the maintained-artifact form of d11's bloom —
+    * history was scanned once at seeding; each batch screens against
+    * the on-disk sketch with a narrow probe filter, zero history IO.
+    * Output is the deterministic verdict: exact batch/new-fingerprint
+    * counts plus two invariants the bloom must satisfy — no false
+    * negatives (nothing emitted matches history exactly) and the
+    * false-positive attrition within 3× the configured fpp.
+    */
+  def d17BloomPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val out = cachedBuild(s, "screenidx", dir) { out =>
+      new graft.ops.ScreenIndex(s, out, expectedItems = 1L << 18)
+        .ingest(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+      ()
+    }
+    val idx = new graft.ops.ScreenIndex(s, out)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val emitted = idx.screen(batch, "doc_id", "text")
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val histFps = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(fp.as("fp")).distinct()
+    val batchFps = batch.select(fp.as("fp")).distinct()
+    val trueNew = batchFps.join(histFps, Seq("fp"), "left_anti")
+    val emittedFps = emitted.select(fp.as("fp"))
+    batch.agg(count(lit(1)).as("n_batch"))
+      .crossJoin(trueNew.agg(count(lit(1)).as("n_new_fps")))
+      .crossJoin(emittedFps.join(histFps, Seq("fp"), "left_semi")
+        .agg(count(lit(1)).as("n_fn")))
+      .crossJoin(emittedFps.agg(count(lit(1)).as("n_emitted")))
+      .select(col("n_batch"), col("n_new_fps"),
+        (col("n_fn") === 0).as("no_false_negatives"),
+        (col("n_new_fps") - col("n_emitted") >= 0 &&
+          col("n_new_fps") - col("n_emitted") <=
+            ceil(lit(0.03) * col("n_batch")).cast("long")).as("fp_within_budget"))
+  }
+
   /** T19 [EXT] — PMI collocation mining: top-50 bigrams by pointwise
     * mutual information at count ≥ 5, integer-exact via the t15/t9
     * quantise-once micro-bit recipe; selection via
@@ -2163,6 +2200,7 @@ object GraftQueries {
     "mm2_frame_samples"  -> (mm2FrameSamples _),
     "mm5_audio_meta"     -> (mm5AudioMeta _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
+    "d17_bloom_persisted" -> (d17BloomPersisted _),
     "st10_neardup_screen" -> (st10NearDupScreen _),
     "st11_table_diff"    -> (st11TableDiff _),
   )

@@ -1741,6 +1741,21 @@ object Oracles {
         |LEFT JOIN totals t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // persisted bloom screen: exact counts are SQL; the two booleans are
+    // the bloom's structural invariants (no false negatives; fp
+    // attrition within budget), computed exactly Spark-side
+    "d17_bloom_persisted" ->
+      """WITH fps AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 != 0),
+        |batch AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+        |newf AS (SELECT DISTINCT b.fp FROM batch b ANTI JOIN hist h ON b.fp = h.fp)
+        |SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
+        |       CAST((SELECT count(*) FROM newf) AS BIGINT) AS n_new_fps,
+        |       true AS no_false_negatives,
+        |       true AS fp_within_budget""".stripMargin,
+
     // PMI collocations: identical quantise-once integer arithmetic;
     // (pmi desc, bigram asc) is a deterministic total order so the
     // LIMIT selects the same 50 rows

@@ -387,6 +387,51 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(e.filter(!col("r_entropy")).count() > 0)
   }
 
+  test("screen index: persists across opens, screens incrementally, zero false negatives") {
+    import spark.implicits._
+    import graft.ops.ScreenIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_screenidx").toString
+    val a = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text") // 3 dups 1 in-batch
+    val emittedA = new ScreenIndex(spark, dir, expectedItems = 4096)
+      .ingest(a, "doc_id", "text")
+    // in-batch dedup keeps min id; both distinct fingerprints emitted
+    assert(emittedA.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // a FRESH instance (new process simulation) sees the committed sketch
+    val idx2 = new ScreenIndex(spark, dir)
+    val b = Seq((10L, "alpha beta gamma"),   // dup of ingested → screened
+      (11L, "eta theta iota"),               // new → emitted
+      (12L, "eta theta iota")).toDF("doc_id", "text") // in-batch dup of 11
+    val screened = idx2.screen(b, "doc_id", "text")
+    assert(screened.select("doc_id").as[Long].collect().toSet == Set(11L))
+    // screen() is PURE: same result twice
+    assert(idx2.screen(b, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet == Set(11L))
+    // ingest folds batch B in; a third batch now screens against A ∪ B
+    idx2.ingest(b, "doc_id", "text")
+    val c = Seq((20L, "eta theta iota"), (21L, "kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val screenedC = new ScreenIndex(spark, dir).screen(c, "doc_id", "text")
+    assert(screenedC.select("doc_id").as[Long].collect().toSet == Set(21L))
+    // crash debris: a stale hidden temp file must not affect loads
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".tmp-bloom-deadbeef"), "garbage")
+    assert(new ScreenIndex(spark, dir).screen(c, "doc_id", "text")
+      .count() == 1)
+    // structural invariant on the fixture: nothing emitted may match
+    // history exactly (a bloom has no false negatives)
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fixtureDir = java.nio.file.Files.createTempDirectory("graft_screenidx_fx").toString
+    val fxIdx = new ScreenIndex(spark, fixtureDir, expectedItems = 1L << 18)
+    fxIdx.ingest(hist, "doc_id", "text")
+    val emitted = new ScreenIndex(spark, fixtureDir)
+      .screen(docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+    val fp = graft.ops.TextAnalysis.fingerprint(col("text"))
+    assert(emitted.select(fp.as("fp"))
+      .join(hist.select(fp.as("fp")).distinct(), Seq("fp"), "left_semi")
+      .count() == 0)
+  }
+
   test("pq rerank: subset of shortlist, exact order, recall >= plain PQ") {
     import spark.implicits._
     import graft.ops.Similarity
