@@ -17,7 +17,7 @@ object Bench {
     */
   private val preferredOrder: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q_top_customers", "q_window_rank", "q_window_stats", "q_running_total", "q_forward_fill",
+    "q_top_customers", "q_window_rank", "q_window_stats", "q_running_total", "q_forward_fill", "q_interpolate",
     "q_global_sort", "q_rollup",
     "q_outer_join", "q_seq_pack",
     "q_events_hourly", "q_sessionize", "q_funnel", "q_json_extract", "q_sql_cte",

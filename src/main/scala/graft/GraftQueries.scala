@@ -1542,6 +1542,19 @@ object GraftQueries {
       .select(col("user_id"), col("bucket_ts"),
         col("value_filled"), col("is_observed"))
 
+  /** Q_INTERPOLATE [EXT] — linear interpolation onto the hourly grid:
+    * forward fill's twin for continuous signals; gap buckets take the
+    * straight line between surrounding observations, written in the
+    * exact expression shape the oracle computes so doubles match
+    * bit-for-bit.
+    */
+  def q_interpolate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.interpolate(
+      tbl(s, dir, "events"), "user_id", "ts", "value",
+      orderCols = Seq("ts", "event_id"), stepSec = 3600L)
+      .select(col("user_id"), col("bucket_ts"),
+        col("value_interp"), col("is_observed"))
+
   /** T18 [EXT] — character-entropy quality signal: exact integer n·H in
     * micro-bits per doc (quantise-once-then-integer-sum, the t9 recipe
     * applied per row) plus the 4.0-bits/char gate. Narrow kernel, zero
@@ -2099,6 +2112,7 @@ object GraftQueries {
     "q_outer_join"       -> (qOuterJoin _),
     "q_bloom_join"       -> (qBloomJoin _),
     "q_forward_fill"     -> (q_forwardFill _),
+    "q_interpolate"      -> (q_interpolate _),
     "q_running_total"    -> (qRunningTotal _),
     "q_seq_pack"         -> (qSeqPack _),
     "q_approx_topk"      -> (q_approxTopk _),

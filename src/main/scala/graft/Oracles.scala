@@ -1812,6 +1812,45 @@ object Oracles {
         |  v_obs IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
 
+    // interpolation: identical expression shape (vp + (vn-vp) * ((b-bp)/
+    // (bn-bp)) in double) so IEEE doubles match bit-for-bit
+    "q_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b, value,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |o1 AS (SELECT user_id, b, value AS v_obs FROM obs WHERE rn = 1),
+        |spans AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM o1 GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, CAST(g.i AS BIGINT) AS b
+        |  FROM spans, LATERAL (SELECT unnest(range(b0, b1 + 1)) AS i) g),
+        |j AS (
+        |  SELECT g.user_id, g.b, o.v_obs
+        |  FROM grid g LEFT JOIN o1 o ON g.user_id = o.user_id AND g.b = o.b),
+        |wins AS (
+        |  SELECT user_id, b, v_obs,
+        |    max(CASE WHEN v_obs IS NOT NULL THEN b END) OVER (
+        |      PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bp,
+        |    min(CASE WHEN v_obs IS NOT NULL THEN b END) OVER (
+        |      PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bn,
+        |    last_value(v_obs IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |    first_value(v_obs IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+        |  FROM j)
+        |SELECT user_id, make_timestamp(b * 3600000000) AS bucket_ts,
+        |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |       ELSE vp + (vn - vp) * (CAST(b - bp AS DOUBLE) / CAST(bn - bp AS DOUBLE))
+        |  END AS value_interp,
+        |  v_obs IS NOT NULL AS is_observed
+        |FROM wins""".stripMargin,
+
     // char entropy: the same floor(1e6*log2 m) quantisation as the JVM
     // kernel (agreement pinned by the committed golden table), then an
     // exact integer sum — order-independent, engine-exact

@@ -52,4 +52,49 @@ object TimeSeries {
         last(col("v_obs"), ignoreNulls = true).over(w).as("value_filled"),
         col("v_obs").isNotNull.as("is_observed"))
   }
+
+  /** Linear interpolation onto the same grid: observed buckets keep
+    * their value; gap buckets take the straight line between the
+    * surrounding observations. The grid spans first..last observation
+    * per key, so every gap has both neighbours. Same scale shape as
+    * [[forwardFill]] — the two extra window aggregates (previous /
+    * next observed bucket) share the one key-partitioned, span-bounded
+    * window ordering.
+    *
+    * The arithmetic is written as exactly
+    * `v_p + (v_n − v_p) · ((b − b_p) / (b_n − b_p))` in double — the
+    * oracle computes the identical expression shape, so IEEE gives
+    * bit-equal results.
+    */
+  def interpolate(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, orderCols: Seq[String],
+                  stepSec: Long = 3600L): DataFrame = {
+    val stepUs = stepSec * 1000000L
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${stepUs}L").as("b")
+    val src = Partitioning.ensureParallelism(
+      df.select(col(keyCol).as("k"), bucket,
+        struct((orderCols.map(col) :+ col(valueCol).as("v")): _*).as("__o")))
+    val obs = src.groupBy("k", "b").agg(max(col("__o")).as("__o"))
+      .select(col("k"), col("b"), col("__o.v").as("v_obs"))
+    val spans = obs.groupBy("k").agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = spans.select(col("k"),
+      explode(sequence(col("b0"), col("b1"), lit(1L))).as("b"))
+    val ord = Window.partitionBy("k").orderBy("b")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsB = when(col("v_obs").isNotNull, col("b"))
+    grid.join(obs, Seq("k", "b"), "left")
+      .withColumn("bp", max(obsB).over(back))
+      .withColumn("bn", min(obsB).over(fwd))
+      .withColumn("vp", last(col("v_obs"), ignoreNulls = true).over(back))
+      .withColumn("vn", first(col("v_obs"), ignoreNulls = true).over(fwd))
+      .select(col("k").as(keyCol),
+        timestamp_seconds(col("b") * stepSec).as("bucket_ts"),
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("b") - col("bp")).cast("double") /
+              (col("bn") - col("bp")).cast("double")))
+          .as("value_interp"),
+        col("v_obs").isNotNull.as("is_observed"))
+  }
 }

@@ -497,6 +497,29 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       (2L, 10L, 7.0, true)))
   }
 
+  test("interpolate: exact at observations, linear in gaps") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    val df = Seq(
+      (1L, 5L, 1L, 10.0),   // bucket 0
+      (1L, 42L, 2L, 40.0),  // bucket 4 — gap of 3 buckets
+      (1L, 55L, 3L, 0.0)    // bucket 5
+    ).toDF("k", "sec", "seq", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = TimeSeries.interpolate(df, "k", "ts", "v",
+        orderCols = Seq("ts", "seq"), stepSec = 10L)
+      .select(unix_seconds(col("bucket_ts")).as("bs"),
+        col("value_interp"), col("is_observed"))
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 10.0, true),
+      (10L, 17.5, false), // 10 + 30 * 1/4
+      (20L, 25.0, false),
+      (30L, 32.5, false),
+      (40L, 40.0, true),
+      (50L, 0.0, true)))
+  }
+
   test("multimodal resize preserves aspect ratio bound") {
     val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
     val resized = Multimodal.withResizeSpec(meta, maxSide = 256)

@@ -17,7 +17,7 @@ import graft.sources.ParquetSource
 class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
 
   private val queries = Seq(
-    "q1_pricing_summary", "q5_local_supplier", "q_window_rank", "q_forward_fill",
+    "q1_pricing_summary", "q5_local_supplier", "q_window_rank", "q_forward_fill", "q_interpolate",
     "q_global_sort", "q_seq_pack", "q_sessionize", "q_rollup",
     "q_salted_agg", "q_skew_join", "q_cdc_apply", "q_scd2",
     "q_train_split", "q_weighted_sample", "q_stratified_sample",
