@@ -362,6 +362,44 @@ object GraftQueries {
       countDistinct(col("shard")).as("n_shards"))
   }
 
+  /** O26 [EXT] — CSV export round-trip: documents written as RFC4180
+    * CSV (quote-doubling escape, so any standards-compliant reader —
+    * DuckDB `read_csv`, BigQuery load, pandas — ingests the file),
+    * read back with an explicit schema, and aggregated; the oracle
+    * aggregates the original parquet, so the md5 content sum proves
+    * byte fidelity of text through quoting/escaping/embedded newlines.
+    *
+    * Scale note: the read uses `multiLine=true` because free text can
+    * embed newlines, and a multiline CSV file is NOT splittable — each
+    * file is one task. The write side compensates the way a 100 TB
+    * export must: many moderate files (one per input partition), so
+    * parallelism survives file-at-a-time reads. Newline-free exports
+    * should drop `multiLine` and regain in-file splits.
+    */
+  def o26CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_csv/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      tbl(s, dir, "documents")
+        .write.option("header", "true").option("escape", "\"")
+        .mode("overwrite").csv(out)
+    }
+    s.read.option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"))
+      .csv(out)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_keys"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long"))
+          .as("sum_text_h"),
+        sum(col("n_chars")).as("sum_n_chars"))
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -1290,6 +1328,36 @@ object GraftQueries {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.5).as("recall_ok"))
   }
 
+  /** S10 [EXT] — diversity sampling: cluster-balanced subset via
+    * md5-sign LSH cells (16 cells, ≤ 8 vectors each, deterministic md5
+    * draw). The md5 hyperplane family keeps even this approximate
+    * space partition hash-exact against the DuckDB twin.
+    */
+  def s10DiverseSample(s: SparkSession, dir: String): DataFrame =
+    Similarity.diverseSample(tbl(s, dir, "embeddings"), bits = 4, perBucket = 8)
+
+  /** G1 [EXT] — supplier influence rank: PageRank over the symmetrised
+    * customer–supplier co-purchase graph (edge weight = lineitem
+    * count), 3 supersteps, top-10 suppliers. Integer micro-rank
+    * arithmetic makes the iterative computation hash-exact across
+    * engines ([[graft.ops.Graph.pageRank]]); the edge relation
+    * shuffles once and every superstep reuses its cached layout.
+    */
+  def g1SupplierRank(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.ops.Graph.pageRank(edges, iters = 3)
+      .filter(col("node").startsWith("s:"))
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(10)
+  }
+
   /** IVF-PQ ANN (IVFADC): s3's coarse-cell routing composed with s4's
     * residual PQ compression + asymmetric-distance scoring — the
     * billion-vector configuration. Probes 4 of 8 cells, so unlike s3
@@ -1483,6 +1551,33 @@ object GraftQueries {
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
 
+  /** ST12 [EXT] — per-day heavy hitters via a Misra–Gries sketch
+    * maintained by the streaming state store, batch form (streaming
+    * form asserted guarantee-equal in StreamingSpec). The verdict
+    * joins each day's sketch against that day's exact counts: every
+    * item above n/(budget+1) must sit in the sketch, and the sketch
+    * must stay within budget — the merge-order-invariant guarantee,
+    * which is the only deterministic contract an MG sketch offers
+    * (the q_approx_topk posture, windowed).
+    */
+  def st12WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2
+    val ev = tbl(s, dir, "events")
+    val sketches = graft.streaming.EventsStream.windowTopKBatch(ev, budget)
+    val exact = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = exact.groupBy("day").agg(sum("cnt").as("n"))
+    exact.join(tot, "day")
+      .filter(col("cnt").cast("double") >
+        col("n").cast("double") / lit((budget + 1).toDouble))
+      .join(sketches, "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_heavy"),
+        bool_and(map_contains_key(col("mg"), col("event_type")))
+          .as("all_heavy_in_sketch"),
+        bool_and(size(map_keys(col("mg"))) <= budget).as("sketch_within_budget"))
+  }
+
   /** D17 [EXT] — PERSISTED incremental ingest screen
     * (`ops.ScreenIndex`): the maintained-artifact form of d11's bloom —
     * history was scanned once at seeding; each batch screens against
@@ -1527,6 +1622,14 @@ object GraftQueries {
     */
   def t19Collocations(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.collocations(tbl(s, dir, "documents"))
+
+  /** T20 [EXT] — one BPE training step: top-50 adjacent symbol pairs
+    * by corpus frequency over alphanumeric-run pre-tokens. The corpus
+    * collapses to its vocabulary (one mergeable count) BEFORE the pair
+    * explode, so pair counting runs at vocabulary scale.
+    */
+  def t20BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairs(tbl(s, dir, "documents"))
 
   /** Q_FORWARD_FILL [EXT] — time-series regularisation: each user's
     * sparse event values onto an hourly grid with last-observation-
@@ -2097,6 +2200,7 @@ object GraftQueries {
     "o23_dump_roundtrip" -> (o23DumpRoundtrip _),
     "o24_dump_parallel"  -> (o24DumpParallel _),
     "o25_jsonl_roundtrip" -> (o25JsonlRoundtrip _),
+    "o26_csv_roundtrip"  -> (o26CsvRoundtrip _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),
@@ -2176,6 +2280,8 @@ object GraftQueries {
     "s7_knn_ivfpq"       -> (s7KnnIvfPq _),
     "s8_knn_persisted"   -> (s8KnnPersisted _),
     "s9_knn_rerank"      -> (s9KnnRerank _),
+    "s10_diverse_sample" -> (s10DiverseSample _),
+    "g1_supplier_rank"   -> (g1SupplierRank _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),
@@ -2192,6 +2298,7 @@ object GraftQueries {
     "t17_ppl_buckets"    -> (t17PplBuckets _),
     "t18_char_entropy"   -> (t18CharEntropy _),
     "t19_collocations"   -> (t19Collocations _),
+    "t20_bpe_pairs"      -> (t20BpePairs _),
     "t10_tfidf_keywords" -> (t10TfidfKeywords _),
     "t11_domain_cap"     -> (t11DomainCap _),
     "t12_quality_filter" -> (t12QualityFilter _),
@@ -2217,5 +2324,6 @@ object GraftQueries {
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "st10_neardup_screen" -> (st10NearDupScreen _),
     "st11_table_diff"    -> (st11TableDiff _),
+    "st12_window_topk"   -> (st12WindowTopk _),
   )
 }

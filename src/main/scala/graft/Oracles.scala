@@ -219,6 +219,19 @@ object Oracles {
         |       CAST(count(DISTINCT (running - n_tokens) // 2000) AS BIGINT) AS n_shards
         |FROM r""".stripMargin,
 
+    // CSV round-trip: the oracle aggregates the ORIGINAL parquet — a
+    // quoting/escaping/newline defect on either CSV leg breaks the md5
+    // content sum
+    "o26_csv_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CAST(('0x' || substr(md5(text), 1, 10)) AS BIGINT)) AS BIGINT) AS sum_text_h,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents""".stripMargin,
+
     "o16_dump_stats" ->
       """SELECT
         |CAST(10 AS BIGINT) AS tables_exported,
@@ -886,6 +899,59 @@ object Oracles {
           .mkString(" + ")
         s"SELECT vec_id, $i AS dim, $terms AS value FROM embeddings"
       }.mkString("\nUNION ALL\n")
+    },
+
+    // diversity sampling: bucket bits re-derived from the same md5 sign
+    // family as s6; the per-bucket cap is the t11 md5-order row_number
+    "s10_diverse_sample" -> {
+      def sign(n: Int) =
+        s"(CASE WHEN CAST(('0x' || substr(md5('$n'), 1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+      val bucketExpr = (0 until 4).map { i =>
+        val dot = (0 until 64)
+          .map(j => s"CAST(embedding[${j + 1}] AS DOUBLE) * ${sign(i * 64 + j)}")
+          .mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+         |r AS (SELECT vec_id, bucket,
+         |  row_number() OVER (PARTITION BY bucket
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM b)
+         |SELECT vec_id, bucket FROM r WHERE rn <= 8""".stripMargin
+    },
+
+    // integer-exact PageRank, 3 supersteps unrolled; `//` is floor
+    // division = Spark's DIV on the all-positive operands here
+    "g1_supplier_rank" -> {
+      def step(i: Int): String = {
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.dst AS node, sum((r.rank_micro * e.w) // e.wsum) AS s
+           |  FROM ew e JOIN $prev r ON r.node = e.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_micro
+           |  FROM n LEFT JOIN c$i c ON n.node = c.node)"""
+      }
+      s"""WITH e0 AS (
+         |  SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+         |         's:' || CAST(l.l_suppkey AS VARCHAR) AS b,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst, w FROM e0
+         |      UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+         |ow AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ow.wsum FROM e JOIN ow ON e.src = ow.src),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, rank_micro FROM r3
+         |WHERE node LIKE 's:%'
+         |ORDER BY rank_micro DESC, node
+         |LIMIT 10""".stripMargin
     },
 
     "s5_range_search" ->
@@ -1787,6 +1853,25 @@ object Oracles {
         |ORDER BY pmi_micro DESC, bg
         |LIMIT 50""".stripMargin,
 
+    // BPE merge-pair statistic: vocabulary first (Zipf collapse), then
+    // adjacent character pairs weighted by word frequency. Symbols are
+    // ASCII runs so substr semantics agree across engines.
+    "t20_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS f
+        |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, i, 2) AS pair, sum(f) AS c_pair
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |  WHERE len(w) >= 2
+        |  GROUP BY 1)
+        |SELECT pair, c_pair FROM pairs
+        |WHERE c_pair >= 2
+        |ORDER BY c_pair DESC, pair
+        |LIMIT 50""".stripMargin,
+
     // forward fill: per-bucket latest = the same (ts, event_id) ordering
     // the Spark max-struct aggregate resolves; the fill is the standard
     // IGNORE NULLS running last_value over the per-user grid
@@ -1888,6 +1973,23 @@ object Oracles {
         |SELECT CASE WHEN user_id % 2 = 0 THEN 'U' ELSE 'I' END AS op,
         |       user_id, src, eid AS latest_event_id, value AS latest_value
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // windowed MG heavy hitters: the oracle derives heavy items from
+    // exact counts and asserts the sketch guarantee as true constants —
+    // the q_approx_topk posture per day window (a broken sketch flips
+    // the Spark-side booleans). date_trunc('day') is DATE in DuckDB,
+    // TIMESTAMP in Spark — cast.
+    "st12_window_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, sum(cnt) AS n FROM c GROUP BY 1)
+        |SELECT c.day, CAST(count(*) AS BIGINT) AS n_heavy,
+        |       true AS all_heavy_in_sketch, true AS sketch_within_budget
+        |FROM c JOIN t ON c.day = t.day
+        |WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 3.0
+        |GROUP BY 1""".stripMargin,
 
     // the portable md5 MinHash family makes the APPROXIMATE band screen
     // hash-exact: DuckDB re-derives signatures, bands, and the anti

@@ -198,6 +198,61 @@ object Similarity {
       .select(col("id"), posexplode(project(col("v"))).as(Seq("dim", "value")))
   }
 
+  /** Portable sign-LSH bucket id: bit i of the bucket is the sign of
+    * the dot product with the [[portableSign]] ±1 hyperplane family —
+    * the SAME md5-derived matrix [[randomProjection]] uses, so a SQL
+    * twin re-derives every bit from md5 alone and even this
+    * "approximate" partition of the space is hash-exact across
+    * engines. Narrow map, no shuffle, no stored model.
+    *
+    * Nearby vectors agree on high-margin bits, so buckets are coherent
+    * regions of the embedding space — the cheap geometry-aware
+    * stratification diversity sampling needs.
+    */
+  def signBuckets(df: DataFrame, bits: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(bits > 0 && bits < 31, "signBuckets: bits must be in 1..30")
+    val bucket = udf { (v: Array[Float]) =>
+      var b = 0
+      var i = 0
+      while (i < bits) {
+        var acc = 0.0
+        var j = 0
+        while (j < v.length) {
+          acc += v(j).toDouble * portableSign(i * v.length + j)
+          j += 1
+        }
+        if (acc >= 0.0) b |= (1 << i)
+        i += 1
+      }
+      b
+    }
+    Partitioning.ensureParallelism(df)
+      .withColumn("bucket", bucket(col(vecCol)))
+  }
+
+  /** Diversity sampling over an embedding corpus (the cluster-balanced
+    * subset selection step of a pretraining pipeline — cf. DeDup/
+    * SemDeDup-adjacent "coverage" sampling): stratify the space into
+    * `2^bits` [[signBuckets]] cells, keep at most `perBucket` vectors
+    * per cell by a deterministic md5 draw. Dense regions are capped
+    * hard while sparse regions survive intact — the selected subset
+    * covers the space instead of echoing its density.
+    *
+    * Scale shape: the bucket map is narrow; the per-cell cap reuses the
+    * t11 salted two-phase top-k ([[Sampling.domainCap]]) so a dense
+    * viral cell spreads over saltBuckets tasks instead of funnelling
+    * one. Fully deterministic and partitioning-independent — the
+    * output is hash-exact against the SQL twin.
+    */
+  def diverseSample(df: DataFrame, bits: Int, perBucket: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    Sampling.domainCap(
+      signBuckets(df, bits, idCol, vecCol).select(col(idCol), col("bucket")),
+      idCol, "bucket", perBucket)
+
   /** Deterministic pseudo-random hyperplanes: component [i][d] from a
     * splitmix64 stream — reproducible with no stored model.
     */

@@ -618,4 +618,39 @@ object TextAnalysis {
           lit(gateMilliBits.toLong * 1000L) * col("n_codepoints"))
       .drop("__e")
   }
+
+  /** One BPE training step (Sennrich et al. 2016): the top-k adjacent
+    * symbol pairs by corpus frequency — the statistic a byte-pair-
+    * encoding vocabulary builder computes to pick its next merge.
+    * Pre-tokenisation is the classic alphanumeric-runs shape
+    * (`[A-Za-z]+|[0-9]+` — ASCII-only on purpose: Spark `substring`
+    * counts UTF-16 units while SQL `substr` counts codepoints, so
+    * restricting symbols to ASCII keeps the twins bit-identical
+    * without a codepoint kernel).
+    *
+    * Scale shape — the whole point of the formulation: the corpus
+    * FIRST collapses to its vocabulary via one mergeable
+    * `groupBy(word).count` (Zipf makes this the great reducer: 100 TB
+    * of text is a few hundred million distinct words), and the pair
+    * explode + pair count then run over vocabulary-scale rows only.
+    * Exploding pairs straight off the corpus would shuffle a
+    * corpus-CHARACTER-scale relation for the same answer. Final
+    * selection is `TakeOrderedAndProject` (driver holds k rows).
+    */
+  def bpePairs(df: DataFrame, textCol: String = "text",
+               topK: Int = 50, minCount: Long = 2L): DataFrame = {
+    val words = Partitioning.ensureParallelism(df.select(col(textCol).as("t")))
+      .select(explode(regexp_extract_all(col("t"),
+        lit("[A-Za-z]+|[0-9]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val pairsCol = when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    words.select(explode(pairsCol).as("pair"), col("f"))
+      .groupBy("pair").agg(sum("f").as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+      .orderBy(col("c_pair").desc, col("pair"))
+      .limit(topK)
+  }
 }

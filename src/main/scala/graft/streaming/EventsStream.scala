@@ -354,6 +354,37 @@ object EventsStream {
       }
       .start()
 
+  /** Per-day heavy-hitter SKETCHES maintained by the state store: the
+    * mergeable Misra–Gries aggregator runs as a streaming tumbling-
+    * window aggregate, so each day's bounded sketch accretes across
+    * micro-batches and is emitted once when the watermark closes the
+    * window — the streaming form of q_approx_topk. State per window is
+    * the sketch's own budget (a ≤ `budget`-entry map), never the item
+    * cardinality: this is exactly why heavy-hitter sketches matter on
+    * an unbounded stream. Streaming form; append-mode.
+    *
+    * Merge-order caveat (same as q_approx_topk): MG counters depend on
+    * merge order, so stream and batch sketches need not be map-equal —
+    * what is invariant, and what specs/oracles assert, is the
+    * GUARANTEE: every item above n/(budget+1) is present and the
+    * sketch stays within budget.
+    */
+  def windowTopKStream(events: DataFrame, budget: Int = 2): DataFrame =
+    events
+      .withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.MisraGriesAgg.column(col("event_type"), budget).as("mg"))
+      .select(col("w.start").as("day"), col("mg"))
+
+  /** Batch-equivalent of [[windowTopKStream]] (same grouping, no
+    * watermark).
+    */
+  def windowTopKBatch(events: DataFrame, budget: Int = 2): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.MisraGriesAgg.column(col("event_type"), budget).as("mg"))
+      .select(col("w.start").as("day"), col("mg"))
+
   /** Drive a streaming DataFrame built by `build` over the fixture
     * parquet as a bounded stream, collect via the memory sink.
     */

@@ -1582,4 +1582,80 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       assert(gotStrip == wantStrip, s"trial=$trial k=$k strip")
     }
   }
+
+  test("bpePairs: vocabulary-weighted pair counts, hand-computed") {
+    import spark.implicits._
+    // "low" twice + "lower" once + digits run "123" once; "a!" contributes
+    // only the single-char word "a" (no pairs)
+    val df = Seq(
+      (1L, "low low a!"),
+      (2L, "lower 123")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairs(df, topK = 10, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // words: low×2, lower×1, a×1, 123×1
+    // pairs: lo 2+1=3, ow 2+1=3, we 1, er 1, 12 1, 23 1
+    assert(got == Seq(("lo", 3L), ("ow", 3L),
+      ("12", 1L), ("23", 1L), ("er", 1L), ("we", 1L)))
+    // minCount filters the tail
+    val filtered = TextAnalysis.bpePairs(df, topK = 10, minCount = 2L)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(filtered == Seq("lo", "ow"))
+  }
+
+  test("bpePairs: partitioning-invariant on fixture docs") {
+    val base = TextAnalysis.bpePairs(docs).collect().toSeq
+    val re = TextAnalysis.bpePairs(docs.repartition(7)).collect().toSeq
+    assert(base == re)
+    assert(base.nonEmpty && base.size <= 50)
+  }
+
+  test("diverseSample: per-cell cap holds, equals the one-phase window, invariant to partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.diverseSample(emb, bits = 4, perBucket = 8)
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val perCell = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(perCell.values.forall(_ <= 8), "cell cap violated")
+    // one-phase reference: md5-order row_number over the same buckets
+    val b = Similarity.signBuckets(emb, 4).select(col("vec_id"), col("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val want = b.withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows.sorted == want.sorted)
+    val re = Similarity.diverseSample(emb.repartition(7), bits = 4, perBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows.sorted == re.sorted)
+  }
+
+  test("pageRank: integer supersteps equal a driver reference; partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 12).map(i => s"n$i")
+    val dirEdges = (for {
+      _ <- 1 to 30
+      a = nodes(rnd.nextInt(nodes.size))
+      b = nodes(rnd.nextInt(nodes.size))
+      if a != b
+    } yield (a, b)).groupBy(identity).map { case ((a, b), g) => (a, b, g.size.toLong) }.toSeq
+    // symmetrise like g1 does
+    val sym = (dirEdges ++ dirEdges.map { case (a, b, w) => (b, a, w) })
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), g) => (a, b, g.map(_._3).sum) }.toSeq
+    val df = sym.toDF("src", "dst", "w")
+    val got = graft.ops.Graph.pageRank(df, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver reference with identical integer arithmetic
+    val outW = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ns = sym.map(_._1).distinct
+    var rank = ns.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((a, b, w) <- sym) inflow(b) += rank(a) * w / outW(a)
+      rank = ns.map(n => n -> (150000L + 85L * inflow(n) / 100L)).toMap
+    }
+    assert(got == rank)
+    val re = graft.ops.Graph.pageRank(df.repartition(5), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == rank)
+  }
 }

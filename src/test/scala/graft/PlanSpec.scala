@@ -532,4 +532,61 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(exchanges == 1,
       s"merge-on-read resolution must be ONE key shuffle, got $exchanges:\n${plan.take(2000)}")
   }
+
+  test("t20 bpe pairs: mergeable aggregates + TakeOrderedAndProject, no window") {
+    val plan = planOf("t20_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the pair vocabulary:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"both counting stages must map-side combine:\n${plan.take(2000)}")
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
+  test("s10 diverse sample: every cap window partitions by the LSH cell") {
+    val plan = planOf("s10_diverse_sample")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, plan.take(2000))
+    assert(winLines.forall(_.contains("bucket")),
+      s"partitionless cap window detected:\n${plan.take(2500)}")
+  }
+
+  test("g1 pagerank: cached edges read every superstep, never re-shuffled") {
+    val df = GraftQueries.all("g1_supplier_rank")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, AQEShuffleReadExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case qs: QueryStageExec => expand(qs.plan)
+      case other => other.children.flatMap(expand)
+    }) :+ p
+    val nodes = expand(df.queryExecution.executedPlan)
+    def isEdgeCache(s: InMemoryTableScanExec): Boolean =
+      s.output.map(_.name).toSet == Set("src", "dst", "w", "wsum")
+    val edgeScans = nodes.collect { case s: InMemoryTableScanExec if isEdgeCache(s) => s }
+    assert(edgeScans.size >= 3,
+      s"each of the 3 supersteps must read the cached edge relation, found ${edgeScans.size}")
+    // a shuffle whose input is the cache scan itself (through narrow
+    // nodes only) would mean the persisted layout is NOT being reused
+    def feedsShuffleDirectly(p: SparkPlan): Boolean = p match {
+      case _: InMemoryTableScanExec => true
+      case _: org.apache.spark.sql.execution.ProjectExec |
+           _: org.apache.spark.sql.execution.FilterExec |
+           _: org.apache.spark.sql.execution.InputAdapter |
+           _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+           _: AQEShuffleReadExec =>
+        p.children.exists(feedsShuffleDirectly)
+      case qs: QueryStageExec => feedsShuffleDirectly(qs.plan)
+      case _ => false
+    }
+    val reshuffledCaches = nodes.collect {
+      case e: ShuffleExchangeExec if feedsShuffleDirectly(e.child) &&
+        e.child.exists { case s: InMemoryTableScanExec => isEdgeCache(s); case _ => false } => e
+    }
+    assert(reshuffledCaches.isEmpty,
+      s"cached edge relation re-shuffled ${reshuffledCaches.size} times — layout reuse broken")
+    graft.ops.OpCaches.releaseAll()
+  }
 }

@@ -220,4 +220,30 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       batch.exceptAll(streamed).count() == 0)
     assert(batch.count() > 0)
   }
+
+  test("windowed MG sketch: streaming sketches satisfy the heavy-hitter guarantee") {
+    val budget = 2
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.windowTopKStream(
+        ParquetSource.normalizeNanoTimestamps(df), budget),
+      queryName = "window_topk_test")
+    assert(streamed.count() > 0, "append mode should emit watermark-closed days")
+    // every emitted day's sketch must contain all of that day's heavy
+    // items (exact counts from batch) and stay within budget — the
+    // merge-order-invariant MG guarantee; stream and batch sketch MAPS
+    // may legitimately differ (merge order), the guarantee may not
+    val exact = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = exact.groupBy("day").agg(sum("cnt").as("n"))
+    val verdicts = exact.join(tot, "day")
+      .filter(col("cnt").cast("double") > col("n").cast("double") / 3.0)
+      .join(streamed, "day") // inner: only emitted days are checkable
+      .select(map_contains_key(col("mg"), col("event_type")).as("found"),
+        (size(map_keys(col("mg"))) <= budget).as("size_ok"))
+      .collect()
+    assert(verdicts.nonEmpty)
+    assert(verdicts.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
 }
