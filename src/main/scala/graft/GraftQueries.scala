@@ -2146,6 +2146,15 @@ object GraftQueries {
       .select("asset_id", "channels", "sample_rate", "bits_per_sample",
         "data_bytes", "duration_ms")
 
+  /** MM6 [EXT] — perceptual-hash image near-dup: integer-exact aHash
+    * over payload bytes, pairs within hamming ≤ 2 via the d3 pigeonhole
+    * banding (never all-pairs); the oracle re-derives every hash bit
+    * and brute-forces the pair set.
+    */
+  def mm6ImageNearDups(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDups(
+      Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
+
   /** D16 [EXT] — C4-style segment-level dedup: every non-overlapping
     * 10-token segment seen more than once in the corpus is stripped
     * except its globally-first occurrence; docs reassemble from their
@@ -2320,6 +2329,7 @@ object GraftQueries {
     "mm4_feature_knn"    -> (mm4FeatureKnn _),
     "mm2_frame_samples"  -> (mm2FrameSamples _),
     "mm5_audio_meta"     -> (mm5AudioMeta _),
+    "mm6_image_neardup"  -> (mm6ImageNearDups _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "st10_neardup_screen" -> (st10NearDupScreen _),

@@ -1974,6 +1974,27 @@ object Oracles {
         |       user_id, src, eid AS latest_event_id, value AS latest_value
         |FROM ranked WHERE rn = 1""".stripMargin,
 
+    // perceptual-hash near-dup: every aHash bit re-derived from the
+    // byte histogram by integer arithmetic; the pair set brute-forced
+    // (the Spark side's pigeonhole banding must find exactly these)
+    "mm6_image_neardup" ->
+      """WITH nib AS (
+        |  SELECT doc_id,
+        |         strpos('0123456789abcdef', substr(md5(text), g.i, 1)) - 1 AS bin
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, 33)) AS i) AS g
+        |  WHERE doc_id % 3 = 0),
+        |hist AS (SELECT doc_id, bin, count(*) AS cnt FROM nib GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt * 16 > 32
+        |                  THEN (CAST(1 AS BIGINT) << bin) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM hist GROUP BY 1)
+        |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin,
+
     // windowed MG heavy hitters: the oracle derives heavy items from
     // exact counts and asserts the sketch guarantee as true constants —
     // the q_approx_topk posture per day window (a broken sketch flips

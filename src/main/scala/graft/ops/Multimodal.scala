@@ -300,4 +300,91 @@ object Multimodal {
     meta.filter(col("media_type") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ms"))
+
+  /** Perceptual hash of an asset — the aHash recipe (average hash, the
+    * simplest of the pHash family): histogram the decoded pixels into
+    * 16 buckets, set bit i iff bucket i is STRICTLY above the mean.
+    * The mean test is integer cross-multiplied (`h_i · 16 > total`),
+    * so the hash is exact integer arithmetic end to end and a SQL twin
+    * reproduces every bit.
+    *
+    * The PIXELS come from the stub decode (the StubCodec boundary):
+    * the asset's md5 digest read as 32 hex nibbles, one "pixel" value
+    * 0–15 per nibble. A real image pipeline feeds downsampled
+    * grayscale pixels through the IDENTICAL bit recipe — only the
+    * pixel source changes. (Hashing the raw payload bytes instead is a
+    * trap worth documenting: for text-backed fixtures every byte
+    * histogram is dominated by ASCII letter frequencies, all hashes
+    * collide, and the near-dup pair set degenerates to quadratic —
+    * measured, not hypothetical.) Narrow per-partition kernel, no
+    * shuffle.
+    */
+  def perceptualHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(a.payload).map("%02x".format(_)).mkString
+        val h = new Array[Long](16)
+        hex.foreach { c =>
+          val v = if (c <= '9') c - '0' else c - 'a' + 10
+          h(v) += 1L
+        }
+        val total = hex.length.toLong
+        var sig = 0
+        var i = 0
+        while (i < 16) {
+          if (h(i) * 16L > total) sig |= (1 << i)
+          i += 1
+        }
+        (a.asset_id, a.media_type, sig)
+      }
+    }.toDF("asset_id", "media_type", "phash")
+  }
+
+  /** Near-duplicate IMAGE pairs within `maxDist` hamming distance of
+    * their perceptual hashes — the d3 pigeonhole recipe on media: split
+    * the `bins`-bit hash into `maxDist + 1` bands; two hashes within
+    * `maxDist` must agree EXACTLY on at least one band (pigeonhole), so
+    * candidates come from band-equality joins and only candidates pay
+    * the hamming check. Output is exact for the hash metric: every pair
+    * at distance ≤ maxDist appears once (`asset_a < asset_b`).
+    *
+    * Scale shape: never all-pairs — the corpus shuffles once per band
+    * on the band value (bounded by maxDist+1 passes over the hash
+    * table, which is id+int rows, not payloads). A degenerate corpus
+    * (all hashes equal) degrades to the true pair set, which IS
+    * quadratic in that case — same posture as d3.
+    */
+  def imageNearDups(assets: DataFrame, maxDist: Int = 2): DataFrame = {
+    val bins = 16
+    val ph = OpCaches.persist(
+      Partitioning.ensureParallelism(
+        perceptualHash(assets).filter(col("media_type") === "image")
+          .select(col("asset_id"), col("phash"))))
+    val nBands = maxDist + 1
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * bins / nBands
+      val hi = (b + 1) * bins / nBands
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), lo).bitwiseAND(lit((1 << (hi - lo)) - 1))
+          .as("band_val"))
+    }
+    val bands = ph.select(col("asset_id"), col("phash"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("asset_id"), col("phash"),
+        col("bd.band").as("band"), col("bd.band_val").as("band_val"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("x.phash").as("ph_a"),
+        col("y.asset_id").as("asset_b"), col("y.phash").as("ph_b"))
+      .distinct() // a pair may collide on several bands
+    cand.withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
 }

@@ -1583,6 +1583,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("imageNearDups: pigeonhole banding == brute-force hamming; non-images excluded") {
+    import spark.implicits._
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val got = Multimodal.imageNearDups(assets, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the hashes (fixture-scale only)
+    val ph = Multimodal.perceptualHash(assets)
+      .filter(col("media_type") === "image")
+      .select("asset_id", "phash").as[(Long, Int)].collect()
+    val want = (for {
+      (a, pa) <- ph; (b, pb) <- ph if a < b
+      d = Integer.bitCount(pa ^ pb) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should produce some near-dup pairs")
+    // only image assets participate
+    val imgIds = ph.map(_._1).toSet
+    assert(got.forall { case (a, b, _) => imgIds(a) && imgIds(b) })
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("bpePairs: vocabulary-weighted pair counts, hand-computed") {
     import spark.implicits._
     // "low" twice + "lower" once + digits run "123" once; "a!" contributes
