@@ -1787,6 +1787,23 @@ object GraftQueries {
     graft.analyse.Profiler.profile(tbl(s, dir, "events"),
       Seq("event_id", "user_id", "event_type", "props"))
 
+  /** Q_HISTOGRAM [EXT] — equi-width price histogram (20 bins): money
+    * quantised to cents through DECIMAL(18,2) so both engines bin with
+    * identical long arithmetic; two mergeable aggregates, min/max
+    * broadcast back.
+    */
+  def q_histogram(s: SparkSession, dir: String): DataFrame =
+    graft.analyse.Profiler.histogram(tbl(s, dir, "lineitem"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+      bins = 20)
+
+  /** Q_COHORT_RETENTION [EXT] — weekly cohort retention matrix over the
+    * events table: users cohorted by first active week, counted per
+    * week-offset they return (`ops.Funnel.cohortRetention`).
+    */
+  def q_cohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cohortRetention(tbl(s, dir, "events"))
+
   /** Deequ-style expectations over the fixture: completeness,
     * uniqueness, domain membership, a row invariant, an array-dim
     * contract, and orders→customer referential integrity — single-scan
@@ -2320,6 +2337,8 @@ object GraftQueries {
     "q_cdc_apply"        -> (q_cdcApply _),
     "q_scd2"             -> (q_scd2 _),
     "q_profile"          -> (q_profile _),
+    "q_histogram"        -> (q_histogram _),
+    "q_cohort_retention" -> (q_cohortRetention _),
     "q_expectations"     -> (qExpectations _),
     "p1_pipeline"        -> (p1Pipeline _),
     "p2_pipeline"        -> (p2Pipeline _),

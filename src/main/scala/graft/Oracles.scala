@@ -1276,6 +1276,32 @@ object Oracles {
          |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
          |FROM events""".stripMargin).mkString("\nUNION ALL\n"),
 
+    // equi-width histogram: cents through DECIMAL(18,2), then pure
+    // integer binning — `(c-mn)*bins // (mx-mn+1)`, max lands in the
+    // last bin with no clamp
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (SELECT min(c) AS mn, max(c) AS mx FROM c)
+        |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM c, m GROUP BY 1""".stripMargin,
+
+    // weekly cohort retention: both engines truncate weeks to Monday,
+    // so the day difference is an exact multiple of 7
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+        |  FROM events),
+        |f AS (SELECT u, min(w) AS cohort_week FROM ev GROUP BY u)
+        |SELECT f.cohort_week,
+        |       date_diff('day', f.cohort_week, ev.w) // 7 AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev JOIN f ON ev.u = f.u
+        |GROUP BY 1, 2""".stripMargin,
+
     // CDC merge: latest (seq, op) change per key wins; D removes,
     // I/U upsert, untouched snapshot rows pass through
     "q_cdc_apply" ->

@@ -1,6 +1,6 @@
 package graft.analyse
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the ANALYZE/data-audit pass a pipeline runs on a
@@ -38,5 +38,27 @@ object Profiler {
       .select(col("column"), col("__n").as("n_rows"),
         (col("__n") - col("__nn")).as("n_nulls"),
         col("n_distinct"), col("min_v"), col("max_v"))
+  }
+
+  /** Equi-width histogram of an INTEGER-valued column (callers quantise
+    * money to cents etc. first) — the ANALYZE-histogram companion to
+    * [[profile]]. Bin edges come from the data's own min/max; the bin
+    * index `(c − mn) · bins div (mx − mn + 1)` is pure long arithmetic
+    * (the +1 makes the max land in the last bin with no clamp), so
+    * every count is engine-exact. Empty bins are absent by design —
+    * zero-filling is a presentation concern.
+    *
+    * Scale shape: one min/max aggregate (mergeable, metadata-sized
+    * result) broadcast back into a second mergeable count aggregate —
+    * two narrow scans, two tiny shuffles, nothing data-dependent on
+    * the driver.
+    */
+  def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 1, "histogram: bins must be positive")
+    val vals = df.select(value.cast("long").as("c"))
+    val mm = vals.agg(min("c").as("mn"), max("c").as("mx"))
+    vals.crossJoin(broadcast(mm))
+      .select(expr(s"((c - mn) * $bins) DIV (mx - mn + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
   }
 }

@@ -80,4 +80,31 @@ object Funnel {
         count(when(size(col("stage_ts")) >= i + 1, lit(1))).as(nm)
       }: _*)
   }
+
+  /** Cohort retention matrix — the classic user-lifecycle analysis:
+    * users cohorted by their first active week, counted in every later
+    * week they return. Output `(cohort_week, week_offset, n_users)`;
+    * offset 0 is the cohort's own size.
+    *
+    * Scale shape: active weeks dedupe in one mergeable distinct on
+    * (user, week) — per-user state never materialises anywhere; the
+    * cohort week is a second mergeable min; the join back is keyed on
+    * user (node-scale relation both sides, the distinct already
+    * collapsed event volume); the final matrix is a mergeable count
+    * whose cardinality is cohorts × offsets, metadata-sized. Both
+    * engines align weeks to Monday via `date_trunc`, so the day
+    * difference is an exact multiple of 7 and the offset is integer
+    * division.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val ev = events
+      .select(col(userCol).as("u"), date_trunc("week", col(tsCol)).as("w"))
+      .distinct()
+    val first = ev.groupBy("u").agg(min("w").as("cohort_week"))
+    ev.join(first, "u")
+      .groupBy(col("cohort_week"),
+        expr("datediff(w, cohort_week) DIV 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

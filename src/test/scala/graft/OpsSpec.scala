@@ -1604,6 +1604,42 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("histogram: hand-computed bins; max lands in last bin; partitioning-invariant") {
+    import spark.implicits._
+    // values 0..9, 5 bins over range 10 → bin = v*5 DIV 10 = v/2
+    val df = (0L to 9L).toDF("v")
+    val got = graft.analyse.Profiler.histogram(df, col("v"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // degenerate single-value input: everything in bin 0
+    val one = graft.analyse.Profiler.histogram(Seq(7L, 7L, 7L).toDF("v"), col("v"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(0L -> 3L))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val c = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    val a = graft.analyse.Profiler.histogram(li, c, 20).collect().toSeq
+    val b = graft.analyse.Profiler.histogram(li.repartition(7), c, 20).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+    assert(a.map(_.getLong(1)).sum == li.count())
+  }
+
+  test("cohortRetention: offset-0 equals cohort size; totals conserve users") {
+    val events = graft.sources.ParquetSource.normalizeNanoTimestamps(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val m = graft.ops.Funnel.cohortRetention(events)
+    val rows = m.collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L))
+    // offset 0 for a cohort = number of users whose first week it is;
+    // summing offset-0 counts over all cohorts = total distinct users
+    val zeroSum = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(zeroSum == events.select("user_id").distinct().count())
+    // retention can never exceed the cohort's own size
+    val size0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(rows.forall(r => r._3 <= size0(r._1)))
+  }
+
   test("bpePairs: vocabulary-weighted pair counts, hand-computed") {
     import spark.implicits._
     // "low" twice + "lower" once + digits run "123" once; "a!" contributes
