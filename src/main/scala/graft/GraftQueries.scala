@@ -1336,6 +1336,34 @@ object GraftQueries {
   def s10DiverseSample(s: SparkSession, dir: String): DataFrame =
     Similarity.diverseSample(tbl(s, dir, "embeddings"), bits = 4, perBucket = 8)
 
+  /** S11 [EXT] — incremental IVF maintenance: the index builds on 80%
+    * of the corpus, the remaining 20% APPENDS without retraining
+    * (`VectorIndex.appendIvf` — assignment against the frozen on-disk
+    * centroids, dynamic-partition append into the existing cell
+    * directories). Queries then run against the maintained index with
+    * the s8 recall-verdict contract over the FULL corpus — appended
+    * vectors must be findable.
+    */
+  def s11IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val out = cachedBuild(s, "vindex_inc", dir) { o =>
+      graft.ops.VectorIndex.buildIvf(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), o, nlist = 64)
+      graft.ops.VectorIndex.appendIvf(
+        s, o, emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = graft.ops.VectorIndex.queryIvf(s, out, q, k = 10, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+  }
+
   /** G1 [EXT] — supplier influence rank: PageRank over the symmetrised
     * customer–supplier co-purchase graph (edge weight = lineitem
     * count), 3 supersteps, top-10 suppliers. Integer micro-rank
@@ -1550,6 +1578,14 @@ object GraftQueries {
       .select(col("op"), col("user_id"), col("src"),
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
+
+  /** ST13 [EXT] — continuous anonymised replication, batch form
+    * (streaming form asserted row-identical in StreamingSpec): the
+    * reference's anonymise op on an event stream — consistent
+    * stateless pseudonyms (o11 recipe) + t7 PII scrub of the payload.
+    */
+  def st13AnonymiseStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.anonymiseBatch(tbl(s, dir, "events"))
 
   /** ST12 [EXT] — per-day heavy hitters via a Misra–Gries sketch
     * maintained by the streaming state store, batch form (streaming
@@ -2307,6 +2343,7 @@ object GraftQueries {
     "s8_knn_persisted"   -> (s8KnnPersisted _),
     "s9_knn_rerank"      -> (s9KnnRerank _),
     "s10_diverse_sample" -> (s10DiverseSample _),
+    "s11_ivf_append"     -> (s11IvfAppend _),
     "g1_supplier_rank"   -> (g1SupplierRank _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
@@ -2354,5 +2391,6 @@ object GraftQueries {
     "st10_neardup_screen" -> (st10NearDupScreen _),
     "st11_table_diff"    -> (st11TableDiff _),
     "st12_window_topk"   -> (st12WindowTopk _),
+    "st13_anonymise_stream" -> (st13AnonymiseStream _),
   )
 }

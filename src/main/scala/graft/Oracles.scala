@@ -994,6 +994,11 @@ object Oracles {
     "s8_knn_persisted" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // incremental IVF: same recall-verdict contract as s8 — appended
+    // vectors must be findable through the maintained index
+    "s11_ivf_append" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
     // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
     "s3_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -2020,6 +2025,16 @@ object Oracles {
         |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin,
+
+    // continuous anonymised replication: consistent md5 pseudonyms +
+    // the t7 scrub chain over the JSON payload
+    "st13_anonymise_stream" ->
+      raw"""SELECT event_id,
+         |  substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_pseud,
+         |  event_type,
+         |  CAST(${piiCountSql("props")} AS BIGINT) AS n_pii,
+         |  md5(${scrubSql("props")}) AS props_scrubbed_md5
+         |FROM events""".stripMargin,
 
     // windowed MG heavy hitters: the oracle derives heavy items from
     // exact counts and asserts the sketch guarantee as true constants —

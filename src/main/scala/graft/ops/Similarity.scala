@@ -63,7 +63,7 @@ object Similarity {
   /** Index of the nearest centroid; strict < keeps the lowest index on
     * ties, so assignment is deterministic.
     */
-  private[ops] def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
+  private[graft] def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < cents.length) {
       val d = dist2(cents(c), v)

@@ -49,6 +49,35 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental index maintenance: append a batch of vectors WITHOUT
+    * retraining — new vectors assign to the EXISTING on-disk centroids
+    * and append into their cell partitions (dynamic-partition append:
+    * each new file lands inside its `cell=<i>/` directory, so the
+    * partition-pruned query path keeps paying unchanged). At serving
+    * scale this is the difference between an ingest-rate index and a
+    * rebuild-the-world index: history is never rewritten, a batch
+    * costs one narrow assignment pass over the batch alone.
+    *
+    * The trade is centroid drift: cells are frozen at training time,
+    * so a shifting distribution slowly unbalances them — periodic
+    * [[buildIvf]] is the compaction. Readers see results identical to
+    * a same-centroid full assignment (spec-asserted: the cell contents
+    * after append equal a from-scratch assignment of the union).
+    */
+  def appendIvf(spark: SparkSession, dir: String, batch: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+      .map(_._2.map(_.toDouble))
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Array[Float]) =>
+      Similarity.nearestCentroid(bc.value, v.map(_.toDouble)))
+    batch.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+      .withColumn("cell", assign(col("cv")))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Top-k cosine against the prebuilt index. The probed-cell set is
     * bounded by nlist (metadata scale), so collecting it to drive the
     * partition-pruning filter costs nothing; queries broadcast into

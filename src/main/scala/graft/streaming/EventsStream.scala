@@ -354,6 +354,32 @@ object EventsStream {
       }
       .start()
 
+  /** Stateless streaming anonymisation — continuous anonymised
+    * replication of an event stream, the reference engine's core
+    * operation lifted onto an unbounded source: user ids pseudonymise
+    * through a consistent keyed digest (same user → same pseudonym in
+    * EVERY micro-batch with no shared state — the seeded-deterministic
+    * o11 consistency recipe, which is exactly what makes consistency
+    * possible on a stream: a driver-side lookup map could never be
+    * shared across batches or executors), and PII masks in-place in
+    * the JSON payload via the t7 scrub chain.
+    *
+    * No watermark, no state store: anonymisation is a narrow map, so
+    * the streaming form IS the batch Column compiler applied to a
+    * streaming frame — one definition, both execution modes
+    * (stream == batch asserted exactly in StreamingSpec).
+    */
+  def anonymiseBatch(events: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.scrubPii(events, "props")
+      .select(col("event_id"),
+        substring(md5(col("user_id").cast("string")), 1, 16).as("user_pseud"),
+        col("event_type"),
+        col("n_pii"),
+        md5(col("scrubbed")).as("props_scrubbed_md5"))
+
+  /** Streaming form of [[anonymiseBatch]] — same plan, streaming frame. */
+  def anonymiseStream(events: DataFrame): DataFrame = anonymiseBatch(events)
+
   /** Per-day heavy-hitter SKETCHES maintained by the state store: the
     * mergeable Misra–Gries aggregator runs as a streaming tumbling-
     * window aggregate, so each day's bounded sketch accretes across

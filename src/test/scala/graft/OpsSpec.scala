@@ -1583,6 +1583,39 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("appendIvf: cell contents after append == from-scratch assignment; layout intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx_inc").toString
+    val hist = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    graft.ops.VectorIndex.buildIvf(hist, dir, nlist = 8)
+    val cellDirsBefore = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    graft.ops.VectorIndex.appendIvf(spark, dir, batch)
+    // the maintained index holds exactly the union, each vector in the
+    // SAME cell a from-scratch assignment against these centroids gives
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    val wantCells = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        (id, graft.ops.Similarity.nearestCentroid(centroids, v.map(_.toDouble)))
+      }.toSet
+    val gotCells = spark.read.parquet(s"$dir/cells")
+      .select(col("vid"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(gotCells == wantCells)
+    // append must not create cells outside the trained layout
+    val cellDirsAfter = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirsAfter.subsetOf(cellDirsBefore ++
+      wantCells.map(c => s"cell=${c._2}")))
+    // queries through the maintained index can return appended vectors
+    val q = emb.filter(col("vec_id") < 3)
+    val res = graft.ops.VectorIndex.queryIvf(spark, dir, q, k = 10, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res.exists(_ % 5 == 0), "appended vectors should be findable")
+  }
+
   test("imageNearDups: pigeonhole banding == brute-force hamming; non-images excluded") {
     import spark.implicits._
     val assets = Multimodal.assetsFromDocuments(docs)

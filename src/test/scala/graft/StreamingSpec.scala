@@ -221,6 +221,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.count() > 0)
   }
 
+  test("anonymise stream: stateless — streaming == batch row-identical; pseudonyms consistent") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.anonymiseStream(ParquetSource.normalizeNanoTimestamps(df)),
+      queryName = "anon_stream_test")
+    val batch = EventsStream.anonymiseBatch(events)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+    // consistency without state: the pseudonym map is a function of the
+    // user id alone (one pseudonym per user, no collisions) — distinct
+    // pseudonym count must equal distinct user count
+    assert(streamed.select("user_pseud").distinct().count() ==
+      events.select("user_id").distinct().count())
+  }
+
   test("windowed MG sketch: streaming sketches satisfy the heavy-hitter guarantee") {
     val budget = 2
     val streamed = EventsStream.runOnceOnParquet(
