@@ -1374,16 +1374,23 @@ object GraftQueries {
   def g1SupplierRank(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val e0 = li.join(ords, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
-      .agg(count(lit(1)).as("w"))
+    // integer node ids (customer 2k, supplier 2k+1) keep every shuffle,
+    // sort and aggregate in the rank loop off strings; the pair
+    // aggregate persists so the symmetrising union reads it once
+    // instead of re-running the fact join per branch. The readable
+    // label comes back in the final 10-row projection.
+    val e0 = graft.ops.OpCaches.persist(
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w")))
     val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
     graft.ops.Graph.pageRank(edges, iters = 3)
-      .filter(col("node").startsWith("s:"))
+      .filter(pmod(col("node"), lit(2)) === 1)
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(10)
+      .select(concat(lit("s:"), expr("(node - 1) DIV 2").cast("string")).as("node"),
+        col("rank_micro"))
   }
 
   /** IVF-PQ ANN (IVFADC): s3's coarse-cell routing composed with s4's

@@ -934,8 +934,7 @@ object Oracles {
            |  FROM n LEFT JOIN c$i c ON n.node = c.node)"""
       }
       s"""WITH e0 AS (
-         |  SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
-         |         's:' || CAST(l.l_suppkey AS VARCHAR) AS b,
+         |  SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
          |         CAST(count(*) AS BIGINT) AS w
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  GROUP BY 1, 2),
@@ -948,10 +947,9 @@ object Oracles {
          |${step(1)},
          |${step(2)},
          |${step(3)}
-         |SELECT node, rank_micro FROM r3
-         |WHERE node LIKE 's:%'
-         |ORDER BY rank_micro DESC, node
-         |LIMIT 10""".stripMargin
+         |SELECT 's:' || CAST((node - 1) // 2 AS VARCHAR) AS node, rank_micro
+         |FROM (SELECT node, rank_micro FROM r3 WHERE node % 2 = 1
+         |      ORDER BY rank_micro DESC, node LIMIT 10) top10""".stripMargin
     },
 
     "s5_range_search" ->

@@ -42,13 +42,21 @@ object Graph {
                srcCol: String = "src", dstCol: String = "dst",
                wCol: String = "w"): DataFrame = {
     require(iters >= 1 && iters <= 20, "pageRank: iters must be in 1..20")
-    val e = Partitioning.ensureParallelism(
+    // `e` feeds the out-weight aggregate, the ew join AND the node set —
+    // without a persist each consumer re-derives the caller's whole edge
+    // construction (for g1: the fact join + pair aggregate, twice per use
+    // through the symmetrising union — measured 32s → 5s at sf0.1)
+    val e = OpCaches.persist(Partitioning.ensureParallelism(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(wCol).cast("long").as("w")))
+        col(wCol).cast("long").as("w"))))
     // `wsum`, not `W`: Spark resolution is case-insensitive by default,
     // so `w`/`W` in one relation would be an ambiguous reference
     val outw = e.groupBy("src").agg(sum("w").as("wsum"))
-    val ew = OpCaches.persist(e.join(outw, "src").repartition(col("src")))
+    // partitioned AND sorted by src: the cache reports its ordering, so
+    // each superstep's sort-merge join streams the edges without
+    // re-sorting them (only the node-scale rank side sorts per step)
+    val ew = OpCaches.persist(
+      e.join(outw, "src").repartition(col("src")).sortWithinPartitions("src"))
     val nodes = OpCaches.persist(e.select(col("src").as("node")).distinct())
     var rank = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -62,6 +70,10 @@ object Graph {
           (lit(150000L) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"))
             .as("rank_micro"))
     }
+    // the supersteps nest lazily into ONE plan — fine at the enforced
+    // iters ≤ 20 (measured: the cost of a cold run is per-stage codegen,
+    // not planning depth). An unbounded-iteration loop would need the
+    // per-round checkpoint discipline Dedup.clusters already implements.
     rank
   }
 }
