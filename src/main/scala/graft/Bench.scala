@@ -51,6 +51,11 @@ object Bench {
     "st11_table_diff",
     "t16_classifier_score", "t17_ppl_buckets", "t18_char_entropy",
     "t19_collocations",
+    // round-6 continuation flagships
+    "t20_bpe_pairs", "s10_diverse_sample", "s11_ivf_append",
+    "g1_supplier_rank", "mm6_image_neardup", "st12_window_topk",
+    "st13_anonymise_stream", "q_histogram", "q_cohort_retention",
+    "o26_csv_roundtrip",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",
     "o16_dump_stats", "o24_dump_parallel", "o25_jsonl_roundtrip",

@@ -1658,6 +1658,14 @@ object GraftQueries {
             ceil(lit(0.03) * col("n_batch")).cast("long")).as("fp_within_budget"))
   }
 
+  /** D18 [EXT] — asymmetric containment pairs at 0.8: the doc-quoted-
+    * inside-doc signal symmetric Jaccard structurally misses
+    * (`Dedup.ngramContainmentPairs`); both directions reported.
+    */
+  def d18Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.8)
+
   /** T19 [EXT] — PMI collocation mining: top-50 bigrams by pointwise
     * mutual information at count ≥ 5, integer-exact via the t15/t9
     * quantise-once micro-bit recipe; selection via
@@ -2395,6 +2403,7 @@ object GraftQueries {
     "mm6_image_neardup"  -> (mm6ImageNearDups _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "d17_bloom_persisted" -> (d17BloomPersisted _),
+    "d18_containment"    -> (d18Containment _),
     "st10_neardup_screen" -> (st10NearDupScreen _),
     "st11_table_diff"    -> (st11TableDiff _),
     "st12_window_topk"   -> (st12WindowTopk _),

@@ -644,6 +644,18 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // asymmetric containment: same shingle CTEs, per-direction division
+    "d18_containment" ->
+      s"""$shingleCtes
+         |SELECT ia AS id_a, ib AS id_b,
+         |       CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+         |       CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+         |FROM inter
+         |JOIN sizes sa ON inter.ia = sa.doc_id
+         |JOIN sizes sb ON inter.ib = sb.doc_id
+         |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE),
+         |               CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8""".stripMargin,
+
     // winnowing (MOSS) near-dup join: fingerprint sets from the t5
     // winnowing pass (portable md5 hash, k=5, window=4), pair score =
     // exact fingerprint-set Jaccard — integer counts and one double

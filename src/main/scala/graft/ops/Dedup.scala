@@ -550,6 +550,42 @@ object Dedup {
       ngramJaccardPairsPrefixOnShingles(sh, freq, threshold)
   }
 
+  /** ASYMMETRIC containment pairs — the dedup signal symmetric Jaccard
+    * structurally misses: a short document quoted wholesale inside a
+    * long one has |∩|/|A| ≈ 1 but J(A,B) = |∩|/|A∪B| ≈ |A|/|B| ≈ 0.
+    * Emits one row per unordered pair where EITHER direction's
+    * containment |∩|/|side| clears the threshold, with both directions
+    * reported (`c_ab` = how much of a sits in b, `c_ba` the reverse) —
+    * the caller keeps the big doc and drops the contained one.
+    *
+    * Shuffle shape: the same exploded-shingle count join as d4's
+    * count-based plan (intersections are exact counts, divisions are
+    * two IEEE doubles of small ints — bit-identical cross-engine). At
+    * web scale the d4 chooser's prefix-filter discipline applies with
+    * one asymmetry: a containment prefix can only be taken on the
+    * CONTAINED side (the bound `|X| − ⌈t·|X|⌉ + 1` needs the side the
+    * threshold divides by), so the head-shingle protection is weaker
+    * than PPJoin's — screen with MinHash bands first (d2) when the
+    * corpus is long-tailed.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.9, n: Int = 3): DataFrame = {
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("c_ab", col("i").cast("double") / col("na").cast("double"))
+      .withColumn("c_ba", col("i").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
   /** Benchmark-contamination check — the decontamination pass every
     * training-data pipeline runs before a model ships: for each document
     * in a (small) eval/benchmark set, find the training documents that

@@ -1583,6 +1583,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("containment finds the quoted-inside pair symmetric Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    // doc 1 fully contained in doc 2: c_ab = 1.0, but J ≈ |A|/|B| is tiny
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cont.length == 1)
+    assert(cont.head._1 == 1L && cont.head._2 == 2L)
+    assert(cont.head._3 == 1.0 && cont.head._4 < 0.2)
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty, "symmetric Jaccard must miss the containment pair")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("appendIvf: cell contents after append == from-scratch assignment; layout intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx_inc").toString
