@@ -400,6 +400,30 @@ object GraftQueries {
         sum(col("n_chars")).as("sum_n_chars"))
   }
 
+  /** O27 [EXT] — ORC export round-trip: the other columnar format a
+    * warehouse migration meets. Orders written as zlib ORC with
+    * predicate-pushdown-friendly stripes, read back and aggregated;
+    * the oracle aggregates the original parquet — full value fidelity
+    * through the format, including decimal-quantised money and
+    * timestamp columns (the classic cross-format loss sites).
+    */
+  def o27OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_orc/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      tbl(s, dir, "orders")
+        .write.option("compression", "zlib").mode("overwrite").orc(out)
+    }
+    s.read.orc(out)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        moneySum(col("o_totalprice")).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"),
+        min(col("o_orderdate")).as("min_date"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -2278,6 +2302,7 @@ object GraftQueries {
     "o24_dump_parallel"  -> (o24DumpParallel _),
     "o25_jsonl_roundtrip" -> (o25JsonlRoundtrip _),
     "o26_csv_roundtrip"  -> (o26CsvRoundtrip _),
+    "o27_orc_roundtrip"  -> (o27OrcRoundtrip _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),

@@ -189,6 +189,17 @@ object Oracles {
         |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
 
+    // ORC round-trip: the oracle aggregates the ORIGINAL parquet — any
+    // value loss through the ORC write/read legs breaks the compare
+    "o27_orc_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(o_orderdate) AS max_date,
+        |       min(o_orderdate) AS min_date,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+        |FROM orders""".stripMargin,
+
     // parallel-sink round-trip: aggregates over the part-file dump
     // read-back must equal the same over the original parquet
     "o24_dump_parallel" ->
