@@ -1855,6 +1855,30 @@ object GraftQueries {
         sum(col("logit_micro")).as("sum_logit_micro"))
   }
 
+  /** P3 [EXT] — the INCREMENTAL ingest pipeline, composed end-to-end:
+    * an arriving batch (doc_id ≡ 0 mod 5) screens against history via
+    * the d11 bloom-prefiltered EXACT screen (history scanned twice,
+    * shuffled never), survivors pass the Gopher hard gates (t12) and
+    * the PII scrub (t7), and the accepted intake summarises per
+    * language. This is the shape a continuously-fed corpus runs every
+    * batch: dedup against everything already ingested, gate, scrub,
+    * account. Each stage inherits its standalone plan-asserted shape;
+    * the summary's md5 content sum makes the whole composition
+    * hash-checkable against a stitched SQL twin.
+    */
+  def p3IngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val screened = Dedup.bloomScreenNew(tbl(s, dir, "documents"),
+      "doc_id", "text", isNew = id => pmod(id, lit(5)) === 0)
+    val gated = TextAnalysis.gopherQualityFilter(screened).filter(col("keep"))
+    val scrubbed = TextAnalysis.scrubPii(gated)
+    scrubbed.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+      sum(col("n_pii")).as("sum_pii"),
+      sum(conv(substring(md5(col("scrubbed")), 1, 10), 16, 10).cast("long"))
+        .as("sum_scrub_h"))
+  }
+
   /** Column profile of the events table (bigint/string columns — the
     * types whose min/max render identically in both engines).
     */
@@ -2419,6 +2443,7 @@ object GraftQueries {
     "q_expectations"     -> (qExpectations _),
     "p1_pipeline"        -> (p1Pipeline _),
     "p2_pipeline"        -> (p2Pipeline _),
+    "p3_ingest_pipeline" -> (p3IngestPipeline _),
     "q_train_split"      -> (q_trainSplit _),
     "mm1_decode_meta"    -> (mm1DecodeMeta _),
     "mm3_resize_spec"    -> (mm3ResizeSpec _),

@@ -655,6 +655,41 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // incremental ingest pipeline: d11 exact screen + t12 gates + t7
+    // scrub + per-lang summary, stitched into one SQL twin
+    "p3_ingest_pipeline" ->
+      raw"""WITH fp AS (
+         |  SELECT doc_id, lang, text,
+         |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |surv AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT b0.doc_id, b0.lang, b0.text,
+         |      row_number() OVER (PARTITION BY b0.fp ORDER BY b0.doc_id) AS rn
+         |    FROM fp b0
+         |    WHERE b0.doc_id % 5 = 0
+         |      AND NOT EXISTS (SELECT 1 FROM fp h WHERE h.doc_id % 5 != 0 AND h.fp = b0.fp)) t
+         |  WHERE rn = 1),
+         |g AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+         |  FROM surv),
+         |k AS (
+         |  SELECT lang, text, len(toks) AS nt
+         |  FROM g
+         |  WHERE len(toks) BETWEEN 5 AND 1000
+         |    AND (CAST(length(text) - len(toks) + 1 AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 2.0 AND 12.0
+         |    AND len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) >= 2
+         |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2
+         |    AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3
+         |    AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(len(toks), 1) >= 0.7)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(${piiCountSql("text")}) AS BIGINT) AS sum_pii,
+         |  CAST(sum(CAST(('0x' || substr(md5(${scrubSql("text")}), 1, 10)) AS BIGINT)) AS BIGINT) AS sum_scrub_h
+         |FROM k GROUP BY 1""".stripMargin,
+
     // asymmetric containment: same shingle CTEs, per-direction division
     "d18_containment" ->
       s"""$shingleCtes

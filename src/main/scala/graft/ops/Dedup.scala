@@ -798,13 +798,14 @@ object Dedup {
       } else {
         batch.join(histFp, Seq("fp"), "left_anti")
       }
-    // within-batch canonical: min id per fingerprint — the d1 recipe on
-    // the batch only (batch-sized shuffle, the op's one unavoidable cost)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("fp").orderBy(col(idCol))
-    survivors.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(outCols: _*)
+    // within-batch canonical: min id per fingerprint — the d15
+    // min-struct AGGREGATE, not a fingerprint-partitioned window: a
+    // batch carrying a viral duplicate collapses map-side instead of
+    // funnelling one task (the same skew fix the composed pipelines
+    // got; batch-sized mergeable shuffle is the op's one unavoidable
+    // cost). The fingerprint recomputes on the survivors (one codegen
+    // md5 per row) so the output keeps exactly df's columns.
+    exactCanonicalRows(survivors.select(outCols: _*), idCol, fp)
   }
 
   /** Positioned k-token gram hashes: one row per gram OCCURRENCE —

@@ -533,6 +533,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"merge-on-read resolution must be ONE key shuffle, got $exchanges:\n${plan.take(2000)}")
   }
 
+  test("p3 ingest pipeline / d11 screen: no window at all — canonical is the min-struct aggregate") {
+    for (q <- Seq("p3_ingest_pipeline", "d11_bloom_screen")) {
+      val plan = planOf(q)
+      assert(!plan.contains("windowspecdefinition"),
+        s"$q: a fingerprint-partitioned window is the skew funnel the d15 aggregate replaces:\n${plan.take(2000)}")
+      assert(plan.contains("partial_min"), s"$q: mergeable min-struct missing")
+    }
+  }
+
   test("t20 bpe pairs: mergeable aggregates + TakeOrderedAndProject, no window") {
     val plan = planOf("t20_bpe_pairs")
     assert(plan.contains("TakeOrderedAndProject"),
