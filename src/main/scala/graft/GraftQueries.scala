@@ -424,6 +424,30 @@ object GraftQueries {
         countDistinct(col("o_orderstatus")).as("n_status"))
   }
 
+  /** O28 [EXT] — k-anonymity / l-diversity audit: the validation an
+    * anonymiser's output needs before release. Rows group by their
+    * quasi-identifier tuple (nation, market segment); each equivalence
+    * class reports its size (k-anonymity: every class ≥ k ⇒ no
+    * individual is narrowed below k candidates) and its count of
+    * distinct sensitive values — account balance quantised to coarse
+    * bands, since raw balances are unique and l-diversity over them is
+    * vacuous (l-diversity: a class where every member shares one
+    * sensitive value leaks it even at k). One mergeable aggregate; the
+    * class count is bounded by the QI domain, metadata-sized.
+    */
+  def o28KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val l = 2
+    val sensitiveBand = floor(col("c_acctbal") / 1000.0).cast("long")
+    tbl(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitiveBand).as("l_distinct"))
+      .withColumn("k_ok", col("class_size") >= k)
+      .withColumn("l_ok", col("l_distinct") >= l)
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -1903,6 +1927,14 @@ object GraftQueries {
   def q_cohortRetention(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.cohortRetention(tbl(s, dir, "events"))
 
+  /** Q_CHANGEPOINT [EXT] — CUSUM drift detection over daily event
+    * volume (`ops.TimeSeries.cusumChangepoints`): the sequential
+    * recurrence replaced exactly by the prefix-min identity, integer
+    * micro-scaled so both engines agree bit-for-bit.
+    */
+  def q_changepoint(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.cusumChangepoints(tbl(s, dir, "events"), "ts", "day")
+
   /** Deequ-style expectations over the fixture: completeness,
     * uniqueness, domain membership, a row invariant, an array-dim
     * contract, and orders→customer referential integrity — single-scan
@@ -2327,6 +2359,7 @@ object GraftQueries {
     "o25_jsonl_roundtrip" -> (o25JsonlRoundtrip _),
     "o26_csv_roundtrip"  -> (o26CsvRoundtrip _),
     "o27_orc_roundtrip"  -> (o27OrcRoundtrip _),
+    "o28_k_anonymity"    -> (o28KAnonymity _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),
@@ -2440,6 +2473,7 @@ object GraftQueries {
     "q_profile"          -> (q_profile _),
     "q_histogram"        -> (q_histogram _),
     "q_cohort_retention" -> (q_cohortRetention _),
+    "q_changepoint"      -> (q_changepoint _),
     "q_expectations"     -> (qExpectations _),
     "p1_pipeline"        -> (p1Pipeline _),
     "p2_pipeline"        -> (p2Pipeline _),

@@ -189,6 +189,17 @@ object Oracles {
         |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
 
+    // k-anonymity / l-diversity audit over quasi-identifier classes
+    "o28_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+        |       c_mktsegment AS mktsegment,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS l_distinct,
+        |       count(*) >= 5 AS k_ok,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 2 AS l_ok
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin,
+
     // ORC round-trip: the oracle aggregates the ORIGINAL parquet — any
     // value loss through the ORC write/read legs breaks the compare
     "o27_orc_roundtrip" ->
@@ -1348,6 +1359,26 @@ object Oracles {
         |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM c, m GROUP BY 1""".stripMargin,
+
+    // CUSUM via the prefix-min identity; integer deviations n·c − Σc
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(c) AS total, count(*) AS nb FROM daily),
+        |p AS (
+        |  SELECT bucket_ts, c, total,
+        |    sum(c * nb - total) OVER (ORDER BY bucket_ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM daily, t),
+        |s AS (
+        |  SELECT bucket_ts, c, total,
+        |    p - min(least(p, 0)) OVER (ORDER BY bucket_ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_scaled
+        |  FROM p)
+        |SELECT bucket_ts, c, s_scaled, s_scaled > 2 * total AS drift_flag
+        |FROM s""".stripMargin,
 
     // weekly cohort retention: both engines truncate weeks to Monday,
     // so the day difference is an exact multiple of 7

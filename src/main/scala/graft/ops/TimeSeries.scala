@@ -97,4 +97,41 @@ object TimeSeries {
           .as("value_interp"),
         col("v_obs").isNotNull.as("is_observed"))
   }
+
+  /** CUSUM changepoint scores over a per-bucket count series (Page
+    * 1954, the classic drift detector): the one-sided CUSUM recurrence
+    * `S_i = max(0, S_{i-1} + dev_i)` computed WITHOUT the sequential
+    * fold, via the prefix-min identity `S_i = P_i − min_{j≤i} P_j`
+    * where `P` is the plain running sum of deviations — two window
+    * passes replace the recurrence exactly. Deviations are kept
+    * integer by cross-multiplying out the mean: `dev_i = n·c_i − Σc`
+    * (units of counts×n), so every score is exact long arithmetic and
+    * the SQL twin matches bit-for-bit. A bucket is flagged when its
+    * scaled score exceeds `thresholdMeans` × mean × n — i.e. the
+    * accumulated drift since the best historical baseline exceeds that
+    * many whole mean-buckets.
+    *
+    * Scale shape: events collapse to per-bucket counts in one
+    * mergeable aggregate FIRST, so the ordered windows ride on a
+    * calendar-bounded relation (≤ 36,525 rows per decade of daily
+    * buckets — metadata scale regardless of event volume); the
+    * partitionless window is safe precisely because its input is
+    * bounded by the calendar, not the data.
+    */
+  def cusumChangepoints(events: DataFrame, tsCol: String, bucket: String,
+                        thresholdMeans: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(date_trunc(bucket, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(sum("c").as("total"), count(lit(1)).as("nb"))
+    val ordered = Window.orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("p", sum(col("c") * col("nb") - col("total")).over(ordered))
+      .withColumn("s_scaled", col("p") - min(least(col("p"), lit(0L))).over(ordered))
+      .select(col("bucket_ts"), col("c"),
+        col("s_scaled"),
+        (col("s_scaled") > lit(thresholdMeans.toLong) * col("total")).as("drift_flag"))
+  }
 }

@@ -1583,6 +1583,39 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cusum: prefix-min identity == sequential fold; planted drift flags") {
+    import spark.implicits._
+    // 30 quiet days at ~10 events, then 10 days at 60: drift must flag
+    val rnd = new scala.util.Random(11)
+    val events = (0 until 30).flatMap { d =>
+      (0 until 9 + rnd.nextInt(3)).map(i => (d.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")))
+    } ++ (0 until 10).flatMap { d =>
+      (0 until 60).map(i => (10000L + d * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-02-${d + 1}%02d 12:00:00")))
+    }
+    val df = events.toDF("event_id", "ts")
+    val got = graft.ops.TimeSeries.cusumChangepoints(df, "ts", "day")
+      .orderBy("bucket_ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // sequential reference: S_i = max(0, S_{i-1} + (n·c_i − total))
+    val counts = got.map(_._1)
+    val total = counts.sum
+    val n = counts.length.toLong
+    var s = 0L
+    val want = counts.map { c =>
+      s = math.max(0L, s + (n * c - total))
+      s
+    }
+    assert(got.map(_._2).toSeq == want.toSeq)
+    assert(got.takeWhile(!_._3).length >= 30, "no false alarm in the quiet period")
+    assert(got.exists(_._3), "the planted drift must flag")
+    // partitioning-invariant
+    val re = graft.ops.TimeSeries.cusumChangepoints(df.repartition(7), "ts", "day")
+      .orderBy("bucket_ts").collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("containment finds the quoted-inside pair symmetric Jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"
