@@ -32,7 +32,14 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "t17_ppl_buckets", "t18_char_entropy", "t19_collocations",
     "st1_first_seen", "st3_latest_state", "st5_scd2_stream", "st11_table_diff",
     "p1_pipeline", "p2_pipeline", "d10_dedup_canonical", "d12_semdedup",
-    "t10_tfidf_keywords", "t15_bigram_surprisal", "q_percentiles")
+    "t10_tfidf_keywords", "t15_bigram_surprisal", "q_percentiles",
+    // round-6 continuation ops — every shape with a partitioning story:
+    // aggregates feeding windows (changepoint, cohort), salted top-k
+    // (s10), iterative joins (g1), banding joins (mm6, d18), pipelines
+    "t20_bpe_pairs", "s10_diverse_sample", "g1_supplier_rank",
+    "mm6_image_neardup", "d18_containment", "q_histogram",
+    "q_cohort_retention", "q_changepoint", "st12_window_topk",
+    "st13_anonymise_stream", "p3_ingest_pipeline", "o28_k_anonymity")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
