@@ -1412,6 +1412,26 @@ object GraftQueries {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
   }
 
+  /** S12 [EXT] — scalar-quantised (int8) ANN: per-dimension byte
+    * quantisation from one mergeable min/max aggregate, asymmetric
+    * scoring over the 4×-smaller encoded scan; recall verdict floor
+    * 0.7 — SQ8 must demonstrably out-recall the 8-byte PQ codes
+    * (s4's floor is 0.2).
+    */
+  def s12KnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.sq8TopK(emb, q, k = 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.7).as("recall_ok"))
+  }
+
   /** G1 [EXT] — supplier influence rank: PageRank over the symmetrised
     * customer–supplier co-purchase graph (edge weight = lineitem
     * count), 3 supersteps, top-10 suppliers. Integer micro-rank
@@ -2441,6 +2461,7 @@ object GraftQueries {
     "s9_knn_rerank"      -> (s9KnnRerank _),
     "s10_diverse_sample" -> (s10DiverseSample _),
     "s11_ivf_append"     -> (s11IvfAppend _),
+    "s12_knn_sq8"        -> (s12KnnSq8 _),
     "g1_supplier_rank"   -> (g1SupplierRank _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),

@@ -389,6 +389,68 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Scalar-quantised (SQ8) ANN — the standard compression point
+    * between raw floats and PQ codes: every dimension quantises
+    * independently to one byte against per-dimension [min, max]
+    * learned in ONE mergeable corpus aggregate, so a 64-dim float
+    * vector stores as 64 B (4× less scan IO than raw floats, while
+    * PQ's 8 B codes trade away more recall). Scoring is asymmetric:
+    * the exact query dots against the DEQUANTISED candidate — the
+    * per-dim linear map runs inside the scoring kernel, so the scan
+    * stays a narrow pass over byte arrays.
+    *
+    * Scale shape: training is one posexplode + groupBy(dim) min/max
+    * (64 result rows — metadata), encode is a narrow map, queries
+    * broadcast into the encoded scan exactly like s1. Deterministic
+    * end to end; approximate by design (quantisation error), so the
+    * catalog entry asserts a recall floor like s2/s4.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val c = Partitioning.ensureParallelism(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    val ranges = c.select(posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    val lo = ranges.map(_._2)
+    val span = ranges.map { case (_, l, h) => math.max(h - l, 1e-12) }
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcSpan = spark.sparkContext.broadcast(span)
+    val encode = udf { (v: Array[Float]) =>
+      val l = bcLo.value; val s = bcSpan.value
+      Array.tabulate(v.length) { d =>
+        val q = math.round(255.0 * (v(d) - l(d)) / s(d))
+        math.max(0L, math.min(255L, q)).toByte
+      }
+    }
+    val score = udf { (qv: Array[Float], codes: Array[Byte]) =>
+      val l = bcLo.value; val s = bcSpan.value
+      var dot = 0.0; var nq = 0.0; var nc = 0.0
+      var d = 0
+      while (d < qv.length) {
+        val cd = l(d) + (codes(d) & 0xff) * s(d) / 255.0
+        dot += qv(d) * cd
+        nq += qv(d).toDouble * qv(d)
+        nc += cd * cd
+        d += 1
+      }
+      if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc)
+    }
+    val enc = c.select(col("neighbor_id"), encode(col("cv")).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = enc.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", score(col("qv"), col("codes")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** Product-quantization ANN (Jégou, Douze, Schmid, TPAMI 2011): split
     * each (unit-normalised) vector into `m` subspaces, learn a
     * 2^codebookBits-centroid codebook per subspace on a bounded sample,

@@ -1583,6 +1583,22 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("sq8: recall@10 beats PQ and clears the 0.7 verdict floor") {
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      val hits = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .count()
+      hits.toDouble / exact.count()
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    val sq8 = recallOf(Similarity.sq8TopK(emb, q, 10))
+    val pq = recallOf(Similarity.pqTopK(emb, q, 10, m = 16, codebookBits = 6))
+    assert(sq8 >= 0.7, s"sq8 recall $sq8")
+    assert(sq8 >= pq, s"sq8 ($sq8) should not lose to 16B PQ codes ($pq)")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("cusum: prefix-min identity == sequential fold; planted drift flags") {
     import spark.implicits._
     // 30 quiet days at ~10 events, then 10 days at 60: drift must flag
