@@ -1947,6 +1947,59 @@ object GraftQueries {
   def q_cohortRetention(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.cohortRetention(tbl(s, dir, "events"))
 
+  /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
+    * first join): parts bought together in one order, top-20 pairs by
+    * support. The A-priori downward-closure prefilter does the scale
+    * work: items below half the pair minimum support CANNOT form a
+    * frequent pair, so they drop BEFORE the pair self-join — the
+    * candidate volume Σ basket² runs over filtered baskets only. Pair
+    * generation is an order-keyed self-join (a < b), bounded by basket
+    * size, never a corpus cross join; counts are one mergeable
+    * aggregate and the final cut is TakeOrderedAndProject.
+    */
+  def q_basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 3L
+    val items = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val frequent = items.groupBy("p").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") * 2 >= minSupport)
+    val filtered = items.join(broadcast(frequent.select("p")), "p")
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs.orderBy(col("support").desc, col("part_a"), col("part_b")).limit(20)
+  }
+
+  /** Q_TIME_WEIGHTED [EXT] — time-weighted average value per user over
+    * the irregular event series (the TWAP primitive): each observation
+    * weights by its holding interval to the next same-user event. ALL
+    * integer: values quantise to cents, intervals to whole seconds,
+    * and the average emits in 10⁻⁴-dollar units via truncating
+    * division — a decimal→double cast at the end was measured to
+    * differ between engines in the last ulp (the two engines round
+    * wide decimals to double through different paths), so no float
+    * ever appears.
+    */
+  def q_timeWeighted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withNext = tbl(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("t", expr("unix_micros(ts) DIV 1000000"))
+      .withColumn("nt", lead(col("t"), 1).over(byUser))
+      .filter(col("nt").isNotNull)
+      .withColumn("dt", col("nt") - col("t"))
+      .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    withNext.groupBy("user_id")
+      .agg(sum(col("cents") * col("dt")).as("wsum"), sum(col("dt")).as("tspan"))
+      .filter(col("tspan") > 0)
+      .select(col("user_id"),
+        expr("(wsum * 100) DIV tspan").as("twa_e4"),
+        col("tspan").as("span_seconds"))
+  }
+
   /** Q_CHANGEPOINT [EXT] — CUSUM drift detection over daily event
     * volume (`ops.TimeSeries.cusumChangepoints`): the sequential
     * recurrence replaced exactly by the prefix-min identity, integer
@@ -2495,6 +2548,8 @@ object GraftQueries {
     "q_histogram"        -> (q_histogram _),
     "q_cohort_retention" -> (q_cohortRetention _),
     "q_changepoint"      -> (q_changepoint _),
+    "q_basket_pairs"     -> (q_basketPairs _),
+    "q_time_weighted"    -> (q_timeWeighted _),
     "q_expectations"     -> (qExpectations _),
     "p1_pipeline"        -> (p1Pipeline _),
     "p2_pipeline"        -> (p2Pipeline _),

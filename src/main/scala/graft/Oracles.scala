@@ -1364,6 +1364,42 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM c, m GROUP BY 1""".stripMargin,
 
+    // A-priori pair mining: downward-closure prefilter, then the
+    // order-keyed pair self-join
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (SELECT p FROM (SELECT p, count(*) AS sup FROM items GROUP BY p) f
+        |         WHERE sup * 2 >= 3),
+        |fi AS (SELECT i.o, i.p FROM items i JOIN freq USING (p)),
+        |pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+        |  FROM fi a JOIN fi b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+        |FROM pairs WHERE support >= 3
+        |ORDER BY support DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+
+    // TWA: all-integer — cents × whole seconds, truncating division to
+    // 1e-4-dollar units (a wide-decimal→double cast differs between
+    // engines in the last ulp; no float appears anywhere here)
+    "q_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    epoch_us(ts) // 1000000 AS t,
+        |    lead(epoch_us(ts) // 1000000) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS nt
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * (nt - t) AS wv,
+        |    nt - t AS dt
+        |  FROM e WHERE nt IS NOT NULL)
+        |SELECT user_id,
+        |       CAST((sum(wv) * 100) // sum(dt) AS BIGINT) AS twa_e4,
+        |       CAST(sum(dt) AS BIGINT) AS span_seconds
+        |FROM w GROUP BY user_id HAVING sum(dt) > 0""".stripMargin,
+
     // CUSUM via the prefix-min identity; integer deviations n·c − Σc
     "q_changepoint" ->
       """WITH daily AS (
