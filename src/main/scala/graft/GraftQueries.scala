@@ -448,6 +448,28 @@ object GraftQueries {
       .withColumn("l_ok", col("l_distinct") >= l)
   }
 
+  /** O29 [EXT] — referentially-consistent subsetting (`export.Subset`):
+    * a 10% md5-bucket sample of orders, closed over the engine's own
+    * FK catalog so every table keeps exactly the rows the sample needs
+    * — descendants restrict down (lineitem, then events once customer
+    * shrinks), referenced dimensions restrict up (customer, part,
+    * supplier, nation, region). The summary row per table carries the
+    * kept count AND the dangling-FK count; the closure proof is that
+    * every orphan count is zero in BOTH engines.
+    */
+  def o29SubsetClosure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    val tables = names.map(t => t -> tbl(s, dir, t)).toMap
+    val fks = graft.sources.ParquetSource.fixtureForeignKeys
+    val kept = graft.export.Subset.closure(tables, fks, "orders",
+      graft.ops.Sampling.bucket(col("o_orderkey"), 10) === 0)
+    val orphans = graft.export.Subset.orphanCounts(kept, fks)
+    names.map(t => (t, kept(t).count(), orphans(t)))
+      .toDF("table_name", "n_rows", "n_orphans")
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -2433,6 +2455,7 @@ object GraftQueries {
     "o26_csv_roundtrip"  -> (o26CsvRoundtrip _),
     "o27_orc_roundtrip"  -> (o27OrcRoundtrip _),
     "o28_k_anonymity"    -> (o28KAnonymity _),
+    "o29_subset_closure" -> (o29SubsetClosure _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),

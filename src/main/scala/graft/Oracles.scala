@@ -189,6 +189,47 @@ object Oracles {
         |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
         |FROM orders""".stripMargin,
 
+    // referentially-consistent subsetting: the closure re-derived as
+    // hand-written CTEs (anchor sample -> down to lineitem/events, up
+    // to the dimensions); every orphan count must be zero in both
+    // engines for the subset to restore under enabled constraints
+    "o29_subset_closure" -> {
+      val anchor = bucketSql("o_orderkey", 10)
+      s"""WITH ko AS (SELECT * FROM orders WHERE $anchor = 0),
+         |kl AS (SELECT l.* FROM lineitem l
+         |       WHERE EXISTS (SELECT 1 FROM ko WHERE ko.o_orderkey = l.l_orderkey)),
+         |kc AS (SELECT c.* FROM customer c
+         |       WHERE EXISTS (SELECT 1 FROM ko WHERE ko.o_custkey = c.c_custkey)),
+         |ks AS (SELECT s.* FROM supplier s
+         |       WHERE EXISTS (SELECT 1 FROM kl WHERE kl.l_suppkey = s.s_suppkey)),
+         |kp AS (SELECT p.* FROM part p
+         |       WHERE EXISTS (SELECT 1 FROM kl WHERE kl.l_partkey = p.p_partkey)),
+         |kn AS (SELECT n.* FROM nation n
+         |       WHERE EXISTS (SELECT 1 FROM kc WHERE kc.c_nationkey = n.n_nationkey)
+         |          OR EXISTS (SELECT 1 FROM ks WHERE ks.s_nationkey = n.n_nationkey)),
+         |kr AS (SELECT r.* FROM region r
+         |       WHERE EXISTS (SELECT 1 FROM kn WHERE kn.n_regionkey = r.r_regionkey)),
+         |ke AS (SELECT e.* FROM events e
+         |       WHERE EXISTS (SELECT 1 FROM kc WHERE kc.c_custkey = e.user_id))
+         |SELECT 'region' AS table_name, CAST((SELECT count(*) FROM kr) AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_orphans
+         |UNION ALL SELECT 'nation', (SELECT count(*) FROM kn),
+         |  (SELECT count(*) FROM kn WHERE NOT EXISTS (SELECT 1 FROM kr WHERE kr.r_regionkey = kn.n_regionkey))
+         |UNION ALL SELECT 'customer', (SELECT count(*) FROM kc),
+         |  (SELECT count(*) FROM kc WHERE NOT EXISTS (SELECT 1 FROM kn WHERE kn.n_nationkey = kc.c_nationkey))
+         |UNION ALL SELECT 'supplier', (SELECT count(*) FROM ks),
+         |  (SELECT count(*) FROM ks WHERE NOT EXISTS (SELECT 1 FROM kn WHERE kn.n_nationkey = ks.s_nationkey))
+         |UNION ALL SELECT 'part', (SELECT count(*) FROM kp), 0
+         |UNION ALL SELECT 'orders', (SELECT count(*) FROM ko),
+         |  (SELECT count(*) FROM ko WHERE NOT EXISTS (SELECT 1 FROM kc WHERE kc.c_custkey = ko.o_custkey))
+         |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM kl),
+         |  (SELECT count(*) FROM kl WHERE NOT EXISTS (SELECT 1 FROM ko WHERE ko.o_orderkey = kl.l_orderkey))
+         |  + (SELECT count(*) FROM kl WHERE NOT EXISTS (SELECT 1 FROM kp WHERE kp.p_partkey = kl.l_partkey))
+         |  + (SELECT count(*) FROM kl WHERE NOT EXISTS (SELECT 1 FROM ks WHERE ks.s_suppkey = kl.l_suppkey))
+         |UNION ALL SELECT 'events', (SELECT count(*) FROM ke),
+         |  (SELECT count(*) FROM ke WHERE NOT EXISTS (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
+    },
+
     // k-anonymity / l-diversity audit over quasi-identifier classes
     "o28_k_anonymity" ->
       """SELECT CAST(c_nationkey AS INTEGER) AS nationkey,

@@ -1,0 +1,98 @@
+package graft.export
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.analyse.{ForeignKey, Topo}
+
+/** Referentially-consistent subsetting — the MINIMISER's hard half:
+  * given a sample of one anchor table, compute the smallest restriction
+  * of every other table that makes the result a CLOSED database (no
+  * foreign key dangles in any table), so the subset restores into a
+  * schema with its constraints enabled.
+  *
+  * The closure is driven by the engine's own FK catalog (metadata
+  * scale, the o4 surface) and alternates two sweeps until the set of
+  * restricted tables stabilises — on a DAG that is at most #tables
+  * rounds, and two in practice:
+  *
+  *  - DOWN (dependency order, parents first): a table with an FK onto
+  *    a restricted table keeps only rows whose parent survived — the
+  *    anchor's restriction cascades transitively to its descendants
+  *    (orders → lineitem), and later rounds pull newly-restricted
+  *    dimensions' children in (customer → events).
+  *  - UP (reverse order, children first): a referenced dimension keeps
+  *    only rows some RESTRICTED child references — the union of its
+  *    restricted children's key columns, semi-joined. Unrestricted
+  *    children are deliberately excluded from the union: counting them
+  *    would keep the whole dimension alive and defeat minimisation;
+  *    the next DOWN sweep restricts them against the now-small parent
+  *    instead.
+  *
+  * Scale shape: every step is a LEFT SEMI join whose build side is a
+  * key projection of an already-restricted table — exactly the shape
+  * AQE turns into a broadcast once the anchor sample is small; fact
+  * tables are never shuffled more than once per incident FK edge, and
+  * nothing data-dependent ever sits on the driver (the loop is over FK
+  * METADATA). Correct closure is not assumed: [[orphanCounts]] proves
+  * zero dangling rows per table, and the o29 catalog entry carries
+  * those counts through the oracle gate.
+  */
+object Subset {
+
+  def closure(tables: Map[String, DataFrame], fks: Seq[ForeignKey],
+              anchor: String, anchorFilter: Column): Map[String, DataFrame] = {
+    require(tables.contains(anchor), s"closure: unknown anchor $anchor")
+    val order = Topo.sortTablesByDependency(tables.keys.toSeq.sorted, fks)
+    val kept = scala.collection.mutable.Map(tables.toSeq: _*)
+    var restricted = Set(anchor)
+    kept(anchor) = tables(anchor).filter(anchorFilter)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < tables.size + 1) {
+      changed = false
+      rounds += 1
+      // DOWN: parents first, so one sweep propagates transitively
+      for (t <- order if !restricted(t)) {
+        val parentEdges = fks.filter(f =>
+          f.table == t && f.referencedTable != t && restricted(f.referencedTable))
+        if (parentEdges.nonEmpty) {
+          kept(t) = parentEdges.foldLeft(kept(t)) { (df, f) =>
+            df.join(kept(f.referencedTable).select(col(f.referencedColumn).as("__pk")),
+              df(f.column) === col("__pk"), "left_semi")
+          }
+          restricted += t
+          changed = true
+        }
+      }
+      // UP: children first, so a dimension sees final restricted children
+      for (t <- order.reverse if !restricted(t)) {
+        val childEdges = fks.filter(f =>
+          f.referencedTable == t && f.table != t && restricted(f.table))
+        if (childEdges.nonEmpty) {
+          val refCol = childEdges.head.referencedColumn
+          val refs = childEdges.map(f => kept(f.table).select(col(f.column).as("__k")))
+            .reduce(_ unionAll _).distinct()
+          kept(t) = kept(t).join(refs, col(refCol) === col("__k"), "left_semi")
+          restricted += t
+          changed = true
+        }
+      }
+    }
+    kept.toMap
+  }
+
+  /** Per-table dangling-FK row counts over a subset — the closure
+    * proof: every count must be zero for the subset to restore under
+    * enabled constraints.
+    */
+  def orphanCounts(kept: Map[String, DataFrame],
+                   fks: Seq[ForeignKey]): Map[String, Long] =
+    kept.map { case (t, df) =>
+      val edges = fks.filter(f => f.table == t && kept.contains(f.referencedTable))
+      val orphans = edges.map { f =>
+        df.join(kept(f.referencedTable).select(col(f.referencedColumn).as("__pk")),
+          df(f.column) === col("__pk"), "left_anti").count()
+      }.sum
+      t -> orphans
+    }
+}

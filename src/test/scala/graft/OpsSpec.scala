@@ -1583,6 +1583,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("subset closure: zero orphans, dimensions minimal (every kept row referenced)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    val tables = names.map(t => t ->
+      graft.sources.ParquetSource.normalizeNanoTimestamps(
+        spark.read.parquet(s"$sfDir/$t.parquet"))).toMap
+    val fks = graft.sources.ParquetSource.fixtureForeignKeys
+    val kept = graft.export.Subset.closure(tables, fks, "orders",
+      pmod(col("o_orderkey"), lit(7)) === 0)
+    // closed: no dangling FK anywhere
+    val orphans = graft.export.Subset.orphanCounts(kept, fks)
+    assert(orphans.values.forall(_ == 0L), orphans.toString)
+    // minimal: every kept dimension row is referenced by a kept child
+    def refd(dim: String, dimKey: String, child: String, childKey: String) =
+      kept(dim).join(kept(child).select(col(childKey).as("__k")),
+        col(dimKey) === col("__k"), "left_anti").count()
+    assert(refd("customer", "c_custkey", "orders", "o_custkey") == 0)
+    assert(refd("part", "p_partkey", "lineitem", "l_partkey") == 0)
+    assert(refd("supplier", "s_suppkey", "lineitem", "l_suppkey") == 0)
+    assert(refd("region", "r_regionkey", "nation", "n_regionkey") == 0)
+    // the subset genuinely shrinks the fact chain
+    assert(kept("lineitem").count() < tables("lineitem").count())
+    assert(kept("events").count() < tables("events").count())
+  }
+
   test("sq8: recall@10 beats PQ and clears the 0.7 verdict floor") {
     def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
       val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
