@@ -12,7 +12,14 @@ import graft.sources.{JdbcSource, ParquetSource, Source}
   *
   *   graft export -c config.yaml -o out.sql [--dry-run] [--batch-size N]
   *   graft sync   -c config.yaml [--truncate] [--dry-run]
+  *   graft subset -c config.yaml -o out.sql --anchor <table> [--pct N]
   *   graft version
+  *
+  * `subset` is an extension beyond the reference: a referentially-
+  * consistent sample (export.Subset closure over the FK catalog) runs
+  * through the SAME anonymise + topo-order + dump pipeline, so the
+  * output restores under enabled constraints at a fraction of the
+  * size — the minimiser's production use-case.
   *
   * One extension: `--source parquet:<dir>` scans the fixture directory
   * instead of a live JDBC database (this environment ships no JDBC
@@ -27,18 +34,21 @@ object Main {
       println(s"graft $version")
     case "export" :: rest => run(parseFlags(rest), export = true)
     case "sync" :: rest   => run(parseFlags(rest), export = false)
+    case "subset" :: rest => runSubset(parseFlags(rest))
     case _ =>
       System.err.println(
         """usage:
           |  graft export -c <config.(yaml|json)> -o <out.sql> [--dry-run] [--batch-size N] [--source parquet:<dir>]
           |  graft sync   -c <config> [--truncate] [--dry-run] [--source parquet:<dir>]
+          |  graft subset -c <config> -o <out.sql> --anchor <table> [--pct N] [--source parquet:<dir>]
           |  graft version""".stripMargin)
       sys.exit(2)
   }
 
   private final case class Flags(
       config: String = "", out: String = "", dryRun: Boolean = false,
-      truncate: Boolean = false, batchSize: Int = 1000, source: String = "")
+      truncate: Boolean = false, batchSize: Int = 1000, source: String = "",
+      anchor: String = "", pct: Int = 10)
 
   private def parseFlags(args: List[String]): Flags = {
     @annotation.tailrec
@@ -49,6 +59,8 @@ object Main {
       case "--truncate" :: t         => go(t, f.copy(truncate = true))
       case "--batch-size" :: v :: t  => go(t, f.copy(batchSize = v.toInt))
       case "--source" :: v :: t      => go(t, f.copy(source = v))
+      case "--anchor" :: v :: t      => go(t, f.copy(anchor = v))
+      case "--pct" :: v :: t         => go(t, f.copy(pct = v.toInt))
       case Nil                       => f
       case other :: _ =>
         System.err.println(s"unknown flag: $other"); sys.exit(2)
@@ -130,6 +142,43 @@ object Main {
             f"${stats.rowsExported} rows in $secs%.1fs " +
             f"(cores=${Runtime.getRuntime.availableProcessors})")
       }
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft subset`: referentially-consistent sample → anonymise →
+    * topo-ordered dump, through the unchanged export pipeline. The
+    * anchor's sample key is the column other tables reference (the FK
+    * catalog knows it); rows keep when their portable md5 bucket of
+    * 100 falls below --pct.
+    */
+  private def runSubset(flags: Flags): Unit = {
+    val cfg = GraftConfig.load(flags.config)
+    if (flags.anchor.isEmpty) { System.err.println("missing --anchor <table>"); sys.exit(2) }
+    if (flags.out.isEmpty) { System.err.println("missing -o <out.sql>"); sys.exit(2) }
+    require(flags.pct >= 1 && flags.pct <= 100, "--pct must be in 1..100")
+    val preExisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+    val spark = buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val source = buildSource(spark, cfg, flags.source)
+      val fks = source.foreignKeys
+      val anchorKey = fks.find(_.referencedTable == flags.anchor).map(_.referencedColumn)
+        .getOrElse(source.columns(flags.anchor).head.name)
+      val tables = source.tables.map(t => t -> source.read(t)).toMap
+      val kept = graft.export.Subset.closure(tables, fks, flags.anchor,
+        graft.ops.Sampling.bucket(org.apache.spark.sql.functions.col(anchorKey), 100)
+          < flags.pct)
+      val orphans = graft.export.Subset.orphanCounts(kept, fks)
+      require(orphans.values.forall(_ == 0L),
+        s"subset closure left dangling rows: $orphans — refusing to write")
+      val writer = new java.io.FileWriter(flags.out)
+      val stats = try
+        ExportPipeline.run(new graft.export.SubsetSource(source, kept), cfg,
+          Dialect.forName(cfg.connection.dbType), writer, flags.batchSize)
+      finally writer.close()
+      System.err.println(
+        s"Subset (anchor=${flags.anchor}, ${flags.pct}%): exported " +
+          s"${stats.tablesExported} tables, ${stats.rowsExported} rows, 0 orphans")
     } finally if (!preExisting) spark.stop()
   }
 }

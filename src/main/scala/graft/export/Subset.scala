@@ -96,3 +96,24 @@ object Subset {
       t -> orphans
     }
 }
+
+/** A [[graft.sources.Source]] view restricted to a referentially-
+  * consistent subset: metadata (DDL, columns, FKs, table list) passes
+  * through to the underlying source; reads serve the closed
+  * restriction, tables outside the closure (no FK path to the anchor —
+  * e.g. standalone document stores) pass through untouched and keep
+  * their own config retain rules. Feeding this into
+  * `ExportPipeline.run` composes the full minimiser story —
+  * subset → anonymise → topo-ordered dump — without the pipeline
+  * knowing subsetting exists.
+  */
+final class SubsetSource(underlying: graft.sources.Source,
+                         kept: Map[String, DataFrame]) extends graft.sources.Source {
+  def spark: org.apache.spark.sql.SparkSession = underlying.spark
+  def tables: Seq[String] = underlying.tables
+  def schemaDDL(table: String): String = underlying.schemaDDL(table)
+  def columns(table: String): Seq[graft.analyse.ColumnInfo] = underlying.columns(table)
+  def foreignKeys: Seq[ForeignKey] = underlying.foreignKeys
+  def read(table: String): DataFrame = kept.getOrElse(table, underlying.read(table))
+  override def rowCount(table: String): Long = read(table).count()
+}

@@ -92,4 +92,38 @@ class CliSpec extends AnyFunSuite with SparkSuite {
     assert(reloaded.tableConfig("lineitem").exists(_.retain == graft.config.RetainCount(100)))
     assert(reloaded.configuration.size == tables.size())
   }
+
+  test("graft subset exports a referentially-consistent anonymised fraction") {
+    // plain config (no truncates/retains — the subset does the shrinking)
+    val cfg = writeTemp("subset_cfg",
+      """connection:
+        |  type: sqlite
+        |  file: fixture
+        |configuration:
+        |  customer:
+        |    columns:
+        |      c_name: "{{faker.name}}"
+        |""".stripMargin)
+    val out = Files.createTempFile("graft_cli_subset", ".sql").toString
+    Main.main(Array("subset", "-c", cfg, "-o", out, "--anchor", "orders",
+      "--pct", "20", "--source", "parquet:/root/testdata/sf0.001"))
+    val dump = Files.readString(Paths.get(out))
+    assert(dump.contains("INSERT INTO \"orders\"") &&
+      dump.contains("INSERT INTO \"lineitem\""))
+    // read the dump back through the engine's own splittable source and
+    // assert the closure: a real fraction of orders, and every dumped
+    // lineitem's order key among the dumped orders
+    def table(t: String) = spark.read.format("graft.sources.SqlDumpSource")
+      .option("table", t).load(out)
+    val full = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    val keptOrders = table("orders").select("o_orderkey")
+    val n = keptOrders.count()
+    assert(n > 0 && n < full, s"subset kept $n of $full orders")
+    val dangling = table("lineitem").join(keptOrders,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"), "left_anti").count()
+    assert(dangling == 0, s"$dangling lineitems dangle in the dumped subset")
+    // anonymisation still applied inside the subset pipeline
+    assert(!dump.contains("Customer#"), "anonymised c_name leaked originals")
+  }
 }
