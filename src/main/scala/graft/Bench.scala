@@ -52,10 +52,12 @@ object Bench {
     "t16_classifier_score", "t17_ppl_buckets", "t18_char_entropy",
     "t19_collocations",
     // round-6 continuation flagships
-    "t20_bpe_pairs", "s10_diverse_sample", "s11_ivf_append",
+    "t20_bpe_pairs", "s10_diverse_sample", "s11_ivf_append", "s12_knn_sq8",
     "g1_supplier_rank", "mm6_image_neardup", "st12_window_topk",
     "st13_anonymise_stream", "q_histogram", "q_cohort_retention",
-    "o26_csv_roundtrip",
+    "q_changepoint", "q_basket_pairs", "q_time_weighted",
+    "d18_containment", "p3_ingest_pipeline", "o26_csv_roundtrip",
+    "o27_orc_roundtrip", "o28_k_anonymity", "o29_subset_closure",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
     "q_sql_frontend", "q_bloom_join",
     "o16_dump_stats", "o24_dump_parallel", "o25_jsonl_roundtrip",
