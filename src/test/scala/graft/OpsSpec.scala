@@ -1609,6 +1609,54 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(kept("events").count() < tables("events").count())
   }
 
+  test("subset closure: randomized DAG schemas stay closed, anchored, layout-invariant") {
+    import org.apache.spark.sql.{Row, types => T}
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val nT = 4 + rnd.nextInt(3)
+      val fks = (1 until nT).flatMap { i =>
+        (0 until i).filter(_ => rnd.nextBoolean()).zipWithIndex.map { case (p, e) =>
+          graft.analyse.ForeignKey(s"t$i", s"fk${e}_$p", s"t$p", "id")
+        }
+      }
+      val tables = (0 until nT).map { i =>
+        val myFks = fks.filter(_.table == s"t$i")
+        val schema = T.StructType(
+          T.StructField("id", T.LongType) +:
+            myFks.map(f => T.StructField(f.column, T.LongType)))
+        val rows = (0L until 40L).map(id =>
+          Row.fromSeq(id +: myFks.map(_ => rnd.nextInt(40).toLong)))
+        s"t$i" -> spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3), schema)
+      }.toMap
+      val anchor = s"t${rnd.nextInt(nT)}"
+      val kept = graft.export.Subset.closure(tables, fks, anchor,
+        pmod(col("id"), lit(3)) === 0)
+      // closed: zero dangling FK rows anywhere
+      val orphans = graft.export.Subset.orphanCounts(kept, fks)
+      assert(orphans.values.forall(_ == 0L), s"trial=$trial $orphans")
+      // anchored: the anchor keeps exactly its filtered rows
+      val keptAnchor = kept(anchor).select("id").collect().map(_.getLong(0)).toSet
+      assert(keptAnchor == (0L until 40L).filter(_ % 3 == 0).toSet, s"trial=$trial")
+      // restriction: never invents rows
+      for ((t, df) <- kept) {
+        val ids = df.select("id").collect().map(_.getLong(0)).toSet
+        assert(ids.subsetOf((0L until 40L).toSet), s"trial=$trial $t")
+      }
+      // layout-invariant: an 8-way repartitioned copy closes identically
+      val kept2 = graft.export.Subset.closure(
+        tables.map { case (t, df) => t -> df.repartition(8) }, fks, anchor,
+        pmod(col("id"), lit(3)) === 0)
+      for (t <- tables.keys) {
+        val a = kept(t).select("id").collect().map(_.getLong(0)).sorted.toSeq
+        val b = kept2(t).select("id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(a == b, s"trial=$trial $t layout drift")
+      }
+      graft.ops.OpCaches.releaseAll()
+    }
+  }
+
   test("sq8: recall@10 beats PQ and clears the 0.7 verdict floor") {
     def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
       val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
