@@ -43,6 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Cast(Size(ArrayIntersect(a, b)), org.apache.spark.sql.types.DoubleType),
       Cast(Size(ArrayUnion(a, b)), org.apache.spark.sql.types.DoubleType))
 
+  /** Catalyst tree of `TextAnalysis.fingerprint`: md5(lower(trimmed,
+    * whitespace-collapsed text)) — the content identity every dedup
+    * screen keys on, exposed so SQL-frontend users produce the SAME
+    * fingerprints as the DataFrame pipeline (and the DuckDB twin).
+    * Composed from built-ins — fully codegen'd.
+    */
+  private[graft] def fingerprintExpr(text: Expression): Expression =
+    Md5(Cast(Lower(RegExpReplace(StringTrim(text), Literal("\\s+"), Literal(" "))),
+      org.apache.spark.sql.types.BinaryType))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
@@ -56,5 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "jaccard"),
       exprs => jaccardExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_fingerprint"),
+      exprs => fingerprintExpr(exprs(0))))
   }
 }

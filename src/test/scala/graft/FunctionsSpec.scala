@@ -129,6 +129,27 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(viaSql == viaDf && math.abs(viaSql - 0.5) < 1e-12)
   }
 
+  test("graft_fingerprint is SQL-callable and matches TextAnalysis.fingerprint") {
+    import spark.implicits._
+    val ext = new graft.plans.GraftExtensions()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => ext.fingerprintExpr(exprs(0)), "scala_udf")
+    val texts = Seq("  Hello   World ", "a\tb\nc", "same same", "")
+    texts.toDF("t").createOrReplaceTempView("fp_test")
+    val viaSql = spark.sql("SELECT graft_fingerprint(t) AS fp FROM fp_test")
+      .collect().map(_.getString(0)).toSeq
+    val viaDf = texts.toDF("t")
+      .select(graft.ops.TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaDf)
+    // normalization is real: collapsed whitespace and case fold converge
+    assert(viaSql(0) == viaDf(0))
+    val conv = spark.sql(
+      "SELECT graft_fingerprint('HELLO WORLD') = graft_fingerprint('  hello   world ') AS eq")
+      .collect().head.getBoolean(0)
+    assert(conv)
+  }
+
   test("type check rejects non-float arrays") {
     val bad = emb.select(col("vec_id"))
     assertThrows[org.apache.spark.sql.AnalysisException] {
