@@ -1969,6 +1969,35 @@ object GraftQueries {
   def q_cohortRetention(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.cohortRetention(tbl(s, dir, "events"))
 
+  /** G2 [EXT] — triangle count over the supplier AFFINITY graph: each
+    * supplier links to its 3 strongest co-purchase partners (most
+    * shared customers, deterministic ties), which keeps the projection
+    * SPARSE at every scale — an absolute shared-count threshold
+    * degenerates to a complete graph on dense synthetic data (measured:
+    * C(n,3) triangles, the wedge join at its worst). Counting runs
+    * through the degree-oriented wedge join (`Graph.triangleCount`) —
+    * every triangle generated exactly once from its orientation-minimal
+    * apex, wedge volume Σ outdeg² instead of Σ deg². The oracle
+    * brute-forces the u<v triangle join on the same edge set.
+    */
+  def g2Triangles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk")).distinct()
+    val shared = cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.sk") =!= col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("shared"))
+    val top = Window.partitionBy(col("u"))
+      .orderBy(col("shared").desc, col("v"))
+    val edges = shared
+      .withColumn("rn", row_number().over(top)).filter(col("rn") <= 3)
+      .select(col("u").as("src"), col("v").as("dst"))
+    graft.ops.Graph.triangleCount(edges)
+  }
+
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
     * first join): parts bought together in one order, top-20 pairs by
     * support. The A-priori downward-closure prefilter does the scale
@@ -2539,6 +2568,7 @@ object GraftQueries {
     "s11_ivf_append"     -> (s11IvfAppend _),
     "s12_knn_sq8"        -> (s12KnnSq8 _),
     "g1_supplier_rank"   -> (g1SupplierRank _),
+    "g2_triangles"       -> (g2Triangles _),
     "st1_first_seen"     -> (st1FirstSeen _),
     "st2_interval_join"  -> (st2IntervalJoin _),
     "t1_text_stats"      -> (t1TextStats _),

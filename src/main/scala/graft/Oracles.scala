@@ -1030,6 +1030,31 @@ object Oracles {
          |SELECT vec_id, bucket FROM r WHERE rn <= 8""".stripMargin
     },
 
+    // triangle count: brute-force u<v triangle join on the projected
+    // edge set (the Spark side's degree orientation must match exactly)
+    "g2_triangles" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sh AS (
+        |  SELECT a.s AS u, b.s AS v, count(*) AS shared
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s != b.s
+        |  GROUP BY 1, 2),
+        |topk AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS rn
+        |    FROM sh) t WHERE rn <= 3),
+        |e AS (
+        |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM topk)
+        |SELECT
+        |  CAST((SELECT count(DISTINCT x) FROM
+        |         (SELECT u AS x FROM e UNION ALL SELECT v FROM e) t) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM e e1
+        |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin,
+
     // integer-exact PageRank, 3 supersteps unrolled; `//` is floor
     // division = Spark's DIV on the all-positive operands here
     "g1_supplier_rank" -> {

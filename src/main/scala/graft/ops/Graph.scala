@@ -76,4 +76,60 @@ object Graph {
     // per-round checkpoint discipline Dedup.clusters already implements.
     rank
   }
+
+  /** Exact triangle count with DEGREE ORIENTATION (Suri &
+    * Vassilvitskii, WWW 2011 — the MapReduce-era trick that makes
+    * distributed triangle counting survive skew): each undirected edge
+    * orients from its lower-(degree, id) endpoint, so every triangle
+    * is generated exactly once and the wedge join's candidate volume
+    * is Σ outdeg² with outdeg = O(√m) — a celebrity node with a
+    * million neighbours produces almost no wedges because nearly all
+    * its edges point IN.
+    *
+    * Shuffle shape: degree = one mergeable aggregate; orientation is a
+    * narrow map after two degree joins; wedges are a self-join of the
+    * oriented edges on src; the close check is ONE equi-join (the
+    * wedge endpoints canonicalise by the same (degree, id) order the
+    * orientation used, so the closing edge's direction is known —
+    * never an OR-condition join). All counts integer-exact.
+    *
+    * `edges` is undirected input (any direction, duplicates fine).
+    * Returns one row: (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame,
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val norm = OpCaches.persist(Partitioning.ensureParallelism(
+      edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()))
+    val deg = norm.select(col("u").as("n"))
+      .unionAll(norm.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient u–v from the lower (deg, id) endpoint; carry the dst's
+    // (deg, id) so wedges can canonicalise their closing edge
+    val oriented = OpCaches.persist(norm
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d"),
+            col("dv").as("dd")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d"),
+            col("du").as("dd"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.dd").as("ddeg")))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddeg") < col("y.ddeg") ||
+            (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
+      .select(col("x.dst").as("lo"), col("y.dst").as("hi"))
+    val triangles = wedges.join(oriented,
+      col("lo") === col("src") && col("hi") === col("dst"), "left_semi")
+    norm.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -1859,6 +1859,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.sorted == re.sorted)
   }
 
+  test("triangleCount == brute force on random graphs; duplicate/reversed edges collapse") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(8)
+      val base = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.35
+      } yield (u.toLong, v.toLong))
+      // noise: duplicates, reversed direction, self-loops — all must collapse
+      val noisy = base ++ base.take(3).map(_.swap) ++ base.take(2) ++
+        Seq((1L, 1L), (2L, 2L))
+      val got = graft.ops.Graph.triangleCount(
+        rnd.shuffle(noisy).toDF("src", "dst"))
+        .collect().head
+      val es = base.toSet
+      def has(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+      val want = (for {
+        a <- 0L until n.toLong; b <- a + 1 until n.toLong; c <- b + 1 until n.toLong
+        if has(a, b) && has(a, c) && has(b, c)
+      } yield 1).size
+      assert(got.getLong(2) == want.toLong, s"trial=$trial")
+      assert(got.getLong(1) == base.size.toLong, s"trial=$trial edges")
+      graft.ops.OpCaches.releaseAll()
+    }
+  }
+
   test("pageRank: integer supersteps equal a driver reference; partitioning-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
