@@ -1684,6 +1684,15 @@ object GraftQueries {
   def st13AnonymiseStream(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.anonymiseBatch(tbl(s, dir, "events"))
 
+  /** ST14 [EXT] — per-user CUSUM drift vs a fixed 50.00 target, batch
+    * form (streaming `mapGroupsWithState` form asserted row-identical
+    * in StreamingSpec — the fixed reference value is what makes the
+    * detector streamable: three longs of state per key).
+    */
+  def st14UserDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.userDriftBatch(tbl(s, dir, "events"),
+      targetCents = 5000L, thresholdCents = 20000L)
+
   /** ST12 [EXT] — per-day heavy hitters via a Misra–Gries sketch
     * maintained by the streaming state store, batch form (streaming
     * form asserted guarantee-equal in StreamingSpec). The verdict
@@ -2621,5 +2630,6 @@ object GraftQueries {
     "st11_table_diff"    -> (st11TableDiff _),
     "st12_window_topk"   -> (st12WindowTopk _),
     "st13_anonymise_stream" -> (st13AnonymiseStream _),
+    "st14_user_drift"    -> (st14UserDrift _),
   )
 }

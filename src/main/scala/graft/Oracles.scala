@@ -2229,6 +2229,27 @@ object Oracles {
          |  md5(${scrubSql("props")}) AS props_scrubbed_md5
          |FROM events""".stripMargin,
 
+    // per-user CUSUM drift vs the fixed 50.00 target: the prefix-min
+    // identity per user, then a plain max
+    "st14_user_drift" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5000 AS dev
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id,
+        |    p - min(least(p, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM p)
+        |SELECT user_id, max(s) AS max_drift_cents,
+        |       max(s) > 20000 AS drift_flag
+        |FROM s GROUP BY user_id""".stripMargin,
+
     // windowed MG heavy hitters: the oracle derives heavy items from
     // exact counts and asserts the sketch guarantee as true constants —
     // the q_approx_topk posture per day window (a broken sketch flips

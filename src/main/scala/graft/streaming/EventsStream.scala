@@ -182,6 +182,67 @@ object EventsStream {
       .select(col("user_id"), col("m.eid").as("latest_event_id"),
         col("m.v").as("latest_value"))
 
+  /** Per-user streaming CUSUM drift vs a FIXED target (Page's actual
+    * formulation — the reference value is a known parameter, which is
+    * exactly what makes the detector STREAMABLE: no data-dependent mean
+    * to learn, so per-key state is three longs). Each user's event
+    * values (cents) accumulate one-sided deviations against
+    * `targetCents`; the recurrence S = max(0, S + (cents − target))
+    * folds via (P, minP) so the state update is branch-free, and the
+    * emitted row tracks the maximum drift score ever reached plus the
+    * flag at `thresholdCents`. Update-mode latest-per-key emission (the
+    * st3 contract); within a micro-batch rows sort by (ts, event_id),
+    * across batches the contract is arrival order, which the bounded
+    * replay satisfies (the firstSeenDedupStream posture).
+    */
+  def userDriftStream(events: DataFrame, targetCents: Long,
+                      thresholdCents: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long],
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as[Long])
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Boolean)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          // state = (P running deviation sum, min(0, min P), max S)
+          var (p, minP, maxS) = state.getOption.getOrElse((0L, 0L, 0L))
+          for ((_, _, _, cents) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            p += cents - targetCents
+            if (p < minP) minP = p
+            val sNow = p - minP
+            if (sNow > maxS) maxS = sNow
+          }
+          state.update((p, minP, maxS))
+          (uid, maxS, maxS > thresholdCents)
+      }
+      .toDF("user_id", "max_drift_cents", "drift_flag")
+  }
+
+  /** Batch-equivalent of [[userDriftStream]]: the per-user prefix-min
+    * identity over one (ts, event_id)-ordered window — S_i = P_i −
+    * min(0, min_{j≤i} P_j) — then a mergeable per-user max.
+    */
+  def userDriftBatch(events: DataFrame, targetCents: Long,
+                     thresholdCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("dev",
+        (col("value").cast("decimal(18,2)") * 100).cast("long") - targetCents)
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("s", col("p") - min(least(col("p"), lit(0L))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("s")).as("max_drift_cents"))
+      .select(col("user_id"), col("max_drift_cents"),
+        (col("max_drift_cents") > thresholdCents).as("drift_flag"))
+  }
+
   /** Streaming SCD Type-2 history — the streaming twin of
     * `Cdc.scd2Merge`: per user, track the current `event_type` version;
     * when the type CHANGES, emit the CLOSED interval

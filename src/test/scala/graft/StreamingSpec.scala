@@ -237,6 +237,21 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       events.select("user_id").distinct().count())
   }
 
+  test("per-user CUSUM drift: streaming state fold == batch prefix-min identity") {
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.userDriftStream(
+        ParquetSource.normalizeNanoTimestamps(df), 5000L, 20000L),
+      queryName = "user_drift_test", outputMode = "update")
+    val batch = EventsStream.userDriftBatch(events, 5000L, 20000L)
+    // single-batch bounded replay: the update-mode table IS final state
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+    assert(batch.filter(col("max_drift_cents") > 0).count() > 0,
+      "fixture should show some positive drift")
+  }
+
   test("windowed MG sketch: streaming sketches satisfy the heavy-hitter guarantee") {
     val budget = 2
     val streamed = EventsStream.runOnceOnParquet(
