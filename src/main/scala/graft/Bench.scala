@@ -56,6 +56,7 @@ object Bench {
     "g1_supplier_rank", "mm6_image_neardup", "st12_window_topk",
     "st13_anonymise_stream", "q_histogram", "q_cohort_retention",
     "q_changepoint", "q_basket_pairs", "q_time_weighted",
+    "g2_triangles", "st14_user_drift",
     "d18_containment", "p3_ingest_pipeline", "o26_csv_roundtrip",
     "o27_orc_roundtrip", "o28_k_anonymity", "o29_subset_closure",
     "q_approx_cms", "q_expectations", "q_shard_layout", "q_scd2",
