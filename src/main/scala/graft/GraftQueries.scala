@@ -470,6 +470,38 @@ object GraftQueries {
       .toDF("table_name", "n_rows", "n_orphans")
   }
 
+  /** O30 [EXT] — schema-evolution round-trip: a dataset written in two
+    * generations (an early slice without `o_orderpriority`, a later
+    * slice with it — the drift every long-lived lake accumulates),
+    * read back through parquet schema merging and aggregated. Old-
+    * generation rows surface the added column as NULL; the aggregate
+    * proves both the union semantics and that no rows or values are
+    * lost across generations. The oracle computes the same aggregate
+    * from the original table by simulating the generation split.
+    */
+  def o30SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_evo/p${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$out/_DONE").exists()) {
+      val o = tbl(s, dir, "orders")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/gen=0")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      new java.io.FileOutputStream(s"$out/_DONE").close()
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen=0", s"$out/gen=1")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        moneySum(col("o_totalprice")).as("sum_price"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+  }
+
   /** O17: value → SQL-literal codec as a transform. */
   def o17Codec(s: SparkSession, dir: String): DataFrame = {
     val esc = udf((t: String) => SqlValueCodec.escapeString(t))
@@ -2501,6 +2533,7 @@ object GraftQueries {
     "o27_orc_roundtrip"  -> (o27OrcRoundtrip _),
     "o28_k_anonymity"    -> (o28KAnonymity _),
     "o29_subset_closure" -> (o29SubsetClosure _),
+    "o30_schema_evolution" -> (o30SchemaEvolution _),
     "o17_codec"          -> (o17Codec _),
     "o19_stats"          -> (o19Stats _),
     "o20_sync"           -> (o20Sync _),

@@ -230,6 +230,16 @@ object Oracles {
          |  (SELECT count(*) FROM ke WHERE NOT EXISTS (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // schema evolution: the added column is NULL for even keys (the
+    // old generation) — the oracle simulates the generation split
+    "o30_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT) AS n_with_priority,
+        |       CAST(count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT) AS n_priorities
+        |FROM orders""".stripMargin,
+
     // k-anonymity / l-diversity audit over quasi-identifier classes
     "o28_k_anonymity" ->
       """SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
