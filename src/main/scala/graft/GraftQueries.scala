@@ -1486,6 +1486,18 @@ object GraftQueries {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.7).as("recall_ok"))
   }
 
+  /** S13 [EXT] — filtered vector search: exact top-k among label-0
+    * vectors only (`Similarity.filteredTopK`) — the PRE-filter form,
+    * recall 1 by construction (post-filtering an ANN shortlist starves
+    * recall under selective predicates); the label predicate reaches
+    * the parquet scan as a pushed filter.
+    */
+  def s13FilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), k = 10,
+      corpusFilter = col("label") === 0)
+  }
+
   /** G1 [EXT] — supplier influence rank: PageRank over the symmetrised
     * customer–supplier co-purchase graph (edge weight = lineitem
     * count), 3 supersteps, top-10 suppliers. Integer micro-rank
@@ -2616,6 +2628,7 @@ object GraftQueries {
     "s10_diverse_sample" -> (s10DiverseSample _),
     "s11_ivf_append"     -> (s11IvfAppend _),
     "s12_knn_sq8"        -> (s12KnnSq8 _),
+    "s13_filtered_knn"   -> (s13FilteredKnn _),
     "g1_supplier_rank"   -> (g1SupplierRank _),
     "g2_triangles"       -> (g2Triangles _),
     "st1_first_seen"     -> (st1FirstSeen _),

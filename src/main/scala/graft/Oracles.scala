@@ -1146,6 +1146,20 @@ object Oracles {
     "s12_knn_sq8" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
+    // filtered search is EXACT (pre-filter): full brute-force twin over
+    // the eligible set
+    "s13_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM q CROSS JOIN c WHERE c.vec_id != q.query_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+
     // s3 probes every IVF cell (nprobe = nlist) → exact, same oracle as s1
     "s3_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -389,6 +389,35 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** FILTERED vector search — the attribute-constrained top-k every
+    * vector store names as a first-class feature (and many get wrong
+    * by post-filtering a fixed-size ANN shortlist, which silently
+    * starves recall when the filter is selective). This is the exact
+    * PRE-filter form: the metadata predicate restricts the corpus scan
+    * BEFORE scoring, so top-k is computed over exactly the eligible
+    * set and recall is 1 by construction. The predicate reaches the
+    * parquet scan as a pushed filter (Catalyst does this for free
+    * because the filter is declarative), queries broadcast into the
+    * filtered scan, and the per-query ranking window partitions by
+    * query id — the s1 shape over a smaller scan.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   corpusFilter: Column,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Partitioning.ensureParallelism(
+      corpus.filter(corpusFilter)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** Scalar-quantised (SQ8) ANN — the standard compression point
     * between raw floats and PQ codes: every dimension quantises
     * independently to one byte against per-dimension [min, max]

@@ -542,6 +542,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("s13 filtered search: the label predicate is pushed to the parquet scan") {
+    val plan = planOf("s13_filtered_knn")
+    val scanLines = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scanLines.exists(_.contains("EqualTo(label,0)")),
+      s"metadata predicate must reach the scan:\n${plan.take(2500)}")
+  }
+
   test("t20 bpe pairs: mergeable aggregates + TakeOrderedAndProject, no window") {
     val plan = planOf("t20_bpe_pairs")
     assert(plan.contains("TakeOrderedAndProject"),
