@@ -39,7 +39,10 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "t20_bpe_pairs", "s10_diverse_sample", "g1_supplier_rank",
     "mm6_image_neardup", "d18_containment", "q_histogram",
     "q_cohort_retention", "q_changepoint", "st12_window_topk",
-    "st13_anonymise_stream", "p3_ingest_pipeline", "o28_k_anonymity")
+    "st13_anonymise_stream", "p3_ingest_pipeline", "o28_k_anonymity",
+    "g2_triangles", "s12_knn_sq8", "s13_filtered_knn",
+    "q_basket_pairs", "q_time_weighted", "st14_user_drift",
+    "o29_subset_closure", "o30_schema_evolution")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
