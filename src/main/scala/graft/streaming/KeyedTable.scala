@@ -101,6 +101,16 @@ final class KeyedTable(spark: SparkSession, dir: String,
     }
   }
 
+  /** Multi-path parquet read with SCHEMA MERGING: an upsert batch may
+    * carry columns the base generation predates (the lakehouse
+    * schema-evolution path) — merging resolves the union schema, old
+    * files surface added columns as NULL, and incompatible TYPE changes
+    * fail loudly at read. Resolution is unaffected: versions lead the
+    * max-struct, so NULL payload fields never decide a winner.
+    */
+  private def readMerged(paths: Seq[Path]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths.map(_.toString): _*)
+
   private def writeMaxBatch(base: Path, id: Long): Unit = {
     val out = fs.create(new Path(base, "_MAX_BATCH"), true)
     try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -155,7 +165,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
     // re-reading them would be harmless (max-merge) but wasted IO
     val wm = base.map(maxBatchOf).getOrElse(-1L)
     val paths = base.toSeq ++ listDeltas().filter(deltaId(_) > wm)
-    resolve(spark.read.parquet(paths.map(_.toString): _*))
+    resolve(readMerged(paths))
   }
 
   /** The parquet inputs whose union resolves to the table as of
@@ -176,7 +186,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
 
   /** Time travel: the table as of `batchId`. */
   def readAsOf(batchId: Long): DataFrame =
-    resolve(spark.read.parquet(asOfInputs(batchId).map(_.toString): _*))
+    resolve(readMerged(asOfInputs(batchId)))
 
   /** CDC between two as-of versions — the incremental-view-maintenance
     * primitive (the shape of Delta's `table_changes`, re-derived from
@@ -204,7 +214,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
     val newInputs = asOfInputs(toBatchId)
     val touched = listDeltas()
       .filter(p => deltaId(p) > fromBatchId && deltaId(p) <= toBatchId)
-    val template = spark.read.parquet(newInputs.map(_.toString): _*)
+    val template = readMerged(newInputs)
     val payload = template.columns.filterNot(keyCols.contains).toSeq
     val outSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("op",
@@ -213,10 +223,10 @@ final class KeyedTable(spark: SparkSession, dir: String,
     if (touched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    val keys = spark.read.parquet(touched.map(_.toString): _*)
+    val keys = readMerged(touched)
       .select(keyCols.map(col): _*).distinct()
     def stateFor(paths: Seq[Path]): DataFrame = resolve(
-      spark.read.parquet(paths.map(_.toString): _*)
+      readMerged(paths)
         .join(broadcast(keys), keyCols, "left_semi"))
     val o = stateFor(oldInputs)
       .select(keyCols.map(col) ++ payload.map(c => col(c).as(s"__o_$c")): _*)
@@ -328,7 +338,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
       // the final arbiter — at most one rename onto base-<gen> can
       // succeed (rename-no-overwrite), so at most one generation lands
       val staging = new Path(root, s".tmp-base-$gen-$token")
-      resolve(spark.read.parquet(consumed.map(_.toString): _*))
+      resolve(readMerged(consumed))
         .write.mode("overwrite").parquet(staging.toString)
       writeMaxBatch(staging, deltas.map(deltaId).max)
       if (!ownsClaim()) {

@@ -308,4 +308,31 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
     assert(got.count() > 0)
   }
+
+  test("schema evolution: a delta's new column reads as NULL for old rows, survives compaction") {
+    val dir = tmpDir("evolve")
+    val t = mk(dir)
+    t.initBase(rows((1L, 1L, 1L, "a"), (2L, 1L, 1L, "b")))
+    // the new generation of writers carries an extra column
+    val evolved = Seq((2L, 2L, 1L, "b2", "extra2"), (3L, 1L, 1L, "c", "extra3"))
+      .toDF("k", "v_ts", "v_seq", "payload", "tag")
+    assert(t.upsert(evolved, 0L))
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "tag").as[(Long, String, Option[String])]
+        .collect().toSet
+    val want = Set(
+      (1L, "a", None),            // pre-evolution row: NULL tag
+      (2L, "b2", Some("extra2")), // updated by the evolved delta
+      (3L, "c", Some("extra3")))
+    assert(snapshot(t.read()) == want)
+    // time travel BEFORE the evolution sees the historical schema
+    assert(!t.readAsOf(-1L).columns.contains("tag"))
+    // compaction folds the union schema into the new base generation
+    t.compact()
+    assert(snapshot(t.read()) == want)
+    // and later plain-schema writers still work against the evolved table
+    assert(t.upsert(rows((1L, 2L, 1L, "a2")), 1L))
+    assert(snapshot(t.read()) == Set(
+      (1L, "a2", None), (2L, "b2", Some("extra2")), (3L, "c", Some("extra3"))))
+  }
 }
