@@ -1728,6 +1728,43 @@ object GraftQueries {
   def st13AnonymiseStream(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventsStream.anonymiseBatch(tbl(s, dir, "events"))
 
+  /** ST15 [EXT] — tombstone DELETES in the merge-on-read keyed table:
+    * deletes are last-writer-wins writes like any other (a delete
+    * versioned below a concurrent write loses), tombstones survive
+    * compaction so stragglers stay dead, and reads hide them. The
+    * fixture deletes every user ≡ 0 mod 4 with a winning version and
+    * every user ≡ 2 mod 4 with a LOSING version — the oracle's
+    * resolved state must show exactly the first group gone.
+    */
+  def st15TableDelete(s: SparkSession, dir: String): DataFrame = {
+    val snapshot = tbl(s, dir, "customer").select(
+      col("c_custkey").as("user_id"), lit("snapshot").as("src"),
+      col("c_acctbal").as("value"), lit(-1L).as("ts_us"), lit(-1L).as("eid"))
+    val ev = tbl(s, dir, "events").select(
+      col("user_id"), lit("event").as("src"), col("value"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
+      .filter(pmod(col("eid"), lit(3)) === 0)
+    val winners = tbl(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(4)) === 0)
+      .select(col("c_custkey").as("user_id"),
+        lit(Long.MaxValue).as("ts_us"), lit(Long.MaxValue).as("eid"))
+    val losers = tbl(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(4)) === 2)
+      .select(col("c_custkey").as("user_id"),
+        lit(-2L).as("ts_us"), lit(-2L).as("eid"))
+    def tableAt(out: String) = new graft.streaming.KeyedTable(
+      s, out, Seq("user_id"), Seq("ts_us", "eid"))
+    val out = cachedBuild(s, "ktdelete", dir) { o =>
+      val table = tableAt(o)
+      table.initBase(snapshot)
+      require(table.upsert(ev, 0))
+      require(table.delete(winners.unionAll(losers), 1))
+      table.compact() // tombstones must survive the fold
+    }
+    tableAt(out).read().select(col("user_id"), col("src"),
+      col("eid").as("latest_event_id"), col("value").as("latest_value"))
+  }
+
   /** ST14 [EXT] — per-user CUSUM drift vs a fixed 50.00 target, batch
     * form (streaming `mapGroupsWithState` form asserted row-identical
     * in StreamingSpec — the fixed reference value is what makes the
@@ -2684,5 +2721,6 @@ object GraftQueries {
     "st12_window_topk"   -> (st12WindowTopk _),
     "st13_anonymise_stream" -> (st13AnonymiseStream _),
     "st14_user_drift"    -> (st14UserDrift _),
+    "st15_table_delete"  -> (st15TableDelete _),
   )
 }

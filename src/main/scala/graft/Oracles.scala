@@ -2253,6 +2253,26 @@ object Oracles {
          |  md5(${scrubSql("props")}) AS props_scrubbed_md5
          |FROM events""".stripMargin,
 
+    // tombstone deletes: resolved state = latest-per-key over
+    // snapshot + batch-0 events, minus the winning-delete keys (mod 4
+    // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
+    // must change nothing
+    "st15_table_delete" ->
+      """WITH all_rows AS (
+        |  SELECT c_custkey AS user_id, 'snapshot' AS src, c_acctbal AS value,
+        |         CAST(-1 AS BIGINT) AS ts_us, CAST(-1 AS BIGINT) AS eid
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT user_id, 'event', value,
+        |         CAST(epoch_us(ts) AS BIGINT), event_id
+        |  FROM events WHERE event_id % 3 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us DESC, eid DESC) AS rn
+        |  FROM all_rows)
+        |SELECT user_id, src, eid AS latest_event_id, value AS latest_value
+        |FROM ranked WHERE rn = 1 AND user_id % 4 != 0""".stripMargin,
+
     // per-user CUSUM drift vs the fixed 50.00 target: the prefix-min
     // identity per user, then a plain max
     "st14_user_drift" ->

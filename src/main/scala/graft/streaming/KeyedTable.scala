@@ -141,6 +141,36 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * Returning false tells that writer its rows were NOT applied.
     */
   def upsert(df: DataFrame, batchId: Long): Boolean = {
+    require(!df.columns.contains(KeyedTable.TombstoneCol),
+      s"${KeyedTable.TombstoneCol} is reserved — use delete()")
+    commitDelta(df, batchId)
+  }
+
+  /** Commit a DELETE batch: `df` carries the key and version columns of
+    * the rows to remove (payload columns, if present, are ignored). A
+    * delete is just a write that must WIN the per-key version race —
+    * the merge stays an idempotent/commutative last-writer-wins CRDT,
+    * deletes included: a delete versioned below a concurrent upsert
+    * loses, exactly like a stale upsert would.
+    *
+    * Tombstones are RETAINED through compaction (the Cassandra lesson:
+    * folding a tombstone away too early lets a later lower-versioned
+    * write resurrect the row), so post-compaction out-of-order writes
+    * still lose to the tombstone's version. They drop out of reads in
+    * [[resolve]]; their storage cost is bounded by the deleted-key
+    * count and is reclaimed only when a future GC can prove no older
+    * writer remains.
+    */
+  def delete(df: DataFrame, batchId: Long): Boolean = {
+    val need = keyCols ++ versionCols
+    require(need.forall(df.columns.contains),
+      s"delete batch must carry ${need.mkString(", ")}")
+    commitDelta(
+      df.select(need.map(col): _*)
+        .withColumn(KeyedTable.TombstoneCol, lit(true)), batchId)
+  }
+
+  private def commitDelta(df: DataFrame, batchId: Long): Boolean = {
     val target = new Path(root, s"delta=$batchId")
     if (fs.exists(target)) return false
     if (batchId <= liveBase().map(maxBatchOf).getOrElse(-1L)) return false
@@ -215,11 +245,13 @@ final class KeyedTable(spark: SparkSession, dir: String,
     val touched = listDeltas()
       .filter(p => deltaId(p) > fromBatchId && deltaId(p) <= toBatchId)
     val template = readMerged(newInputs)
-    val payload = template.columns.filterNot(keyCols.contains).toSeq
+    val payload = template.columns
+      .filterNot(keyCols.contains).filterNot(_ == KeyedTable.TombstoneCol).toSeq
     val outSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("op",
         org.apache.spark.sql.types.StringType, nullable = false) +:
-        template.schema.fields.toIndexedSeq)
+        template.schema.fields.toIndexedSeq
+          .filterNot(_.name == KeyedTable.TombstoneCol))
     if (touched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -246,7 +278,11 @@ final class KeyedTable(spark: SparkSession, dir: String,
           (keyCols.map(col) ++ payload.map(c => col(s"__n_$c").as(c))): _*)
   }
 
-  private def resolve(all: DataFrame): DataFrame = {
+  /** Latest-per-key resolution INCLUDING winning tombstones — what
+    * compaction folds into the next generation (a tombstone must keep
+    * outversioning stragglers after the fold).
+    */
+  private def resolveFull(all: DataFrame): DataFrame = {
     val payload = all.columns.filterNot(keyCols.contains).toSeq
     require(versionCols.forall(payload.contains),
       "versionCols must be non-key columns")
@@ -256,6 +292,16 @@ final class KeyedTable(spark: SparkSession, dir: String,
       .agg(max(struct(packed.map(col): _*)).as("__m"))
       .select(all.columns.toIndexedSeq.map(c =>
         if (keyCols.contains(c)) col(c) else col(s"__m.$c")): _*)
+  }
+
+  /** The READ view: resolution with tombstoned keys removed and the
+    * tombstone column hidden.
+    */
+  private def resolve(all: DataFrame): DataFrame = {
+    val r = resolveFull(all)
+    if (!r.columns.contains(KeyedTable.TombstoneCol)) r
+    else r.filter(!coalesce(col(KeyedTable.TombstoneCol), lit(false)))
+      .drop(KeyedTable.TombstoneCol)
   }
 
   /** Fold the live base and the deltas present NOW into a new base
@@ -338,7 +384,7 @@ final class KeyedTable(spark: SparkSession, dir: String,
       // the final arbiter — at most one rename onto base-<gen> can
       // succeed (rename-no-overwrite), so at most one generation lands
       val staging = new Path(root, s".tmp-base-$gen-$token")
-      resolve(readMerged(consumed))
+      resolveFull(readMerged(consumed))
         .write.mode("overwrite").parquet(staging.toString)
       writeMaxBatch(staging, deltas.map(deltaId).max)
       if (!ownsClaim()) {
@@ -387,4 +433,11 @@ final class KeyedTable(spark: SparkSession, dir: String,
       if (dead) fs.delete(p, true)
     }
   }
+}
+
+object KeyedTable {
+  /** Reserved delta column marking a row as a DELETE (last-writer-wins
+    * like any other write); never visible through `read`/`readAsOf`.
+    */
+  val TombstoneCol = "__tombstone"
 }

@@ -309,6 +309,39 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("deletes: tombstones win and lose version races, survive compaction, drive diff 'D'") {
+    val dir = tmpDir("delete")
+    val t = mk(dir)
+    t.initBase(rows((1L, 1L, 1L, "a"), (2L, 1L, 1L, "b"), (3L, 1L, 1L, "c")))
+    // delete key 1 (version wins), delete key 2 with a LOSING version
+    val del = Seq((1L, 5L, 1L), (2L, 0L, 0L)).toDF("k", "v_ts", "v_seq")
+    assert(t.delete(del, 0L))
+    assert(state(t) == Set((2L, 1L, 1L, "b"), (3L, 1L, 1L, "c")),
+      "winning tombstone hides key 1; losing tombstone leaves key 2")
+    // diff across the delete batch reports the D with a NULL post-image
+    val d = t.diff(-1L, 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(d == Set(("D", 1L)))
+    // time travel BEFORE the delete still sees key 1
+    assert(t.readAsOf(-1L).filter(col("k") === 1L).count() == 1)
+    // compaction RETAINS the tombstone: a straggler upsert with a lower
+    // version than the tombstone still loses after the fold
+    t.compact()
+    assert(state(t) == Set((2L, 1L, 1L, "b"), (3L, 1L, 1L, "c")))
+    assert(t.upsert(rows((1L, 3L, 1L, "resurrect?")), 1L))
+    assert(state(t) == Set((2L, 1L, 1L, "b"), (3L, 1L, 1L, "c")),
+      "a write below the tombstone's version must stay dead")
+    // and a write ABOVE the tombstone's version legitimately recreates
+    assert(t.upsert(rows((1L, 9L, 1L, "reborn")), 2L))
+    assert(state(t) == Set((1L, 9L, 1L, "reborn"),
+      (2L, 1L, 1L, "b"), (3L, 1L, 1L, "c")))
+    // upsert refuses the reserved column
+    assertThrows[IllegalArgumentException] {
+      t.upsert(rows((4L, 1L, 1L, "x"))
+        .withColumn(graft.streaming.KeyedTable.TombstoneCol, lit(true)), 3L)
+    }
+  }
+
   test("schema evolution: a delta's new column reads as NULL for old rows, survives compaction") {
     val dir = tmpDir("evolve")
     val t = mk(dir)
