@@ -1698,7 +1698,11 @@ object GraftQueries {
     * come from the touched deltas only, and both as-of unions are
     * semi-joined down to them before resolution.
     */
-  def st11TableDiff(s: SparkSession, dir: String): DataFrame = {
+  /** The st11/st16 shared fixture: a keyed table seeded from even
+    * customers, upserted with three event batches split by
+    * `event_id mod 3`, then compacted (history retained).
+    */
+  private def diffTableFixture(s: SparkSession, dir: String): String = {
     val snapshot = tbl(s, dir, "customer")
       .filter(pmod(col("c_custkey"), lit(2)) === 0).select(
         col("c_custkey").as("user_id"), lit("snapshot").as("src"),
@@ -1706,16 +1710,20 @@ object GraftQueries {
     val ev = tbl(s, dir, "events").select(
       col("user_id"), lit("event").as("src"), col("value"),
       unix_micros(col("ts")).as("ts_us"), col("event_id").as("eid"))
-    def tableAt(out: String) = new graft.streaming.KeyedTable(
-      s, out, Seq("user_id"), Seq("ts_us", "eid"))
-    val out = cachedBuild(s, "diff", dir) { out =>
-      val table = tableAt(out)
+    cachedBuild(s, "diff", dir) { out =>
+      val table = new graft.streaming.KeyedTable(
+        s, out, Seq("user_id"), Seq("ts_us", "eid"))
       table.initBase(snapshot)
       (0 to 2).foreach(b =>
         table.upsert(ev.filter(pmod(col("eid"), lit(3)) === b), b))
       table.compact() // history (base-0 + deltas) retained for the diff
     }
-    tableAt(out).diff(-1L, 2L)
+  }
+
+  def st11TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val out = diffTableFixture(s, dir)
+    new graft.streaming.KeyedTable(s, out, Seq("user_id"), Seq("ts_us", "eid"))
+      .diff(-1L, 2L)
       .select(col("op"), col("user_id"), col("src"),
         col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
@@ -1764,6 +1772,67 @@ object GraftQueries {
     tableAt(out).read().select(col("user_id"), col("src"),
       col("eid").as("latest_event_id"), col("value").as("latest_value"))
   }
+
+  /** ST16 [EXT] — change-data-feed read of the keyed table: the raw
+    * committed writes, batch-stamped via partition discovery over the
+    * `delta=<id>` commit layout (`KeyedTable.changes`; streaming twin
+    * `changesStream` asserted row-identical in StreamingSpec). The
+    * per-batch summary the oracle can recompute from the event split
+    * that built the fixture — equality proves the feed carries exactly
+    * the writes, no loss, no duplication, correct batch attribution.
+    */
+  def st16TableCdf(s: SparkSession, dir: String): DataFrame = {
+    val out = diffTableFixture(s, dir)
+    new graft.streaming.KeyedTable(s, out, Seq("user_id"), Seq("ts_us", "eid"))
+      .changes()
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("eid")).as("min_eid"),
+        max(col("eid")).as("max_eid"))
+  }
+
+  /** T21 [EXT] — corpus cleaning pass (`TextAnalysis.cleanText`): tag
+    * strip, control-char squash, whitespace collapse — the stage that
+    * runs before any dedup/quality op in a scrape pipeline. Pure
+    * narrow map; the md5 keeps the compare payload small while still
+    * pinning every byte of the cleaned text.
+    */
+  def t21CleanText(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cleanText(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_raw"), col("n_clean"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  /** O31 [EXT] — k-anonymity ENFORCEMENT (o28 only measures): bottom-up
+    * full-domain generalisation over the ladder
+    * (nation, segment) → (region, segment) → (segment) → suppressed,
+    * k=10 (`Generalise.kAnonymize`). Output is the per-class census of
+    * the rewritten table; the oracle replays the ladder in SQL, so the
+    * compare proves level assignment row-for-row, not just counts.
+    */
+  def o31Generalize(s: SparkSession, dir: String): DataFrame = {
+    val n = tbl(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val base = tbl(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val lv0 = concat(lit("n:"), col("c_nationkey").cast("string"),
+      lit(":"), col("c_mktsegment"))
+    val lv1 = concat(lit("r:"), col("n_regionkey").cast("string"),
+      lit(":"), col("c_mktsegment"))
+    val lv2 = col("c_mktsegment")
+    graft.anonymise.Generalise.kAnonymize(base, Seq(lv0, lv1, lv2), k = 10)
+      .groupBy(col("qi_value"), col("gen_level"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Q_TRANSITIONS [EXT] — first-order Markov transition matrix over
+    * per-user event sequences (`Funnel.transitionMatrix`): adjacent-
+    * pair counts plus integer micro-unit probabilities. One event-
+    * table shuffle (the per-user window), then metadata-scale
+    * aggregates.
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitionMatrix(tbl(s, dir, "events"))
 
   /** ST14 [EXT] — per-user CUSUM drift vs a fixed 50.00 target, batch
     * form (streaming `mapGroupsWithState` form asserted row-identical
@@ -2722,5 +2791,9 @@ object GraftQueries {
     "st13_anonymise_stream" -> (st13AnonymiseStream _),
     "st14_user_drift"    -> (st14UserDrift _),
     "st15_table_delete"  -> (st15TableDelete _),
+    "st16_table_cdf"     -> (st16TableCdf _),
+    "t21_clean_text"     -> (t21CleanText _),
+    "o31_generalize"     -> (o31Generalize _),
+    "q_transitions"      -> (qTransitions _),
   )
 }

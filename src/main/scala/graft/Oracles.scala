@@ -2257,6 +2257,73 @@ object Oracles {
     // snapshot + batch-0 events, minus the winning-delete keys (mod 4
     // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
     // must change nothing
+    // change feed: the fixture's delta batches ARE the eid-mod-3 event
+    // split, so the per-batch census recomputes from the events table;
+    // equality proves no write was lost, duplicated, or mis-stamped
+    "st16_table_cdf" ->
+      """SELECT CAST(event_id % 3 AS BIGINT) AS batch_id,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       min(event_id) AS min_eid,
+        |       max(event_id) AS max_eid
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // cleaning pass: same three explicit-ASCII-range regex stages (RE2
+    // needs the 'g' flag for the global replace Java does by default)
+    "t21_clean_text" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_raw,
+        |       CAST(length(clean) AS BIGINT) AS n_clean,
+        |       md5(clean) AS clean_md5
+        |FROM (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(regexp_replace(
+        |          text, '<[^>]*>', ' ', 'g'),
+        |          '[\x00-\x1f\x7f]', ' ', 'g'),
+        |          ' +', ' ', 'g')) AS clean
+        |      FROM documents)""".stripMargin,
+
+    // bottom-up generalisation replayed in SQL: each round's class
+    // census runs over the previous round's undersized remainder only
+    "o31_generalize" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         'n:'||c_nationkey||':'||c_mktsegment AS q0,
+        |         'r:'||n_regionkey||':'||c_mktsegment AS q1,
+        |         c_mktsegment AS q2
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |s0 AS (SELECT q0, count(*) AS n0 FROM c GROUP BY 1),
+        |a0 AS (SELECT c.*, n0 FROM c JOIN s0 USING (q0)),
+        |r0 AS (SELECT * FROM a0 WHERE n0 < 10),
+        |s1 AS (SELECT q1, count(*) AS n1 FROM r0 GROUP BY 1),
+        |a1 AS (SELECT r0.*, n1 FROM r0 JOIN s1 USING (q1)),
+        |r1 AS (SELECT * FROM a1 WHERE n1 < 10),
+        |s2 AS (SELECT q2, count(*) AS n2 FROM r1 GROUP BY 1),
+        |a2 AS (SELECT r1.*, n2 FROM r1 JOIN s2 USING (q2)),
+        |lab AS (
+        |  SELECT q0 AS qi_value, 0 AS lvl FROM a0 WHERE n0 >= 10
+        |  UNION ALL SELECT q1, 1 FROM a1 WHERE n1 >= 10
+        |  UNION ALL SELECT q2, 2 FROM a2 WHERE n2 >= 10
+        |  UNION ALL SELECT '*', 3 FROM a2 WHERE n2 < 10)
+        |SELECT qi_value, CAST(lvl AS INTEGER) AS gen_level,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lab GROUP BY 1, 2""".stripMargin,
+
+    // transition matrix: event_id breaks ts ties, so lead() is total-
+    // ordered; probabilities in integer micro-units (positive operands,
+    // so DuckDB's floor-div == Spark's trunc-div)
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS ft,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS tt
+        |  FROM events),
+        |pairs AS (SELECT ft, tt, count(*) AS n FROM seq
+        |          WHERE tt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT ft, sum(n) AS t FROM pairs GROUP BY 1)
+        |SELECT p.ft AS from_type, p.tt AS to_type, CAST(p.n AS BIGINT) AS n,
+        |       CAST((p.n * 1000000) // t.t AS BIGINT) AS p_micro
+        |FROM pairs p JOIN tot t ON p.ft = t.ft""".stripMargin,
+
     "st15_table_delete" ->
       """WITH all_rows AS (
         |  SELECT c_custkey AS user_id, 'snapshot' AS src, c_acctbal AS value,

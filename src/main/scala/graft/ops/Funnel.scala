@@ -107,4 +107,35 @@ object Funnel {
         expr("datediff(w, cohort_week) DIV 7").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: for every ordered adjacent pair of events within an
+    * entity, count `from_type → to_type` and report the transition
+    * probability in integer micro-units (`n·10⁶ div row_total` — the
+    * quantise-once discipline that keeps the result bit-reproducible
+    * and SQL-oracle-checkable; float division would hash-drift).
+    *
+    * Scale shape: ONE shuffle of the event table (the per-entity
+    * window), a narrow `lead`, then a mergeable pair-count whose
+    * cardinality is |types|² — metadata-sized — and a broadcast join
+    * for the per-row totals. The window partitions by entity, so its
+    * state is one entity's events: bounded by per-user activity, the
+    * same contract `sessionize`/`stageTimes` already rely on — never a
+    * partitionless window.
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("row_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) DIV row_total").as("p_micro"))
+  }
 }

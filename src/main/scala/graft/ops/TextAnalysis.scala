@@ -99,6 +99,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Corpus cleaning pass — the normalisation stage every web-scrape
+    * pipeline runs before dedup/quality (CCNet/Dolma-style): strip
+    * markup tags, squash control characters to spaces, collapse runs,
+    * trim. Three chained `regexp_replace` + `trim` — a pure narrow map
+    * inside WholeStageCodegen, scan-speed at 100 TB.
+    *
+    * Pattern discipline: every class is spelled in explicit ASCII
+    * ranges (`\x00-\x1f\x7f`, literal space) rather than `\s`/POSIX
+    * classes, because Java regex and RE2 disagree on those classes'
+    * membership — explicit ranges keep the op oracle-checkable in SQL
+    * byte-for-byte.
+    */
+  def cleanedText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noCtl = regexp_replace(noTags, "[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(noCtl, " +", " "))
+  }
+
+  /** `cleanedText` applied to a corpus: adds `clean_text`, plus raw and
+    * cleaned lengths so a pipeline can audit how much the cleaner ate.
+    */
+  def cleanText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("clean_text", cleanedText(col(textCol)))
+      .withColumn("n_raw", length(col(textCol)).cast("long"))
+      .withColumn("n_clean", length(col("clean_text")).cast("long"))
+
   /** Gopher-style HARD quality filter (Rae et al. 2021's rule family,
     * as used by the Dolma/RedPajama curation pipelines): per-document
     * pass/fail per rule plus the conjunction verdict, so a pipeline can

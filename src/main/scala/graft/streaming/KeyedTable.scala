@@ -278,6 +278,53 @@ final class KeyedTable(spark: SparkSession, dir: String,
           (keyCols.map(col) ++ payload.map(c => col(s"__n_$c").as(c))): _*)
   }
 
+  /** The raw change feed (CDF): every committed delta row, stamped
+    * with its `batch_id` — the other incremental primitive next to
+    * [[diff]]. `diff` answers "how did resolved STATE change between
+    * two versions"; `changes` hands a downstream incremental consumer
+    * the WRITES themselves (the shape of Delta's change-data-feed
+    * reads), which is what a derived aggregate or a replication tail
+    * actually consumes.
+    *
+    * The batch id needs no extra column in the data: the commit layout
+    * (`delta=<id>/`) IS a partition encoding, so partition discovery
+    * against the table root recovers it for free — and a `batch_id`
+    * predicate prunes whole delta directories at planning time, which
+    * is exactly how an incremental consumer reads "only batches after
+    * my cursor" without touching consumed history.
+    *
+    * History note: `compact()` keeps consumed deltas (time travel), so
+    * the feed spans all history until `vacuum()` reclaims it; after a
+    * vacuum the feed starts above the live base's watermark.
+    */
+  def changes(): DataFrame = {
+    val deltas = listDeltas()
+    require(deltas.nonEmpty, s"KeyedTable at $dir has no committed deltas")
+    spark.read
+      .option("basePath", root.toString)
+      .option("mergeSchema", "true")
+      .parquet(deltas.map(_.toString): _*)
+      .withColumnRenamed("delta", "batch_id")
+      // partition-type inference may size the id as int; pin the API
+      // to long so batch and streaming feeds agree
+      .withColumn("batch_id", col("batch_id").cast("long"))
+  }
+
+  /** Streaming twin of [[changes]]: a file-source stream over the
+    * delta directories. The rename-commit protocol makes every delta
+    * dir appear ATOMICALLY, so the source never lists a half-written
+    * batch — the same property that makes the layout crash-safe makes
+    * it stream-safe. `payloadSchema` is the delta row schema (file
+    * streams require one up front); the `delta=<id>` partition column
+    * surfaces as `batch_id`, exactly as in the batch feed.
+    */
+  def changesStream(payloadSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(payloadSchema.add("delta", org.apache.spark.sql.types.LongType))
+      .option("basePath", root.toString)
+      .parquet(new Path(root, "delta=*").toString)
+      .withColumnRenamed("delta", "batch_id")
+
   /** Latest-per-key resolution INCLUDING winning tombstones — what
     * compaction folds into the next generation (a tombstone must keep
     * outversioning stragglers after the fold).

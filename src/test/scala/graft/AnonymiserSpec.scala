@@ -70,4 +70,70 @@ class AnonymiserSpec extends AnyFunSuite with SparkSuite {
     val out = Anonymiser(customer, TableConfig(columns = Map("c_name" -> FakerRule("bogus"))))
     assert(out.filter(col("c_name") =!= "").count() == 0)
   }
+
+  // --- Generalise.kAnonymize (the enforcement transform, o31) ---
+
+  private def ladderFixture = {
+    import spark.implicits._
+    // a: 5 rows in X; b: 2 in X; c: 2 in Y; d: 1 in Y — at k=3:
+    //  - "a" settles at level 0 (5 ≥ 3)
+    //  - X's remainder is only b's 2 rows (bottom-up: a does NOT
+    //    coarsen), so X fails level 1 while Y's remainder c+d = 3 passes
+    //  - b's rows reach the top level with count 2 < 3 → suppressed
+    val rows = Seq.fill(5)(("a", "X")) ++ Seq.fill(2)(("b", "X")) ++
+      Seq.fill(2)(("c", "Y")) ++ Seq.fill(1)(("d", "Y"))
+    rows.toDF("fine", "coarse")
+  }
+
+  private def ladder = Seq(col("fine"), col("coarse"), lit("all"))
+
+  test("kAnonymize: settle finest, coarsen remainder together, suppress at top (k=3)") {
+    import spark.implicits._
+    val out = graft.anonymise.Generalise.kAnonymize(ladderFixture, ladder, k = 3)
+      .select("fine", "qi_value", "gen_level")
+      .as[(String, String, Int)].collect().toSet
+    assert(out == Set(
+      ("a", "a", 0),   // k-safe at the finest level
+      ("c", "Y", 1), ("d", "Y", 1), // remainder classes pool at level 1
+      ("b", "*", 3)))  // undersized even at the coarsest → suppressed
+  }
+
+  test("kAnonymize: driver walk and distributed walk produce the identical mapping") {
+    val viaDriver = graft.anonymise.Generalise.kAnonymize(ladderFixture, ladder, k = 3)
+    // bound 0 forces the distributed census walk
+    val viaDist = graft.anonymise.Generalise.kAnonymize(ladderFixture, ladder,
+      k = 3, driverWalkMaxClasses = 0L)
+    assert(viaDriver.exceptAll(viaDist).count() == 0)
+    assert(viaDist.exceptAll(viaDriver).count() == 0)
+  }
+
+  test("kAnonymize: null ladder value fails loudly on both paths") {
+    import spark.implicits._
+    val df = Seq(("a", "X"), (null, "X")).toDF("fine", "coarse")
+    val lv = Seq(col("fine"), col("coarse"))
+    intercept[IllegalArgumentException] {
+      graft.anonymise.Generalise.kAnonymize(df, lv, k = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.anonymise.Generalise.kAnonymize(df, lv, k = 1,
+        driverWalkMaxClasses = 0L).collect()
+    }
+  }
+
+  test("kAnonymize: every published class is k-anonymous on the o31 fixture ladder") {
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val base = customer.join(n, col("c_nationkey") === col("n_nationkey"))
+    val k = 3 // sf0.001 classes are tiny; the catalog uses 10 at sf0.01
+    val out = graft.anonymise.Generalise.kAnonymize(base, Seq(
+      concat(lit("n:"), col("c_nationkey").cast("string"), lit(":"), col("c_mktsegment")),
+      concat(lit("r:"), col("n_regionkey").cast("string"), lit(":"), col("c_mktsegment")),
+      col("c_mktsegment")), k)
+    // no row lost or duplicated by the rewrite
+    assert(out.count() == base.count())
+    val undersized = out.filter(col("gen_level") < 3)
+      .groupBy("qi_value", "gen_level").count()
+      .filter(col("count") < k).count()
+    assert(undersized == 0, "a published (non-suppressed) class below k")
+  }
 }

@@ -368,4 +368,31 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(snapshot(t.read()) == Set(
       (1L, "a2", None), (2L, "b2", Some("extra2")), (3L, "c", Some("extra3"))))
   }
+
+  test("change feed: batch and streaming reads carry exactly the committed writes, batch-stamped") {
+    val dir = tmpDir("cdf")
+    val t = mk(dir)
+    t.initBase(rows((1L, -1L, -1L, "base")))
+    assert(t.upsert(rows((1L, 10L, 1L, "a"), (2L, 5L, 1L, "b")), 0L))
+    assert(t.upsert(rows((2L, 6L, 1L, "c")), 1L))
+    t.compact() // consumed deltas stay in the feed until vacuum
+    assert(t.upsert(rows((3L, 1L, 1L, "d")), 2L))
+    def asSet(df: DataFrame) = df
+      .select(col("k"), col("v_ts"), col("v_seq"), col("payload"),
+        col("batch_id").cast("long"))
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    val want = Set(
+      (1L, 10L, 1L, "a", 0L), (2L, 5L, 1L, "b", 0L),
+      (2L, 6L, 1L, "c", 1L), (3L, 1L, 1L, "d", 2L))
+    // batch feed: the writes themselves — base rows never appear
+    assert(asSet(t.changes()) == want)
+    assert(t.changes().schema("batch_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // streaming twin: identical rows through the file-source stream
+    val q = t.changesStream(rows((0L, 0L, 0L, "x")).schema)
+      .writeStream.format("memory").queryName("kt_cdf_feed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(asSet(spark.table("kt_cdf_feed")) == want)
+  }
 }

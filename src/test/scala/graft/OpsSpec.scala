@@ -1915,4 +1915,48 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(re == rank)
   }
+
+  test("cleanText: tags stripped, control chars squashed, runs collapsed, edges trimmed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<b>Hi</b>\tthere  world "),
+      (2L, "no markup"),
+      (3L, "     "),              // nothing but junk → empty
+      (4L, "a < b and b > a"),               // lone <'s: '< b and b >' IS a tag
+      (5L, "line1\nline2\r\n\r\nline3")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanText(df)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hi there world")
+    assert(got(2L) == "no markup")
+    assert(got(3L) == "")
+    assert(got(4L) == "a a")
+    assert(got(5L) == "line1 line2 line3")
+    // the length audit columns agree with the strings
+    val lens = TextAnalysis.cleanText(df)
+      .filter(length(col("clean_text")) =!= col("n_clean")).count()
+    assert(lens == 0)
+  }
+
+  test("transitionMatrix: adjacent pairs per entity, micro-unit rows sum to ~1") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: A→B→C ; user 2: A→B ; user 3: A→A (self-loop)
+      (1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "C", 3L, 3L),
+      (2L, "A", 1L, 4L), (2L, "B", 2L, 5L),
+      (3L, "A", 1L, 6L), (3L, "A", 2L, 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.ops.Funnel
+      .transitionMatrix(ev, orderCols = Seq("ts", "event_id"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 2L, 666666L), // 2 of A's 3 transitions
+      ("A", "A", 1L, 333333L),
+      ("B", "C", 1L, 1000000L)))
+    // layout invariance of the integer probabilities
+    val re = graft.ops.Funnel
+      .transitionMatrix(ev.repartition(7), orderCols = Seq("ts", "event_id"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }

@@ -42,7 +42,10 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "st13_anonymise_stream", "p3_ingest_pipeline", "o28_k_anonymity",
     "g2_triangles", "s12_knn_sq8", "s13_filtered_knn",
     "q_basket_pairs", "q_time_weighted", "st14_user_drift",
-    "o29_subset_closure", "o30_schema_evolution")
+    "o29_subset_closure", "o30_schema_evolution",
+    // this session's additions: cleaning map, census-walk enforcement,
+    // per-user windows, and the partition-discovered change feed
+    "t21_clean_text", "o31_generalize", "q_transitions", "st16_table_cdf")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString

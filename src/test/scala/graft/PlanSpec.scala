@@ -384,6 +384,32 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"hard quality gates must not shuffle:\n${plan.take(2000)}")
   }
 
+  test("t21 clean text: scan-speed narrow map — zero exchanges") {
+    val plan = planOf("t21_clean_text")
+    assert(!plan.contains("Exchange"),
+      s"the cleaning pass must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("o31 generalize: census mapping broadcasts — the data relation never hash-shuffles") {
+    val plan = planOf("o31_generalize")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // data-side shuffles: only the final class-census groupBy of the
+    // CATALOG query; the enforcement itself contributes none (its own
+    // census aggregate ran eagerly at mapping-build time)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"expected at most the output-census exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("q_transitions: the sequence window partitions by user — never partitionless") {
+    val plan = planOf("q_transitions")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window detected:\n${plan.take(2500)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("user_id")),
+      s"the lead() window must partition by user_id:\n${plan.take(2500)}")
+  }
+
   test("t11 domain cap: two-phase — the final per-domain window reads the salted pre-cut") {
     val plan = planOf("t11_domain_cap")
     // two window stages = two hash exchanges (salted then global); the
