@@ -1825,6 +1825,52 @@ object GraftQueries {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** O32 [EXT] — join-preserving pseudonymisation: customer keys
+    * replaced by consistent keyed pseudonyms INDEPENDENTLY in two
+    * tables (`Anonymiser.pseudonym` — no shared state), then joined on
+    * the pseudonym. The oracle computes the same aggregate from the
+    * RAW key join, so equality proves referential integrity survives
+    * anonymisation (the cross-table generalisation of o11's per-column
+    * consistency). Scale: the pseudonym is a narrow map; the join
+    * shuffles on the pseudonym exactly as the raw join would on the
+    * key — anonymisation costs nothing in plan shape.
+    */
+  def o32PseudonymJoin(s: SparkSession, dir: String): DataFrame = {
+    def p(c: Column) = graft.anonymise.Anonymiser.pseudonym(c, "graft:")
+    val cust = tbl(s, dir, "customer")
+      .select(p(col("c_custkey")).as("cust_pseud"), col("c_mktsegment"))
+    val ord = tbl(s, dir, "orders")
+      .select(p(col("o_custkey")).as("cust_pseud"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    ord.join(cust, "cust_pseud")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("cust_pseud")).as("n_custs"),
+        sum(col("price") * 100).cast("long").as("sum_cents"))
+  }
+
+  /** MM7 [EXT] — shot-boundary detection over sampled video frames
+    * (`Multimodal.sceneChanges`): per-frame stub-decoded histograms,
+    * integer L1 distances between consecutive frames, cuts above the
+    * threshold. The oracle re-derives every histogram bin and distance
+    * from the same digest recipe.
+    */
+  def mm7SceneChanges(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneChanges(
+      Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents"))),
+      everyMs = 1000L, threshold = 26L)
+
+  /** Q_MAD_OUTLIERS [EXT] — robust outlier census per market segment
+    * (`RobustStats.madOutlierSummary`): exact median and MAD of
+    * account balances in cents, computed at HISTOGRAM scale (never the
+    * `percentile` buffer-every-value trap), with doubled/quadrupled
+    * integer encodings so even-count interpolation stays exact.
+    */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RobustStats.madOutlierSummary(
+      tbl(s, dir, "customer"), col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+
   /** Q_TRANSITIONS [EXT] — first-order Markov transition matrix over
     * per-user event sequences (`Funnel.transitionMatrix`): adjacent-
     * pair counts plus integer micro-unit probabilities. One event-
@@ -2795,5 +2841,8 @@ object GraftQueries {
     "t21_clean_text"     -> (t21CleanText _),
     "o31_generalize"     -> (o31Generalize _),
     "q_transitions"      -> (qTransitions _),
+    "o32_pseudonym_join" -> (o32PseudonymJoin _),
+    "mm7_scene_changes"  -> (mm7SceneChanges _),
+    "q_mad_outliers"     -> (qMadOutliers _),
   )
 }

@@ -2257,6 +2257,60 @@ object Oracles {
     // snapshot + batch-0 events, minus the winning-delete keys (mod 4
     // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
     // must change nothing
+    // join-preserving pseudonymisation: the oracle joins on RAW keys —
+    // equality with the Spark pseudonym join proves the pseudonyms kept
+    // referential integrity (and collided nowhere)
+    "o32_pseudonym_join" ->
+      """SELECT c_mktsegment AS mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // scene changes: every histogram bin and L1 distance re-derived
+    // from the same md5(asset:frame) stub-decode recipe (mm2's video
+    // set and duration formula)
+    "mm7_scene_changes" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id,
+        |    5000 + ((strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16
+        |          + (strpos('0123456789abcdef', substr(md5(text),8,1))-1))*512 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT asset_id, unnest(range(0, dur+1, 1000)) AS frame_ms FROM v),
+        |d AS (SELECT asset_id, frame_ms, md5(asset_id||':'||frame_ms) AS dg FROM f),
+        |b AS (SELECT asset_id, frame_ms, i AS bin,
+        |        32 - length(replace(dg, substr('0123456789abcdef', i+1, 1), '')) AS h
+        |      FROM d, LATERAL (SELECT unnest(range(0,16)) AS i) g(i)),
+        |p AS (SELECT a.asset_id, a.frame_ms, sum(abs(a.h - c.h)) AS l1
+        |      FROM b a JOIN b c ON a.asset_id = c.asset_id AND a.bin = c.bin
+        |                       AND c.frame_ms = a.frame_ms - 1000
+        |      GROUP BY 1, 2)
+        |SELECT asset_id,
+        |       CAST(count(*) AS BIGINT) AS n_transitions,
+        |       CAST(sum(CASE WHEN l1 > 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(max(l1) AS BIGINT) AS max_l1
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // robust outliers: DuckDB's continuous median over integers lands
+    // on .0/.5 exactly, so the doubled/quadrupled encodings recover the
+    // same integers the histogram walk produces
+    "q_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer),
+        |m AS (SELECT seg, CAST(2*median(v) AS BIGINT) AS m2,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM c GROUP BY 1),
+        |d AS (SELECT c.seg, abs(2*v - m2) AS d2 FROM c JOIN m USING (seg)),
+        |m4t AS (SELECT seg, CAST(2*median(d2) AS BIGINT) AS m4 FROM d GROUP BY 1),
+        |o AS (SELECT d.seg,
+        |        CAST(sum(CASE WHEN d2*20000 > 44478*m4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |      FROM d JOIN m4t USING (seg) GROUP BY 1)
+        |SELECT m.seg AS segment, n, m2, m4, n_outliers
+        |FROM m JOIN m4t USING (seg) JOIN o USING (seg)""".stripMargin,
+
     // change feed: the fixture's delta batches ARE the eid-mod-3 event
     // split, so the per-batch census recomputes from the events table;
     // equality proves no write was lost, duplicated, or mis-stamped

@@ -40,6 +40,19 @@ object Anonymiser {
     */
   case object BroadcastMap extends Consistency
 
+  /** Consistent keyed pseudonym for an identifier column: the seeded-
+    * deterministic o11 consistency recipe specialised to KEYS, where
+    * the property that matters is REFERENTIAL — the same identifier
+    * pseudonymises identically in every table it appears in, with no
+    * shared state, so foreign-key joins still line up after
+    * anonymisation (proven end-to-end by `o32_pseudonym_join`: the
+    * pseudonym-join aggregate equals the raw-key-join aggregate). The
+    * salt separates pseudonym domains: two datasets salted differently
+    * cannot be linked through their pseudonyms.
+    */
+  def pseudonym(c: Column, salt: String = ""): Column =
+    substring(md5(concat(lit(salt), c.cast(StringType))), 1, 16)
+
   /** Seed column: stable 64-bit hash of `column ":" value` (NULL original
     * hashes the bare prefix — all NULLs of a column share one fake; the
     * reference instead regenerates randomly per NULL row, a quirk noted

@@ -301,6 +301,46 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ms"))
 
+  /** Scene-change detection over sampled video frames: per-frame
+    * 16-bin "pixel" histograms, L1 distance between consecutive
+    * frames, a cut wherever the distance exceeds `threshold` — the
+    * standard histogram-difference shot-boundary detector, integer-
+    * exact end to end so a SQL twin reproduces every distance.
+    *
+    * Frame pixels come from the StubCodec boundary (a real decoder
+    * slots in where the digest is computed): each sampled frame's
+    * "pixels" are the 32 hex nibbles of `md5(asset_id:frame_ms)`, the
+    * per-frame analogue of [[perceptualHash]]'s per-asset digest.
+    * The histogram is 16 codegen'd character counts — no UDF.
+    *
+    * Scale shape: frames explode from metadata (duration), so the
+    * relation is frames-not-bytes; the lag window partitions by asset
+    * (state = one row's histogram, O(1) per partition stream); the
+    * summary is a mergeable per-asset aggregate. One shuffle total.
+    */
+  def sceneChanges(meta: DataFrame, everyMs: Long = 1000L,
+                   threshold: Long = 26L): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    val withDigest = frameSamples(meta, everyMs)
+      .withColumn("_dg", md5(concat(col("asset_id").cast("string"),
+        lit(":"), col("frame_ms").cast("string"))))
+    val hist = array(hexDigits.map(c =>
+      (lit(32L) - length(replace(col("_dg"), lit(c.toString), lit(""))))
+        .cast("long")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_ms")
+    withDigest.withColumn("_h", hist)
+      .withColumn("_prev", lag(col("_h"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .withColumn("l1", aggregate(
+        zip_with(col("_h"), col("_prev"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("l1") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("l1")).as("max_l1"))
+  }
+
   /** Perceptual hash of an asset — the aHash recipe (average hash, the
     * simplest of the pHash family): histogram the decoded pixels into
     * 16 buckets, set bit i iff bucket i is STRICTLY above the mean.

@@ -1938,6 +1938,47 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(lens == 0)
   }
 
+  test("madOutlierSummary: known medians, driver and distributed walks agree") {
+    import spark.implicits._
+    // seg A: 1..5 (median 3, m2=6; devs 0,2,4 doubled: {4,2,0,2,4} → MAD
+    // median = 2 → m4=4); outlier rule: d2·20000 > 44478·4 ⟺ d2 > 8.89
+    // → none. seg B: {10,10,10,10,1000}: m2=20, d2s {0,0,0,0,1980},
+    // m4=0 → any d2>0 is an outlier → exactly 1.
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map(("A", _)) ++
+      Seq(10L, 10L, 10L, 10L, 1000L).map(("B", _))).toDF("seg", "v")
+    val got = graft.ops.RobustStats
+      .madOutlierSummary(df, col("seg"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 5L, 6L, 4L, 0L), ("B", 5L, 20L, 0L, 1L)))
+    val dist = graft.ops.RobustStats
+      .madOutlierSummary(df, col("seg"), col("v"), driverWalkMaxBins = 0L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(dist == got)
+    // even-count interpolation: {1,2,3,4} → m2 = 2+3 = 5
+    val even = Seq(1L, 2L, 3L, 4L).map(("E", _)).toDF("seg", "v")
+    val m2 = graft.ops.RobustStats
+      .madOutlierSummary(even, col("seg"), col("v"))
+      .select("m2").as[Long].head()
+    assert(m2 == 5L)
+  }
+
+  test("sceneChanges: transition counts and threshold edges; layout-invariant") {
+    import graft.ops.Multimodal
+    val meta = Multimodal.decodeMeta(
+      Multimodal.assetsFromDocuments(docs))
+    val everyCut = Multimodal.sceneChanges(meta, threshold = -1L)
+    val noCut = Multimodal.sceneChanges(meta, threshold = 64L)
+    // n_transitions = n_frames - 1, and thresholds bracket the cuts
+    val frames = Multimodal.frameSamples(meta, 1000L)
+      .groupBy("asset_id").agg(count(lit(1)).as("nf"))
+    val joined = everyCut.join(frames, "asset_id")
+    assert(joined.filter(col("n_transitions") =!= col("nf") - 1).count() == 0)
+    assert(everyCut.filter(col("n_cuts") =!= col("n_transitions")).count() == 0)
+    assert(noCut.filter(col("n_cuts") =!= 0).count() == 0)
+    // max L1 ≤ 64 (two disjoint 32-nibble histograms)
+    assert(everyCut.filter(col("max_l1") > 64).count() == 0)
+  }
+
   test("transitionMatrix: adjacent pairs per entity, micro-unit rows sum to ~1") {
     import spark.implicits._
     val ev = Seq(

@@ -410,6 +410,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"the lead() window must partition by user_id:\n${plan.take(2500)}")
   }
 
+  test("mm7 scene changes: the frame window partitions by asset — never partitionless") {
+    val plan = planOf("mm7_scene_changes")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window detected:\n${plan.take(2500)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("asset_id")),
+      s"the lag window must partition by asset_id:\n${plan.take(2500)}")
+  }
+
+  test("o32 pseudonym join: joins on the pseudonym like the raw join would on the key") {
+    val plan = planOf("o32_pseudonym_join")
+    assert(plan.contains("Join") && plan.contains("cust_pseud"),
+      s"expected a pseudonym-keyed join:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pseudonym equality must stay an equi-join:\n${plan.take(2500)}")
+  }
+
   test("t11 domain cap: two-phase — the final per-domain window reads the salted pre-cut") {
     val plan = planOf("t11_domain_cap")
     // two window stages = two hash exchanges (salted then global); the
