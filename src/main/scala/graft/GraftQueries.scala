@@ -1880,6 +1880,50 @@ object GraftQueries {
   def qTransitions(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.transitionMatrix(tbl(s, dir, "events"))
 
+  /** P4 [EXT] — the PRIVACY pipeline capstone, composing the round's
+    * anonymisation transforms with the minimiser's core export path:
+    * (1) referentially-consistent SUBSET (10% order anchor, FK
+    * closure — the o29 machinery), (2) k-anonymity enforcement over
+    * the subset's customers (the o31 ladder at k=5 — subset first,
+    * THEN generalise: class sizes must reflect what is actually
+    * released), (3) join-preserving key pseudonymisation of customers
+    * and orders (o32), (4) the release summary per published QI class.
+    * The oracle replays subset + ladder in SQL and joins on RAW keys —
+    * equality proves the pseudonymised release carries exactly the
+    * statistics of the identified one.
+    *
+    * Scale: the subset is semi-join closure (broadcast key
+    * projections); generalisation is census-scale; the pseudonym join
+    * shuffles the kept orders once — no stage is heavier than its
+    * standalone form.
+    */
+  def p4PrivacyPipeline(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    val tables = names.map(t => t -> tbl(s, dir, t)).toMap
+    val kept = graft.export.Subset.closure(tables,
+      graft.sources.ParquetSource.fixtureForeignKeys, "orders",
+      graft.ops.Sampling.bucket(col("o_orderkey"), 10) === 0)
+    val kn = kept("nation").select(col("n_nationkey"), col("n_regionkey"))
+    val kc = kept("customer")
+      .join(broadcast(kn), col("c_nationkey") === col("n_nationkey"))
+    val ladder = Seq(
+      concat(lit("n:"), col("c_nationkey").cast("string"), lit(":"), col("c_mktsegment")),
+      concat(lit("r:"), col("n_regionkey").cast("string"), lit(":"), col("c_mktsegment")),
+      col("c_mktsegment"))
+    def p(c: Column) = graft.anonymise.Anonymiser.pseudonym(c, "p4:")
+    val gen = graft.anonymise.Generalise.kAnonymize(kc, ladder, k = 5)
+      .select(p(col("c_custkey")).as("pseud"),
+        col("qi_value"), col("gen_level"))
+    val ko = kept("orders").select(p(col("o_custkey")).as("pseud"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    ko.join(gen, "pseud")
+      .groupBy(col("qi_value"), col("gen_level"))
+      .agg(countDistinct(col("pseud")).as("n_custs"),
+        count(lit(1)).as("n_orders"),
+        sum(col("price") * 100).cast("long").as("sum_cents"))
+  }
+
   /** ST14 [EXT] — per-user CUSUM drift vs a fixed 50.00 target, batch
     * form (streaming `mapGroupsWithState` form asserted row-identical
     * in StreamingSpec — the fixed reference value is what makes the
@@ -2844,5 +2888,6 @@ object GraftQueries {
     "o32_pseudonym_join" -> (o32PseudonymJoin _),
     "mm7_scene_changes"  -> (mm7SceneChanges _),
     "q_mad_outliers"     -> (qMadOutliers _),
+    "p4_privacy_pipeline" -> (p4PrivacyPipeline _),
   )
 }

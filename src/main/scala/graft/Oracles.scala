@@ -2257,6 +2257,41 @@ object Oracles {
     // snapshot + batch-0 events, minus the winning-delete keys (mod 4
     // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
     // must change nothing
+    // privacy pipeline: subset closure (the o29 anchor) + the o31
+    // ladder at k=5 over the SUBSET customers + a raw-key join where
+    // the engine joined pseudonyms — equality proves the anonymised
+    // release carries exactly the identified release's statistics
+    "p4_privacy_pipeline" -> {
+      val anchor = bucketSql("o_orderkey", 10)
+      s"""WITH ko AS (SELECT * FROM orders WHERE $anchor = 0),
+         |kc0 AS (SELECT c.* FROM customer c
+         |        WHERE EXISTS (SELECT 1 FROM ko WHERE ko.o_custkey = c.c_custkey)),
+         |c AS (SELECT c_custkey,
+         |             'n:'||c_nationkey||':'||c_mktsegment AS q0,
+         |             'r:'||n_regionkey||':'||c_mktsegment AS q1,
+         |             c_mktsegment AS q2
+         |      FROM kc0 JOIN nation ON c_nationkey = n_nationkey),
+         |s0 AS (SELECT q0, count(*) AS n0 FROM c GROUP BY 1),
+         |a0 AS (SELECT c.*, n0 FROM c JOIN s0 USING (q0)),
+         |r0 AS (SELECT * FROM a0 WHERE n0 < 5),
+         |s1 AS (SELECT q1, count(*) AS n1 FROM r0 GROUP BY 1),
+         |a1 AS (SELECT r0.*, n1 FROM r0 JOIN s1 USING (q1)),
+         |r1 AS (SELECT * FROM a1 WHERE n1 < 5),
+         |s2 AS (SELECT q2, count(*) AS n2 FROM r1 GROUP BY 1),
+         |a2 AS (SELECT r1.*, n2 FROM r1 JOIN s2 USING (q2)),
+         |lab AS (
+         |  SELECT c_custkey, q0 AS qi_value, 0 AS lvl FROM a0 WHERE n0 >= 5
+         |  UNION ALL SELECT c_custkey, q1, 1 FROM a1 WHERE n1 >= 5
+         |  UNION ALL SELECT c_custkey, q2, 2 FROM a2 WHERE n2 >= 5
+         |  UNION ALL SELECT c_custkey, '*', 3 FROM a2 WHERE n2 < 5)
+         |SELECT qi_value, CAST(lvl AS INTEGER) AS gen_level,
+         |       CAST(count(DISTINCT ko.o_custkey) AS BIGINT) AS n_custs,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents
+         |FROM ko JOIN lab ON ko.o_custkey = lab.c_custkey
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     // join-preserving pseudonymisation: the oracle joins on RAW keys —
     // equality with the Spark pseudonym join proves the pseudonyms kept
     // referential integrity (and collided nowhere)

@@ -46,7 +46,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     // this session's additions: cleaning map, census-walk enforcement,
     // per-user windows, and the partition-discovered change feed
     "t21_clean_text", "o31_generalize", "q_transitions", "st16_table_cdf",
-    "o32_pseudonym_join", "mm7_scene_changes", "q_mad_outliers")
+    "o32_pseudonym_join", "mm7_scene_changes", "q_mad_outliers",
+    "p4_privacy_pipeline")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString

@@ -428,6 +428,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"pseudonym equality must stay an equi-join:\n${plan.take(2500)}")
   }
 
+  test("p4 privacy pipeline: closure + census joins broadcast; no cartesian anywhere") {
+    val plan = planOf("p4_privacy_pipeline")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pipeline must stay equi-join end to end:\n${plan.take(2500)}")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("t11 domain cap: two-phase — the final per-domain window reads the salted pre-cut") {
     val plan = planOf("t11_domain_cap")
     // two window stages = two hash exchanges (salted then global); the
