@@ -1880,6 +1880,51 @@ object GraftQueries {
   def qTransitions(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.transitionMatrix(tbl(s, dir, "events"))
 
+  /** O33 [EXT] — Warner's randomized response: per-row local-DP
+    * perturbation of a boolean attribute with an md5-bucket coin
+    * (`Anonymiser.randomizedResponse`, m=4 → truth kept w.p. 3/4),
+    * plus the unbiased estimator per segment. Everything integer-
+    * exact: est_x2 = 4·reported − n is twice the estimate, err_x2 its
+    * signed distance from twice the true count — the oracle replays
+    * coin, mechanism and estimator bit-for-bit.
+    */
+  def o33RandomizedResponse(s: SparkSession, dir: String): DataFrame = {
+    val truth = col("c_acctbal") > 5000.0
+    val rep = graft.anonymise.Anonymiser
+      .randomizedResponse(col("c_custkey"), truth, modulus = 4)
+    tbl(s, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        truth.as("truth"), rep.as("rep"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("rep"), 1L).otherwise(0L)).as("n_reported"))
+      .withColumn("est_x2", lit(4L) * col("n_reported") - col("n"))
+      .withColumn("err_x2", col("est_x2") - lit(2L) * col("n_true"))
+  }
+
+  /** ST17 [EXT] — CDC replication through the change feed: a replica
+    * keyed table is built from the primary's base snapshot plus its
+    * `changes()` feed re-applied batch by batch, then read. The output
+    * equals the primary's resolved state (the st11 oracle shape), so
+    * the compare proves the feed is a COMPLETE account of the writes —
+    * base + CDF reconstructs the table exactly, which is the property
+    * a downstream replication tail depends on.
+    */
+  def st17CdfReplication(s: SparkSession, dir: String): DataFrame = {
+    val primaryDir = diffTableFixture(s, dir)
+    def t(d: String) = new graft.streaming.KeyedTable(
+      s, d, Seq("user_id"), Seq("ts_us", "eid"))
+    val out = cachedBuild(s, "cdfrepl", dir) { o =>
+      val primary = t(primaryDir)
+      val replica = t(o)
+      replica.initBase(primary.readAsOf(-1L))
+      replica.applyChanges(primary.changes())
+    }
+    t(out).read().select(col("user_id"), col("src"),
+      col("eid").as("latest_event_id"), col("value").as("latest_value"))
+  }
+
   /** P4 [EXT] — the PRIVACY pipeline capstone, composing the round's
     * anonymisation transforms with the minimiser's core export path:
     * (1) referentially-consistent SUBSET (10% order anchor, FK
@@ -2889,5 +2934,7 @@ object GraftQueries {
     "mm7_scene_changes"  -> (mm7SceneChanges _),
     "q_mad_outliers"     -> (qMadOutliers _),
     "p4_privacy_pipeline" -> (p4PrivacyPipeline _),
+    "o33_randomized_response" -> (o33RandomizedResponse _),
+    "st17_cdf_replication" -> (st17CdfReplication _),
   )
 }

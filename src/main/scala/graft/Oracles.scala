@@ -2257,6 +2257,45 @@ object Oracles {
     // snapshot + batch-0 events, minus the winning-delete keys (mod 4
     // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
     // must change nothing
+    // randomized response: coin, mechanism and estimator replayed
+    // bit-for-bit via the portable md5 bucket
+    "o33_randomized_response" -> {
+      val coin = bucketSql("c_custkey", 4)
+      s"""WITH c AS (
+         |  SELECT c_mktsegment AS segment,
+         |         c_acctbal > 5000.0 AS truth,
+         |         CASE WHEN $coin = 0 THEN NOT (c_acctbal > 5000.0)
+         |              ELSE c_acctbal > 5000.0 END AS rep
+         |  FROM customer)
+         |SELECT segment,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reported,
+         |       CAST(4*sum(CASE WHEN rep THEN 1 ELSE 0 END) - count(*) AS BIGINT) AS est_x2,
+         |       CAST(4*sum(CASE WHEN rep THEN 1 ELSE 0 END) - count(*)
+         |            - 2*sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS err_x2
+         |FROM c GROUP BY 1""".stripMargin
+    },
+
+    // CDF replication: base snapshot + the change feed reconstructs the
+    // primary's resolved state exactly (the st11 fixture, so the oracle
+    // is the latest-per-key over even-customer snapshot ∪ all events)
+    "st17_cdf_replication" ->
+      """WITH all_rows AS (
+        |  SELECT c_custkey AS user_id, 'snapshot' AS src, c_acctbal AS value,
+        |         CAST(-1 AS BIGINT) AS ts_us, CAST(-1 AS BIGINT) AS eid
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT user_id, 'event', value,
+        |         CAST(epoch_us(ts) AS BIGINT), event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us DESC, eid DESC) AS rn
+        |  FROM all_rows)
+        |SELECT user_id, src, eid AS latest_event_id, value AS latest_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
     // privacy pipeline: subset closure (the o29 anchor) + the o31
     // ladder at k=5 over the SUBSET customers + a raw-key join where
     // the engine joined pseudonyms — equality proves the anonymised

@@ -53,6 +53,26 @@ object Anonymiser {
   def pseudonym(c: Column, salt: String = ""): Column =
     substring(md5(concat(lit(salt), c.cast(StringType))), 1, 16)
 
+  /** Warner's randomized response (1965) — the local-DP perturbation
+    * mechanism: with probability `(modulus-1)/modulus` report the true
+    * boolean, otherwise report its negation. The "coin" is the
+    * portable md5 bucket of the row's id, so the mechanism is
+    * DETERMINISTIC given the data (reproducible releases, SQL-oracle-
+    * checkable) while still unbiased-estimable: with p = (m-1)/m,
+    * `T̂ = (m·reported − n) / (m−2)` recovers the true count in
+    * expectation. Narrow map, zero shuffle.
+    *
+    * Determinism trade documented: a keyed-hash coin means re-running
+    * the release never flips different rows (no privacy amplification
+    * from fresh randomness across releases — by design, the same
+    * reason the consistency map is seeded).
+    */
+  def randomizedResponse(id: Column, truth: Column, modulus: Int = 4): Column = {
+    require(modulus >= 3, "randomizedResponse: modulus must be >= 3 " +
+      "(m=2 flips half the rows and the estimator divides by zero)")
+    when(graft.ops.Sampling.bucket(id, modulus) === 0, !truth).otherwise(truth)
+  }
+
   /** Seed column: stable 64-bit hash of `column ":" value` (NULL original
     * hashes the bare prefix — all NULLs of a column share one fake; the
     * reference instead regenerates randomly per NULL row, a quirk noted

@@ -20,7 +20,12 @@ import graft.functions.CosineSimilarity
   *    get the identical deterministic split/sample assignments as the
   *    DataFrame API (and as the DuckDB oracle twin);
   *  - `jaccard(array, array)` — exact set Jaccard
-  *    (`ops.Dedup.jaccard`), composed from native set expressions.
+  *    (`ops.Dedup.jaccard`), composed from native set expressions;
+  *  - `graft_fingerprint(text)` — the dedup content identity;
+  *  - `graft_pseudonym(key, salt)` — the join-preserving consistent
+  *    pseudonym (`anonymise.Anonymiser.pseudonym`);
+  *  - `graft_clean_text(text)` — the t21 corpus cleaning chain
+  *    (`ops.TextAnalysis.cleanedText`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,6 +58,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Md5(Cast(Lower(RegExpReplace(StringTrim(text), Literal("\\s+"), Literal(" "))),
       org.apache.spark.sql.types.BinaryType))
 
+  /** Catalyst tree of `Anonymiser.pseudonym`: substr(md5(concat(salt,
+    * cast(key as string))), 1, 16) — SQL users mint the SAME
+    * join-preserving pseudonyms as the DataFrame anonymiser (and the
+    * DuckDB twin). Composed from built-ins — fully codegen'd.
+    */
+  private[graft] def pseudonymExpr(key: Expression, salt: Expression): Expression =
+    Substring(
+      Md5(Cast(Concat(Seq(Cast(salt, StringType), Cast(key, StringType))),
+        org.apache.spark.sql.types.BinaryType)),
+      Literal(1, IntegerType), Literal(16, IntegerType))
+
+  /** Catalyst tree of `TextAnalysis.cleanedText`: the three-stage
+    * cleaning chain (tag strip, control-char squash, space collapse,
+    * trim) with the same explicit-ASCII-range classes.
+    */
+  private[graft] def cleanTextExpr(text: Expression): Expression =
+    StringTrim(
+      RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(text, Literal("<[^>]*>"), Literal(" ")),
+          Literal("[\\x00-\\x1f\\x7f]"), Literal(" ")),
+        Literal(" +"), Literal(" ")))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
@@ -70,5 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_fingerprint"),
       exprs => fingerprintExpr(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_pseudonym"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_pseudonym"),
+      exprs => pseudonymExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_clean_text"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_clean_text"),
+      exprs => cleanTextExpr(exprs(0))))
   }
 }

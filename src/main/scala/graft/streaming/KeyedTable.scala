@@ -310,6 +310,29 @@ final class KeyedTable(spark: SparkSession, dir: String,
       .withColumn("batch_id", col("batch_id").cast("long"))
   }
 
+  /** Re-apply a change feed (the shape [[changes]] produces) to THIS
+    * table — the replication tail: each distinct `batch_id` in the
+    * feed commits as the same delta batch here, TOMBSTONES INCLUDED
+    * (feed rows legitimately carry the reserved column, which is why
+    * this path exists next to the guarded `upsert`). Same-id batches
+    * are replay no-ops, so re-applying an overlapping feed slice is
+    * safe — replication inherits the table's idempotence.
+    *
+    * The batch-id listing is a metadata-scale collect (one long per
+    * committed batch); each batch's rows filter from the feed by a
+    * `batch_id` predicate, which prunes to that one delta directory
+    * when the feed comes straight from [[changes]].
+    */
+  def applyChanges(feed: DataFrame): Unit = {
+    require(feed.columns.contains("batch_id"),
+      "applyChanges expects a change feed (missing batch_id)")
+    val ids = feed.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    ids.foreach { b =>
+      commitDelta(feed.filter(col("batch_id") === b).drop("batch_id"), b): Unit
+    }
+  }
+
   /** Streaming twin of [[changes]]: a file-source stream over the
     * delta directories. The rename-commit protocol makes every delta
     * dir appear ATOMICALLY, so the source never lists a half-written

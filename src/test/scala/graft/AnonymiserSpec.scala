@@ -87,6 +87,31 @@ class AnonymiserSpec extends AnyFunSuite with SparkSuite {
     assert(linked == 0)
   }
 
+  test("randomizedResponse: flips exactly the bucket-0 rows; estimator identity; m<3 rejected") {
+    import graft.ops.Sampling
+    val truth = col("c_acctbal") > 5000.0
+    val out = customer.select(col("c_custkey"), truth.as("truth"),
+      Anonymiser.randomizedResponse(col("c_custkey"), truth).as("rep"),
+      (Sampling.bucket(col("c_custkey"), 4) === 0).as("flip"))
+    // the mechanism is exactly coin-driven negation
+    assert(out.filter(col("flip") && (col("rep") === col("truth"))).count() == 0)
+    assert(out.filter(!col("flip") && (col("rep") =!= col("truth"))).count() == 0)
+    // count accounting: reported = kept-true + flipped-false — the
+    // identity the o33 estimator (est_x2 = 4·reported − n) stands on
+    val agg = out.agg(
+      sum(when(col("truth"), 1L).otherwise(0L)).as("t"),
+      sum(when(col("rep"), 1L).otherwise(0L)).as("r"),
+      sum(when(col("flip") && col("truth"), 1L).otherwise(0L)).as("ft"),
+      sum(when(col("flip") && !col("truth"), 1L).otherwise(0L)).as("ff"))
+      .first()
+    val (t, r, ft, ff) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    assert(r == t - ft + ff)
+    intercept[IllegalArgumentException] {
+      Anonymiser.randomizedResponse(col("c_custkey"), truth, modulus = 2)
+    }
+  }
+
   // --- Generalise.kAnonymize (the enforcement transform, o31) ---
 
   private def ladderFixture = {

@@ -163,4 +163,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getDouble(0))
     assert(out.forall(s => math.abs(s - 1.0) < 1e-12))
   }
+
+  test("graft_pseudonym and graft_clean_text are SQL-callable and match the DataFrame recipes") {
+    import spark.implicits._
+    val ext = new graft.plans.GraftExtensions()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pseudonym", exprs => ext.pseudonymExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_clean_text", exprs => ext.cleanTextExpr(exprs(0)), "scala_udf")
+    (1L to 20L).toDF("id").createOrReplaceTempView("ps_test")
+    val viaSql = spark.sql(
+      "SELECT id, graft_pseudonym(id, 's:') AS p FROM ps_test")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaDf = (1L to 20L).toDF("id")
+      .select(col("id"),
+        graft.anonymise.Anonymiser.pseudonym(col("id"), "s:").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql == viaDf)
+    val texts = Seq("<b>Hi</b>\tthere  world ", "a < b and b > a", "")
+    texts.toDF("t").createOrReplaceTempView("ct_test")
+    val sqlClean = spark.sql("SELECT graft_clean_text(t) AS c FROM ct_test")
+      .collect().map(_.getString(0)).toSeq
+    val dfClean = texts.toDF("t")
+      .select(graft.ops.TextAnalysis.cleanedText(col("t")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sqlClean == dfClean)
+    assert(sqlClean == Seq("Hi there world", "a a", ""))
+  }
 }

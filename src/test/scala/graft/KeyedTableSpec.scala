@@ -395,4 +395,23 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     try q.processAllAvailable() finally q.stop()
     assert(asSet(spark.table("kt_cdf_feed")) == want)
   }
+
+  test("replication: base + change feed reconstructs the primary exactly, tombstones included") {
+    val primary = mk(tmpDir("repl_p"))
+    primary.initBase(rows((1L, -1L, -1L, "b1"), (2L, -1L, -1L, "b2")))
+    assert(primary.upsert(rows((1L, 10L, 1L, "u1"), (3L, 5L, 1L, "u3")), 0L))
+    // a delete batch rides the feed as a tombstoned write
+    assert(primary.delete(rows((2L, 20L, 1L, "ignored"))
+      .select("k", "v_ts", "v_seq"), 1L))
+    assert(primary.upsert(rows((4L, 1L, 1L, "u4")), 2L))
+    val replica = mk(tmpDir("repl_r"))
+    replica.initBase(primary.readAsOf(-1L))
+    replica.applyChanges(primary.changes())
+    assert(state(replica) == state(primary))
+    // deleted key is gone on both sides (the tombstone travelled)
+    assert(!state(replica).exists(_._1 == 2L))
+    // re-applying the feed is a no-op (replay idempotence inherited)
+    replica.applyChanges(primary.changes())
+    assert(state(replica) == state(primary))
+  }
 }
