@@ -1880,6 +1880,16 @@ object GraftQueries {
   def qTransitions(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.transitionMatrix(tbl(s, dir, "events"))
 
+  /** T22 [EXT] — BPE training, three merge rounds
+    * (`TextAnalysis.bpeTrain`): the merge loop t20 takes one step of,
+    * run at vocabulary scale with deterministic argmax ties. The
+    * oracle unrolls the three rounds in SQL (the marker-rewrite
+    * `replace` has identical leftmost-non-overlapping semantics in
+    * both engines).
+    */
+  def t22BpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(tbl(s, dir, "documents"), rounds = 3)
+
   /** O33 [EXT] — Warner's randomized response: per-row local-DP
     * perturbation of a boolean attribute with an md5-bucket coin
     * (`Anonymiser.randomizedResponse`, m=4 → truth kept w.p. 3/4),
@@ -2936,5 +2946,6 @@ object GraftQueries {
     "p4_privacy_pipeline" -> (p4PrivacyPipeline _),
     "o33_randomized_response" -> (o33RandomizedResponse _),
     "st17_cdf_replication" -> (st17CdfReplication _),
+    "t22_bpe_train"      -> (t22BpeTrain _),
   )
 }

@@ -2257,6 +2257,36 @@ object Oracles {
     // snapshot + batch-0 events, minus the winning-delete keys (mod 4
     // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
     // must change nothing
+    // BPE training, three rounds unrolled: each round's argmax pair
+    // (count desc, pair asc) merges into a fresh uppercase marker —
+    // replace() is leftmost-non-overlapping in both engines, and the
+    // marker alphabet is disjoint from the [a-z] symbols
+    "t22_bpe_train" ->
+      """WITH v0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |p1 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+        |       FROM v0, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |       WHERE len(w) >= 2 GROUP BY 1),
+        |m1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+        |v1 AS (SELECT replace(w, (SELECT pair FROM m1), 'A') AS w, f FROM v0),
+        |p2 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+        |       FROM v1, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |       WHERE len(w) >= 2 GROUP BY 1),
+        |m2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+        |v2 AS (SELECT replace(w, (SELECT pair FROM m2), 'B') AS w, f FROM v1),
+        |p3 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+        |       FROM v2, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |       WHERE len(w) >= 2 GROUP BY 1),
+        |m3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS round,
+        |       (SELECT pair FROM m1) AS merged_pair,
+        |       CAST((SELECT c FROM m1) AS BIGINT) AS pair_count
+        |UNION ALL SELECT 2, (SELECT pair FROM m2), CAST((SELECT c FROM m2) AS BIGINT)
+        |UNION ALL SELECT 3, (SELECT pair FROM m3), CAST((SELECT c FROM m3) AS BIGINT)""".stripMargin,
+
     // randomized response: coin, mechanism and estimator replayed
     // bit-for-bit via the portable md5 bucket
     "o33_randomized_response" -> {

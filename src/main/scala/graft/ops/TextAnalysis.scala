@@ -679,4 +679,56 @@ object TextAnalysis {
       .orderBy(col("c_pair").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Multi-round BPE TRAINING — `bpePairs` is one step; this runs the
+    * actual merge loop, the way real BPE trainers do: on the WORD
+    * VOCABULARY `(word, freq)`, never the corpus. The corpus collapses
+    * once (one mergeable count, vocabulary-bounded); each round then
+    * counts weighted adjacent symbol pairs at vocab scale, merges the
+    * argmax pair (ties broken lexicographically — deterministic), and
+    * rewrites the vocab with a fresh single-char marker per round.
+    * `replace(w, pair, marker)` with a fresh marker is INVERTIBLE
+    * (replace the marker back), so distinct words stay distinct and
+    * the vocab needs no re-aggregation between rounds.
+    *
+    * Symbols are lowercase letters (pre-tokens `[a-z]+` of the
+    * lowercased text); markers are `A`, `B`, `C`, … — disjoint
+    * alphabets, so a merged symbol can never be confused with input.
+    * Output: one row per round `(round, merged_pair, pair_count)` —
+    * the merge table a tokenizer ships.
+    *
+    * Scale shape: rounds × (vocab-scale pair count + narrow rewrite);
+    * the per-round argmax is a TakeOrderedAndProject of ONE row. At
+    * 100 TB the corpus is touched exactly once.
+    */
+  def bpeTrain(df: DataFrame, textCol: String = "text",
+               rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 26, "bpeTrain: rounds must be 1..26")
+    val spark = df.sparkSession
+    var vocab = OpCaches.persist(
+      Partitioning.ensureParallelism(df.select(col(textCol).as("t")))
+        .select(explode(regexp_extract_all(lower(col("t")),
+          lit("[a-z]+"), lit(0))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f")))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairsCol = when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+      val top = vocab.select(explode(pairsCol).as("pair"), col("f"))
+        .groupBy("pair").agg(sum("f").as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeTrain: vocabulary exhausted at round $r")
+      val (pair, c) = (top(0).getString(0), top(0).getLong(1))
+      merges += ((r, pair, c))
+      val marker = ('A' + r - 1).toChar.toString
+      vocab = OpCaches.persist(
+        vocab.select(replace(col("w"), lit(pair), lit(marker)).as("w"), col("f")))
+    }
+    import spark.implicits._
+    spark.createDataset(merges.result())
+      .toDF("round", "merged_pair", "pair_count").coalesce(1)
+  }
 }

@@ -1979,6 +1979,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(everyCut.filter(col("max_l1") > 64).count() == 0)
   }
 
+  test("bpeTrain: merges chain through markers, hand-checked on a tiny corpus") {
+    import spark.implicits._
+    // vocab: "abab" ×3, "abc" ×2, "cab" ×1
+    // r1 pairs: ab: 3·2+2+1=9, ba: 3, bc: 2, ca: 1 → merge "ab"→A
+    //   vocab: "AA"×3, "Ac"×2, "cA"×1
+    // r2 pairs: AA: 3, Ac: 2, cA: 1 → merge "AA"→B
+    //   vocab: "B"×3, "Ac"×2, "cA"×1
+    // r3 pairs: Ac: 2, cA: 1 → merge "Ac"→C
+    val docs = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc") ++ Seq("cab"))
+      .toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 3)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "ab", 9L), (2, "AA", 3L), (3, "Ac", 2L)))
+    // layout invariance of the whole merge chain
+    val re = TextAnalysis.bpeTrain(docs.repartition(5), rounds = 3)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(re == got)
+  }
+
   test("transitionMatrix: adjacent pairs per entity, micro-unit rows sum to ~1") {
     import spark.implicits._
     val ev = Seq(

@@ -47,7 +47,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     // per-user windows, and the partition-discovered change feed
     "t21_clean_text", "o31_generalize", "q_transitions", "st16_table_cdf",
     "o32_pseudonym_join", "mm7_scene_changes", "q_mad_outliers",
-    "p4_privacy_pipeline", "o33_randomized_response", "st17_cdf_replication")
+    "p4_privacy_pipeline", "o33_randomized_response", "st17_cdf_replication",
+    "t22_bpe_train")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
