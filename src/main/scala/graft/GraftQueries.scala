@@ -1880,6 +1880,32 @@ object GraftQueries {
   def qTransitions(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.transitionMatrix(tbl(s, dir, "events"))
 
+  /** O34 [EXT] — right-to-be-forgotten erasure
+    * (`Subset.eraseCascade`): a 5% victim set of customers is erased
+    * together with every transitive FK descendant (their orders, those
+    * orders' lineitems, their events) while referenced dimensions stay
+    * intact — the GDPR deletion the anonymiser's domain ultimately
+    * serves. The summary carries per-table before/deleted/after counts
+    * AND the post-erasure orphan count; the oracle recomputes the
+    * cascade with NOT EXISTS chains, so the compare proves both the
+    * deletion extent (nothing extra, nothing missed) and closure after.
+    */
+  def o34Forget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    val tables = names.map(t => t -> tbl(s, dir, t)).toMap
+    val fks = graft.sources.ParquetSource.fixtureForeignKeys
+    val kept = graft.export.Subset.eraseCascade(tables, fks, "customer",
+      graft.ops.Sampling.bucket(col("c_custkey"), 20) === 0)
+    val orphans = graft.export.Subset.orphanCounts(kept, fks)
+    names.map { t =>
+      val before = tables(t).count()
+      val after = kept(t).count()
+      (t, before, before - after, after, orphans(t))
+    }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
+  }
+
   /** T22 [EXT] — BPE training, three merge rounds
     * (`TextAnalysis.bpeTrain`): the merge loop t20 takes one step of,
     * run at vocabulary scale with deterministic argmax ties. The
@@ -2947,5 +2973,6 @@ object GraftQueries {
     "o33_randomized_response" -> (o33RandomizedResponse _),
     "st17_cdf_replication" -> (st17CdfReplication _),
     "t22_bpe_train"      -> (t22BpeTrain _),
+    "o34_forget"         -> (o34Forget _),
   )
 }

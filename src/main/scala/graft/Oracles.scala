@@ -2257,6 +2257,59 @@ object Oracles {
     // snapshot + batch-0 events, minus the winning-delete keys (mod 4
     // = 0); the losing deletes (mod 4 = 2, version below the snapshot)
     // must change nothing
+    // right-to-be-forgotten: the erasure cascade recomputed with
+    // NOT-EXISTS-victim chains; orphan audits per remaining edge prove
+    // post-erasure closure (all genuinely computed, all zero)
+    "o34_forget" -> {
+      val victim = s"${bucketSql("c_custkey", 20)} = 0"
+      s"""WITH kc AS (SELECT * FROM customer WHERE NOT ($victim)),
+         |ko AS (SELECT o.* FROM orders o
+         |       WHERE EXISTS (SELECT 1 FROM kc WHERE kc.c_custkey = o.o_custkey)),
+         |kl AS (SELECT l.* FROM lineitem l
+         |       WHERE EXISTS (SELECT 1 FROM ko WHERE ko.o_orderkey = l.l_orderkey)),
+         |ke AS (SELECT e.* FROM events e
+         |       WHERE EXISTS (SELECT 1 FROM kc WHERE kc.c_custkey = e.user_id))
+         |SELECT 'region' AS table_name,
+         |       CAST((SELECT count(*) FROM region) AS BIGINT) AS n_before,
+         |       CAST(0 AS BIGINT) AS n_deleted,
+         |       CAST((SELECT count(*) FROM region) AS BIGINT) AS n_after,
+         |       CAST(0 AS BIGINT) AS n_orphans
+         |UNION ALL SELECT 'nation', (SELECT count(*) FROM nation), 0,
+         |  (SELECT count(*) FROM nation),
+         |  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+         |     (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+         |UNION ALL SELECT 'customer', (SELECT count(*) FROM customer),
+         |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM kc),
+         |  (SELECT count(*) FROM kc),
+         |  (SELECT count(*) FROM kc WHERE NOT EXISTS
+         |     (SELECT 1 FROM nation n WHERE n.n_nationkey = kc.c_nationkey))
+         |UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier), 0,
+         |  (SELECT count(*) FROM supplier),
+         |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+         |     (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+         |UNION ALL SELECT 'part', (SELECT count(*) FROM part), 0,
+         |  (SELECT count(*) FROM part), 0
+         |UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+         |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM ko),
+         |  (SELECT count(*) FROM ko),
+         |  (SELECT count(*) FROM ko WHERE NOT EXISTS
+         |     (SELECT 1 FROM kc WHERE kc.c_custkey = ko.o_custkey))
+         |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+         |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM kl),
+         |  (SELECT count(*) FROM kl),
+         |  (SELECT count(*) FROM kl WHERE NOT EXISTS
+         |     (SELECT 1 FROM ko WHERE ko.o_orderkey = kl.l_orderkey))
+         |  + (SELECT count(*) FROM kl WHERE NOT EXISTS
+         |     (SELECT 1 FROM part p WHERE p.p_partkey = kl.l_partkey))
+         |  + (SELECT count(*) FROM kl WHERE NOT EXISTS
+         |     (SELECT 1 FROM supplier s WHERE s.s_suppkey = kl.l_suppkey))
+         |UNION ALL SELECT 'events', (SELECT count(*) FROM events),
+         |  (SELECT count(*) FROM events) - (SELECT count(*) FROM ke),
+         |  (SELECT count(*) FROM ke),
+         |  (SELECT count(*) FROM ke WHERE NOT EXISTS
+         |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
+    },
+
     // BPE training, three rounds unrolled: each round's argmax pair
     // (count desc, pair asc) merges into a fresh uppercase marker —
     // replace() is leftmost-non-overlapping in both engines, and the

@@ -87,6 +87,48 @@ object Subset {
     kept.toMap
   }
 
+  /** GDPR erasure cascade — the subsetting machinery INVERTED: given
+    * victim rows in `root` (the erasure request), drop them AND every
+    * transitive FK descendant (orders of erased customers, lineitems
+    * of those orders, …), so the database stays closed under its
+    * constraints after the erasure. Referenced dimensions are NOT
+    * touched (erasing a customer must not erase their nation) — this
+    * is [[closure]]'s DOWN sweep alone, with the root filter inverted:
+    * a child keeps exactly the rows whose parent SURVIVED, which is
+    * the same left-semi-against-kept-parent join the closure uses, so
+    * the scale shape is identical (broadcast key projections, fact
+    * tables shuffled at most once per incident edge, metadata-only
+    * driver loop). [[orphanCounts]] is the post-erasure proof.
+    */
+  def eraseCascade(tables: Map[String, DataFrame], fks: Seq[ForeignKey],
+                   root: String, victimFilter: Column): Map[String, DataFrame] = {
+    require(tables.contains(root), s"eraseCascade: unknown root $root")
+    val order = Topo.sortTablesByDependency(tables.keys.toSeq.sorted, fks)
+    val kept = scala.collection.mutable.Map(tables.toSeq: _*)
+    var touched = Set(root)
+    kept(root) = graft.ops.OpCaches.persist(tables(root).filter(!victimFilter))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < tables.size + 1) {
+      changed = false
+      rounds += 1
+      for (t <- order if !touched(t)) {
+        val parentEdges = fks.filter(f =>
+          f.table == t && f.referencedTable != t && touched(f.referencedTable))
+        if (parentEdges.nonEmpty) {
+          kept(t) = graft.ops.OpCaches.persist(
+            parentEdges.foldLeft(kept(t)) { (df, f) =>
+              df.join(kept(f.referencedTable).select(col(f.referencedColumn).as("__pk")),
+                df(f.column) === col("__pk"), "left_semi")
+            })
+          touched += t
+          changed = true
+        }
+      }
+    }
+    kept.toMap
+  }
+
   /** Per-table dangling-FK row counts over a subset — the closure
     * proof: every count must be zero for the subset to restore under
     * enabled constraints.

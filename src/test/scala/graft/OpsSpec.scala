@@ -1583,6 +1583,33 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("eraseCascade: victims and descendants gone, survivors and dimensions intact, still closed") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    val tables = names.map(t => t ->
+      graft.sources.ParquetSource.normalizeNanoTimestamps(
+        spark.read.parquet(s"$sfDir/$t.parquet"))).toMap
+    val fks = graft.sources.ParquetSource.fixtureForeignKeys
+    val victim = pmod(col("c_custkey"), lit(7)) === 0
+    val kept = graft.export.Subset.eraseCascade(tables, fks, "customer", victim)
+    // victims gone, survivors untouched
+    assert(kept("customer").filter(victim).count() == 0)
+    assert(kept("customer").count() == tables("customer").filter(!victim).count())
+    // descendants: exactly the rows of surviving parents remain
+    val survOrders = tables("orders").join(kept("customer")
+      .select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(kept("orders").exceptAll(survOrders).count() == 0)
+    assert(survOrders.exceptAll(kept("orders")).count() == 0)
+    // dimensions never shrink on an erasure
+    for (t <- Seq("region", "nation", "supplier", "part"))
+      assert(kept(t).count() == tables(t).count(), t)
+    // and the database is still closed
+    val orphans = graft.export.Subset.orphanCounts(kept, fks)
+    assert(orphans.values.forall(_ == 0L), orphans.toString)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("subset closure: zero orphans, dimensions minimal (every kept row referenced)") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val names = Seq("region", "nation", "customer", "supplier", "part",
@@ -1919,9 +1946,9 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
   test("cleanText: tags stripped, control chars squashed, runs collapsed, edges trimmed") {
     import spark.implicits._
     val df = Seq(
-      (1L, "<b>Hi</b>\tthere  world "),
+      (1L, "<b>Hi</b>\tthere\u0001\u0002  world "),
       (2L, "no markup"),
-      (3L, "     "),              // nothing but junk → empty
+      (3L, "  \u0000\u007f  "),              // nothing but junk → empty
       (4L, "a < b and b > a"),               // lone <'s: '< b and b >' IS a tag
       (5L, "line1\nline2\r\n\r\nline3")
     ).toDF("doc_id", "text")
