@@ -13,6 +13,7 @@ import graft.sources.{JdbcSource, ParquetSource, Source}
   *   graft export -c config.yaml -o out.sql [--dry-run] [--batch-size N]
   *   graft sync   -c config.yaml [--truncate] [--dry-run]
   *   graft subset -c config.yaml -o out.sql --anchor <table> [--pct N]
+  *   graft forget -c config.yaml -o out.sql --anchor <table> [--pct N]
   *   graft version
   *
   * `subset` is an extension beyond the reference: a referentially-
@@ -35,12 +36,14 @@ object Main {
     case "export" :: rest => run(parseFlags(rest), export = true)
     case "sync" :: rest   => run(parseFlags(rest), export = false)
     case "subset" :: rest => runSubset(parseFlags(rest))
+    case "forget" :: rest => runForget(parseFlags(rest))
     case _ =>
       System.err.println(
         """usage:
           |  graft export -c <config.(yaml|json)> -o <out.sql> [--dry-run] [--batch-size N] [--source parquet:<dir>]
           |  graft sync   -c <config> [--truncate] [--dry-run] [--source parquet:<dir>]
           |  graft subset -c <config> -o <out.sql> --anchor <table> [--pct N] [--source parquet:<dir>]
+          |  graft forget -c <config> -o <out.sql> --anchor <table> [--pct N] [--source parquet:<dir>]
           |  graft version""".stripMargin)
       sys.exit(2)
   }
@@ -178,6 +181,44 @@ object Main {
       finally writer.close()
       System.err.println(
         s"Subset (anchor=${flags.anchor}, ${flags.pct}%): exported " +
+          s"${stats.tablesExported} tables, ${stats.rowsExported} rows, 0 orphans")
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft forget`: right-to-be-forgotten export — erase a victim set
+    * of the subject table (--anchor; --pct of its portable md5 buckets)
+    * together with every transitive FK descendant
+    * (`export.Subset.eraseCascade`), then dump the SURVIVING database
+    * through the unchanged anonymise + topo-order + export pipeline.
+    * Refuses to write if the erasure left any dangling row.
+    */
+  private def runForget(flags: Flags): Unit = {
+    val cfg = GraftConfig.load(flags.config)
+    if (flags.anchor.isEmpty) { System.err.println("missing --anchor <table>"); sys.exit(2) }
+    if (flags.out.isEmpty) { System.err.println("missing -o <out.sql>"); sys.exit(2) }
+    require(flags.pct >= 1 && flags.pct <= 100, "--pct must be in 1..100")
+    val preExisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+    val spark = buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val source = buildSource(spark, cfg, flags.source)
+      val fks = source.foreignKeys
+      val subjectKey = fks.find(_.referencedTable == flags.anchor).map(_.referencedColumn)
+        .getOrElse(source.columns(flags.anchor).head.name)
+      val tables = source.tables.map(t => t -> source.read(t)).toMap
+      val kept = graft.export.Subset.eraseCascade(tables, fks, flags.anchor,
+        graft.ops.Sampling.bucket(org.apache.spark.sql.functions.col(subjectKey), 100)
+          < flags.pct)
+      val orphans = graft.export.Subset.orphanCounts(kept, fks)
+      require(orphans.values.forall(_ == 0L),
+        s"erasure left dangling rows: $orphans — refusing to write")
+      val writer = new java.io.FileWriter(flags.out)
+      val stats = try
+        ExportPipeline.run(new graft.export.SubsetSource(source, kept), cfg,
+          Dialect.forName(cfg.connection.dbType), writer, flags.batchSize)
+      finally writer.close()
+      System.err.println(
+        s"Forgot ${flags.pct}% of ${flags.anchor} (+ descendants): exported " +
           s"${stats.tablesExported} tables, ${stats.rowsExported} rows, 0 orphans")
     } finally if (!preExisting) spark.stop()
   }

@@ -128,11 +128,14 @@ object Funnel {
                        orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
-    val pairs = events
+    // persisted: the tiny |types|² pair relation feeds BOTH the totals
+    // and the output join — without the persist, whether the event
+    // window runs once or twice would hang on exchange-reuse firing
+    val pairs = OpCaches.persist(events
       .withColumn("_next", lead(col(typeCol), 1).over(w))
       .filter(col("_next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val totals = pairs.groupBy("from_type").agg(sum("n").as("row_total"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),

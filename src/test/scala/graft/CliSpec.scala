@@ -126,4 +126,40 @@ class CliSpec extends AnyFunSuite with SparkSuite {
     // anonymisation still applied inside the subset pipeline
     assert(!dump.contains("Customer#"), "anonymised c_name leaked originals")
   }
+
+  test("graft forget erases victims + descendants; dump stays closed; dimensions intact") {
+    import org.apache.spark.sql.functions.col
+    val cfg = writeTemp("forget_cfg",
+      """connection:
+        |  type: sqlite
+        |  file: fixture
+        |configuration:
+        |  customer:
+        |    columns:
+        |      c_name: "{{faker.name}}"
+        |""".stripMargin)
+    val out = Files.createTempFile("graft_cli_forget", ".sql").toString
+    Main.main(Array("forget", "-c", cfg, "-o", out, "--anchor", "customer",
+      "--pct", "20", "--source", "parquet:/root/testdata/sf0.001"))
+    def table(t: String) = spark.read.format("graft.sources.SqlDumpSource")
+      .option("table", t).load(out)
+    def fixture(t: String) = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+    // a real fraction of customers erased, and exactly the victim set
+    val victims = fixture("customer")
+      .filter(graft.ops.Sampling.bucket(col("c_custkey"), 100) < 20)
+      .select("c_custkey")
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    assert(table("customer").count() == fixture("customer").count() - nVictims)
+    assert(table("customer").join(victims, Seq("c_custkey"), "left_semi").count() == 0,
+      "a victim survived the erasure")
+    // cascade: no order of an erased customer, no dangling lineitem
+    assert(table("orders").join(victims,
+      col("o_custkey") === col("c_custkey"), "left_semi").count() == 0)
+    val dangling = table("lineitem").join(table("orders").select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(dangling == 0, s"$dangling lineitems dangle after the erasure")
+    // dimensions never shrink on an erasure
+    assert(table("nation").count() == fixture("nation").count())
+  }
 }
