@@ -71,7 +71,9 @@ object Generalise {
     // ONE guarded collect both sizes the census and feeds the driver
     // walk: ≤ bound rows come back, bound+1 means "too big, go
     // distributed" without a separate count() action
-    val probe = census.limit(driverWalkMaxClasses.toInt + 1).collect()
+    // clamp: a caller passing a huge bound must not overflow the limit
+    val probeBound = math.min(driverWalkMaxClasses, Int.MaxValue - 1L).toInt
+    val probe = census.limit(probeBound + 1).collect()
     val mapping: DataFrame =
       if (probe.length <= driverWalkMaxClasses) {
         // driver walk: the census is broadcast-scale by contract, so

@@ -66,7 +66,9 @@ object RobustStats {
     // guarded driver walk: ONE collect sizes the histogram and, when it
     // fits, computes every order statistic in-memory — the distributed
     // path below is the fallback for unbounded value domains
-    val probeRows = hist.limit(driverWalkMaxBins.toInt + 1).collect()
+    // clamp: a caller passing a huge bound must not overflow the limit
+    val probeBound = math.min(driverWalkMaxBins, Int.MaxValue - 1L).toInt
+    val probeRows = hist.limit(probeBound + 1).collect()
     if (probeRows.length <= driverWalkMaxBins) {
       val spark = df.sparkSession
       def m2Of(bins: Seq[(Long, Long)]): Long = {

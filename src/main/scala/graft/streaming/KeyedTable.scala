@@ -171,6 +171,13 @@ final class KeyedTable(spark: SparkSession, dir: String,
   }
 
   private def commitDelta(df: DataFrame, batchId: Long): Boolean = {
+    // `delta` is the commit layout's partition-encoding name and
+    // `batch_id` the change feed's stamp: a payload column with either
+    // name would silently corrupt partition discovery / feed reads —
+    // reject at the write, where the mistake is fixable
+    Seq("delta", "batch_id").foreach(c =>
+      require(!df.columns.contains(c),
+        s"column name '$c' is reserved by the KeyedTable commit layout"))
     val target = new Path(root, s"delta=$batchId")
     if (fs.exists(target)) return false
     if (batchId <= liveBase().map(maxBatchOf).getOrElse(-1L)) return false

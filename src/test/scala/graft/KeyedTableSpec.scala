@@ -396,6 +396,19 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(asSet(spark.table("kt_cdf_feed")) == want)
   }
 
+  test("layout-reserved column names are rejected at the write") {
+    import spark.implicits._
+    val t = mk(tmpDir("reserved"))
+    t.initBase(rows((1L, -1L, -1L, "b")))
+    // 'delta' would corrupt partition discovery, 'batch_id' the feed
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, 1L, 1L, "x", 9L)).toDF("k", "v_ts", "v_seq", "payload", "delta"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, 1L, 1L, "x", 9L)).toDF("k", "v_ts", "v_seq", "payload", "batch_id"), 0L)
+    }
+  }
+
   test("replication: base + change feed reconstructs the primary exactly, tombstones included") {
     val primary = mk(tmpDir("repl_p"))
     primary.initBase(rows((1L, -1L, -1L, "b1"), (2L, -1L, -1L, "b2")))
