@@ -1906,6 +1906,15 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** S14 [EXT] — hybrid lexical+vector retrieval with reciprocal-rank
+    * fusion (`Similarity.hybridRrf`): the first-10 documents query
+    * both their token sets and their embeddings; each side's top-50
+    * shortlist fuses by integer RRF. The oracle re-derives both
+    * rankings and the fusion bit-for-bit.
+    */
+  def s14HybridRrf(s: SparkSession, dir: String): DataFrame =
+    Similarity.hybridRrf(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"))
+
   /** T22 [EXT] — BPE training, three merge rounds
     * (`TextAnalysis.bpeTrain`): the merge loop t20 takes one step of,
     * run at vocabulary scale with deterministic argmax ties. The
@@ -2974,5 +2983,6 @@ object GraftQueries {
     "st17_cdf_replication" -> (st17CdfReplication _),
     "t22_bpe_train"      -> (t22BpeTrain _),
     "o34_forget"         -> (o34Forget _),
+    "s14_hybrid_rrf"     -> (s14HybridRrf _),
   )
 }

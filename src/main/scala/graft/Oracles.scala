@@ -2310,6 +2310,45 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // hybrid RRF: both shortlists and the integer fusion re-derived —
+    // cosine ranks via list_cosine_similarity (the s1 recipe), lexical
+    // ranks via distinct-token overlap, absent side contributes 0
+    "s14_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |vs AS (SELECT q.query_id, e.vec_id AS doc_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |                    e.vec_id) AS rank_vec
+        |       FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+        |v AS (SELECT query_id, doc_id, rank_vec FROM vs WHERE rank_vec <= 50),
+        |dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |         SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                   x -> len(x) > 0)) AS t
+        |         FROM documents)),
+        |qt AS (SELECT doc_id AS query_id, token FROM dt WHERE doc_id < 10),
+        |ov AS (SELECT qt.query_id, dt.doc_id, count(*) AS n_shared
+        |       FROM dt JOIN qt USING (token)
+        |       WHERE dt.doc_id != qt.query_id GROUP BY 1, 2),
+        |l AS (SELECT query_id, doc_id, rank_lex FROM (
+        |        SELECT query_id, doc_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY n_shared DESC, doc_id) AS rank_lex
+        |        FROM ov) WHERE rank_lex <= 50),
+        |f AS (SELECT coalesce(v.query_id, l.query_id) AS query_id,
+        |             coalesce(v.doc_id, l.doc_id) AS doc_id,
+        |             coalesce(1000000 // (60 + rank_vec), 0)
+        |               + coalesce(1000000 // (60 + rank_lex), 0) AS rrf
+        |      FROM v FULL OUTER JOIN l
+        |        ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id,
+        |       CAST(rrf AS BIGINT) AS rrf_micro
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
+        |WHERE rn <= 10""".stripMargin,
+
     // BPE training, three rounds unrolled: each round's argmax pair
     // (count desc, pair asc) merges into a fresh uppercase marker —
     // replace() is leftmost-non-overlapping in both engines, and the

@@ -131,6 +131,54 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard
+    * two-tower serving shape: a LEXICAL shortlist (distinct-token
+    * overlap with the query document, integer-exact) and a VECTOR
+    * shortlist (the s1 exact cosine ranking) fuse by RRF,
+    * `Σ 10⁶ div (rrfK + rank)`, a document absent from one side
+    * contributing 0 from it — which is exactly how production hybrid
+    * search fuses two top-R lists. Integer micro-units end to end, so
+    * the fused ranking is bit-reproducible and SQL-oracle-checkable.
+    *
+    * Scale shape: the corpus is scanned once per side (token pairs
+    * distinct once; embeddings once against broadcast queries); each
+    * side's shortlist cut is a query-partitioned window (state = one
+    * row) and the fusion operates on 2·perSide rows per query —
+    * constant-bounded. In production the per-side candidates come from
+    * the banded/IVF shortlists (s2/s3/s8) instead of the exact scan;
+    * the fusion stage is unchanged.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int = 10,
+                perSide: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries), perSide)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    val docTokens = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    val qTokens = docTokens.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val overlap = docTokens.join(broadcast(qTokens), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("n_shared").desc, col("doc_id"))
+    val lex = overlap.withColumn("rank_lex", row_number().over(wl))
+      .filter(col("rank_lex") <= perSide)
+      .select("query_id", "doc_id", "rank_lex")
+    val fused = vec.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000L DIV ($rrfK + rank_vec)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($rrfK + rank_lex)"), lit(0L)))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf_micro"))
+  }
+
   /** Range search: every corpus vector with cosine ≥ `threshold` of
     * each query (self excluded) — the threshold twin of `bruteForceTopK`.
     *
