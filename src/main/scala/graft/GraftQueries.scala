@@ -1906,6 +1906,16 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** D19 [EXT] — content-defined chunking dedup
+    * (`Dedup.cdcChunkStats`): rolling-hash chunk boundaries (k=3
+    * grams, divisor 16) and cross-document chunk-hash dedup — the
+    * storage-dedup recipe that finds shared material an insertion
+    * would shift out of every fixed window. One token shuffle; the
+    * oracle replays boundaries, chunks and dedup in SQL windows.
+    */
+  def d19CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(tbl(s, dir, "documents"))
+
   /** S14 [EXT] — hybrid lexical+vector retrieval with reciprocal-rank
     * fusion (`Similarity.hybridRrf`): the first-10 documents query
     * both their token sets and their embeddings; each side's top-50
@@ -2984,5 +2994,6 @@ object GraftQueries {
     "t22_bpe_train"      -> (t22BpeTrain _),
     "o34_forget"         -> (o34Forget _),
     "s14_hybrid_rrf"     -> (s14HybridRrf _),
+    "d19_cdc_chunks"     -> (d19CdcChunks _),
   )
 }

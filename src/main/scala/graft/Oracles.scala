@@ -2310,6 +2310,44 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // CDC chunking: boundary flags, chunk assembly and the cross-doc
+    // dedup replayed in SQL windows (portable md5-prefix gram hash,
+    // positive everywhere so % == pmod)
+    "d19_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, tk[g.i] AS tok
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) g
+        |),
+        |gr AS (SELECT doc_id, pos, tok,
+        |         CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+        |              THEN CAST(('0x' || substr(md5(tok || ' ' ||
+        |                     lead(tok, 1) OVER w || ' ' ||
+        |                     lead(tok, 2) OVER w), 1, 15)) AS BIGINT)
+        |         END AS gh
+        |       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |b AS (SELECT doc_id, pos, tok,
+        |        CASE WHEN lag(gh, 2) OVER w IS NOT NULL
+        |              AND lag(gh, 2) OVER w % 16 = 0 THEN 1 ELSE 0 END AS bf
+        |      FROM gr WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (SELECT doc_id, pos, tok,
+        |        coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_id, count(*) AS n_tok,
+        |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+        |       FROM c GROUP BY 1, 2),
+        |dh AS (SELECT chash FROM ch GROUP BY chash
+        |       HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN chash IN (SELECT chash FROM dh)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |FROM ch GROUP BY 1""".stripMargin,
+
     // hybrid RRF: both shortlists and the integer fusion re-derived —
     // cosine ranks via list_cosine_similarity (the s1 recipe), lexical
     // ranks via distinct-token overlap, absent side contributes 0

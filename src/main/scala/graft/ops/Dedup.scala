@@ -1007,4 +1007,69 @@ object Dedup {
         size(col("kept")).as("n_seg_kept"),
         size(col("rm")).as("n_seg_dropped"))
   }
+
+  /** Content-defined chunking + cross-document chunk dedup — the
+    * storage-dedup technique (rsync/LBFS/restic) applied to corpus
+    * text: a chunk boundary falls AFTER token t whenever the portable
+    * hash of the k-token gram ENDING at t is ≡ 0 mod `divisor`, so
+    * boundaries depend only on local content — an insertion early in
+    * a document shifts every fixed-width segment (defeating d16-style
+    * segment dedup) but leaves all later CDC chunks byte-identical,
+    * which is exactly why CDC finds shared material fixed windows
+    * miss. Expected chunk length ≈ `divisor` tokens.
+    *
+    * Shape: ONE shuffle of the token relation (the per-document
+    * window computes gram hashes via lead, boundary flags via lag,
+    * and chunk ids via a running boundary count — all in the same
+    * window pass); chunks then aggregate per (doc, chunk) on the
+    * SAME partitioning, and the cross-document dedup is one mergeable
+    * aggregate on the chunk hash (chunk-scale, ~1/divisor of the
+    * token relation) joined back. Per-doc window state is bounded by
+    * document length, the d13/t5 contract.
+    *
+    * Output, one row per non-empty document: `(doc_id, n_tokens,
+    * n_chunks, n_dup_chunks)` where a dup chunk's md5 appears in ≥ 2
+    * distinct documents.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    k: Int = 3, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "cdcChunkStats: gram size must be >= 2")
+    require(divisor >= 2, "cdcChunkStats: divisor must be >= 2")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(parallelism, col("id"))
+      .select(col("id"),
+        posexplode(graft.ops.TextAnalysis.tokens(col("t"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    // the k-token gram STARTING here, null while incomplete
+    val gram = concat_ws(" ",
+      (0 until k).map(i => if (i == 0) col("tok") else lead(col("tok"), i).over(w)): _*)
+    val gramOk = lead(col("tok"), k - 1).over(w).isNotNull
+    val withHash = toks.withColumn("gh",
+      when(gramOk, conv(substring(md5(gram), 1, 15), 16, 10).cast("long")))
+    // boundary AFTER token t ⇔ the gram ENDING at t (started k-1 back)
+    // hashed ≡ 0; chunk id = boundaries strictly before t
+    val bEnd = lag(col("gh"), k - 1).over(w).isNotNull &&
+      pmod(lag(col("gh"), k - 1).over(w), lit(divisor.toLong)) === 0
+    val chunked = withHash
+      .withColumn("b", when(bEnd, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = chunked.groupBy("id", "chunk_id")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("chash"))
+    val dupHashes = chunks.groupBy("chash")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("chash")
+    chunks.join(dupHashes.withColumn("dup", lit(1L)), Seq("chash"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("n_tok")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_chunks"))
+  }
 }

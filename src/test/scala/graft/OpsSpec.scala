@@ -2006,6 +2006,25 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(everyCut.filter(col("max_l1") > 64).count() == 0)
   }
 
+  test("cdcChunkStats: boundaries shift-resilient — a prefix insertion still shares tail chunks") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INSERTED " + base)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.cdcChunkStats(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // token accounting exact
+    assert(got(1L)._2 == 200L && got(2L)._2 == 201L)
+    // the defining CDC property: after the first few shifted chunks,
+    // boundaries re-synchronise, so the two docs SHARE tail chunks —
+    // fixed-width segmentation would share none
+    assert(got(1L)._4 > 0 && got(2L)._4 > 0,
+      s"no shared chunks after a prefix insertion: $got")
+    // and chunking is layout-invariant
+    val re = graft.ops.Dedup.cdcChunkStats(docs.repartition(5))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
+
   test("bpeTrain: merges chain through markers, hand-checked on a tiny corpus") {
     import spark.implicits._
     // vocab: "abab" ×3, "abc" ×2, "cab" ×1
