@@ -1906,6 +1906,17 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** T23 [EXT] — batch perceptron training
+    * (`TextAnalysis.perceptronTrain`): three epochs of the integer-
+    * exact distributed training loop on (bias, token count, punct‰,
+    * digit‰) features against the `lang == en` label. The oracle
+    * unrolls the three epochs in SQL, so the whole training
+    * TRAJECTORY — weights and misclassified counts per epoch — is
+    * hash-checked, not just the final model.
+    */
+  def t23Perceptron(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perceptronTrain(tbl(s, dir, "documents"))
+
   /** D19 [EXT] — content-defined chunking dedup
     * (`Dedup.cdcChunkStats`): rolling-hash chunk boundaries (k=3
     * grams, divisor 16) and cross-document chunk-hash dedup — the
@@ -2995,5 +3006,6 @@ object GraftQueries {
     "o34_forget"         -> (o34Forget _),
     "s14_hybrid_rrf"     -> (s14HybridRrf _),
     "d19_cdc_chunks"     -> (d19CdcChunks _),
+    "t23_perceptron"     -> (t23Perceptron _),
   )
 }

@@ -2310,6 +2310,63 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // perceptron training, three epochs unrolled: epoch 1 starts at
+    // w = 0 so every row is misclassified (margin 0 ≤ 0) and the
+    // update is the unconditioned Σ y·x; later epochs embed the
+    // accumulated weights in the margin predicate
+    "t23_perceptron" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |         1 AS x0,
+        |         least(len(list_filter(string_split_regex(text, '\s+'),
+        |                               x -> len(x) > 0)), 1000) AS x1,
+        |         (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000)
+        |           // (length(text) + 1) AS x2,
+        |         (len(regexp_extract_all(text, '[0-9]')) * 1000)
+        |           // (length(text) + 1) AS x3
+        |  FROM documents),
+        |e1 AS (SELECT sum(y*x0) AS d0, sum(y*x1) AS d1, sum(y*x2) AS d2,
+        |              sum(y*x3) AS d3, count(*) AS m FROM f),
+        |w1 AS (SELECT d0 AS a0, d1 AS a1, d2 AS a2, d3 AS a3, m FROM e1),
+        |e2 AS (SELECT
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x0 ELSE 0 END) AS d0,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x1 ELSE 0 END) AS d1,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x2 ELSE 0 END) AS d2,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x3 ELSE 0 END) AS d3,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN 1 ELSE 0 END) AS m
+        |       FROM f, w1),
+        |w2 AS (SELECT a0 + e2.d0 AS a0, a1 + e2.d1 AS a1,
+        |              a2 + e2.d2 AS a2, a3 + e2.d3 AS a3, e2.m
+        |       FROM w1, e2),
+        |e3 AS (SELECT
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x0 ELSE 0 END) AS d0,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x1 ELSE 0 END) AS d1,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x2 ELSE 0 END) AS d2,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN y*x3 ELSE 0 END) AS d3,
+        |         sum(CASE WHEN y*(a0*x0 + a1*x1 + a2*x2 + a3*x3) <= 0
+        |                  THEN 1 ELSE 0 END) AS m
+        |       FROM f, w2),
+        |w3 AS (SELECT a0 + e3.d0 AS a0, a1 + e3.d1 AS a1,
+        |              a2 + e3.d2 AS a2, a3 + e3.d3 AS a3, e3.m
+        |       FROM w2, e3)
+        |SELECT CAST(1 AS INTEGER) AS epoch, CAST(a0 AS BIGINT) AS w0,
+        |       CAST(a1 AS BIGINT) AS w1, CAST(a2 AS BIGINT) AS w2,
+        |       CAST(a3 AS BIGINT) AS w3, CAST(m AS BIGINT) AS n_mis
+        |FROM w1
+        |UNION ALL SELECT 2, CAST(a0 AS BIGINT), CAST(a1 AS BIGINT),
+        |       CAST(a2 AS BIGINT), CAST(a3 AS BIGINT), CAST(m AS BIGINT) FROM w2
+        |UNION ALL SELECT 3, CAST(a0 AS BIGINT), CAST(a1 AS BIGINT),
+        |       CAST(a2 AS BIGINT), CAST(a3 AS BIGINT), CAST(m AS BIGINT) FROM w3""".stripMargin,
+
     // CDC chunking: boundary flags, chunk assembly and the cross-doc
     // dedup replayed in SQL windows (portable md5-prefix gram hash,
     // positive everywhere so % == pmod)

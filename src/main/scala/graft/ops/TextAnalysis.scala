@@ -680,6 +680,67 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Batch PERCEPTRON training — an actual distributed training loop,
+    * integer-exact: each epoch is ONE mergeable aggregate over the
+    * corpus computing the summed update `Σ_{misclassified} y·x` (a row
+    * is misclassified when `y·(w·x) ≤ 0`), the 4-long weight vector
+    * updates on the driver, and the next epoch's margin predicate
+    * embeds the new weights as literals. The perceptron is chosen
+    * PRECISELY because its update rule has no transcendentals — unlike
+    * logistic loss, whose sigmoid would differ in the last ulp between
+    * JVM `exp` and the SQL engine's, every quantity here is a long, so
+    * the whole training trajectory (weights per epoch, misclassified
+    * counts) is bit-reproducible and oracle-checkable.
+    *
+    * Features (all integer): bias, capped token count, punctuation and
+    * digit per-mille rates. Label: `lang == "en"` → +1 else −1.
+    * Magnitude audit: |x| ≤ 1000, so after E epochs |w| ≤ E·Σ|x| and
+    * margins stay far below 2⁶³ at any realistic corpus size.
+    *
+    * Scale shape: the feature projection is a narrow map persisted
+    * once; each epoch is a partial+final aggregate (map-side combine),
+    * driver state is FOUR LONGS. This is exactly how batch-GD-style
+    * loops lower onto a relational engine — the g1/pagerank discipline
+    * applied to model training.
+    */
+  def perceptronTrain(df: DataFrame, textCol: String = "text",
+                      langCol: String = "lang", epochs: Int = 3): DataFrame = {
+    require(epochs >= 1 && epochs <= 10, "perceptronTrain: epochs must be 1..10")
+    val spark = df.sparkSession
+    val feats = OpCaches.persist(
+      Partitioning.ensureParallelism(df.select(
+          when(col(langCol) === "en", 1L).otherwise(-1L).as("y"),
+          length(col(textCol)).cast("long").as("nc"),
+          tokenCount(col(textCol)).cast("long").as("ntok"),
+          punctCount(col(textCol)).cast("long").as("np"),
+          digitCount(col(textCol)).cast("long").as("nd")))
+        .select(col("y"), lit(1L).as("x0"),
+          least(col("ntok"), lit(1000L)).as("x1"),
+          expr("(np * 1000) DIV (nc + 1)").as("x2"),
+          expr("(nd * 1000) DIV (nc + 1)").as("x3")))
+    var w = Array(0L, 0L, 0L, 0L)
+    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
+    for (e <- 1 to epochs) {
+      val margin = col("y") *
+        (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
+      val mis = margin <= 0
+      val row = feats.agg(
+        sum(when(mis, col("y") * col("x0")).otherwise(0L)).as("d0"),
+        sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("d1"),
+        sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("d2"),
+        sum(when(mis, col("y") * col("x3")).otherwise(0L)).as("d3"),
+        sum(when(mis, 1L).otherwise(0L)).as("m")).first()
+      w = w.zipWithIndex.map { case (v, i) => v + row.getLong(i) }
+      // n_mis is evaluated with the ENTERING weights; w0..w3 are the
+      // POST-update vector — the convention the oracle unrolls
+      out += ((e, w(0), w(1), w(2), w(3), row.getLong(4)))
+    }
+    import spark.implicits._
+    spark.createDataset(out.result())
+      .toDF("epoch", "w0", "w1", "w2", "w3", "n_mis").coalesce(1)
+  }
+
   /** Multi-round BPE TRAINING — `bpePairs` is one step; this runs the
     * actual merge loop, the way real BPE trainers do: on the WORD
     * VOCABULARY `(word, freq)`, never the corpus. The corpus collapses

@@ -2025,6 +2025,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(re == got)
   }
 
+  test("perceptronTrain: hand-checked trajectory on a separable two-doc corpus") {
+    import spark.implicits._
+    // doc1: "a b c" en  → y=+1, x=(1, 3, 0, 0)
+    // doc2: "1 2"   de  → y=−1, x=(1, 2, 0, 500)  (2 digits over 3+1 chars)
+    // epoch 1 (w=0, all misclassified): w ← (0, 1, 0, −500), m=2
+    // epochs 2–3: both margins positive → no update, m=0
+    val docs = Seq(("a b c", "en"), ("1 2", "de")).toDF("text", "lang")
+    val got = TextAnalysis.perceptronTrain(docs)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, 0L, 1L, 0L, -500L, 2L),
+      (2, 0L, 1L, 0L, -500L, 0L),
+      (3, 0L, 1L, 0L, -500L, 0L)))
+    val re = TextAnalysis.perceptronTrain(docs.repartition(4))
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(re == got)
+  }
+
   test("bpeTrain: merges chain through markers, hand-checked on a tiny corpus") {
     import spark.implicits._
     // vocab: "abab" ×3, "abc" ×2, "cab" ×1
