@@ -1906,6 +1906,24 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** S15 [EXT] — DISTRIBUTED k-means (`Clustering.kmeansInt`): three
+    * Lloyd rounds over the 16-bin stub-decode histograms, k=4,
+    * integer-exact end to end (integer distances, cid-tiebroken
+    * argmin, truncated-integer centroid means, carry-over on empty
+    * clusters), so the whole clustering trajectory — every centroid
+    * coordinate and member count per round — is hash-checked against
+    * the oracle's unrolled replay.
+    */
+  def s15KmeansInt(s: SparkSession, dir: String): DataFrame = {
+    val hexd = "0123456789abcdef"
+    val feats = tbl(s, dir, "documents")
+      .withColumn("_dg", md5(col("text")))
+      .select(col("doc_id"), array(hexd.map(c =>
+        (lit(32L) - length(replace(col("_dg"), lit(c.toString), lit(""))))
+          .cast("long")): _*).as("fv"))
+    graft.ops.Clustering.kmeansInt(feats, k = 4, rounds = 3, dim = 16)
+  }
+
   /** T23 [EXT] — batch perceptron training
     * (`TextAnalysis.perceptronTrain`): three epochs of the integer-
     * exact distributed training loop on (bias, token count, punct‰,
@@ -3007,5 +3025,6 @@ object GraftQueries {
     "s14_hybrid_rrf"     -> (s14HybridRrf _),
     "d19_cdc_chunks"     -> (d19CdcChunks _),
     "t23_perceptron"     -> (t23Perceptron _),
+    "s15_kmeans"         -> (s15KmeansInt _),
   )
 }

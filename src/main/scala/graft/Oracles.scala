@@ -2310,6 +2310,48 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // distributed k-means, three Lloyd rounds unrolled: integer
+    // distances, cid-tiebroken argmin, floor-div centroid means,
+    // empty clusters carry the previous centroid
+    "s15_kmeans" -> {
+      def round(r: Int): String = {
+        val prev = if (r == 1) "c0" else s"c${r - 1}"
+        s"""d$r AS (SELECT f.doc_id, c.cid, sum((f.v - c.cv)*(f.v - c.cv)) AS d2
+           |        FROM fd f JOIN $prev c USING (dim) GROUP BY 1, 2),
+           |a$r AS (SELECT doc_id, cid FROM (
+           |          SELECT doc_id, cid, row_number() OVER (
+           |            PARTITION BY doc_id ORDER BY d2, cid) AS rn
+           |          FROM d$r) WHERE rn = 1),
+           |u$r AS (SELECT a.cid, f.dim, sum(f.v) // count(*) AS cv
+           |        FROM a$r a JOIN fd f USING (doc_id) GROUP BY 1, 2),
+           |c$r AS (SELECT p.cid, p.dim, CAST(coalesce(u.cv, p.cv) AS BIGINT) AS cv
+           |        FROM $prev p LEFT JOIN u$r u USING (cid, dim)),
+           |n$r AS (SELECT s.cid, CAST(coalesce(m.n, 0) AS BIGINT) AS n
+           |        FROM (SELECT DISTINCT cid FROM c0) s
+           |        LEFT JOIN (SELECT cid, count(*) AS n FROM a$r GROUP BY 1) m
+           |          USING (cid))""".stripMargin
+      }
+      def emit(r: Int): String =
+        s"""SELECT $r AS round, cid, -1 AS dim, n AS value FROM n$r
+           |UNION ALL SELECT $r, cid, dim, cv FROM c$r""".stripMargin
+      s"""WITH fd AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS dim,
+         |         CAST(32 - length(replace(md5(text),
+         |           substr('0123456789abcdef', CAST(i AS INTEGER) + 1, 1), ''))
+         |           AS BIGINT) AS v
+         |  FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS i) g(i)),
+         |seeds AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cid
+         |  FROM (SELECT DISTINCT doc_id FROM documents ORDER BY doc_id LIMIT 4)),
+         |c0 AS (SELECT s.cid, f.dim, f.v AS cv FROM seeds s JOIN fd f USING (doc_id)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(round AS INTEGER) AS round, CAST(cid AS INTEGER) AS cid,
+         |       CAST(dim AS INTEGER) AS dim, CAST(value AS BIGINT) AS value
+         |FROM (${emit(1)} UNION ALL ${emit(2)} UNION ALL ${emit(3)})""".stripMargin
+    },
+
     // perceptron training, three epochs unrolled: epoch 1 starts at
     // w = 0 so every row is misclassified (margin 0 ≤ 0) and the
     // update is the unconditioned Σ y·x; later epochs embed the

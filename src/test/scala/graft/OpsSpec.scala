@@ -2025,6 +2025,31 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(re == got)
   }
 
+  test("kmeansInt: member accounting, empty-cluster carry-over, layout invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    // ids 0 and 1 share a feature vector, so every candidate ties to
+    // cid 0 (tiebreak) and cluster 1 starves — its centroid must carry
+    val vecs = Seq(
+      0L -> Array(0L, 0L), 1L -> Array(0L, 0L),
+      2L -> Array(10L, 0L), 3L -> Array(0L, 10L),
+      4L -> Array(9L, 1L), 5L -> Array(1L, 9L), 6L -> Array(1L, 1L))
+    val df = vecs.toDF("doc_id", "fv")
+    val out = graft.ops.Clustering.kmeansInt(df, k = 4, rounds = 3, dim = 2)
+      .as[(Int, Int, Int, Long)].collect().toSeq
+    // counts per round sum to the corpus size
+    for (r <- 1 to 3)
+      assert(out.filter(t => t._1 == r && t._3 == -1).map(_._4).sum == vecs.size)
+    // the starved cluster keeps its seed centroid in every round
+    for (r <- 1 to 3; d <- 0 until 2) {
+      assert(out.find(t => t._1 == r && t._2 == 1 && t._3 == -1).get._4 == 0L)
+      assert(out.find(t => t._1 == r && t._2 == 1 && t._3 == d).get._4 == 0L)
+    }
+    val re = graft.ops.Clustering.kmeansInt(df.repartition(5), k = 4, rounds = 3, dim = 2)
+      .as[(Int, Int, Int, Long)].collect().toSeq
+    assert(re.toSet == out.toSet)
+  }
+
   test("perceptronTrain: hand-checked trajectory on a separable two-doc corpus") {
     import spark.implicits._
     // doc1: "a b c" en  → y=+1, x=(1, 3, 0, 0)
