@@ -1906,6 +1906,16 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** Q_AB_CHISQ [EXT] — experiment analysis (`Experiment.abChisq`):
+    * md5-bucket variant split, distinct-user conversion cells, and the
+    * Pearson χ² significance verdict evaluated as an exact polynomial
+    * inequality in DECIMAL(38,0) — no transcendental p-value anywhere,
+    * so the verdict is bit-portable and the oracle replays the whole
+    * test.
+    */
+  def qAbChisq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.abChisq(tbl(s, dir, "events"))
+
   /** S15 [EXT] — DISTRIBUTED k-means (`Clustering.kmeansInt`): three
     * Lloyd rounds over the 16-bin stub-decode histograms, k=4,
     * integer-exact end to end (integer distances, cid-tiebroken
@@ -3026,5 +3036,6 @@ object GraftQueries {
     "d19_cdc_chunks"     -> (d19CdcChunks _),
     "t23_perceptron"     -> (t23Perceptron _),
     "s15_kmeans"         -> (s15KmeansInt _),
+    "q_ab_chisq"         -> (qAbChisq _),
   )
 }

@@ -2310,6 +2310,42 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // A/B chi-square: the significance verdict as a cross-multiplied
+    // polynomial inequality (HUGEINT here, DECIMAL(38,0) in the
+    // engine — both exact), same md5-bucket variant coin
+    "q_ab_chisq" -> {
+      val coin = bucketSql("u", 2)
+      s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+         |v AS (SELECT u, $coin AS variant FROM u),
+         |cvt AS (SELECT DISTINCT user_id AS u FROM events
+         |        WHERE event_type = 'purchase'),
+         |cells AS (SELECT variant, count(*) AS n,
+         |            sum(CASE WHEN cvt.u IS NOT NULL THEN 1 ELSE 0 END) AS k
+         |          FROM v LEFT JOIN cvt ON v.u = cvt.u GROUP BY 1),
+         |t AS (SELECT
+         |        sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS n_a,
+         |        sum(CASE WHEN variant = 0 THEN k ELSE 0 END) AS conv_a,
+         |        sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS n_b,
+         |        sum(CASE WHEN variant = 1 THEN k ELSE 0 END) AS conv_b
+         |      FROM cells),
+         |x AS (SELECT *,
+         |        CAST(conv_a AS HUGEINT) * CAST(n_b - conv_b AS HUGEINT)
+         |          - CAST(n_a - conv_a AS HUGEINT) * CAST(conv_b AS HUGEINT) AS df
+         |      FROM t)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+         |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+         |       CAST((conv_a * 1000) // n_a AS BIGINT) AS rate_a_pm,
+         |       CAST((conv_b * 1000) // n_b AS BIGINT) AS rate_b_pm,
+         |       (3841 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+         |             * CAST(conv_a + conv_b AS HUGEINT)
+         |             * CAST(n_a + n_b - conv_a - conv_b AS HUGEINT) > 0
+         |        AND 1000 * CAST(n_a + n_b AS HUGEINT) * df * df >=
+         |        3841 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+         |             * CAST(conv_a + conv_b AS HUGEINT)
+         |             * CAST(n_a + n_b - conv_a - conv_b AS HUGEINT)) AS significant
+         |FROM x""".stripMargin
+    },
+
     // distributed k-means, three Lloyd rounds unrolled: integer
     // distances, cid-tiebroken argmin, floor-div centroid means,
     // empty clusters carry the previous centroid

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment (A/B) analysis with EXACT significance verdicts.
+  *
+  * The p-value machinery most stacks reach for (normal CDFs, special
+  * functions) is transcendental and therefore not bit-portable across
+  * engines. The verdict itself doesn't need it: for a 2×2 contingency
+  * table, Pearson's χ² ≥ threshold is a POLYNOMIAL inequality in the
+  * four cells —
+  *
+  *   N·(ad − bc)² ≥ χ²_crit · (a+b)(c+d)(a+c)(b+d)
+  *
+  * — so with the critical value as an exact rational (3.841 = 3841/1000
+  * for α = 0.05, df = 1) the whole test is integer arithmetic,
+  * evaluated in DECIMAL(38,0) so no realistic cohort size can
+  * overflow. Deterministic variant assignment comes from the portable
+  * md5 bucket, the same coin every sampling op uses.
+  *
+  * Scale shape: two mergeable distinct-user aggregates (cohort and
+  * converters), one broadcast-sized 2-row join, a single verdict row.
+  * The event relation shuffles once per distinct.
+  */
+object Experiment {
+
+  /** χ²₀.₉₅,₁ × 1000 — the exact rational threshold the verdict uses. */
+  val ChiSqCritX1000: Long = 3841L
+
+  /** 2×2 conversion test: users split into variants by the md5 bucket
+    * of `userCol` mod 2; a user converts when they have ≥ 1
+    * `convertType` event. Output is ONE row: per-variant cohort and
+    * converter counts, per-mille conversion rates, and the exact
+    * significance verdict at α = 0.05.
+    */
+  def abChisq(events: DataFrame, userCol: String = "user_id",
+              typeCol: String = "event_type",
+              convertType: String = "purchase"): DataFrame = {
+    val users = events.select(col(userCol).as("u")).distinct()
+      .withColumn("variant", Sampling.bucket(col("u"), 2))
+    val converted = events.filter(col(typeCol) === convertType)
+      .select(col(userCol).as("u")).distinct()
+      .withColumn("conv", lit(1L))
+    val cells = users.join(converted, Seq("u"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("conv"), lit(0L))).as("k"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    cells.agg(
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("k")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("k")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a_pm", expr("(conv_a * 1000) DIV n_a"))
+      .withColumn("rate_b_pm", expr("(conv_b * 1000) DIV n_b"))
+      .withColumn("significant", {
+        val a = col("conv_a"); val b = col("n_a") - col("conv_a")
+        val c = col("conv_b"); val d = col("n_b") - col("conv_b")
+        val n = col("n_a") + col("n_b")
+        val diff = dec(a) * dec(d) - dec(b) * dec(c)
+        val lhs = lit(1000L).cast("decimal(38,0)") * dec(n) * diff * diff
+        val rhs = lit(ChiSqCritX1000).cast("decimal(38,0)") *
+          dec(a + b) * dec(c + d) * dec(a + c) * dec(b + d)
+        // rhs = 0 means a degenerate table (an empty margin — everyone
+        // or no one converted, or a variant is empty): χ² is 0/0 there
+        // and the honest verdict is NOT significant
+        rhs > 0 && lhs >= rhs
+      })
+  }
+}

@@ -2025,6 +2025,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(re == got)
   }
 
+  test("abChisq: perfectly-separated cohorts significant; degenerate tables are not") {
+    import spark.implicits._
+    import graft.ops.{Experiment, Sampling}
+    val users = (1L to 40L).toSeq
+    val base = users.map(u => (u, "signup"))
+    def ev(extra: Seq[(Long, String)]) =
+      (base ++ extra).toDF("user_id", "event_type")
+    // which users land in variant 0 under the real coin
+    val v0 = users.toDF("user_id")
+      .filter(Sampling.bucket(col("user_id"), 2) === 0)
+      .as[Long].collect().toSet
+    // every variant-0 user converts, no variant-1 user does → χ² = N ≥ 4
+    val separated = Experiment.abChisq(
+      ev(users.filter(v0).map(u => (u, "purchase")))).first()
+    assert(separated.getAs[Boolean]("significant"))
+    assert(separated.getAs[Long]("conv_a") == v0.size &&
+      separated.getAs[Long]("conv_b") == 0L)
+    // everyone converts → zero-variance table → NOT significant
+    val degenerate = Experiment.abChisq(
+      ev(users.map(u => (u, "purchase")))).first()
+    assert(!degenerate.getAs[Boolean]("significant"))
+    // nobody converts → the other degenerate margin
+    val none = Experiment.abChisq(ev(Seq.empty)).first()
+    assert(!none.getAs[Boolean]("significant"))
+  }
+
   test("kmeansInt: member accounting, empty-cluster carry-over, layout invariance") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array, lit}
