@@ -1906,6 +1906,27 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** O35 [EXT] — minimisation AT SOURCE (`anonymise.MaskedViews`):
+    * per-dialect `CREATE VIEW` DDL applying the masking rules inside
+    * the database — NULLs keep their type, statics become literals,
+    * faker columns become the engine's keyed pseudonym re-expressed in
+    * the dialect's own functions (SQLite, lacking MD5, degrades to a
+    * visible constant). Driver-side string assembly over the o3 column
+    * catalog; the oracle pins the exact DDL per dialect.
+    */
+  def o35MaskedViews(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = ParquetSource(s, dir)
+    val rules: Map[String, ColumnRule] = Map(
+      "c_name" -> FakerRule("name"),
+      "c_mktsegment" -> StaticRule("REDACTED"),
+      "c_acctbal" -> NullRule)
+    graft.dialect.Dialect.all.map { d =>
+      (d.name, "customer", graft.anonymise.MaskedViews.viewDDL(
+        d, "customer", src.columns("customer"), rules))
+    }.toDF("dialect", "table_name", "view_sql")
+  }
+
   /** Q_AB_CHISQ [EXT] — experiment analysis (`Experiment.abChisq`):
     * md5-bucket variant split, distinct-user conversion cells, and the
     * Pearson χ² significance verdict evaluated as an exact polynomial
@@ -3037,5 +3058,6 @@ object GraftQueries {
     "t23_perceptron"     -> (t23Perceptron _),
     "s15_kmeans"         -> (s15KmeansInt _),
     "q_ab_chisq"         -> (qAbChisq _),
+    "o35_masked_views"   -> (o35MaskedViews _),
   )
 }

@@ -2310,6 +2310,28 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // masked views: golden DDL per dialect (the o2 recorded-shape
+    // posture) — any drift in quoting, rule rendering, or the
+    // pseudonym expression breaks the compare
+    "o35_masked_views" -> {
+      val mysql = "CREATE OR REPLACE VIEW `customer_masked` AS\n" +
+        "SELECT `c_custkey`, SUBSTR(MD5(CONCAT(''graft:'', CAST(`c_name` AS CHAR))), 1, 16) AS `c_name`, " +
+        "`c_nationkey`, CAST(NULL AS DOUBLE PRECISION) AS `c_acctbal`, ''REDACTED'' AS `c_mktsegment`\n" +
+        "FROM `customer`;"
+      val pg = "CREATE OR REPLACE VIEW \"customer_masked\" AS\n" +
+        "SELECT \"c_custkey\", SUBSTR(MD5(CONCAT(''graft:'', CAST(\"c_name\" AS TEXT))), 1, 16) AS \"c_name\", " +
+        "\"c_nationkey\", CAST(NULL AS DOUBLE PRECISION) AS \"c_acctbal\", ''REDACTED'' AS \"c_mktsegment\"\n" +
+        "FROM \"customer\";"
+      val lite = "DROP VIEW IF EXISTS \"customer_masked\";\n" +
+        "CREATE VIEW \"customer_masked\" AS\n" +
+        "SELECT \"c_custkey\", ''***'' AS \"c_name\", " +
+        "\"c_nationkey\", CAST(NULL AS DOUBLE PRECISION) AS \"c_acctbal\", ''REDACTED'' AS \"c_mktsegment\"\n" +
+        "FROM \"customer\";"
+      s"""SELECT 'mysql' AS dialect, 'customer' AS table_name, '$mysql' AS view_sql
+         |UNION ALL SELECT 'postgres', 'customer', '$pg'
+         |UNION ALL SELECT 'sqlite', 'customer', '$lite'""".stripMargin
+    },
+
     // A/B chi-square: the significance verdict as a cross-multiplied
     // polynomial inequality (HUGEINT here, DECIMAL(38,0) in the
     // engine — both exact), same md5-bucket variant coin

@@ -112,6 +112,30 @@ class AnonymiserSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("maskedViews: quote-doubling safe, unruled columns pass through, sqlite degrades loudly") {
+    import graft.anonymise.MaskedViews
+    import graft.analyse.ColumnInfo
+    import graft.dialect.{MySqlDialect, PostgresDialect, SqliteDialect}
+    val cols = Seq(
+      ColumnInfo("id", "BIGINT", false),
+      ColumnInfo("we`ird\"col", "TEXT", true),
+      ColumnInfo("secret", "TEXT", true))
+    val rules: Map[String, ColumnRule] = Map(
+      "secret" -> FakerRule("name"),
+      "we`ird\"col" -> StaticRule("it's"))
+    val my = MaskedViews.viewDDL(MySqlDialect, "t", cols, rules)
+    // embedded backtick doubled; static's quote doubled; pass-through intact
+    assert(my.contains("`we``ird\"col`"))
+    assert(my.contains("'it''s'"))
+    assert(my.contains("SELECT `id`,"))
+    assert(my.contains("MD5(CONCAT('graft:', CAST(`secret` AS CHAR)))"))
+    val pg = MaskedViews.viewDDL(PostgresDialect, "t", cols, rules)
+    assert(pg.contains("\"we`ird\"\"col\"") && pg.contains("CAST(\"secret\" AS TEXT)"))
+    val lite = MaskedViews.viewDDL(SqliteDialect, "t", cols, rules)
+    assert(lite.contains("'***' AS \"secret\""))
+    assert(lite.startsWith("DROP VIEW IF EXISTS"))
+  }
+
   // --- Generalise.kAnonymize (the enforcement transform, o31) ---
 
   private def ladderFixture = {
