@@ -1906,6 +1906,17 @@ object GraftQueries {
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
+  /** ST18 [EXT] — the NATIVE `session_window` operator, batch form
+    * (`EventsStream.sessionWindowBatch`; the streaming twin is the
+    * state-store sessionizer already asserted in StreamingSpec). The
+    * oracle replays the merge semantics as gap islands with the
+    * end-exclusive `>=` break and `session_end = last + gap`, so the
+    * operator's exact window contract — not just session counts — is
+    * hash-checked against q_sessionize's independent formulation.
+    */
+  def st18SessionWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.sessionWindowBatch(tbl(s, dir, "events"))
+
   /** O35 [EXT] — minimisation AT SOURCE (`anonymise.MaskedViews`):
     * per-dialect `CREATE VIEW` DDL applying the masking rules inside
     * the database — NULLs keep their type, statics become literals,
@@ -3059,5 +3070,6 @@ object GraftQueries {
     "s15_kmeans"         -> (s15KmeansInt _),
     "q_ab_chisq"         -> (qAbChisq _),
     "o35_masked_views"   -> (o35MaskedViews _),
+    "st18_session_window" -> (st18SessionWindow _),
   )
 }

@@ -2310,6 +2310,27 @@ object Oracles {
          |     (SELECT 1 FROM kc WHERE kc.c_custkey = ke.user_id))""".stripMargin
     },
 
+    // native session_window: gap islands with the end-exclusive >=
+    // break and session_end = last event + gap (overlap-merge of
+    // per-event [ts, ts+gap) windows)
+    "st18_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30' MINUTE AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
     // masked views: golden DDL per dialect (the o2 recorded-shape
     // posture) — any drift in quoting, rule rendering, or the
     // pseudonym expression breaks the compare

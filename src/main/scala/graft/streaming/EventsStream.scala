@@ -54,6 +54,22 @@ object EventsStream {
         max(col("ts")).as("session_end"))
   }
 
+  /** The NATIVE `session_window` operator in batch form — one
+    * definition with [[sessionizeStream]] minus the watermark. Session
+    * semantics: each event opens `[ts, ts+gap)` and overlapping
+    * windows merge, so a gap of EXACTLY `gapMinutes` starts a new
+    * session (end-exclusive) and `session_end = last_ts + gap` — the
+    * contract the oracle's gap-islands replay encodes with `>=` and
+    * `max(ts) + gap`. One user-keyed shuffle; merge state is bounded
+    * per user like every sessionizer here.
+    */
+  def sessionWindowBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Streaming sessionisation via session_window (native state store). */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events

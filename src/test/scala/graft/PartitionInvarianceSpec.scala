@@ -49,7 +49,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "o32_pseudonym_join", "mm7_scene_changes", "q_mad_outliers",
     "p4_privacy_pipeline", "o33_randomized_response", "st17_cdf_replication",
     "t22_bpe_train", "o34_forget", "s14_hybrid_rrf", "d19_cdc_chunks",
-    "t23_perceptron", "s15_kmeans", "q_ab_chisq", "o35_masked_views")
+    "t23_perceptron", "s15_kmeans", "q_ab_chisq", "o35_masked_views",
+    "st18_session_window")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
