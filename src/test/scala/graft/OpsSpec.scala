@@ -1965,6 +1965,39 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(lens == 0)
   }
 
+  test("madOutlierSummary: matches a brute-force reference on randomized groups, both walks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val data = for {
+      g <- 0 until 5
+      _ <- 0 until (rnd.nextInt(200) + 3)
+    } yield (s"g$g",
+      (rnd.nextGaussian() * 1000).toLong +
+        (if (rnd.nextInt(20) == 0) 100000L else 0L)) // occasional outliers
+    // the documented semantics, computed naively in memory
+    def m2Of(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val n = s.length
+      s((n - 1) / 2) + s(n / 2)
+    }
+    val expect = data.groupBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2)
+      val m2 = m2Of(vs)
+      val d2 = vs.map(v => math.abs(2 * v - m2))
+      val m4 = m2Of(d2)
+      (g, vs.size.toLong, m2, m4,
+        d2.count(d => d * 20000L > 44478L * m4).toLong)
+    }.toSet
+    val df = data.toDF("seg", "v")
+    val got = graft.ops.RobustStats
+      .madOutlierSummary(df, col("seg"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    val dist = graft.ops.RobustStats
+      .madOutlierSummary(df, col("seg"), col("v"), driverWalkMaxBins = 0L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(dist == expect)
+  }
+
   test("madOutlierSummary: known medians, driver and distributed walks agree") {
     import spark.implicits._
     // seg A: 1..5 (median 3, m2=6; devs 0,2,4 doubled: {4,2,0,2,4} → MAD
