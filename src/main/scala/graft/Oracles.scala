@@ -1507,7 +1507,8 @@ object Oracles {
         |    p - min(least(p, 0)) OVER (ORDER BY bucket_ts
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_scaled
         |  FROM p)
-        |SELECT bucket_ts, c, s_scaled, s_scaled > 2 * total AS drift_flag
+        |SELECT bucket_ts, c, CAST(s_scaled AS BIGINT) AS s_scaled,
+        |       s_scaled > 2 * total AS drift_flag
         |FROM s""".stripMargin,
 
     // weekly cohort retention: both engines truncate weeks to Monday,
@@ -2115,7 +2116,7 @@ object Oracles {
         |  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
         |  WHERE len(w) >= 2
         |  GROUP BY 1)
-        |SELECT pair, c_pair FROM pairs
+        |SELECT pair, CAST(c_pair AS BIGINT) AS c_pair FROM pairs
         |WHERE c_pair >= 2
         |ORDER BY c_pair DESC, pair
         |LIMIT 50""".stripMargin,
@@ -2823,7 +2824,7 @@ object Oracles {
         |    p - min(least(p, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
         |  FROM p)
-        |SELECT user_id, max(s) AS max_drift_cents,
+        |SELECT user_id, CAST(max(s) AS BIGINT) AS max_drift_cents,
         |       max(s) > 20000 AS drift_flag
         |FROM s GROUP BY user_id""".stripMargin,
 

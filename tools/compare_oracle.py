@@ -51,6 +51,19 @@ def main(sf_dir, out_dir):
         except Exception as e:
             failed.append((name, f"EXEC: {e}"))
             continue
+        # The driver's hash harness renders DuckDB HUGEINT differently
+        # from Spark's BIGINT even when values agree (round-6 lesson:
+        # an uncast sum(BIGINT) output column is a guaranteed driver
+        # hash-mismatch that this fetchall-based gate would miss).
+        try:
+            tys = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            huge = [c for c, t, *_ in tys if "HUGEINT" in t.upper()]
+            if huge:
+                failed.append((name, f"TYPE: HUGEINT oracle output cols {huge} "
+                                     f"(wrap in CAST(... AS BIGINT))"))
+                continue
+        except Exception:
+            pass
         g, gc = canon(grows, gcols)
         w, wc = canon(wrows, wcols)
         if gc != wc:
