@@ -2336,9 +2336,10 @@ object Oracles {
     // posture) — any drift in quoting, rule rendering, or the
     // pseudonym expression breaks the compare
     "o35_masked_views" -> {
+      // MySQL's CAST vocabulary: DOUBLE, never DOUBLE PRECISION
       val mysql = "CREATE OR REPLACE VIEW `customer_masked` AS\n" +
         "SELECT `c_custkey`, SUBSTR(MD5(CONCAT(''graft:'', CAST(`c_name` AS CHAR))), 1, 16) AS `c_name`, " +
-        "`c_nationkey`, CAST(NULL AS DOUBLE PRECISION) AS `c_acctbal`, ''REDACTED'' AS `c_mktsegment`\n" +
+        "`c_nationkey`, CAST(NULL AS DOUBLE) AS `c_acctbal`, ''REDACTED'' AS `c_mktsegment`\n" +
         "FROM `customer`;"
       val pg = "CREATE OR REPLACE VIEW \"customer_masked\" AS\n" +
         "SELECT \"c_custkey\", SUBSTR(MD5(CONCAT(''graft:'', CAST(\"c_name\" AS TEXT))), 1, 16) AS \"c_name\", " +
@@ -2378,8 +2379,8 @@ object Oracles {
          |      FROM t)
          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
          |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-         |       CAST((conv_a * 1000) // n_a AS BIGINT) AS rate_a_pm,
-         |       CAST((conv_b * 1000) // n_b AS BIGINT) AS rate_b_pm,
+         |       CAST(CASE WHEN n_a > 0 THEN (conv_a * 1000) // n_a END AS BIGINT) AS rate_a_pm,
+         |       CAST(CASE WHEN n_b > 0 THEN (conv_b * 1000) // n_b END AS BIGINT) AS rate_b_pm,
          |       (3841 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
          |             * CAST(conv_a + conv_b AS HUGEINT)
          |             * CAST(n_a + n_b - conv_a - conv_b AS HUGEINT) > 0

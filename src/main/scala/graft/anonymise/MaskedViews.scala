@@ -32,11 +32,31 @@ object MaskedViews {
   private def stringCast(d: Dialect): String =
     if (d.name == "mysql") "CHAR" else "TEXT"
 
+  /** The dialect's CAST target for a typed NULL. Postgres and SQLite
+    * accept the engine's portable type names verbatim; MySQL's CAST
+    * only takes its own conversion-target vocabulary (CHAR, SIGNED,
+    * DECIMAL, DATETIME, ... — never TEXT or BIGINT), so the portable
+    * names are mapped. DOUBLE is a valid MySQL target from 8.0.17,
+    * the oldest release the dialect supports.
+    */
+  private def nullCast(d: Dialect, portable: String): String = {
+    if (d.name != "mysql") portable
+    else portable match {
+      case "TEXT"                                          => "CHAR"
+      case "TINYINT" | "SMALLINT" | "INTEGER" | "BIGINT"
+           | "BOOLEAN"                                     => "SIGNED"
+      case "REAL" | "DOUBLE PRECISION"                     => "DOUBLE"
+      case "BLOB"                                          => "BINARY"
+      case "TIMESTAMP"                                     => "DATETIME"
+      case other                                           => other // DECIMAL(p,s), DATE
+    }
+  }
+
   private def maskedExpr(d: Dialect, c: ColumnInfo,
                          rule: ColumnRule, salt: String): String = {
     val q = d.quoteIdentifier(c.name)
     rule match {
-      case NullRule => s"CAST(NULL AS ${c.dataType}) AS $q"
+      case NullRule => s"CAST(NULL AS ${nullCast(d, c.dataType)}) AS $q"
       case StaticRule(v) => s"'${v.replace("'", "''")}' AS $q"
       case FakerRule(_) if d.name == "sqlite" => s"'***' AS $q"
       case FakerRule(_) =>

@@ -51,8 +51,13 @@ object Experiment {
         sum(when(col("variant") === 0, col("k")).otherwise(0L)).as("conv_a"),
         sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("k")).otherwise(0L)).as("conv_b"))
-      .withColumn("rate_a_pm", expr("(conv_a * 1000) DIV n_a"))
-      .withColumn("rate_b_pm", expr("(conv_b * 1000) DIV n_b"))
+      // empty-cohort guard: a degenerate md5 coin (tiny or skewed
+      // cohorts) must report a NULL rate, not divide by zero — the
+      // same degenerate-table posture as the rhs > 0 verdict guard
+      .withColumn("rate_a_pm",
+        expr("CASE WHEN n_a > 0 THEN (conv_a * 1000) DIV n_a END"))
+      .withColumn("rate_b_pm",
+        expr("CASE WHEN n_b > 0 THEN (conv_b * 1000) DIV n_b END"))
       .withColumn("significant", {
         val a = col("conv_a"); val b = col("n_a") - col("conv_a")
         val c = col("conv_b"); val d = col("n_b") - col("conv_b")

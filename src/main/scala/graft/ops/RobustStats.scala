@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Robust (median/MAD) statistics at histogram scale.
   *
@@ -81,8 +82,11 @@ object RobustStats {
         }
         at(k1) + at(k2)
       }
+      // the group value is read generically (r.get) and the output row
+      // carries the histogram's own seg type, so an int/date segment
+      // column types identically on this walk and the distributed one
       val out = probeRows.toSeq
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1).toSeq.map { case (seg, rs) =>
           val bins = rs.map(t => (t._2, t._3)).sortBy(_._1)
           val n = bins.map(_._2).sum
@@ -92,12 +96,16 @@ object RobustStats {
           val m4 = m2Of(devBins)
           val nOut = devBins.collect {
             case (d2, c) if d2 * 20000L > OutlierK4 * m4 => c }.sum
-          (seg, n, m2, m4, nOut)
+          Row(seg, n, m2, m4, nOut)
         }
-      import spark.implicits._
-      return spark.createDataset(out)
-        .toDF("segment", "n", "m2", "m4", "n_outliers")
-        .coalesce(1)
+      val schema = StructType(Seq(
+        StructField("segment", hist.schema("seg").dataType, nullable = true),
+        StructField("n", LongType, nullable = false),
+        StructField("m2", LongType, nullable = false),
+        StructField("m4", LongType, nullable = false),
+        StructField("n_outliers", LongType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema)
     }
     val med = medianX2(hist) // (seg, m2, n)
     // deviation histogram: |2v − m2| re-binned — still domain-bounded

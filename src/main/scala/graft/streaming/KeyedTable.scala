@@ -330,14 +330,27 @@ final class KeyedTable(spark: SparkSession, dir: String,
     * `batch_id` predicate, which prunes to that one delta directory
     * when the feed comes straight from [[changes]].
     */
-  def applyChanges(feed: DataFrame): Unit = {
+  def applyChanges(feed: DataFrame): KeyedTable.ApplyResult = {
     require(feed.columns.contains("batch_id"),
       "applyChanges expects a change feed (missing batch_id)")
     val ids = feed.select("batch_id").distinct()
       .collect().map(_.getLong(0)).sorted
+    // commitDelta's Boolean conflates "delta already here" (safe
+    // replay) with "below the compaction watermark" (possible silent
+    // row loss); the result classifies each skip so a replication
+    // tail can tell the two apart instead of diverging quietly
+    val applied = Seq.newBuilder[Long]
+    val replayed = Seq.newBuilder[Long]
+    val skipped = Seq.newBuilder[Long]
     ids.foreach { b =>
-      commitDelta(feed.filter(col("batch_id") === b).drop("batch_id"), b): Unit
+      if (commitDelta(feed.filter(col("batch_id") === b).drop("batch_id"), b))
+        applied += b
+      else if (fs.exists(new Path(root, s"delta=$b")))
+        replayed += b
+      else
+        skipped += b
     }
+    KeyedTable.ApplyResult(applied.result(), replayed.result(), skipped.result())
   }
 
   /** Streaming twin of [[changes]]: a file-source stream over the
@@ -517,4 +530,20 @@ object KeyedTable {
     * like any other write); never visible through `read`/`readAsOf`.
     */
   val TombstoneCol = "__tombstone"
+
+  /** What [[KeyedTable.applyChanges]] did with each feed batch:
+    * `applied` committed fresh; `replayed` already existed here as a
+    * delta directory (the safe idempotent-replay case);
+    * `watermarkSkipped` were refused by the compaction watermark with
+    * NO matching delta on disk — the batch's rows are absent from
+    * this table, so the replica has diverged from the feed's source
+    * (a replica seeded from a later snapshot, or a writer that reused
+    * low batch ids). A replication tail must treat a non-empty
+    * `watermarkSkipped` as an error unless it can prove the skipped
+    * batches were folded into the base it was seeded from.
+    */
+  final case class ApplyResult(applied: Seq[Long], replayed: Seq[Long],
+                               watermarkSkipped: Seq[Long]) {
+    def divergent: Boolean = watermarkSkipped.nonEmpty
+  }
 }

@@ -136,6 +136,33 @@ class AnonymiserSpec extends AnyFunSuite with SparkSuite {
     assert(lite.startsWith("DROP VIEW IF EXISTS"))
   }
 
+  test("maskedViews: NullRule casts use each dialect's own CAST vocabulary") {
+    import graft.anonymise.MaskedViews
+    import graft.analyse.ColumnInfo
+    import graft.dialect.{MySqlDialect, PostgresDialect, SqliteDialect}
+    val cols = Seq(
+      ColumnInfo("name", "TEXT", true),
+      ColumnInfo("uid", "BIGINT", false),
+      ColumnInfo("score", "DOUBLE PRECISION", true),
+      ColumnInfo("bal", "DECIMAL(12,2)", true))
+    val rules: Map[String, ColumnRule] =
+      cols.map(c => c.name -> (NullRule: ColumnRule)).toMap
+    // MySQL CAST never accepts TEXT/BIGINT/DOUBLE PRECISION as targets
+    val my = MaskedViews.viewDDL(MySqlDialect, "t", cols, rules)
+    assert(my.contains("CAST(NULL AS CHAR) AS `name`"))
+    assert(my.contains("CAST(NULL AS SIGNED) AS `uid`"))
+    assert(my.contains("CAST(NULL AS DOUBLE) AS `score`"))
+    assert(my.contains("CAST(NULL AS DECIMAL(12,2)) AS `bal`"))
+    // Postgres and SQLite take the portable names verbatim
+    val pg = MaskedViews.viewDDL(PostgresDialect, "t", cols, rules)
+    assert(pg.contains("CAST(NULL AS TEXT) AS \"name\""))
+    assert(pg.contains("CAST(NULL AS BIGINT) AS \"uid\""))
+    assert(pg.contains("CAST(NULL AS DOUBLE PRECISION) AS \"score\""))
+    val lite = MaskedViews.viewDDL(SqliteDialect, "t", cols, rules)
+    assert(lite.contains("CAST(NULL AS TEXT) AS \"name\""))
+    assert(lite.contains("CAST(NULL AS BIGINT) AS \"uid\""))
+  }
+
   // --- Generalise.kAnonymize (the enforcement transform, o31) ---
 
   private def ladderFixture = {

@@ -419,12 +419,38 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(primary.upsert(rows((4L, 1L, 1L, "u4")), 2L))
     val replica = mk(tmpDir("repl_r"))
     replica.initBase(primary.readAsOf(-1L))
-    replica.applyChanges(primary.changes())
+    val first = replica.applyChanges(primary.changes())
+    assert(first.applied == Seq(0L, 1L, 2L) && first.replayed.isEmpty
+      && !first.divergent)
     assert(state(replica) == state(primary))
     // deleted key is gone on both sides (the tombstone travelled)
     assert(!state(replica).exists(_._1 == 2L))
-    // re-applying the feed is a no-op (replay idempotence inherited)
-    replica.applyChanges(primary.changes())
+    // re-applying the feed is a no-op (replay idempotence inherited),
+    // and the result says so — every id a replay, none lost
+    val again = replica.applyChanges(primary.changes())
+    assert(again.applied.isEmpty && again.replayed == Seq(0L, 1L, 2L)
+      && !again.divergent)
+    assert(state(replica) == state(primary))
+  }
+
+  test("replication: a watermark-refused batch with no delta on disk is reported, not dropped silently") {
+    val primary = mk(tmpDir("replwm_p"))
+    primary.initBase(rows((1L, -1L, -1L, "b1")))
+    assert(primary.upsert(rows((2L, 10L, 1L, "u2")), 0L))
+    assert(primary.upsert(rows((3L, 10L, 1L, "u3")), 5L))
+    val replica = mk(tmpDir("replwm_r"))
+    replica.initBase(primary.readAsOf(-1L))
+    assert(replica.applyChanges(primary.changes()).applied == Seq(0L, 5L))
+    // fold + reclaim: batches 0 and 5 now live only in the base, so a
+    // re-applied feed slice is refused by the watermark with no delta
+    // directory to witness the replay
+    replica.compact()
+    replica.vacuum()
+    val res = replica.applyChanges(primary.changes())
+    assert(res.applied.isEmpty && res.replayed.isEmpty)
+    assert(res.watermarkSkipped == Seq(0L, 5L) && res.divergent)
+    // here the skip IS benign (the base folded both batches) — the
+    // point is the tail gets the signal and decides, state intact
     assert(state(replica) == state(primary))
   }
 }

@@ -2020,6 +2020,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .madOutlierSummary(even, col("seg"), col("v"))
       .select("m2").as[Long].head()
     assert(m2 == 5L)
+    // a NON-STRING segment column (int region key): both walks accept
+    // it and both type `segment` as the input's own type
+    val intSeg = (Seq(1L, 2L, 3L, 4L, 5L).map((7, _)) ++
+      Seq(10L, 10L, 10L, 10L, 1000L).map((9, _))).toDF("seg", "v")
+    val gi = graft.ops.RobustStats
+      .madOutlierSummary(intSeg, col("seg"), col("v"))
+    val di = graft.ops.RobustStats
+      .madOutlierSummary(intSeg, col("seg"), col("v"), driverWalkMaxBins = 0L)
+    assert(gi.schema("segment").dataType == di.schema("segment").dataType)
+    assert(gi.as[(Int, Long, Long, Long, Long)].collect().toSet ==
+      Set((7, 5L, 6L, 4L, 0L), (9, 5L, 20L, 0L, 1L)))
+    assert(di.as[(Int, Long, Long, Long, Long)].collect().toSet ==
+      gi.as[(Int, Long, Long, Long, Long)].collect().toSet)
   }
 
   test("sceneChanges: transition counts and threshold edges; layout-invariant") {
@@ -2082,6 +2095,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // nobody converts → the other degenerate margin
     val none = Experiment.abChisq(ev(Seq.empty)).first()
     assert(!none.getAs[Boolean]("significant"))
+    // the md5 coin lands EVERY user in one variant (a one-user cohort
+    // drawn from variant 0's members): the empty cohort's rate is NULL
+    // — never a divide-by-zero — and the verdict stays not-significant
+    val u0 = v0.head
+    val solo = Experiment.abChisq(
+      Seq((u0, "signup"), (u0, "purchase")).toDF("user_id", "event_type"))
+      .first()
+    assert(solo.getAs[Long]("n_a") == 1L && solo.getAs[Long]("n_b") == 0L)
+    assert(solo.getAs[Long]("rate_a_pm") == 1000L)
+    assert(solo.isNullAt(solo.fieldIndex("rate_b_pm")))
+    assert(!solo.getAs[Boolean]("significant"))
   }
 
   test("kmeansInt: member accounting, empty-cluster carry-over, layout invariance") {
