@@ -2006,6 +2006,17 @@ object GraftQueries {
   def t22BpeTrain(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(tbl(s, dir, "documents"), rounds = 3)
 
+  /** T24 [EXT] — BPE ENCODING (`TextAnalysis.bpeEncode`): apply the
+    * t22 merge table back to the corpus and account tokens per
+    * document with the REAL tokenizer — pre-token, letter, and
+    * post-merge BPE token counts. Encoding runs at vocabulary scale
+    * (the corpus collapses once; merges rewrite the vocab with `w0`
+    * riding along as the join-back key); the oracle unrolls the same
+    * three rounds and re-encodes in SQL.
+    */
+  def t24BpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(tbl(s, dir, "documents"), rounds = 3)
+
   /** O33 [EXT] — Warner's randomized response: per-row local-DP
     * perturbation of a boolean attribute with an md5-bucket coin
     * (`Anonymiser.randomizedResponse`, m=4 → truth kept w.p. 3/4),
@@ -2014,6 +2025,19 @@ object GraftQueries {
     * signed distance from twice the true count — the oracle replays
     * coin, mechanism and estimator bit-for-bit.
     */
+  /** O36 [EXT] — differentially-private group-count release
+    * (`Anonymiser.dpCounts`): per-segment customer counts perturbed by
+    * the (ln 2, 2/3072)-DP truncated discrete-Laplace ladder, noise
+    * drawn deterministically from the md5 bucket of salt‖group (the
+    * seeded-release rationale of o11/o33). The oracle replays the
+    * draw and the ladder via the SAME generated CASE text, so the two
+    * engines cannot drift.
+    */
+  def o36DpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.anonymise.Anonymiser
+      .dpCounts(tbl(s, dir, "customer"), col("c_mktsegment"))
+      .withColumnRenamed("grp", "segment")
+
   def o33RandomizedResponse(s: SparkSession, dir: String): DataFrame = {
     val truth = col("c_acctbal") > 5000.0
     val rep = graft.anonymise.Anonymiser
@@ -3071,5 +3095,7 @@ object GraftQueries {
     "q_ab_chisq"         -> (qAbChisq _),
     "o35_masked_views"   -> (o35MaskedViews _),
     "st18_session_window" -> (st18SessionWindow _),
+    "t24_bpe_encode"     -> (t24BpeEncode _),
+    "o36_dp_counts"      -> (o36DpCounts _),
   )
 }

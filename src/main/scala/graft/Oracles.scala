@@ -2597,6 +2597,66 @@ object Oracles {
         |UNION ALL SELECT 2, (SELECT pair FROM m2), CAST((SELECT c FROM m2) AS BIGINT)
         |UNION ALL SELECT 3, (SELECT pair FROM m3), CAST((SELECT c FROM m3) AS BIGINT)""".stripMargin,
 
+    // BPE encoding: the t22 unroll with the ORIGINAL word riding along
+    // (w0), then per-doc word counts join the encoded vocabulary —
+    // token count = length of the fully-merged form
+    "t24_bpe_encode" ->
+      """WITH v0 AS (
+        |  SELECT w AS w0, w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |p1 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+        |       FROM v0, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |       WHERE len(w) >= 2 GROUP BY 1),
+        |m1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
+        |v1 AS (SELECT w0, replace(w, (SELECT pair FROM m1), 'A') AS w, f FROM v0),
+        |p2 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+        |       FROM v1, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |       WHERE len(w) >= 2 GROUP BY 1),
+        |m2 AS (SELECT pair FROM p2 ORDER BY c DESC, pair LIMIT 1),
+        |v2 AS (SELECT w0, replace(w, (SELECT pair FROM m2), 'B') AS w, f FROM v1),
+        |p3 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+        |       FROM v2, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+        |       WHERE len(w) >= 2 GROUP BY 1),
+        |m3 AS (SELECT pair FROM p3 ORDER BY c DESC, pair LIMIT 1),
+        |v3 AS (SELECT w0, replace(w, (SELECT pair FROM m3), 'C') AS w FROM v2),
+        |enc AS (SELECT w0, len(w) AS toks FROM v3),
+        |dw AS (
+        |  SELECT doc_id, w AS w0, count(*) AS cnt
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT dw.doc_id,
+        |         sum(dw.cnt) AS n_pretokens,
+        |         sum(dw.cnt * len(dw.w0)) AS n_chars,
+        |         sum(dw.cnt * enc.toks) AS n_bpe_tokens
+        |  FROM dw JOIN enc USING (w0) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(pd.n_pretokens, 0) AS BIGINT) AS n_pretokens,
+        |       CAST(coalesce(pd.n_chars, 0) AS BIGINT) AS n_chars,
+        |       CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+
+    // DP counts: the draw (md5 bucket of salt||group) and the noise
+    // ladder (the SAME generated CASE text the engine compiles)
+    "o36_dp_counts" -> {
+      val u = bucketSql("'dp:' || c_mktsegment",
+        graft.anonymise.Anonymiser.DpLadderModulus)
+      val noise = graft.anonymise.Anonymiser.dpNoiseSql("u")
+      s"""WITH c AS (
+         |  SELECT c_mktsegment AS segment,
+         |         CAST(count(*) AS BIGINT) AS n_true,
+         |         CAST($u AS BIGINT) AS u
+         |  FROM customer GROUP BY 1),
+         |n AS (SELECT segment, n_true, CAST($noise AS BIGINT) AS noise FROM c)
+         |SELECT segment, n_true, noise,
+         |       greatest(n_true + noise, 0) AS n_released
+         |FROM n""".stripMargin
+    },
+
     // randomized response: coin, mechanism and estimator replayed
     // bit-for-bit via the portable md5 bucket
     "o33_randomized_response" -> {

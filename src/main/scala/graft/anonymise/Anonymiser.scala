@@ -73,6 +73,65 @@ object Anonymiser {
     when(graft.ops.Sampling.bucket(id, modulus) === 0, !truth).otherwise(truth)
   }
 
+  /** The truncated discrete-Laplace noise ladder for ε = ln 2:
+    * P(k) ∝ (1/2)^|k|, exactly rational over a modulus of 3·2¹⁰ —
+    * w(0) = 1024, w(±k) = 2^(10−k) for 1 ≤ k ≤ 10, and the residual
+    * mass (2/3072) sits on ±11. Truncation makes the mechanism
+    * (ε, δ)-DP with δ = 2/3072 ≈ 6.5·10⁻⁴ rather than pure ε-DP —
+    * the price of a bounded, integer-exact, SQL-portable ladder.
+    */
+  val DpLadderModulus: Int = 3072
+
+  /** `(cumulative upper bound exclusive, noise k)` ascending over
+    * k = −11 … 11; a uniform draw u ∈ [0, 3072) maps to the first
+    * entry with u < bound.
+    */
+  val dpLadder: Seq[(Long, Long)] = {
+    def w(k: Int): Long =
+      if (k == 0) 1024L
+      else if (math.abs(k) == 11) 1L
+      else 1L << (10 - math.abs(k))
+    val ks = (-11 to 11).toSeq
+    val cums = ks.scanLeft(0L)((acc, k) => acc + w(k)).tail
+    ks.map(_.toLong).zip(cums).map { case (k, c) => (c, k) }
+  }
+
+  /** The ladder as a SQL CASE over `u` (an expression evaluating to the
+    * uniform draw). ONE definition serves both the engine (`expr`) and
+    * the DuckDB oracle — the scrubSql anti-drift pattern.
+    */
+  def dpNoiseSql(u: String): String =
+    "CASE " +
+      dpLadder.init.map { case (c, k) => s"WHEN $u < $c THEN ($k)" }
+        .mkString(" ") +
+      s" ELSE (${dpLadder.last._2}) END"
+
+  /** Differentially-private group-count release — the CENTRAL-model
+    * complement of [[randomizedResponse]]'s local mechanism: exact
+    * per-group counts perturbed by discrete-Laplace noise, released as
+    * `max(n + noise, 0)`. Count queries have sensitivity 1 when each
+    * individual contributes one row (contribution bounding is the
+    * caller's duty — `.distinct()` on the individual key first).
+    *
+    * The noise draw is DETERMINISTIC: u = md5-bucket(salt ‖ group) —
+    * the seeded-release rationale shared with o11/o33 (re-running a
+    * release never re-randomises; a fresh salt is a fresh release).
+    * `n_true` and `noise` are DIAGNOSTIC columns for the correctness
+    * gate; a production release ships `group, n_released` only.
+    *
+    * Scale shape: one mergeable count aggregate, then a narrow
+    * group-cardinality-sized CASE map — nothing else moves.
+    */
+  def dpCounts(df: DataFrame, groupCol: Column,
+               salt: String = "dp:"): DataFrame =
+    df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("__u", graft.ops.Sampling.bucket(
+        concat(lit(salt), col("grp").cast(StringType)), DpLadderModulus))
+      .withColumn("noise", expr(dpNoiseSql("__u")))
+      .select(col("grp"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"))
+
   /** Seed column: stable 64-bit hash of `column ":" value` (NULL original
     * hashes the bare prefix — all NULLs of a column share one fake; the
     * reference instead regenerates randomly per NULL row, a quirk noted

@@ -764,13 +764,28 @@ object TextAnalysis {
     */
   def bpeTrain(df: DataFrame, textCol: String = "text",
                rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 26, "bpeTrain: rounds must be 1..26")
     val spark = df.sparkSession
-    var vocab = OpCaches.persist(
+    val vocab = OpCaches.persist(
       Partitioning.ensureParallelism(df.select(col(textCol).as("t")))
         .select(explode(regexp_extract_all(lower(col("t")),
-          lit("[a-z]+"), lit(0))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("f")))
+          lit("[a-z]+"), lit(0))).as("w0"))
+        .groupBy("w0").agg(count(lit(1)).as("f")))
+    runMergeRounds(vocab, rounds)._2
+  }
+
+  /** The shared merge loop: `vocab` is `(w0, f)` — the ORIGINAL word
+    * plus corpus frequency. Returns the rewritten vocabulary
+    * `(w0, w, f)` after all rounds (w0 rides along untouched, so the
+    * caller can map originals to their merged forms) and the merge
+    * table `(round, merged_pair, pair_count)`.
+    */
+  private def runMergeRounds(vocab0: DataFrame,
+                             rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 26,
+      "bpe merge loop: rounds must be 1..26")
+    val spark = vocab0.sparkSession
+    var vocab = OpCaches.persist(
+      vocab0.select(col("w0"), col("w0").as("w"), col("f")))
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val pairsCol = when(length(col("w")) >= 2,
@@ -781,15 +796,62 @@ object TextAnalysis {
         .groupBy("pair").agg(sum("f").as("c"))
         .orderBy(col("c").desc, col("pair"))
         .limit(1).collect()
-      require(top.nonEmpty, s"bpeTrain: vocabulary exhausted at round $r")
+      require(top.nonEmpty, s"bpe merge loop: vocabulary exhausted at round $r")
       val (pair, c) = (top(0).getString(0), top(0).getLong(1))
       merges += ((r, pair, c))
       val marker = ('A' + r - 1).toChar.toString
       vocab = OpCaches.persist(
-        vocab.select(replace(col("w"), lit(pair), lit(marker)).as("w"), col("f")))
+        vocab.select(col("w0"),
+          replace(col("w"), lit(pair), lit(marker)).as("w"), col("f")))
     }
     import spark.implicits._
-    spark.createDataset(merges.result())
-      .toDF("round", "merged_pair", "pair_count").coalesce(1)
+    (vocab,
+      spark.createDataset(merges.result())
+        .toDF("round", "merged_pair", "pair_count").coalesce(1))
+  }
+
+  /** BPE ENCODING — apply a trained merge table to the corpus and
+    * report per-document token accounting, the step every pipeline
+    * runs after `bpeTrain` to budget/pack with the REAL tokenizer
+    * rather than a whitespace proxy. Output per input document:
+    * `(doc_id, n_pretokens, n_chars, n_bpe_tokens)` — pre-token
+    * count, raw letter count, and the post-merge BPE token count
+    * (each surviving symbol, single letters and merge markers alike,
+    * is one token). Documents with no `[a-z]` pre-tokens report zeros.
+    *
+    * Scale shape — the tokenizer-application trick is that encoding is
+    * a VOCABULARY computation, not a corpus one: the corpus collapses
+    * once into per-doc word counts (one mergeable aggregate), training
+    * and merge application run entirely at vocab scale (the same
+    * `runMergeRounds` loop `bpeTrain` uses, with `w0` riding along as
+    * the join-back key), and per-doc totals come from one equi-join of
+    * the (doc, word) counts against the vocab-scale `(w0 → token
+    * count)` map — broadcast when the vocabulary fits, AQE-splittable
+    * SMJ otherwise (the encode side has ONE row per word, so a Zipf
+    * head word skews only the probe side, exactly the shape AQE's
+    * skew-join splits). The corpus text is touched exactly once.
+    */
+  def bpeEncode(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", rounds: Int = 3): DataFrame = {
+    val docWords = OpCaches.persist(
+      Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), explode(regexp_extract_all(lower(col("t")),
+          lit("[a-z]+"), lit(0))).as("w0"))
+        .groupBy("id", "w0").agg(count(lit(1)).as("cnt")))
+    val vocab = docWords.groupBy("w0").agg(sum("cnt").as("f"))
+    val encoded = runMergeRounds(vocab, rounds)._1
+      .select(col("w0"), length(col("w")).cast("long").as("toks"))
+    val perDoc = docWords.join(encoded, "w0")
+      .groupBy("id").agg(
+        sum("cnt").as("n_pretokens"),
+        sum(col("cnt") * length(col("w0"))).as("n_chars"),
+        sum(col("cnt") * col("toks")).as("n_bpe_tokens"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pretokens"), lit(0L)).as("n_pretokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 }

@@ -2170,6 +2170,56 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(re == got)
   }
 
+  test("bpeEncode: token accounting matches the hand-run merge chain; letterless docs report zeros") {
+    import spark.implicits._
+    // same corpus as the bpeTrain spec: merges ab→A, AA→B, Ac→C
+    // encoded vocab: abab→B (1 tok), abc→C (1 tok), cab→cA (2 toks)
+    val docs = ((Seq.fill(3)("abab") ++ Seq.fill(2)("abc") ++ Seq("cab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) } :+ (9L, "123 !?"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got(0L) == (1L, 4L, 1L) && got(1L) == (1L, 4L, 1L) && got(2L) == (1L, 4L, 1L))
+    assert(got(3L) == (1L, 3L, 1L) && got(4L) == (1L, 3L, 1L))
+    assert(got(5L) == (1L, 3L, 2L))
+    // no [a-z] pre-tokens → all-zero accounting, row still present
+    assert(got(9L) == (0L, 0L, 0L))
+    // encoding can only shorten: bpe tokens ≤ letters, and layout-invariant
+    assert(got.values.forall { case (_, ch, bpe) => bpe <= ch })
+    val re = TextAnalysis.bpeEncode(docs.repartition(5), rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(re == got)
+  }
+
+  test("dpCounts: ladder is a full partition of the modulus; release is deterministic and non-negative") {
+    import spark.implicits._
+    import graft.anonymise.Anonymiser
+    // the ladder covers [0, 3072) exactly, monotonically
+    assert(Anonymiser.dpLadder.last._1 == Anonymiser.DpLadderModulus.toLong)
+    assert(Anonymiser.dpLadder.map(_._1) == Anonymiser.dpLadder.map(_._1).sorted)
+    assert(Anonymiser.dpLadder.map(_._2) == (-11L to 11L))
+    // symmetric weights: w(k) == w(-k)
+    val widths = (Seq(0L) ++ Anonymiser.dpLadder.map(_._1))
+      .sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(widths == widths.reverse)
+    val df = (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val rel = Anonymiser.dpCounts(df, col("grp"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(rel.size == 4)
+    assert(rel.forall { case (_, n, k, out) =>
+      k >= -11L && k <= 11L && out == math.max(n + k, 0L) })
+    // deterministic: same data, any layout, same salt → identical release
+    val re = Anonymiser.dpCounts(df.repartition(7), col("grp"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(re == rel)
+    // a fresh salt is a fresh release (draws differ somewhere)
+    val resalt = Anonymiser.dpCounts(df, col("grp"), salt = "dp2:")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(resalt.map(t => t._1 -> t._2) == rel.map(t => t._1 -> t._2))
+  }
+
   test("transitionMatrix: adjacent pairs per entity, micro-unit rows sum to ~1") {
     import spark.implicits._
     val ev = Seq(

@@ -50,7 +50,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "p4_privacy_pipeline", "o33_randomized_response", "st17_cdf_replication",
     "t22_bpe_train", "o34_forget", "s14_hybrid_rrf", "d19_cdc_chunks",
     "t23_perceptron", "s15_kmeans", "q_ab_chisq", "o35_masked_views",
-    "st18_session_window")
+    "st18_session_window",
+    // round-7 additions: tokenizer application, DP release
+    "t24_bpe_encode", "o36_dp_counts")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
