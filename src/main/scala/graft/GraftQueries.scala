@@ -2025,6 +2025,56 @@ object GraftQueries {
     * signed distance from twice the true count — the oracle replays
     * coin, mechanism and estimator bit-for-bit.
     */
+  /** ER1 [EXT] — record linkage / entity resolution
+    * (`ops.Linkage`): a deterministically-corrupted twin of `customer`
+    * (md5 coin: half get `5→S` name typos, half `9→0` phone typos)
+    * links back to the clean table through TWO blocking passes —
+    * (nation, phone-prefix) catches the name-typo half, (nation,
+    * name-suffix) the phone-typo half — then integer Fellegi–Sunter
+    * scoring (bounded `levenshtein` agreement weights) and
+    * best-match-per-record selection as one max-struct aggregate.
+    * Everything is deterministic, so the oracle replays corruption,
+    * blocking, scoring, and selection exactly.
+    */
+  def er1RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Linkage, Sampling}
+    // the fixture has no phone column — synthesize one deterministically
+    // from the key (both engines derive the identical string), then
+    // corrupt it like any other contact field
+    val digits = lpad((col("c_custkey") * 7919L % 10000000000L).cast("string"),
+      10, "0")
+    val phone = concat(substring(digits, 1, 3), lit("-"),
+      substring(digits, 4, 3), lit("-"), substring(digits, 7, 4))
+    val c = tbl(s, dir, "customer").withColumn("c_phone", phone)
+    val coin = Sampling.bucket(col("c_custkey"), 2)
+    val dirty = c.select(
+        col("c_custkey").as("d_id"),
+        when(coin === 0, replace(col("c_name"), lit("5"), lit("S")))
+          .otherwise(col("c_name")).as("d_name"),
+        when(coin === 1, replace(col("c_phone"), lit("9"), lit("0")))
+          .otherwise(col("c_phone")).as("d_phone"),
+        col("c_nationkey").as("d_nation"))
+      .withColumn("d_blk_phone", concat(col("d_nation").cast("string"),
+        lit(":"), substring(col("d_phone"), 1, 9)))
+      .withColumn("d_blk_name", concat(col("d_nation").cast("string"),
+        lit(":"), substring(col("d_name"), 13, 6)))
+    val clean = c
+      .select(col("c_custkey"), col("c_name"), col("c_phone"), col("c_nationkey"))
+      .withColumn("c_blk_phone", concat(col("c_nationkey").cast("string"),
+        lit(":"), substring(col("c_phone"), 1, 9)))
+      .withColumn("c_blk_name", concat(col("c_nationkey").cast("string"),
+        lit(":"), substring(col("c_name"), 13, 6)))
+    val cand = Linkage.blockedCandidates(dirty, clean,
+      Seq("d_blk_phone" -> "c_blk_phone", "d_blk_name" -> "c_blk_name"))
+    val scored = cand.withColumn("score",
+      Linkage.editWeight(col("d_name"), col("c_name"), 30L, 6L) +
+        when(col("d_phone") === col("c_phone"), lit(20L))
+          .otherwise(Linkage.editWeight(col("d_phone"), col("c_phone"), 20L, 4L)) +
+        when(col("d_nation") === col("c_nationkey"), lit(5L)).otherwise(lit(0L)))
+    Linkage.bestMatches(scored, "d_id", "c_custkey", "score", 35L)
+      .withColumnRenamed("c_custkey", "matched_id")
+  }
+
   /** O36 [EXT] — differentially-private group-count release
     * (`Anonymiser.dpCounts`): per-segment customer counts perturbed by
     * the (ln 2, 2/3072)-DP truncated discrete-Laplace ladder, noise
@@ -3097,5 +3147,6 @@ object GraftQueries {
     "st18_session_window" -> (st18SessionWindow _),
     "t24_bpe_encode"     -> (t24BpeEncode _),
     "o36_dp_counts"      -> (o36DpCounts _),
+    "er1_record_linkage" -> (er1RecordLinkage _),
   )
 }

@@ -2640,6 +2640,59 @@ object Oracles {
         |       CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
+    // record linkage: corruption coin, both blocking passes, integer
+    // levenshtein weights and the min-id tie-break replayed exactly
+    "er1_record_linkage" -> {
+      val coin = bucketSql("c_custkey", 2)
+      s"""WITH cust AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    substr(d, 1, 3) || '-' || substr(d, 4, 3) || '-' || substr(d, 7, 4)
+         |      AS c_phone
+         |  FROM (SELECT *,
+         |          lpad(CAST(c_custkey * 7919 % 10000000000 AS VARCHAR),
+         |               10, '0') AS d
+         |        FROM customer)),
+         |dirty AS (
+         |  SELECT c_custkey AS d_id,
+         |    CASE WHEN $coin = 0 THEN replace(c_name, '5', 'S')
+         |         ELSE c_name END AS d_name,
+         |    CASE WHEN $coin = 1 THEN replace(c_phone, '9', '0')
+         |         ELSE c_phone END AS d_phone,
+         |    c_nationkey AS d_nation
+         |  FROM cust),
+         |dk AS (
+         |  SELECT *,
+         |    CAST(d_nation AS VARCHAR) || ':' || substr(d_phone, 1, 9) AS bp,
+         |    CAST(d_nation AS VARCHAR) || ':' || substr(d_name, 13, 6) AS bn
+         |  FROM dirty),
+         |ck AS (
+         |  SELECT c_custkey, c_name, c_phone, c_nationkey,
+         |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_phone, 1, 9) AS bp,
+         |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 13, 6) AS bn
+         |  FROM cust),
+         |cand AS (
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM dk JOIN ck ON dk.bp = ck.bp
+         |  UNION ALL
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM dk JOIN ck ON dk.bn = ck.bn),
+         |scored AS (
+         |  SELECT d_id, c_custkey,
+         |    greatest(30 - 6 * levenshtein(d_name, c_name), 0)
+         |    + CASE WHEN d_phone = c_phone THEN 20
+         |           ELSE greatest(20 - 4 * levenshtein(d_phone, c_phone), 0) END
+         |    + CASE WHEN d_nation = c_nationkey THEN 5 ELSE 0 END AS score
+         |  FROM cand),
+         |best AS (
+         |  SELECT d_id, c_custkey, score, row_number() OVER (
+         |    PARTITION BY d_id ORDER BY score DESC, c_custkey) AS rn
+         |  FROM scored WHERE score >= 35)
+         |SELECT d_id, c_custkey AS matched_id, CAST(score AS BIGINT) AS score
+         |FROM best WHERE rn = 1""".stripMargin
+    },
+
     // DP counts: the draw (md5 bucket of salt||group) and the noise
     // ladder (the SAME generated CASE text the engine compiles)
     "o36_dp_counts" -> {

@@ -2220,6 +2220,49 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(resalt.map(t => t._1 -> t._2) == rel.map(t => t._1 -> t._2))
   }
 
+  test("linkage: multi-pass blocking, threshold, and deterministic tie-break") {
+    import spark.implicits._
+    import graft.ops.Linkage
+    // dirty records: 1 has a corrupted name-block key (phone pass must
+    // find it), 2 a corrupted phone-block key (name pass must find it),
+    // 3 matches nothing above threshold, 4 ties two references exactly
+    val dirty = Seq(
+      (1L, "Xmith", "111-222", "zz"),
+      (2L, "jones", "999-000", "jo"),
+      (3L, "blake", "333-444", "zz"),
+      (4L, "ada", "555-666", "ad")
+    ).toDF("d_id", "d_name", "d_phone", "d_blk")
+      .withColumn("d_blk_name", substring(col("d_name"), 1, 2))
+      .withColumn("d_blk_phone", substring(col("d_phone"), 1, 3))
+    val clean = Seq(
+      (10L, "smith", "111-222"),
+      (20L, "jones", "777-888"),
+      (30L, "quorn", "333-999"),
+      (40L, "ada", "555-666"),
+      (41L, "ada", "555-666")
+    ).toDF("c_id", "c_name", "c_phone")
+      .withColumn("c_blk_name", substring(col("c_name"), 1, 2))
+      .withColumn("c_blk_phone", substring(col("c_phone"), 1, 3))
+    val cand = Linkage.blockedCandidates(dirty, clean,
+      Seq("d_blk_phone" -> "c_blk_phone", "d_blk_name" -> "c_blk_name"))
+    val scored = cand.withColumn("score",
+      Linkage.editWeight(col("d_name"), col("c_name"), 30L, 10L) +
+        when(col("d_phone") === col("c_phone"), lit(20L)).otherwise(lit(0L)))
+    val set = Linkage.bestMatches(scored, "d_id", "c_id", "score", 30L)
+      .as[(Long, Long, Long)].collect().toSet
+    // 1: name lev 1 (Xmith→smith) 20 + phone 20 = 40, via the PHONE
+    //    pass only (its name-block key 'Xm' is corrupted)
+    // 2: name exact 30 + phone mismatch 0 = 30, via the NAME pass
+    // 3: best candidate quorn (blake↛; phone block '333' hits quorn):
+    //    lev(blake,quorn) = 4 → 0 + no phone = 0 < 30 → absent
+    // 4: ties 40 and 41 at 50 → min id 40 wins
+    assert(set == Set((1L, 10L, 40L), (2L, 20L, 30L), (4L, 40L, 50L)))
+    // editWeight floors at zero, never negative
+    val w = spark.range(1).select(Linkage.editWeight(
+      lit("abcdef"), lit("zzzzzz"), 10L, 5L).as("w")).as[Long].head()
+    assert(w == 0L)
+  }
+
   test("transitionMatrix: adjacent pairs per entity, micro-unit rows sum to ~1") {
     import spark.implicits._
     val ev = Seq(

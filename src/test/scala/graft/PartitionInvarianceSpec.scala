@@ -51,8 +51,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "t22_bpe_train", "o34_forget", "s14_hybrid_rrf", "d19_cdc_chunks",
     "t23_perceptron", "s15_kmeans", "q_ab_chisq", "o35_masked_views",
     "st18_session_window",
-    // round-7 additions: tokenizer application, DP release
-    "t24_bpe_encode", "o36_dp_counts")
+    // round-7 additions: tokenizer application, DP release, linkage
+    "t24_bpe_encode", "o36_dp_counts", "er1_record_linkage")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
