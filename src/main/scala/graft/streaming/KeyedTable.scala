@@ -191,6 +191,44 @@ final class KeyedTable(spark: SparkSession, dir: String,
     true
   }
 
+  /** Streaming replication tail — the MAINTAINED form of
+    * [[applyChanges]]: a `foreachBatch` sink over the PRIMARY's
+    * [[changesStream]] applying each micro-batch's feed slice to THIS
+    * table. A feed batch refused by the compaction watermark with no
+    * matching delta on disk (`ApplyResult.divergent`) FAILS the stream
+    * loudly — silent divergence is the one outcome a replication tail
+    * must never allow. Replays (delta already present) are no-ops, so
+    * the tail is safe under stream restarts and checkpoint loss alike:
+    * idempotence comes from the commit layout, not the checkpoint.
+    *
+    * Caller runs the returned query (`processAllAvailable` for
+    * catch-up, or leave it running for continuous replication).
+    */
+  def replicationStream(primary: KeyedTable,
+                        payloadSchema: org.apache.spark.sql.types.StructType,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a file stream reads a FIXED schema, but delete batches carry the
+    // reserved tombstone column the payload schema predates — read the
+    // union (upsert batches surface it as NULL, which never wins a
+    // resolution), or every replicated delete resurrects as a live row
+    val withTombstone =
+      if (payloadSchema.fieldNames.contains(KeyedTable.TombstoneCol)) payloadSchema
+      else payloadSchema.add(KeyedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType)
+    primary.changesStream(withTombstone).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (feed: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val res = applyChanges(feed)
+        if (res.divergent)
+          sys.error(s"KeyedTable replication at $dir: feed batches " +
+            s"${res.watermarkSkipped.mkString(",")} were refused by the " +
+            "compaction watermark without a matching delta — replica " +
+            "diverged from the primary")
+      }
+      .start()
+  }
+
   /** Latest row per key over base ∪ deltas — one key-shuffle, resolved
     * by max(struct(version..., payload...)). Version uniqueness per key
     * means payload fields never decide the max.

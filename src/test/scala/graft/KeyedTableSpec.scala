@@ -433,6 +433,41 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(state(replica) == state(primary))
   }
 
+  test("replicationStream: continuous tail tracks the primary; divergence fails the stream loudly") {
+    val primary = mk(tmpDir("replst_p"))
+    primary.initBase(rows((1L, -1L, -1L, "b1"), (2L, -1L, -1L, "b2")))
+    assert(primary.upsert(rows((1L, 10L, 1L, "u1")), 0L))
+    assert(primary.delete(rows((2L, 20L, 1L, "x"))
+      .select("k", "v_ts", "v_seq"), 1L))
+    val replica = mk(tmpDir("replst_r"))
+    replica.initBase(primary.readAsOf(-1L))
+    val ckpt = tmpDir("replst_ckpt")
+    val schema = rows((0L, 0L, 0L, "x")).schema
+    val q = replica.replicationStream(primary, schema, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(state(replica) == state(primary))
+    // more primary writes; a RESTARTED tail (same checkpoint) catches up
+    assert(primary.upsert(rows((3L, 30L, 1L, "u3")), 2L))
+    val q2 = replica.replicationStream(primary, schema, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state(replica) == state(primary))
+    // divergence: fold + vacuum the replica, then a FRESH checkpoint
+    // re-reads the full feed — the watermark refuses batches 0-2 with
+    // no deltas to witness a replay, and the stream must die loudly
+    replica.compact()
+    replica.vacuum()
+    val q3 = replica.replicationStream(primary, schema, tmpDir("replst_ckpt2"))
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination()
+    }
+    q3.stop()
+    assert(boom.getMessage.contains("diverged") ||
+      Option(boom.getCause).exists(_.getMessage.contains("diverged")))
+    // state untouched by the failed tail
+    assert(state(replica) == state(primary))
+  }
+
   test("replication: a watermark-refused batch with no delta on disk is reported, not dropped silently") {
     val primary = mk(tmpDir("replwm_p"))
     primary.initBase(rows((1L, -1L, -1L, "b1")))
