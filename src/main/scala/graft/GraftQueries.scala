@@ -2075,6 +2075,45 @@ object GraftQueries {
       .withColumnRenamed("c_custkey", "matched_id")
   }
 
+  /** ER2 [EXT] — golden-record consolidation
+    * (`Linkage.goldenRecords`): three deterministic "source systems"
+    * over `customer` (CRM: trusted names but segment-less and stale
+    * balances, with some names missing; billing: complete but
+    * name-typo'd; legacy: a coin-selected subset, lower-cased), merged
+    * per entity under explicit survivorship — names/segments from the
+    * most-trusted non-null source, balance by freshness (max). One
+    * mergeable aggregate; the oracle replays sources and rules, with
+    * `FirstNonNull` re-expressed as a min over `'prio:value'` strings
+    * (equivalent to the engine's struct min for 1-digit priorities).
+    */
+  def er2GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    import graft.ops.Linkage.Survivorship
+    val coin = graft.ops.Sampling.bucket(col("c_custkey"), 3)
+    val c = tbl(s, dir, "customer").select(
+      col("c_custkey").as("entity"), col("c_name"), col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      coin.as("coin"))
+    val crm = c.select(col("entity"), lit(1L).as("prio"),
+      when(col("coin") === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      lit(null).cast("string").as("segment"),
+      (col("cents") - 100L).as("bal_cents"))
+    val billing = c.select(col("entity"), lit(2L).as("prio"),
+      replace(col("c_name"), lit("5"), lit("S")).as("name"),
+      col("c_mktsegment").as("segment"), col("cents").as("bal_cents"))
+    val legacy = c.filter(col("coin") === 2)
+      .select(col("entity"), lit(3L).as("prio"),
+        lower(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"),
+        (col("cents") - 50L).as("bal_cents"))
+    Linkage.goldenRecords(
+      crm.unionByName(billing).unionByName(legacy), "entity",
+      Seq("name" -> Survivorship.FirstNonNull("prio"),
+        "segment" -> Survivorship.FirstNonNull("prio"),
+        "bal_cents" -> Survivorship.MaxValue))
+  }
+
   /** O36 [EXT] — differentially-private group-count release
     * (`Anonymiser.dpCounts`): per-segment customer counts perturbed by
     * the (ln 2, 2/3072)-DP truncated discrete-Laplace ladder, noise
@@ -2474,7 +2513,10 @@ object GraftQueries {
     * apex, wedge volume Σ outdeg² instead of Σ deg². The oracle
     * brute-forces the u<v triangle join on the same edge set.
     */
-  def g2Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** The g2/g3 fixture graph: top-3-partner supplier affinity edges
+    * (directed u → its 3 strongest co-purchase partners).
+    */
+  private def affinityEdges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -2493,10 +2535,27 @@ object GraftQueries {
       half.select(col("v").as("u"), col("u").as("v"), col("shared")))
     val top = Window.partitionBy(col("u"))
       .orderBy(col("shared").desc, col("v"))
-    val edges = shared
+    shared
       .withColumn("rn", row_number().over(top)).filter(col("rn") <= 3)
       .select(col("u").as("src"), col("v").as("dst"))
-    graft.ops.Graph.triangleCount(edges)
+  }
+
+  def g2Triangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleCount(affinityEdges(s, dir))
+
+  /** G3 [EXT] — multi-source BFS reachability (`Graph.kHop`): minimum
+    * hop counts within 3 hops of the seed suppliers (suppkey ≡ 0
+    * mod 50) along the directed affinity edges, reported as nodes per
+    * hop ring. The oracle unrolls the three frontier expansions with
+    * the same anti-join pruning.
+    */
+  def g3KHop(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.ops.OpCaches.persist(affinityEdges(s, dir))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val seeds = nodes.filter(pmod(col("node"), lit(50L)) === 0)
+    graft.ops.Graph.kHop(edges, seeds, maxHops = 3)
+      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
   }
 
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
@@ -3148,5 +3207,7 @@ object GraftQueries {
     "t24_bpe_encode"     -> (t24BpeEncode _),
     "o36_dp_counts"      -> (o36DpCounts _),
     "er1_record_linkage" -> (er1RecordLinkage _),
+    "g3_khop"            -> (g3KHop _),
+    "er2_golden_record"  -> (er2GoldenRecord _),
   )
 }

@@ -1065,6 +1065,41 @@ object Oracles {
         |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
         |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin,
 
+    // multi-source BFS: three frontier expansions unrolled, each with
+    // the same anti-join (NOT IN) pruning the engine's rounds apply.
+    // topk is MATERIALIZED: it is referenced once per hop and DuckDB
+    // would otherwise inline (and recompute) the quadratic sh join
+    // per reference
+    "g3_khop" ->
+      """WITH cs AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sh AS (
+        |  SELECT a.s AS u, b.s AS v, count(*) AS shared
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s != b.s
+        |  GROUP BY 1, 2),
+        |topk AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS rn
+        |    FROM sh) t WHERE rn <= 3),
+        |nodes AS (SELECT u AS node FROM topk UNION SELECT v FROM topk),
+        |r0 AS (SELECT node, 0 AS hop FROM nodes WHERE node % 50 = 0),
+        |n1 AS (SELECT DISTINCT e.v AS node FROM topk e JOIN r0 f ON f.node = e.u),
+        |f1 AS (SELECT node, 1 AS hop FROM n1
+        |       WHERE node NOT IN (SELECT node FROM r0)),
+        |r1 AS (SELECT * FROM r0 UNION ALL SELECT * FROM f1),
+        |n2 AS (SELECT DISTINCT e.v AS node FROM topk e JOIN f1 f ON f.node = e.u),
+        |f2 AS (SELECT node, 2 AS hop FROM n2
+        |       WHERE node NOT IN (SELECT node FROM r1)),
+        |r2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM f2),
+        |n3 AS (SELECT DISTINCT e.v AS node FROM topk e JOIN f2 f ON f.node = e.u),
+        |f3 AS (SELECT node, 3 AS hop FROM n3
+        |       WHERE node NOT IN (SELECT node FROM r2)),
+        |r3 AS (SELECT * FROM r2 UNION ALL SELECT * FROM f3)
+        |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM r3 GROUP BY 1""".stripMargin,
+
     // integer-exact PageRank, 3 supersteps unrolled; `//` is floor
     // division = Spark's DIV on the all-positive operands here
     "g1_supplier_rank" -> {
@@ -2639,6 +2674,37 @@ object Oracles {
         |       CAST(coalesce(pd.n_chars, 0) AS BIGINT) AS n_chars,
         |       CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+
+    // golden record: the three sources and the survivorship rules;
+    // FirstNonNull = min over 'prio:value' (struct-min equivalent for
+    // 1-digit priorities, ASCII values)
+    "er2_golden_record" -> {
+      val coin = bucketSql("c_custkey", 3)
+      s"""WITH c AS (
+         |  SELECT c_custkey AS entity, c_name, c_mktsegment,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    $coin AS coin
+         |  FROM customer),
+         |u AS (
+         |  SELECT entity, 1 AS prio,
+         |    CASE WHEN coin = 0 THEN NULL ELSE c_name END AS name,
+         |    CAST(NULL AS VARCHAR) AS segment, cents - 100 AS bal_cents
+         |  FROM c
+         |  UNION ALL
+         |  SELECT entity, 2, replace(c_name, '5', 'S'), c_mktsegment, cents
+         |  FROM c
+         |  UNION ALL
+         |  SELECT entity, 3, lower(c_name), c_mktsegment, cents - 50
+         |  FROM c WHERE coin = 2)
+         |SELECT entity,
+         |  substr(min(CASE WHEN name IS NOT NULL
+         |             THEN CAST(prio AS VARCHAR) || ':' || name END), 3) AS name,
+         |  substr(min(CASE WHEN segment IS NOT NULL
+         |             THEN CAST(prio AS VARCHAR) || ':' || segment END), 3) AS segment,
+         |  max(bal_cents) AS bal_cents,
+         |  CAST(count(*) AS BIGINT) AS n_records
+         |FROM u GROUP BY 1""".stripMargin
+    },
 
     // record linkage: corruption coin, both blocking passes, integer
     // levenshtein weights and the min-id tie-break replayed exactly

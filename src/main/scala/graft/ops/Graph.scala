@@ -132,4 +132,84 @@ object Graph {
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Multi-source BFS reachability: the minimum hop count from the
+    * SEED set for every node within `maxHops` hops along DIRECTED
+    * edges — `(node, hop)`, seeds at hop 0, unreached nodes absent.
+    *
+    * Frontier-style: each round expands only the PREVIOUS round's
+    * newly-reached nodes (a node re-reached later can never improve
+    * its hop count, so the anti join both dedups and prunes), which is
+    * what keeps round r's join volume |frontier_r| · outdeg instead of
+    * |reached| · outdeg.
+    *
+    * Scale shape (the pageRank discipline): the 100 TB edge relation
+    * is repartitioned by src and sorted ONCE and persisted — every
+    * round's sort-merge join streams the cached edges while only the
+    * node-scale frontier shuffles. Rounds nest lazily into one plan,
+    * fine at the enforced maxHops ≤ 20 (the unbounded form would need
+    * `Dedup.clusters`' per-round checkpoint discipline).
+    */
+  def kHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+           srcCol: String = "src", dstCol: String = "dst",
+           seedCol: String = "node",
+           driverWalkMaxEdges: Long = 1L << 20): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, "kHop: maxHops must be in 1..20")
+    val spark = edges.sparkSession
+    val eProj = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // guarded driver walk (the RobustStats/Generalise chooser): a
+    // DataFrame round over a small graph costs seconds in scheduled-
+    // stage overhead (measured 9.2s for 3 rounds on ~3k cached edges
+    // vs 0.1s walked) — ONE bounded executeTake sizes the edge list
+    // and, when graph AND seeds fit, the whole BFS runs in memory.
+    // Node values are read generically and the output carries the
+    // edge relation's own node type, so both walks type identically.
+    val bound = math.min(driverWalkMaxEdges, Int.MaxValue - 2L).toInt
+    val probeEdges = if (driverWalkMaxEdges > 0) eProj.head(bound + 1) else Array.empty[org.apache.spark.sql.Row]
+    if (driverWalkMaxEdges > 0 && probeEdges.length <= driverWalkMaxEdges) {
+      val seedRows = seeds.select(col(seedCol).as("node")).head(bound + 1)
+      if (seedRows.length <= driverWalkMaxEdges) {
+        val adj = probeEdges.toSeq.groupBy(_.get(0))
+          .map { case (k, rs) => k -> rs.map(_.get(1)) }
+        val hops = scala.collection.mutable.LinkedHashMap[Any, Int]()
+        seedRows.foreach(r => hops.getOrElseUpdate(r.get(0), 0))
+        var frontier: Seq[Any] = hops.keys.toSeq
+        for (h <- 1 to maxHops) {
+          val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+            .distinct.filterNot(hops.contains)
+          next.foreach(n => hops(n) = h)
+          frontier = next
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            eProj.schema("src").dataType, nullable = true),
+          org.apache.spark.sql.types.StructField("hop",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            hops.toSeq.map { case (n, h) => org.apache.spark.sql.Row(n, h) }, 1),
+          schema)
+      }
+    }
+    // distributed fallback — the 100 TB shape: edges repartitioned by
+    // src and sorted ONCE (every round's sort-merge join streams the
+    // cache; only the node-scale frontier shuffles per round)
+    val e = OpCaches.persist(Partitioning.ensureParallelism(eProj)
+      .repartition(col("src")).sortWithinPartitions("src"))
+    var reached = OpCaches.persist(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("hop", lit(0)))
+    var frontier = reached.select("node")
+    for (h <- 1 to maxHops) {
+      val next = OpCaches.persist(
+        frontier.withColumnRenamed("node", "src")
+          .join(e, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("hop", lit(h)))
+      reached = OpCaches.persist(reached.unionByName(next))
+      frontier = next.select("node")
+    }
+    reached
+  }
 }

@@ -70,4 +70,47 @@ object Linkage {
     */
   def editWeight(l: Column, r: Column, exact: Long, perEdit: Long): Column =
     greatest(lit(exact) - lit(perEdit) * levenshtein(l, r), lit(0L))
+
+  /** Per-field survivorship rule for [[goldenRecords]]. */
+  sealed trait Survivorship
+  object Survivorship {
+    /** The non-null value from the most-trusted source wins —
+      * smallest `priorityCol`, value as the deterministic tie-break.
+      * All-null fields survive as NULL.
+      */
+    final case class FirstNonNull(priorityCol: String) extends Survivorship
+    /** Largest value wins (e.g. the freshest balance/timestamp). */
+    case object MaxValue extends Survivorship
+    /** Smallest value wins. */
+    case object MinValue extends Survivorship
+  }
+
+  /** GOLDEN-RECORD consolidation — the merge/survivorship stage after
+    * matching: every cluster of records describing one entity collapses
+    * to a single best record, field by field, under explicit
+    * survivorship rules. `FirstNonNull` is a min over
+    * `struct(priority, value)` guarded by non-nullness (aggregate
+    * null-skip does the "first non-null" part for free), so the whole
+    * consolidation is ONE mergeable partial+final aggregate per
+    * cluster — never a per-cluster window, the d15 discipline. Output:
+    * cluster key, one column per ruled field, and `n_records`.
+    */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+                    rules: Seq[(String, Survivorship)]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecords: at least one field rule")
+    val aggs = rules.map {
+      case (f, Survivorship.MaxValue) => max(col(f)).as(f)
+      case (f, Survivorship.MinValue) => min(col(f)).as(f)
+      case (f, Survivorship.FirstNonNull(p)) =>
+        min(when(col(f).isNotNull,
+          struct(col(p).as("p"), col(f).as("v")))).as(s"__fnn_$f")
+    } :+ count(lit(1)).as("n_records")
+    val grouped = records.groupBy(col(clusterCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = col(clusterCol) +: rules.map {
+      case (f, Survivorship.FirstNonNull(_)) => col(s"__fnn_$f.v").as(f)
+      case (f, _)                            => col(f)
+    } :+ col("n_records")
+    grouped.select(outs: _*)
+  }
 }

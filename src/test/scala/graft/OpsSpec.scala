@@ -2220,6 +2220,38 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(resalt.map(t => t._1 -> t._2) == rel.map(t => t._1 -> t._2))
   }
 
+  test("kHop: min-hop BFS respects direction, cycles, and the hop cap") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // 1→2→3→4→5 chain, 3→1 back-cycle, 6→1 (wrong direction from the
+    // seed), 7 isolated; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 1L),
+      (6L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.kHop(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // 5 is 4 hops out → absent at cap 3; the cycle never downgrades 1;
+    // 6 and 7 unreachable along direction
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // multi-seed: hop is the MINIMUM over seeds
+    val got2 = Graph.kHop(edges, Seq(1L, 4L).toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got2 == Map(1L -> 0, 4L -> 0, 2L -> 1, 5L -> 1, 3L -> 2))
+    // layout invariance
+    val re = Graph.kHop(edges.repartition(5), seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(re == got)
+    // the distributed walk (driver chooser disabled) is identical,
+    // including output node typing
+    val dist = Graph.kHop(edges, seeds, maxHops = 3, driverWalkMaxEdges = 0L)
+    assert(dist.schema("node").dataType ==
+      Graph.kHop(edges, seeds, maxHops = 3).schema("node").dataType)
+    assert(dist.as[(Long, Int)].collect().toMap == got)
+    val dist2 = Graph.kHop(edges, Seq(1L, 4L).toDF("node"), maxHops = 3,
+      driverWalkMaxEdges = 0L).as[(Long, Int)].collect().toMap
+    assert(dist2 == got2)
+  }
+
   test("linkage: multi-pass blocking, threshold, and deterministic tie-break") {
     import spark.implicits._
     import graft.ops.Linkage
@@ -2261,6 +2293,37 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val w = spark.range(1).select(Linkage.editWeight(
       lit("abcdef"), lit("zzzzzz"), 10L, 5L).as("w")).as[Long].head()
     assert(w == 0L)
+  }
+
+  test("goldenRecords: survivorship picks trusted non-null fields; all-null survives as null") {
+    import spark.implicits._
+    import graft.ops.Linkage
+    import graft.ops.Linkage.Survivorship
+    val recs = Seq(
+      // entity 1: name missing in the trusted source → prio-2 wins;
+      // segment only in prio 3; bal max across sources
+      (1L, 1L, null.asInstanceOf[String], null.asInstanceOf[String], 90L),
+      (1L, 2L, "ada", null.asInstanceOf[String], 100L),
+      (1L, 3L, "ADA!", "B", 80L),
+      // entity 2: trusted name present; segment all-null stays null
+      (2L, 1L, "bob", null.asInstanceOf[String], 10L),
+      (2L, 2L, "b0b", null.asInstanceOf[String], 30L)
+    ).toDF("entity", "prio", "name", "segment", "bal")
+    val got = Linkage.goldenRecords(recs, "entity",
+        Seq("name" -> Survivorship.FirstNonNull("prio"),
+          "segment" -> Survivorship.FirstNonNull("prio"),
+          "bal" -> Survivorship.MaxValue))
+      .as[(Long, Option[String], Option[String], Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some("ada"), Some("B"), 100L, 3L),
+      (2L, Some("bob"), None, 30L, 2L)))
+    // layout invariance: same clusters from any partitioning
+    val re = Linkage.goldenRecords(recs.repartition(5), "entity",
+        Seq("name" -> Survivorship.FirstNonNull("prio"),
+          "bal" -> Survivorship.MinValue))
+      .as[(Long, Option[String], Long, Long)].collect().toSet
+    assert(re == Set((1L, Some("ada"), 80L, 3L), (2L, Some("bob"), 10L, 2L)))
   }
 
   test("transitionMatrix: adjacent pairs per entity, micro-unit rows sum to ~1") {

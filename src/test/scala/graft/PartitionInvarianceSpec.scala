@@ -51,8 +51,10 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "t22_bpe_train", "o34_forget", "s14_hybrid_rrf", "d19_cdc_chunks",
     "t23_perceptron", "s15_kmeans", "q_ab_chisq", "o35_masked_views",
     "st18_session_window",
-    // round-7 additions: tokenizer application, DP release, linkage
-    "t24_bpe_encode", "o36_dp_counts", "er1_record_linkage")
+    // round-7 additions: tokenizer application, DP release, linkage,
+    // BFS reachability, survivorship consolidation
+    "t24_bpe_encode", "o36_dp_counts", "er1_record_linkage",
+    "g3_khop", "er2_golden_record")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
