@@ -1871,6 +1871,30 @@ object GraftQueries {
       tbl(s, dir, "customer"), col("c_mktsegment"),
       (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
 
+  /** S16 [EXT] — MMR diversity re-ranking (`Similarity.mmrTopK`):
+    * top-5 of each query's 10-deep exact-cosine shortlist, greedily
+    * de-redundified at λ = 1/2. The oracle unrolls the five greedy
+    * steps in SQL over the same shortlist and pairwise similarities —
+    * identical picks because every double is the same bit-exact
+    * cosine fold and ties break by id.
+    */
+  def s16Mmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 10),
+      shortlist = 10, k = 5)
+  }
+
+  /** Q_SEASONAL_MAD [EXT] — day-of-week seasonal profile of event
+    * values with robust outlier counts: `madOutlierSummary` over an
+    * INTEGER segment (Sunday-origin weekday, the generic-segment
+    * path), exact medians/MADs on count histograms. Spark's
+    * `dayofweek` is 1-origin, DuckDB's 0-origin — the engine shifts.
+    */
+  def qSeasonalMad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RobustStats.madOutlierSummary(
+      tbl(s, dir, "events"), (dayofweek(col("ts")) - 1).cast("long"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long"))
+
   /** Q_TRANSITIONS [EXT] — first-order Markov transition matrix over
     * per-user event sequences (`Funnel.transitionMatrix`): adjacent-
     * pair counts plus integer micro-unit probabilities. One event-
@@ -3209,5 +3233,7 @@ object GraftQueries {
     "er1_record_linkage" -> (er1RecordLinkage _),
     "g3_khop"            -> (g3KHop _),
     "er2_golden_record"  -> (er2GoldenRecord _),
+    "q_seasonal_mad"     -> (qSeasonalMad _),
+    "s16_mmr"            -> (s16Mmr _),
   )
 }

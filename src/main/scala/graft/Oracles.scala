@@ -1150,6 +1150,64 @@ object Oracles {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
+    // MMR: the five greedy steps unrolled — shortlist and pairwise
+    // sims from list_cosine_similarity (bit-identical to the engine's
+    // fold), argmax per step with the same (score DESC, id) tie-break
+    "s16_mmr" -> {
+      def step(i: Int): String = {
+        val prev = s"k${i - 1}"
+        s"""m$i AS (
+           |  SELECT ps.query_id, ps.a AS nid, max(ps.sim) AS msim
+           |  FROM ps JOIN $prev kk
+           |    ON kk.query_id = ps.query_id AND kk.nid = ps.b
+           |  GROUP BY 1, 2),
+           |s$i AS (
+           |  SELECT s.query_id, s.nid, 0.5*s.sim - 0.5*m.msim AS mmr
+           |  FROM sl s JOIN m$i m
+           |    ON m.query_id = s.query_id AND m.nid = s.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+           |                    WHERE x.query_id = s.query_id AND x.nid = s.nid)),
+           |p$i AS (
+           |  SELECT query_id, nid FROM (
+           |    SELECT query_id, nid, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY mmr DESC, nid) AS rn
+           |    FROM s$i) t WHERE rn = 1),
+           |k$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)"""
+      }
+      val steps = (2 to 5).map(step).mkString(",\n")
+      val unions = (2 to 5)
+        .map(i => s"UNION ALL SELECT query_id, $i, nid FROM p$i")
+        .mkString("\n")
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS nid,
+         |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS sim,
+         |    e.embedding AS cv
+         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+         |sl AS MATERIALIZED (
+         |  SELECT query_id, nid, sim, cv, rnk FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, nid) AS rnk
+         |    FROM scored) t WHERE rnk <= 10),
+         |ps AS MATERIALIZED (
+         |  SELECT a.query_id, a.nid AS a, b.nid AS b,
+         |    list_cosine_similarity(CAST(a.cv AS DOUBLE[]),
+         |                           CAST(b.cv AS DOUBLE[])) AS sim
+         |  FROM sl a JOIN sl b
+         |    ON a.query_id = b.query_id AND a.nid != b.nid),
+         |p1 AS (SELECT query_id, nid FROM sl WHERE rnk = 1),
+         |k1 AS (SELECT * FROM p1),
+         |$steps
+         |SELECT query_id, CAST(pick_rank AS INTEGER) AS pick_rank,
+         |       nid AS neighbor_id
+         |FROM (
+         |  SELECT query_id, 1 AS pick_rank, nid FROM p1
+         |  $unions) f""".stripMargin
+    },
+
     // s2 emits a deterministic per-query recall verdict (fixed
     // hyperplanes, tie-broken ranking) — the checkable contract is that
     // every query clears the documented floor
@@ -2893,6 +2951,24 @@ object Oracles {
         |  SELECT c_mktsegment AS seg,
         |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
         |  FROM customer),
+        |m AS (SELECT seg, CAST(2*median(v) AS BIGINT) AS m2,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM c GROUP BY 1),
+        |d AS (SELECT c.seg, abs(2*v - m2) AS d2 FROM c JOIN m USING (seg)),
+        |m4t AS (SELECT seg, CAST(2*median(d2) AS BIGINT) AS m4 FROM d GROUP BY 1),
+        |o AS (SELECT d.seg,
+        |        CAST(sum(CASE WHEN d2*20000 > 44478*m4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |      FROM d JOIN m4t USING (seg) GROUP BY 1)
+        |SELECT m.seg AS segment, n, m2, m4, n_outliers
+        |FROM m JOIN m4t USING (seg) JOIN o USING (seg)""".stripMargin,
+
+    // seasonal robust profile: the mad-outlier recipe with DuckDB's
+    // 0-origin dayofweek as the (integer) segment
+    "q_seasonal_mad" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts) AS BIGINT) AS seg,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
         |m AS (SELECT seg, CAST(2*median(v) AS BIGINT) AS m2,
         |             CAST(count(*) AS BIGINT) AS n
         |      FROM c GROUP BY 1),

@@ -131,6 +131,79 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversity re-ranking — the serving-side complement of s10's
+    * corpus-side diverse sampling: from each query's exact-cosine
+    * SHORTLIST, greedily pick k results maximising
+    * `0.5·sim(q,c) − 0.5·max_{s∈picked} sim(c,s)` (λ = 1/2), so the
+    * result set trades raw relevance against redundancy — near-
+    * duplicate hits can't crowd the page.
+    *
+    * Scale shape: the expensive part is the shortlist (the s1 scan /
+    * an ANN shortlist at scale); the greedy loop runs per query over
+    * ≤ `shortlist` candidates inside `flatMapGroups` — queries spread
+    * across executors, per-group state is the shortlist's own vectors,
+    * the corpus never re-enters. Determinism: candidate order, the
+    * argmax tie-break (score DESC, id ASC), and every similarity are
+    * the bit-exact `cosineKernel` fold, so the DuckDB twin unrolling
+    * the k greedy steps picks identical ids.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, shortlist: Int = 10,
+              k: Int = 5, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= shortlist, "mmrTopK: need 1 <= k <= shortlist")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val sl = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("cv"))
+    sl.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(t => (-t._3, t._2))
+        val picked = scala.collection.mutable.ArrayBuffer[Int]()
+        val kk = math.min(k, cand.length)
+        while (picked.length < kk) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!picked.contains(i)) {
+              val score =
+                if (picked.isEmpty) cand(i)._3
+                else {
+                  var maxSim = Double.NegativeInfinity
+                  picked.foreach { p =>
+                    val s = cosineKernel(cand(i)._4, cand(p)._4)
+                    if (s > maxSim) maxSim = s
+                  }
+                  0.5 * cand(i)._3 - 0.5 * maxSim
+                }
+              if (score > bestScore ||
+                  (score == bestScore && bestIdx >= 0 &&
+                    cand(i)._2 < cand(bestIdx)._2)) {
+                bestIdx = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          picked += bestIdx
+        }
+        picked.iterator.zipWithIndex.map { case (ci, r) =>
+          (qid, r + 1, cand(ci)._2)
+        }
+      }
+      .toDF("query_id", "pick_rank", "neighbor_id")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion — the standard
     * two-tower serving shape: a LEXICAL shortlist (distinct-token
     * overlap with the query document, integer-exact) and a VECTOR

@@ -2220,6 +2220,34 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(resalt.map(t => t._1 -> t._2) == rel.map(t => t._1 -> t._2))
   }
 
+  test("mmrTopK: redundancy is penalised — a near-duplicate hit is displaced by a diverse one") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // query 0 along x; 1 and 2 are near-identical x-ish hits, 3 is a
+    // diagonal (diverse, still relevant). Pure top-2 = {1, 2}; MMR
+    // top-2 must keep 1 and swap the clone 2 for the diverse 3.
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f),
+      1L -> Array(0.99f, 0.1f, 0f),
+      2L -> Array(0.98f, 0.11f, 0f),
+      3L -> Array(0.7f, 0f, 0.7f)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(vecs, vecs.filter(col("vec_id") === 0),
+        shortlist = 3, k = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((0L, 1, 1L), (0L, 2, 3L)))
+    // brute top-2 would have taken the clone — the penalty did the work
+    val brute = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 0), k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(brute == Set(1L, 2L))
+    // layout invariance
+    val re = Similarity.mmrTopK(vecs.repartition(5),
+        vecs.filter(col("vec_id") === 0), shortlist = 3, k = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(re == got)
+  }
+
   test("kHop: min-hop BFS respects direction, cycles, and the hop cap") {
     import spark.implicits._
     import graft.ops.Graph
