@@ -1884,6 +1884,36 @@ object GraftQueries {
       shortlist = 10, k = 5)
   }
 
+  /** Q_CALIBRATION [EXT] — model-score CALIBRATION table, the
+    * evaluation every trained filter needs before it gates a corpus:
+    * docs ranked globally by the t16 classifier logit via the t14
+    * distributed prefix sum (never a partitionless window at data
+    * scale — here rank rides `Sampling.runningTotal`), cut into
+    * deciles with integer boundary arithmetic, each decile reporting
+    * its size, positive-label count, and per-mille positive rate.
+    * The (deterministic) label is "document mentions 'the'" — any
+    * boolean works; the machinery is the operator.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val scored = graft.ops.OpCaches.persist(
+      TextAnalysis.classifierScore(docs)
+        .select(col("doc_id"), col("logit_micro")))
+    val lab = docs.select(col("doc_id"),
+      (instr(col("text"), "the") > 0).as("label"))
+    val n = broadcast(scored.agg(count(lit(1)).as("__n")))
+    graft.ops.Sampling.runningTotal(
+        scored.withColumn("__one", lit(1L)),
+        Seq(col("logit_micro"), col("doc_id")), "__one")
+      .withColumnRenamed("running_total", "pos")
+      .join(lab, "doc_id").crossJoin(n)
+      .withColumn("decile", expr("((pos - 1) * 10) DIV __n").cast("int"))
+      .groupBy("decile").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("rate_pm", expr("(n_pos * 1000) DIV n"))
+  }
+
   /** Q_SEASONAL_MAD [EXT] — day-of-week seasonal profile of event
     * values with robust outlier counts: `madOutlierSummary` over an
     * INTEGER segment (Sunday-origin weekday, the generic-segment
@@ -3235,5 +3265,6 @@ object GraftQueries {
     "er2_golden_record"  -> (er2GoldenRecord _),
     "q_seasonal_mad"     -> (qSeasonalMad _),
     "s16_mmr"            -> (s16Mmr _),
+    "q_calibration"      -> (qCalibration _),
   )
 }

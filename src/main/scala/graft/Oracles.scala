@@ -1921,6 +1921,32 @@ object Oracles {
          |  lm > 0 AS pass
          |FROM per""".stripMargin,
 
+    // calibration: the t16 score, a global (logit, id) rank, integer
+    // decile boundaries, per-decile label rates
+    "q_calibration" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT tok, ${bucketSql("tok", 2001)} * 1000 - 1000000 AS w_micro
+         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
+         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+         |scored AS (
+         |  SELECT t.doc_id, coalesce(sum(v.w_micro), 0) AS logit_micro
+         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, logit_micro,
+         |    row_number() OVER (ORDER BY logit_micro, doc_id) AS pos,
+         |    count(*) OVER () AS n_all
+         |  FROM scored),
+         |lab AS (SELECT doc_id, strpos(text, 'the') > 0 AS label FROM documents)
+         |SELECT CAST(((pos - 1) * 10) // n_all AS INTEGER) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       CAST((sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS rate_pm
+         |FROM ranked JOIN lab USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
     // CCNet head/middle/tail perplexity thirds: global rank over
     // (mean surprisal, doc_id) — integer 3·pos vs n boundary arithmetic
     "t17_ppl_buckets" ->

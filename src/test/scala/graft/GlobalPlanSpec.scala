@@ -103,7 +103,9 @@ class GlobalPlanSpec extends AnyFunSuite with SparkSuite {
     // nlist-bounded relation, constant-bounded by design
     "s1_knn_brute", "s2_knn_lsh", "s4_knn_pq", "s5_range_search",
     "s7_knn_ivfpq", "s8_knn_persisted", "s9_knn_rerank", "s11_ivf_append",
-    "s12_knn_sq8", "s13_filtered_knn", "s14_hybrid_rrf")
+    "s12_knn_sq8", "s13_filtered_knn", "s14_hybrid_rrf",
+    // s16's shortlist is the s1 broadcast-query scan
+    "s16_mmr")
 
   test("no catalog query joins data relations by cartesian or nested loop") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}

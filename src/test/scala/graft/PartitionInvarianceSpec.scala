@@ -54,7 +54,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     // round-7 additions: tokenizer application, DP release, linkage,
     // BFS reachability, survivorship consolidation
     "t24_bpe_encode", "o36_dp_counts", "er1_record_linkage",
-    "g3_khop", "er2_golden_record", "q_seasonal_mad", "s16_mmr")
+    "g3_khop", "er2_golden_record", "q_seasonal_mad", "s16_mmr",
+    "q_calibration")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
