@@ -10,8 +10,9 @@ under CHANGED deserve a real look (rerun graft.Plans with
 SPARK_GRAFT_PLANS_DUMP=dir on both commits and diff the .txt trees).
 
 Caveat: DISTINCT-AGGREGATE plans (q_profile, and the countDistinct in
-o23/o24/o25's roundtrip check) can change digest when UNRELATED catalog
-edits shift expression-id allocation — Spark's
+the o23–o27/o30 roundtrip checks) can change digest when UNRELATED
+catalog edits — or even catalog-run execution order within one
+process — shift expression-id allocation — Spark's
 RewriteDistinctAggregates groups distinct columns and ORDERS the
 Expand/grouping keys in exprId-dependent order, permuting labels and
 key order beyond what textual scrubbing can hide. The tell: node and
