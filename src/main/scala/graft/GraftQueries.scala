@@ -2129,6 +2129,26 @@ object GraftQueries {
       .withColumnRenamed("c_custkey", "matched_id")
   }
 
+  /** O37 [EXT] — dataset-version DRIFT report (`analyse.Drift`): the
+    * data-contract check between two versions of `customer` — v2
+    * deterministically drops a column, adds one, nulls a third of one
+    * column's values, and loses a tenth of its rows. Schema deltas are
+    * driver-side metadata; profile deltas (row/null/exact-distinct
+    * counts) come from ONE aggregate pass per version. All-integer
+    * statistics; the oracle replays the evolution and both profiles.
+    */
+  def o37Drift(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val c = tbl(s, dir, "customer")
+    val coin3 = Sampling.bucket(col("c_custkey"), 3)
+    val coin10 = Sampling.bucket(col("c_custkey"), 10)
+    val v2 = c.filter(coin10 =!= 0).drop("c_mktsegment")
+      .withColumn("c_loyalty", pmod(col("c_custkey"), lit(5L)).cast("int"))
+      .withColumn("c_acctbal",
+        when(coin3 === 0, lit(null)).otherwise(col("c_acctbal")))
+    graft.analyse.Drift.driftReport(c, v2)
+  }
+
   /** ER2 [EXT] — golden-record consolidation
     * (`Linkage.goldenRecords`): three deterministic "source systems"
     * over `customer` (CRM: trusted names but segment-less and stale
@@ -3266,5 +3286,6 @@ object GraftQueries {
     "q_seasonal_mad"     -> (qSeasonalMad _),
     "s16_mmr"            -> (s16Mmr _),
     "q_calibration"      -> (qCalibration _),
+    "o37_drift"          -> (o37Drift _),
   )
 }

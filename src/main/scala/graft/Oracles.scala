@@ -2759,6 +2759,73 @@ object Oracles {
         |       CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
+    // drift report: the evolution replayed, both one-pass profiles,
+    // schema facts as fixture literals (the o35 golden posture)
+    "o37_drift" -> {
+      val coin3 = bucketSql("c_custkey", 3)
+      val coin10 = bucketSql("c_custkey", 10)
+      s"""WITH v2 AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    CASE WHEN $coin3 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+         |    CAST(c_custkey % 5 AS INTEGER) AS c_loyalty
+         |  FROM customer WHERE $coin10 != 0),
+         |p1 AS (SELECT count(*) AS r,
+         |  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nb,
+         |  count(DISTINCT c_acctbal) AS db,
+         |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nk,
+         |  count(DISTINCT c_custkey) AS dk,
+         |  sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nn,
+         |  count(DISTINCT c_name) AS dn,
+         |  sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nt,
+         |  count(DISTINCT c_nationkey) AS dt
+         |  FROM customer),
+         |p2 AS (SELECT count(*) AS r,
+         |  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nb,
+         |  count(DISTINCT c_acctbal) AS db,
+         |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nk,
+         |  count(DISTINCT c_custkey) AS dk,
+         |  sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nn,
+         |  count(DISTINCT c_name) AS dn,
+         |  sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nt,
+         |  count(DISTINCT c_nationkey) AS dt
+         |  FROM v2),
+         |rows_ AS (
+         |  SELECT '*' AS col_name, 'row_count' AS check_name,
+         |    CAST(p1.r AS BIGINT) AS v1_num, CAST(p2.r AS BIGINT) AS v2_num,
+         |    CAST(NULL AS VARCHAR) AS v1_txt, CAST(NULL AS VARCHAR) AS v2_txt,
+         |    p1.r != p2.r AS drifted
+         |  FROM p1, p2
+         |  UNION ALL SELECT c, 'presence', i1, i2, NULL, NULL, i1 != i2
+         |  FROM (VALUES ('c_acctbal', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+         |               ('c_custkey', 1, 1), ('c_loyalty', 0, 1),
+         |               ('c_mktsegment', 1, 0), ('c_name', 1, 1),
+         |               ('c_nationkey', 1, 1)) t(c, i1, i2)
+         |  UNION ALL SELECT c, 'type', NULL, NULL, ty, ty, false
+         |  FROM (VALUES ('c_acctbal', 'DOUBLE PRECISION'),
+         |               ('c_custkey', 'BIGINT'), ('c_name', 'TEXT'),
+         |               ('c_nationkey', 'INTEGER')) t(c, ty)
+         |  UNION ALL
+         |  SELECT c, ck, v1n, v2n, NULL, NULL, v1n != v2n FROM (
+         |    SELECT 'c_acctbal' AS c, 'null_count' AS ck,
+         |      CAST(p1.nb AS BIGINT) AS v1n, CAST(p2.nb AS BIGINT) AS v2n
+         |    FROM p1, p2
+         |    UNION ALL SELECT 'c_acctbal', 'distinct_count',
+         |      CAST(p1.db AS BIGINT), CAST(p2.db AS BIGINT) FROM p1, p2
+         |    UNION ALL SELECT 'c_custkey', 'null_count',
+         |      CAST(p1.nk AS BIGINT), CAST(p2.nk AS BIGINT) FROM p1, p2
+         |    UNION ALL SELECT 'c_custkey', 'distinct_count',
+         |      CAST(p1.dk AS BIGINT), CAST(p2.dk AS BIGINT) FROM p1, p2
+         |    UNION ALL SELECT 'c_name', 'null_count',
+         |      CAST(p1.nn AS BIGINT), CAST(p2.nn AS BIGINT) FROM p1, p2
+         |    UNION ALL SELECT 'c_name', 'distinct_count',
+         |      CAST(p1.dn AS BIGINT), CAST(p2.dn AS BIGINT) FROM p1, p2
+         |    UNION ALL SELECT 'c_nationkey', 'null_count',
+         |      CAST(p1.nt AS BIGINT), CAST(p2.nt AS BIGINT) FROM p1, p2
+         |    UNION ALL SELECT 'c_nationkey', 'distinct_count',
+         |      CAST(p1.dt AS BIGINT), CAST(p2.dt AS BIGINT) FROM p1, p2) s)
+         |SELECT * FROM rows_""".stripMargin
+    },
+
     // golden record: the three sources and the survivorship rules;
     // FirstNonNull = min over 'prio:value' (struct-min equivalent for
     // 1-digit priorities, ASCII values)

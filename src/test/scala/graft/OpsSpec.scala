@@ -2220,6 +2220,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(resalt.map(t => t._1 -> t._2) == rel.map(t => t._1 -> t._2))
   }
 
+  test("driftReport: schema and profile deltas, type changes flagged, all-integer stats") {
+    import spark.implicits._
+    import graft.analyse.Drift
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, null.asInstanceOf[String], 20))
+      .toDF("id", "name", "score")
+    // v2: 'name' dropped, 'tag' added, 'score' RETYPED to long, a row lost
+    val v2 = Seq((1L, 10L, "x"), (2L, 25L, "y"))
+      .toDF("id", "score", "tag")
+    val got = Drift.driftReport(v1, v2)
+      .as[(String, String, Option[Long], Option[Long], Option[String], Option[String], Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("*", "row_count"))._7 && got(("*", "row_count"))._3.contains(3L))
+    assert(got(("name", "presence")) == (("name", "presence", Some(1L), Some(0L), None, None, true)))
+    assert(got(("tag", "presence")) == (("tag", "presence", Some(0L), Some(1L), None, None, true)))
+    // shared-but-retyped column: type row drifts, stats still compared
+    assert(got(("score", "type"))._5.contains("INTEGER"))
+    assert(got(("score", "type"))._6.contains("BIGINT"))
+    assert(got(("score", "type"))._7)
+    assert(got(("score", "distinct_count")) ==
+      (("score", "distinct_count", Some(2L), Some(2L), None, None, false)))
+    assert(got(("name", "presence"))._7)
+    // dropped/added columns get NO stats rows (nothing to compare)
+    assert(!got.contains(("name", "null_count")) && !got.contains(("tag", "null_count")))
+    assert(got(("id", "null_count")) == (("id", "null_count", Some(0L), Some(0L), None, None, false)))
+  }
+
   test("mmrTopK: redundancy is penalised — a near-duplicate hit is displaced by a diverse one") {
     import spark.implicits._
     import graft.ops.Similarity
