@@ -2090,24 +2090,36 @@ object GraftQueries {
     * Everything is deterministic, so the oracle replays corruption,
     * blocking, scoring, and selection exactly.
     */
-  def er1RecordLinkage(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.{Linkage, Sampling}
-    // the fixture has no phone column — synthesize one deterministically
-    // from the key (both engines derive the identical string), then
-    // corrupt it like any other contact field
+  // the fixture has no phone column — synthesize one deterministically
+  // from the key (both engines derive the identical string), then
+  // corrupt it like any other contact field
+  private def er1Registry(s: SparkSession, dir: String): DataFrame = {
     val digits = lpad((col("c_custkey") * 7919L % 10000000000L).cast("string"),
       10, "0")
     val phone = concat(substring(digits, 1, 3), lit("-"),
       substring(digits, 4, 3), lit("-"), substring(digits, 7, 4))
-    val c = tbl(s, dir, "customer").withColumn("c_phone", phone)
-    val coin = Sampling.bucket(col("c_custkey"), 2)
-    val dirty = c.select(
-        col("c_custkey").as("d_id"),
-        when(coin === 0, replace(col("c_name"), lit("5"), lit("S")))
-          .otherwise(col("c_name")).as("d_name"),
-        when(coin === 1, replace(col("c_phone"), lit("9"), lit("0")))
-          .otherwise(col("c_phone")).as("d_phone"),
-        col("c_nationkey").as("d_nation"))
+    tbl(s, dir, "customer").withColumn("c_phone", phone)
+  }
+
+  /** The er1 dirty feed: the md5 coin typos names for half the rows
+    * and phones for the other half.
+    */
+  private def er1Feed(c: DataFrame): DataFrame = {
+    val coin = graft.ops.Sampling.bucket(col("c_custkey"), 2)
+    c.select(
+      col("c_custkey").as("d_id"),
+      when(coin === 0, replace(col("c_name"), lit("5"), lit("S")))
+        .otherwise(col("c_name")).as("d_name"),
+      when(coin === 1, replace(col("c_phone"), lit("9"), lit("0")))
+        .otherwise(col("c_phone")).as("d_phone"),
+      col("c_nationkey").as("d_nation"))
+  }
+
+  /** Blocked + scored + selected matches, `(d_id, matched_id, score)`. */
+  private def er1Matches(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val c = er1Registry(s, dir)
+    val dirty = er1Feed(c)
       .withColumn("d_blk_phone", concat(col("d_nation").cast("string"),
         lit(":"), substring(col("d_phone"), 1, 9)))
       .withColumn("d_blk_name", concat(col("d_nation").cast("string"),
@@ -2127,6 +2139,49 @@ object GraftQueries {
         when(col("d_nation") === col("c_nationkey"), lit(5L)).otherwise(lit(0L)))
     Linkage.bestMatches(scored, "d_id", "c_custkey", "score", 35L)
       .withColumnRenamed("c_custkey", "matched_id")
+  }
+
+  def er1RecordLinkage(s: SparkSession, dir: String): DataFrame =
+    er1Matches(s, dir)
+
+  /** P5 [EXT] — the MASTER-DATA pipeline capstone: dirty feed →
+    * blocked linkage (er1) → survivorship consolidation (er2's
+    * goldenRecords) → pseudonymised golden table (the o32 recipe) →
+    * per-segment summary. A fifth of registry names are missing; the
+    * linked feed fills them, and `n_name_from_feed` counts exactly
+    * those fills — the pipeline's observable value-add. Every stage
+    * keeps its standalone plan shape; the composition is end-to-end
+    * hash-exact against the oracle's replay.
+    */
+  def p5LinkPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Linkage, Sampling}
+    import graft.ops.Linkage.Survivorship
+    val coin5 = Sampling.bucket(col("c_custkey"), 5)
+    val regRec = tbl(s, dir, "customer").select(
+      col("c_custkey").as("entity"), lit(1L).as("prio"),
+      when(coin5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_cents"))
+    val feedRec = er1Feed(er1Registry(s, dir))
+      .join(er1Matches(s, dir), "d_id")
+      .select(col("matched_id").as("entity"), lit(2L).as("prio"),
+        col("d_name").as("name"), lit(null).cast("long").as("bal_cents"))
+    val golden = Linkage.goldenRecords(regRec.unionByName(feedRec), "entity",
+      Seq("name" -> Survivorship.FirstNonNull("prio"),
+        "bal_cents" -> Survivorship.MaxValue))
+    val meta = tbl(s, dir, "customer").select(
+      col("c_custkey").as("entity"), col("c_mktsegment").as("segment"),
+      (coin5 === 0).as("reg_name_missing"))
+    golden.join(meta, "entity")
+      .withColumn("pseud",
+        graft.anonymise.Anonymiser.pseudonym(col("name"), "p5:"))
+      .groupBy("segment").agg(
+        count(lit(1)).as("n_entities"),
+        sum(when(col("name").isNotNull, 1L).otherwise(0L)).as("n_named"),
+        sum(when(col("reg_name_missing") && col("name").isNotNull, 1L)
+          .otherwise(0L)).as("n_name_from_feed"),
+        sum(col("bal_cents")).as("bal_sum_cents"),
+        countDistinct(col("pseud")).as("n_pseudonyms"))
   }
 
   /** O37 [EXT] — dataset-version DRIFT report (`analyse.Drift`): the
@@ -3287,5 +3342,6 @@ object GraftQueries {
     "s16_mmr"            -> (s16Mmr _),
     "q_calibration"      -> (qCalibration _),
     "o37_drift"          -> (o37Drift _),
+    "p5_link_pipeline"   -> (p5LinkPipeline _),
   )
 }

@@ -11,6 +11,61 @@ package graft
   */
 object Oracles {
 
+  /** The er1 match derivation as shared CTE text (`cust` … `best`),
+    * reused verbatim by er1_record_linkage and the p5 capstone so the
+    * two oracles cannot drift from each other.
+    */
+  private def er1MatchCtes: String = {
+    val coin = bucketSql("c_custkey", 2)
+    s"""cust AS (
+       |  SELECT c_custkey, c_name, c_nationkey,
+       |    substr(d, 1, 3) || '-' || substr(d, 4, 3) || '-' || substr(d, 7, 4)
+       |      AS c_phone
+       |  FROM (SELECT *,
+       |          lpad(CAST(c_custkey * 7919 % 10000000000 AS VARCHAR),
+       |               10, '0') AS d
+       |        FROM customer)),
+       |dirty AS (
+       |  SELECT c_custkey AS d_id,
+       |    CASE WHEN $coin = 0 THEN replace(c_name, '5', 'S')
+       |         ELSE c_name END AS d_name,
+       |    CASE WHEN $coin = 1 THEN replace(c_phone, '9', '0')
+       |         ELSE c_phone END AS d_phone,
+       |    c_nationkey AS d_nation
+       |  FROM cust),
+       |dk AS (
+       |  SELECT *,
+       |    CAST(d_nation AS VARCHAR) || ':' || substr(d_phone, 1, 9) AS bp,
+       |    CAST(d_nation AS VARCHAR) || ':' || substr(d_name, 13, 6) AS bn
+       |  FROM dirty),
+       |ck AS (
+       |  SELECT c_custkey, c_name, c_phone, c_nationkey,
+       |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_phone, 1, 9) AS bp,
+       |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 13, 6) AS bn
+       |  FROM cust),
+       |cand AS (
+       |  SELECT d_id, d_name, d_phone, d_nation,
+       |         c_custkey, c_name, c_phone, c_nationkey
+       |  FROM dk JOIN ck ON dk.bp = ck.bp
+       |  UNION ALL
+       |  SELECT d_id, d_name, d_phone, d_nation,
+       |         c_custkey, c_name, c_phone, c_nationkey
+       |  FROM dk JOIN ck ON dk.bn = ck.bn),
+       |scored AS (
+       |  SELECT d_id, c_custkey,
+       |    greatest(30 - 6 * levenshtein(d_name, c_name), 0)
+       |    + CASE WHEN d_phone = c_phone THEN 20
+       |           ELSE greatest(20 - 4 * levenshtein(d_phone, c_phone), 0) END
+       |    + CASE WHEN d_nation = c_nationkey THEN 5 ELSE 0 END AS score
+       |  FROM cand),
+       |best AS (
+       |  SELECT d_id, c_custkey, score, row_number() OVER (
+       |    PARTITION BY d_id ORDER BY score DESC, c_custkey) AS rn
+       |  FROM scored WHERE score >= 35)""".stripMargin
+  }
+
+
+
   private val tableList = Seq("customer", "documents", "embeddings", "events",
     "lineitem", "nation", "orders", "part", "region", "supplier")
 
@@ -2859,55 +2914,46 @@ object Oracles {
 
     // record linkage: corruption coin, both blocking passes, integer
     // levenshtein weights and the min-id tie-break replayed exactly
-    "er1_record_linkage" -> {
-      val coin = bucketSql("c_custkey", 2)
-      s"""WITH cust AS (
-         |  SELECT c_custkey, c_name, c_nationkey,
-         |    substr(d, 1, 3) || '-' || substr(d, 4, 3) || '-' || substr(d, 7, 4)
-         |      AS c_phone
-         |  FROM (SELECT *,
-         |          lpad(CAST(c_custkey * 7919 % 10000000000 AS VARCHAR),
-         |               10, '0') AS d
-         |        FROM customer)),
-         |dirty AS (
-         |  SELECT c_custkey AS d_id,
-         |    CASE WHEN $coin = 0 THEN replace(c_name, '5', 'S')
-         |         ELSE c_name END AS d_name,
-         |    CASE WHEN $coin = 1 THEN replace(c_phone, '9', '0')
-         |         ELSE c_phone END AS d_phone,
-         |    c_nationkey AS d_nation
-         |  FROM cust),
-         |dk AS (
-         |  SELECT *,
-         |    CAST(d_nation AS VARCHAR) || ':' || substr(d_phone, 1, 9) AS bp,
-         |    CAST(d_nation AS VARCHAR) || ':' || substr(d_name, 13, 6) AS bn
-         |  FROM dirty),
-         |ck AS (
-         |  SELECT c_custkey, c_name, c_phone, c_nationkey,
-         |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_phone, 1, 9) AS bp,
-         |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 13, 6) AS bn
-         |  FROM cust),
-         |cand AS (
-         |  SELECT d_id, d_name, d_phone, d_nation,
-         |         c_custkey, c_name, c_phone, c_nationkey
-         |  FROM dk JOIN ck ON dk.bp = ck.bp
-         |  UNION ALL
-         |  SELECT d_id, d_name, d_phone, d_nation,
-         |         c_custkey, c_name, c_phone, c_nationkey
-         |  FROM dk JOIN ck ON dk.bn = ck.bn),
-         |scored AS (
-         |  SELECT d_id, c_custkey,
-         |    greatest(30 - 6 * levenshtein(d_name, c_name), 0)
-         |    + CASE WHEN d_phone = c_phone THEN 20
-         |           ELSE greatest(20 - 4 * levenshtein(d_phone, c_phone), 0) END
-         |    + CASE WHEN d_nation = c_nationkey THEN 5 ELSE 0 END AS score
-         |  FROM cand),
-         |best AS (
-         |  SELECT d_id, c_custkey, score, row_number() OVER (
-         |    PARTITION BY d_id ORDER BY score DESC, c_custkey) AS rn
-         |  FROM scored WHERE score >= 35)
+    "er1_record_linkage" ->
+      s"""WITH $er1MatchCtes
          |SELECT d_id, c_custkey AS matched_id, CAST(score AS BIGINT) AS score
-         |FROM best WHERE rn = 1""".stripMargin
+         |FROM best WHERE rn = 1""".stripMargin,
+
+    // the master-data capstone: er1's match CTEs, the er2 survivorship
+    // min-encoding, the o32 pseudonym digest, one summary aggregate
+    "p5_link_pipeline" -> {
+      val coin5 = bucketSql("c_custkey", 5)
+      s"""WITH $er1MatchCtes,
+         |m AS (SELECT d_id, c_custkey AS matched_id FROM best WHERE rn = 1),
+         |reg AS (
+         |  SELECT c_custkey AS entity, 1 AS prio,
+         |    CASE WHEN $coin5 = 0 THEN NULL ELSE c_name END AS name,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+         |  FROM customer),
+         |u AS (
+         |  SELECT entity, prio, name, bal FROM reg
+         |  UNION ALL
+         |  SELECT m.matched_id, 2, d.d_name, NULL
+         |  FROM dirty d JOIN m ON m.d_id = d.d_id),
+         |g AS (
+         |  SELECT entity,
+         |    substr(min(CASE WHEN name IS NOT NULL
+         |               THEN CAST(prio AS VARCHAR) || ':' || name END), 3) AS name,
+         |    max(bal) AS bal
+         |  FROM u GROUP BY 1),
+         |meta AS (
+         |  SELECT c_custkey AS entity, c_mktsegment AS segment,
+         |         $coin5 = 0 AS reg_name_missing
+         |  FROM customer)
+         |SELECT segment,
+         |  CAST(count(*) AS BIGINT) AS n_entities,
+         |  CAST(sum(CASE WHEN g.name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_named,
+         |  CAST(sum(CASE WHEN reg_name_missing AND g.name IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_name_from_feed,
+         |  CAST(sum(bal) AS BIGINT) AS bal_sum_cents,
+         |  CAST(count(DISTINCT substr(md5('p5:' || g.name), 1, 16)) AS BIGINT) AS n_pseudonyms
+         |FROM g JOIN meta USING (entity)
+         |GROUP BY 1""".stripMargin
     },
 
     // DP counts: the draw (md5 bucket of salt||group) and the noise
