@@ -37,6 +37,9 @@ object Main {
     case "sync" :: rest   => run(parseFlags(rest), export = false)
     case "subset" :: rest => runSubset(parseFlags(rest))
     case "forget" :: rest => runForget(parseFlags(rest))
+    case "drift" :: oldDir :: newDir :: Nil =>
+      val rc = runDrift(oldDir, newDir)
+      if (rc != 0) sys.exit(rc)
     case _ =>
       System.err.println(
         """usage:
@@ -44,6 +47,7 @@ object Main {
           |  graft sync   -c <config> [--truncate] [--dry-run] [--source parquet:<dir>]
           |  graft subset -c <config> -o <out.sql> --anchor <table> [--pct N] [--source parquet:<dir>]
           |  graft forget -c <config> -o <out.sql> --anchor <table> [--pct N] [--source parquet:<dir>]
+          |  graft drift  <old-parquet-dir-or-file> <new-parquet-dir-or-file>
           |  graft version""".stripMargin)
       sys.exit(2)
   }
@@ -220,6 +224,31 @@ object Main {
       System.err.println(
         s"Forgot ${flags.pct}% of ${flags.anchor} (+ descendants): exported " +
           s"${stats.tablesExported} tables, ${stats.rowsExported} rows, 0 orphans")
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft drift <old> <new>` — the o37 data-contract check between
+    * two parquet versions of one table, printed as a TSV report with
+    * drifted rows marked; exits 1 when anything drifted (the CI-gate
+    * convention).
+    */
+  private[graft] def runDrift(oldPath: String, newPath: String): Int = {
+    val preExisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+    val spark = buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val report = graft.analyse.Drift
+        .driftReport(spark.read.parquet(oldPath), spark.read.parquet(newPath))
+        .collect()
+      println("col_name\tcheck\tv1\tv2\tdrifted")
+      report.foreach { r =>
+        val v1 = Option(r.get(2)).orElse(Option(r.get(4))).map(_.toString).getOrElse("-")
+        val v2 = Option(r.get(3)).orElse(Option(r.get(5))).map(_.toString).getOrElse("-")
+        println(s"${r.getString(0)}\t${r.getString(1)}\t$v1\t$v2\t${r.getBoolean(6)}")
+      }
+      val drifted = report.count(_.getBoolean(6))
+      System.err.println(s"drift: $drifted of ${report.length} checks drifted")
+      if (drifted > 0) 1 else 0
     } finally if (!preExisting) spark.stop()
   }
 }

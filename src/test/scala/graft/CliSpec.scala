@@ -162,4 +162,20 @@ class CliSpec extends AnyFunSuite with SparkSuite {
     // dimensions never shrink on an erasure
     assert(table("nation").count() == fixture("nation").count())
   }
+
+  test("drift: identical versions exit 0, an evolved version exits 1") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val same = Main.runDrift("/root/testdata/sf0.001/customer.parquet",
+      "/root/testdata/sf0.001/customer.parquet")
+    assert(same == 0)
+    // evolve: drop a column, null some values
+    val dir = Files.createTempDirectory("graft_cli_drift").toString
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .drop("c_mktsegment")
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal")))
+      .write.mode("overwrite").parquet(dir)
+    val changed = Main.runDrift("/root/testdata/sf0.001/customer.parquet", dir)
+    assert(changed == 1)
+  }
 }
