@@ -1914,6 +1914,15 @@ object GraftQueries {
       .withColumn("rate_pm", expr("(n_pos * 1000) DIV n"))
   }
 
+  /** T25 [EXT] — n-gram novelty scoring (`TextAnalysis.ngramNovelty`):
+    * per-doc fraction of distinct 5-gram shingles occurring in at
+    * least one other document — the memorization/boilerplate signal a
+    * training mix monitors. The oracle re-derives shingles, gram
+    * document frequencies, and the per-mille score.
+    */
+  def t25Novelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(tbl(s, dir, "documents"))
+
   /** Q_SEASONAL_MAD [EXT] — day-of-week seasonal profile of event
     * values with robust outlier counts: `madOutlierSummary` over an
     * INTEGER segment (Sunday-origin weekday, the generic-segment
@@ -3343,5 +3352,6 @@ object GraftQueries {
     "q_calibration"      -> (qCalibration _),
     "o37_drift"          -> (o37Drift _),
     "p5_link_pipeline"   -> (p5LinkPipeline _),
+    "t25_novelty"        -> (t25Novelty _),
   )
 }

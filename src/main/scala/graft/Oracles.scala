@@ -1976,6 +1976,32 @@ object Oracles {
          |  lm > 0 AS pass
          |FROM per""".stripMargin,
 
+    // novelty: distinct 5-gram shingles, gram doc-frequencies, and
+    // the per-mille score re-derived
+    "t25_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+4], ' ')
+        |                   for i in range(1, len(t) - 3)]) AS gs
+        |  FROM toks WHERE len(t) >= 5),
+        |sx AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |dfq AS (SELECT gram, count(*) AS dfd FROM sx GROUP BY 1),
+        |per AS (
+        |  SELECT sx.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM sx JOIN dfq USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(CASE WHEN per.n_grams > 0
+        |       THEN ((per.n_grams - per.n_shared) * 1000) // per.n_grams
+        |       END AS BIGINT) AS novelty_pm
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+
     // calibration: the t16 score, a global (logit, id) rank, integer
     // decile boundaries, per-decile label rates
     "q_calibration" ->

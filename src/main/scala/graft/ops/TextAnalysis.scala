@@ -810,6 +810,48 @@ object TextAnalysis {
         .toDF("round", "merged_pair", "pair_count").coalesce(1))
   }
 
+  /** N-GRAM NOVELTY — the per-document memorization/boilerplate
+    * signal: what fraction of a doc's distinct token k-grams also
+    * occur in at least one OTHER document. Low novelty = the doc is
+    * mostly corpus-repeated content (mirrors, templates, quotes); the
+    * complement of d13's span view, scored per document instead of
+    * located per span. Output `(doc_id, n_grams, n_shared,
+    * novelty_pm)` — integer per-mille, NULL for docs with fewer than
+    * k tokens (no evidence).
+    *
+    * Scale shape: distinct (doc, gram) pairs once (one mergeable
+    * distinct), gram document-frequency one mergeable count, and the
+    * join-back is gram-keyed — a boilerplate gram is one row per
+    * containing doc on the probe side with a single-row build per key,
+    * the AQE-splittable shape (the t24/d13 posture). The corpus text
+    * is scanned exactly once.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 5): DataFrame = {
+    require(k >= 2, "ngramNovelty: k must be >= 2")
+    val tk = tokens(col("t"))
+    val gramsCol = when(size(tk) >= k,
+        array_distinct(transform(sequence(lit(1), size(tk) - (k - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val dg = OpCaches.persist(
+      Partitioning.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), explode(gramsCol).as("gram")))
+    val dfreq = dg.groupBy("gram").agg(count(lit(1)).as("dfd"))
+    val per = dg.join(dfreq, "gram")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("dfd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") > 0,
+          expr("((n_grams - n_shared) * 1000) DIV n_grams")).as("novelty_pm"))
+  }
+
   /** BPE ENCODING — apply a trained merge table to the corpus and
     * report per-document token accounting, the step every pipeline
     * runs after `bpeTrain` to budget/pack with the REAL tokenizer

@@ -2220,6 +2220,28 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(resalt.map(t => t._1 -> t._2) == rel.map(t => t._1 -> t._2))
   }
 
+  test("ngramNovelty: shared grams scored, short docs NULL, duplicates fully non-novel") {
+    import spark.implicits._
+    // doc 10 and 11 are exact duplicates (novelty 0); doc 12 shares
+    // nothing (novelty 1000); doc 13 is too short for a 5-gram
+    val docs = Seq(
+      (10L, "a b c d e f"), (11L, "a b c d e f"),
+      (12L, "p q r s t u v"), (13L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((2L, 2L, Some(0L))))
+    assert(got(11L) == ((2L, 2L, Some(0L))))
+    assert(got(12L) == ((3L, 0L, Some(1000L))))
+    assert(got(13L) == ((0L, 0L, None)))
+    // layout invariance
+    val re = TextAnalysis.ngramNovelty(docs.repartition(5))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re == got)
+  }
+
   test("driftReport: schema and profile deltas, type changes flagged, all-integer stats") {
     import spark.implicits._
     import graft.analyse.Drift
