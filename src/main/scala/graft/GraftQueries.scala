@@ -2355,6 +2355,23 @@ object GraftQueries {
     graft.streaming.EventsStream.userDriftBatch(tbl(s, dir, "events"),
       targetCents = 5000L, thresholdCents = 20000L)
 
+  /** ST19 [EXT] — late-data audit, batch form (streaming twin
+    * asserted row-identical in StreamingSpec): per user, events whose
+    * event time trails the user's event-time high-water mark by more
+    * than the 1-hour allowance at arrival, plus the worst lateness —
+    * the loss a 1-hour watermark would cause, measured before
+    * choosing it. The fixture arrives perfectly ordered, so arrival
+    * order is hash-permuted (portable md5 key) to simulate network
+    * reordering; the oracle replays permutation, high-water mark, and
+    * counters.
+    */
+  def st19LateAudit(s: SparkSession, dir: String): DataFrame = {
+    val arrival = graft.ops.Sampling.bucket(col("event_id"), 1 << 20) *
+      lit(1099511627776L) + col("event_id")
+    graft.streaming.EventsStream.lateEventAuditBatch(
+      tbl(s, dir, "events"), allowedLateUs = 3600000000L, arrivalCol = arrival)
+  }
+
   /** ST12 [EXT] — per-day heavy hitters via a Misra–Gries sketch
     * maintained by the streaming state store, batch form (streaming
     * form asserted guarantee-equal in StreamingSpec). The verdict
@@ -3353,5 +3370,6 @@ object GraftQueries {
     "o37_drift"          -> (o37Drift _),
     "p5_link_pipeline"   -> (p5LinkPipeline _),
     "t25_novelty"        -> (t25Novelty _),
+    "st19_late_audit"    -> (st19LateAudit _),
   )
 }

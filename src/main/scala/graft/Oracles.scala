@@ -3228,6 +3228,26 @@ object Oracles {
         |SELECT user_id, src, eid AS latest_event_id, value AS latest_value
         |FROM ranked WHERE rn = 1 AND user_id % 4 != 0""".stripMargin,
 
+    // late-data audit: the hash-permuted arrival key, the per-user
+    // event-time high-water mark over PRECEDING arrivals, the counters
+    "st19_late_audit" -> {
+      val arr = s"${bucketSql("event_id", 1 << 20)} * 1099511627776 + event_id"
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, $arr AS arrival
+         |  FROM events),
+         |h AS (
+         |  SELECT *, max(ts_us) OVER (PARTITION BY user_id ORDER BY arrival
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+         |  FROM e)
+         |SELECT user_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN hwm IS NOT NULL AND ts_us < hwm - 3600000000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(coalesce(max(CASE WHEN hwm IS NOT NULL AND ts_us < hwm - 3600000000
+         |                    THEN hwm - ts_us END), 0) AS BIGINT) AS max_late_us
+         |FROM h GROUP BY 1""".stripMargin
+    },
+
     // per-user CUSUM drift vs the fixed 50.00 target: the prefix-min
     // identity per user, then a plain max
     "st14_user_drift" ->

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -257,6 +257,72 @@ object EventsStream {
       .agg(max(col("s")).as("max_drift_cents"))
       .select(col("user_id"), col("max_drift_cents"),
         (col("max_drift_cents") > thresholdCents).as("drift_flag"))
+  }
+
+  /** LATE-DATA AUDIT — the observability every watermarked pipeline
+    * needs: per user, how many events arrived with an event time more
+    * than `allowedLateUs` behind that user's event-time HIGH-WATER
+    * MARK at their arrival, and the worst observed lateness. "Arrival
+    * order" is the fixture's monotone `event_id` (the st1 posture);
+    * a watermarked aggregation would have DROPPED exactly these rows,
+    * so the audit quantifies the loss a given watermark would cause —
+    * run it before choosing the delay. Per-key state is two longs
+    * plus the two counters.
+    *
+    * `arrivalCol` must be a UNIQUE long encoding arrival order (the
+    * fixture's `event_id` by default; the catalog query feeds a
+    * hash-permuted key to simulate network reordering, since the
+    * fixture itself arrives perfectly ordered).
+    */
+  def lateEventAuditStream(events: DataFrame, allowedLateUs: Long,
+                           arrivalCol: Column = col("event_id")): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        arrivalCol.as[Long])
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long, Long)]) =>
+          // state = (event-time high-water mark, n_events, n_late, max lateness)
+          var (hwm, n, nLate, maxLate) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          for ((_, tsUs, _) <- rows.toSeq.sortBy(_._3)) {
+            n += 1
+            if (hwm != Long.MinValue && tsUs < hwm - allowedLateUs) {
+              nLate += 1
+              if (hwm - tsUs > maxLate) maxLate = hwm - tsUs
+            }
+            if (tsUs > hwm) hwm = tsUs
+          }
+          state.update((hwm, n, nLate, maxLate))
+          (uid, n, nLate, maxLate)
+      }
+      .toDF("user_id", "n_events", "n_late", "max_late_us")
+  }
+
+  /** Batch-equivalent of [[lateEventAuditStream]]: the high-water mark
+    * is a per-user running max over the PRECEDING rows in arrival
+    * order, then one mergeable aggregate.
+    */
+  def lateEventAuditBatch(events: DataFrame, allowedLateUs: Long,
+                          arrivalCol: Column = col("event_id")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(arrivalCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = col("hwm").isNotNull &&
+      col("ts_us") < col("hwm") - allowedLateUs
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(late, col("hwm") - col("ts_us"))), lit(0L))
+          .as("max_late_us"))
   }
 
   /** Streaming SCD Type-2 history — the streaming twin of

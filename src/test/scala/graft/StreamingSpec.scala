@@ -252,6 +252,23 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "fixture should show some positive drift")
   }
 
+  test("late-data audit: streaming state fold == batch high-water-mark window") {
+    val arrival = graft.ops.Sampling.bucket(col("event_id"), 1 << 20) *
+      lit(1099511627776L) + col("event_id")
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/events.parquet", rawSchema,
+      df => EventsStream.lateEventAuditStream(
+        ParquetSource.normalizeNanoTimestamps(df), 3600000000L, arrival),
+      queryName = "late_audit_test", outputMode = "update")
+    val batch = EventsStream.lateEventAuditBatch(events, 3600000000L, arrival)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+    // the hash permutation must actually produce late arrivals, or the
+    // audit is vacuous on the ordered fixture
+    assert(batch.agg(sum(col("n_late"))).head().getLong(0) > 0)
+  }
+
   test("windowed MG sketch: streaming sketches satisfy the heavy-hitter guarantee") {
     val budget = 2
     val streamed = EventsStream.runOnceOnParquet(
