@@ -2124,9 +2124,8 @@ object GraftQueries {
       col("c_nationkey").as("d_nation"))
   }
 
-  /** Blocked + scored + selected matches, `(d_id, matched_id, score)`. */
-  private def er1Matches(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Linkage
+  /** The feed and registry with their block-key columns attached. */
+  private def er1Keyed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val c = er1Registry(s, dir)
     val dirty = er1Feed(c)
       .withColumn("d_blk_phone", concat(col("d_nation").cast("string"),
@@ -2139,6 +2138,13 @@ object GraftQueries {
         lit(":"), substring(col("c_phone"), 1, 9)))
       .withColumn("c_blk_name", concat(col("c_nationkey").cast("string"),
         lit(":"), substring(col("c_name"), 13, 6)))
+    (dirty, clean)
+  }
+
+  /** Blocked + scored + selected matches, `(d_id, matched_id, score)`. */
+  private def er1Matches(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val (dirty, clean) = er1Keyed(s, dir)
     val cand = Linkage.blockedCandidates(dirty, clean,
       Seq("d_blk_phone" -> "c_blk_phone", "d_blk_name" -> "c_blk_name"))
     val scored = cand.withColumn("score",
@@ -2152,6 +2158,39 @@ object GraftQueries {
 
   def er1RecordLinkage(s: SparkSession, dir: String): DataFrame =
     er1Matches(s, dir)
+
+  /** ER3 [EXT] — BLOCKING-QUALITY audit, the evaluation every blocking
+    * scheme needs before trusting a linkage: per pass and for the
+    * union, candidate-pair volume, true matches recovered (ground
+    * truth = the feed's known origin key), pairs-completeness
+    * (recall) and reduction ratio vs the full cross product, in
+    * integer per-mille. One equi-join + one aggregate per pass —
+    * the audit costs what the blocking costs.
+    */
+  def er3BlockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val (dirty, clean) = er1Keyed(s, dir)
+    val d = graft.ops.OpCaches.persist(dirty)
+    val c = graft.ops.OpCaches.persist(clean)
+    val totals = broadcast(d.agg(count(lit(1)).as("nd"))
+      .crossJoin(c.agg(count(lit(1)).as("nc"))))
+    def pairs(lk: String, rk: String): DataFrame =
+      d.join(c, d(lk) === c(rk)).select(col("d_id"), col("c_custkey"))
+    def stats(name: String, p: DataFrame): DataFrame =
+      p.distinct()
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("d_id") === col("c_custkey"), 1L).otherwise(0L))
+            .as("n_true_found"))
+        .crossJoin(totals)
+        .select(lit(name).as("pass"), col("n_candidates"), col("n_true_found"),
+          expr("(n_true_found * 1000) DIV nd").as("recall_pm"),
+          expr("((nd * nc - n_candidates) * 1000) DIV (nd * nc)")
+            .as("reduction_pm"))
+    val a = pairs("d_blk_phone", "c_blk_phone")
+    val b = pairs("d_blk_name", "c_blk_name")
+    stats("phone", a)
+      .unionByName(stats("name", b))
+      .unionByName(stats("union", a.unionByName(b)))
+  }
 
   /** P5 [EXT] — the MASTER-DATA pipeline capstone: dirty feed →
     * blocked linkage (er1) → survivorship consolidation (er2's
@@ -3371,5 +3410,6 @@ object GraftQueries {
     "p5_link_pipeline"   -> (p5LinkPipeline _),
     "t25_novelty"        -> (t25Novelty _),
     "st19_late_audit"    -> (st19LateAudit _),
+    "er3_blocking_quality" -> (er3BlockingQuality _),
   )
 }

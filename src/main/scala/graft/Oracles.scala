@@ -2945,6 +2945,32 @@ object Oracles {
          |SELECT d_id, c_custkey AS matched_id, CAST(score AS BIGINT) AS score
          |FROM best WHERE rn = 1""".stripMargin,
 
+    // blocking-quality audit: per-pass candidate volume, recall vs the
+    // known origin key, reduction vs the cross product — er1's CTEs
+    "er3_blocking_quality" ->
+      s"""WITH $er1MatchCtes,
+         |tot AS (SELECT (SELECT count(*) FROM dirty) AS nd,
+         |               (SELECT count(*) FROM cust) AS nc),
+         |pa AS (SELECT DISTINCT d_id, c_custkey FROM dk JOIN ck ON dk.bp = ck.bp),
+         |pb AS (SELECT DISTINCT d_id, c_custkey FROM dk JOIN ck ON dk.bn = ck.bn),
+         |pu AS (SELECT DISTINCT d_id, c_custkey FROM
+         |         (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
+         |st AS (
+         |  SELECT 'phone' AS pass, count(*) AS n_candidates,
+         |    sum(CASE WHEN d_id = c_custkey THEN 1 ELSE 0 END) AS n_true_found
+         |  FROM pa
+         |  UNION ALL
+         |  SELECT 'name', count(*),
+         |    sum(CASE WHEN d_id = c_custkey THEN 1 ELSE 0 END) FROM pb
+         |  UNION ALL
+         |  SELECT 'union', count(*),
+         |    sum(CASE WHEN d_id = c_custkey THEN 1 ELSE 0 END) FROM pu)
+         |SELECT pass, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_true_found AS BIGINT) AS n_true_found,
+         |  CAST((n_true_found * 1000) // nd AS BIGINT) AS recall_pm,
+         |  CAST(((nd * nc - n_candidates) * 1000) // (nd * nc) AS BIGINT) AS reduction_pm
+         |FROM st, tot""".stripMargin,
+
     // the master-data capstone: er1's match CTEs, the er2 survivorship
     // min-encoding, the o32 pseudonym digest, one summary aggregate
     "p5_link_pipeline" -> {

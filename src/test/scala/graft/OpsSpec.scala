@@ -2371,6 +2371,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(w == 0L)
   }
 
+  test("blocking quality: union recovers every true match, each pass its half, blocking prunes the cross product") {
+    import spark.implicits._
+    val rows = GraftQueries.er3BlockingQuality(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    graft.ops.OpCaches.releaseAll()
+    assert(rows.keySet == Set("phone", "name", "union"))
+    val (_, unionCand, unionFound, unionRecall, _) = rows("union")
+    // every record has exactly ONE corrupted field, so the other
+    // pass's block key is intact: the union must find all matches
+    assert(unionRecall == 1000L)
+    // each single pass catches its uncorrupted half (plus whatever of
+    // the corrupted half the typo left untouched) — strictly partial
+    Seq("phone", "name").foreach { p =>
+      val (_, cand, found, recall, reduction) = rows(p)
+      assert(found <= cand && recall >= 400L && recall <= 1000L)
+      // blocking must prune the cross product by at least 10×
+      assert(reduction >= 900L, s"$p pass reduction $reduction")
+    }
+    // union candidates: bounded by the passes' sum, at least the found
+    assert(unionCand <= rows("phone")._2 + rows("name")._2)
+    assert(unionFound <= unionCand)
+  }
+
   test("goldenRecords: survivorship picks trusted non-null fields; all-null survives as null") {
     import spark.implicits._
     import graft.ops.Linkage
