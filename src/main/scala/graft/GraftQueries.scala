@@ -448,6 +448,44 @@ object GraftQueries {
       .withColumn("l_ok", col("l_distinct") >= l)
   }
 
+  /** O38 [EXT] — t-CLOSENESS audit, the third release gate after
+    * o28's k-anonymity/l-diversity: per quasi-identifier class, the
+    * total-variation distance between the class's sensitive-value
+    * distribution and the global one, as an EXACT RATIONAL —
+    * `tvd_num / tvd_den` with `tvd_num = Σ_v |cnt_cv·N − cnt_v·n_c|`
+    * and `tvd_den = 2·n_c·N` (cross-multiplied, no floats). Bands a
+    * class never exhibits still count; rather than a class×band cross
+    * join, the identity `Σ_{v∉class} cnt_v·n_c = n_c·N − Σ_{v∈class}
+    * cnt_v·n_c` folds their contribution into `n_c·N`, so the plan is
+    * one (class,band) aggregate + two broadcast equi-joins of its
+    * metadata-scale rollups. Verdict `t_ok` at t = 0.4 compares
+    * `1000·tvd_num ≤ 400·tvd_den` — integer-exact in both engines.
+    */
+  def o38TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val rows = tbl(s, dir, "customer").select(
+      col("c_nationkey").cast("int").as("nationkey"),
+      col("c_mktsegment").as("mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    val cv = graft.ops.OpCaches.persist(
+      rows.groupBy("nationkey", "mktsegment", "band")
+        .agg(count(lit(1)).as("cnt_cv")))
+    val classTot = cv.groupBy("nationkey", "mktsegment")
+      .agg(sum("cnt_cv").as("n_c"))
+    val bandTot = cv.groupBy("band").agg(sum("cnt_cv").as("cnt_v"))
+    val nTot = broadcast(cv.agg(sum("cnt_cv").as("n_all")))
+    cv.join(broadcast(bandTot), "band")
+      .join(broadcast(classTot), Seq("nationkey", "mktsegment"))
+      .crossJoin(nTot)
+      .groupBy("nationkey", "mktsegment")
+      .agg(max("n_c").as("class_size"), max("n_all").as("__n"),
+        sum(abs(col("cnt_cv") * col("n_all") - col("cnt_v") * col("n_c"))
+          - col("cnt_v") * col("n_c")).as("__seen"))
+      .select(col("nationkey"), col("mktsegment"), col("class_size"),
+        (col("__seen") + col("class_size") * col("__n")).as("tvd_num"),
+        (col("class_size") * col("__n") * 2).as("tvd_den"))
+      .withColumn("t_ok", col("tvd_num") * 1000 <= col("tvd_den") * 400)
+  }
+
   /** O29 [EXT] — referentially-consistent subsetting (`export.Subset`):
     * a 10% md5-bucket sample of orders, closed over the engine's own
     * FK catalog so every table keeps exactly the rows the sample needs
@@ -1912,6 +1950,39 @@ object GraftQueries {
         count(lit(1)).as("n"),
         sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
       .withColumn("rate_pm", expr("(n_pos * 1000) DIV n"))
+  }
+
+  /** Q_AUC [EXT] — EXACT ROC-AUC of the t16 classifier against the
+    * q_calibration label, the other half of model evaluation: the
+    * Mann–Whitney rank-sum with midrank tie handling, all integer.
+    * Scores collapse to one `(count, positives)` row per DISTINCT
+    * logit; the cumulative count below each score comes from the t14
+    * range-partitioned prefix sum (never a partitionless window).
+    * Midranks double to stay integral: a tie group of size g after c
+    * rows has rank_x2 = 2c + g + 1, so Σ_pos rank_x2 = Σ_s p_s·(2·run_s
+    * − n_s + 1) and AUC = (Σ_pos rank_x2 − n_pos(n_pos+1)) /
+    * (2·n_pos·n_neg) — emitted as the exact rational `auc_num_x2 /
+    * (2·auc_den)` plus its per-mille floor.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val scored = TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("logit_micro"))
+    val lab = docs.select(col("doc_id"),
+      (instr(col("text"), "the") > 0).as("label"))
+    val per = scored.join(lab, "doc_id")
+      .groupBy("logit_micro")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("p"))
+    graft.ops.Sampling.runningTotal(per, Seq(col("logit_micro")), "n")
+      .agg(sum(col("p")).as("__np"), sum(col("n") - col("p")).as("__nn"),
+        sum(col("p") * (col("running_total") * 2 - col("n") + 1))
+          .as("__rs"))
+      .select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        (col("__rs") - col("__np") * (col("__np") + 1)).as("auc_num_x2"),
+        (col("__np") * col("__nn")).as("auc_den"))
+      .withColumn("auc_pm", when(col("auc_den") > 0,
+        expr("(auc_num_x2 * 1000) DIV (auc_den * 2)")))
   }
 
   /** T25 [EXT] — n-gram novelty scoring (`TextAnalysis.ngramNovelty`):
@@ -3411,5 +3482,7 @@ object GraftQueries {
     "t25_novelty"        -> (t25Novelty _),
     "st19_late_audit"    -> (st19LateAudit _),
     "er3_blocking_quality" -> (er3BlockingQuality _),
+    "o38_t_closeness"    -> (o38TCloseness _),
+    "q_auc"              -> (qAuc _),
   )
 }

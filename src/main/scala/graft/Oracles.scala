@@ -306,6 +306,63 @@ object Oracles {
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
 
+    // t-closeness: exact-rational TVD per QI class, unseen bands folded
+    // in via n_c*N minus the seen-band mass — same identity as the engine
+    "o38_t_closeness" ->
+      """WITH r AS (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+        |         c_mktsegment AS mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |cv AS (SELECT nationkey, mktsegment, band, count(*) AS cnt_cv
+        |       FROM r GROUP BY 1, 2, 3),
+        |ct AS (SELECT nationkey, mktsegment, sum(cnt_cv) AS n_c
+        |       FROM cv GROUP BY 1, 2),
+        |bt AS (SELECT band, sum(cnt_cv) AS cnt_v FROM cv GROUP BY 1),
+        |nt AS (SELECT sum(cnt_cv) AS n_all FROM cv),
+        |per AS (
+        |  SELECT cv.nationkey, cv.mktsegment,
+        |    min(n_c) AS n_c, min(n_all) AS n_all,
+        |    sum(abs(cnt_cv * n_all - cnt_v * n_c) - cnt_v * n_c) AS seen
+        |  FROM cv JOIN bt USING (band)
+        |       JOIN ct USING (nationkey, mktsegment), nt
+        |  GROUP BY 1, 2)
+        |SELECT nationkey, mktsegment, CAST(n_c AS BIGINT) AS class_size,
+        |  CAST(seen + n_c * n_all AS BIGINT) AS tvd_num,
+        |  CAST(n_c * n_all * 2 AS BIGINT) AS tvd_den,
+        |  (seen + n_c * n_all) * 1000 <= n_c * n_all * 2 * 400 AS t_ok
+        |FROM per""".stripMargin,
+
+    // exact AUC: the t16 score CTEs, per-distinct-logit tie groups, the
+    // midrank rank-sum cross-multiplied into the integer rational
+    "q_auc" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT tok, ${bucketSql("tok", 2001)} * 1000 - 1000000 AS w_micro
+         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
+         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+         |scored AS (
+         |  SELECT t.doc_id, coalesce(sum(v.w_micro), 0) AS logit_micro
+         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         |lab AS (SELECT doc_id, strpos(text, 'the') > 0 AS label FROM documents),
+         |per AS (
+         |  SELECT logit_micro, count(*) AS n,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS p
+         |  FROM scored JOIN lab USING (doc_id) GROUP BY 1),
+         |run AS (SELECT *, sum(n) OVER (ORDER BY logit_micro) AS rt FROM per),
+         |agg AS (SELECT sum(p) AS np, sum(n - p) AS nn,
+         |               sum(p * (2 * rt - n + 1)) AS rs
+         |        FROM run)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  CAST(rs - np * (np + 1) AS BIGINT) AS auc_num_x2,
+         |  CAST(np * nn AS BIGINT) AS auc_den,
+         |  CAST(CASE WHEN np * nn > 0
+         |       THEN ((rs - np * (np + 1)) * 1000) // (np * nn * 2)
+         |       END AS BIGINT) AS auc_pm
+         |FROM agg""".stripMargin,
+
     // ORC round-trip: the oracle aggregates the ORIGINAL parquet — any
     // value loss through the ORC write/read legs breaks the compare
     "o27_orc_roundtrip" ->

@@ -2395,6 +2395,61 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(unionFound <= unionCand)
   }
 
+  test("t-closeness: exact-rational TVD matches a driver brute force over the fixture") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_nationkey").cast("int"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .as[(Int, String, Long)].collect()
+    val n = rows.length.toLong
+    val bandTot = rows.groupBy(_._3).map { case (b, rs) => b -> rs.length.toLong }
+    val brute = rows.groupBy(r => (r._1, r._2)).map { case ((nk, seg), rs) =>
+      val nc = rs.length.toLong
+      val cv = rs.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+      // Σ over the FULL band domain, absent bands contribute cnt_v·n_c
+      val num = bandTot.map { case (b, cntV) =>
+        math.abs(cv.getOrElse(b, 0L) * n - cntV * nc)
+      }.sum
+      (nk, seg) -> ((nc, num, 2L * nc * n))
+    }
+    val got = GraftQueries.o38TCloseness(spark, sfDir)
+      .as[(Int, String, Long, Long, Long, Boolean)].collect()
+    graft.ops.OpCaches.releaseAll()
+    assert(got.length == brute.size)
+    got.foreach { case (nk, seg, size, num, den, tOk) =>
+      val (bNc, bNum, bDen) = brute((nk, seg))
+      assert((size, num, den) == ((bNc, bNum, bDen)), s"class ($nk,$seg)")
+      assert(tOk == (num * 1000 <= den * 400))
+      assert(num >= 0 && num <= den) // 0 ≤ TVD ≤ 1
+    }
+  }
+
+  test("exact AUC: rank-sum rational matches a driver pair-count brute force") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.ops.TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("logit_micro"))
+      .join(docs.select(col("doc_id"),
+        (instr(col("text"), "the") > 0).as("label")), "doc_id")
+      .select(col("logit_micro"), col("label"))
+      .as[(Long, Boolean)].collect()
+    val pos = pairs.filter(_._2).map(_._1)
+    val neg = pairs.filterNot(_._2).map(_._1)
+    // brute AUC·2·den = Σ_{p,n} (2·[p>n] + [p=n])
+    var numX2 = 0L
+    for (p <- pos; nn <- neg)
+      numX2 += (if (p > nn) 2L else if (p == nn) 1L else 0L)
+    val got = GraftQueries.qAuc(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.ops.OpCaches.releaseAll()
+    assert(got.length == 1)
+    val (nPos, nNeg, aucNumX2, aucDen, aucPm) = got.head
+    assert(nPos == pos.length.toLong && nNeg == neg.length.toLong)
+    assert(aucDen == nPos * nNeg)
+    assert(aucNumX2 == numX2, s"rank-sum $aucNumX2 vs pair-count $numX2")
+    assert(aucPm == Math.floorDiv(numX2 * 1000, 2 * aucDen))
+  }
+
   test("goldenRecords: survivorship picks trusted non-null fields; all-null survives as null") {
     import spark.implicits._
     import graft.ops.Linkage

@@ -56,7 +56,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "t24_bpe_encode", "o36_dp_counts", "er1_record_linkage",
     "g3_khop", "er2_golden_record", "q_seasonal_mad", "s16_mmr",
     "q_calibration", "o37_drift", "p5_link_pipeline", "t25_novelty",
-    "st19_late_audit", "er3_blocking_quality")
+    "st19_late_audit", "er3_blocking_quality", "o38_t_closeness",
+    "q_auc")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
