@@ -1019,6 +1019,60 @@ object GraftQueries {
       stages = Seq("view", "click", "purchase"),
       names = Seq("n_view", "n_click_after_view", "n_purchase_after_click"))
 
+  /** Q_LAG_FEATURES [EXT] — per-entity LAG/ROLLING feature
+    * engineering, the supervised-training-set prep staple: for each
+    * event of a deterministic 5% user slice, cent-exact value, the
+    * two previous values, the 3-row rolling sum, and the whole-second
+    * gap since the user's previous event. All windows partition by
+    * `user_id` and total-order by `(ts, event_id)`; the slice filter
+    * is on the PARTITION KEY, so Catalyst pushes it below the one
+    * user-keyed Exchange and the window state never exceeds a single
+    * user's history.
+    */
+  def qLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    tbl(s, dir, "events")
+      .filter(pmod(col("user_id"), lit(20)) === 0)
+      .withColumn("value_cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("lag1_cents", lag("value_cents", 1).over(w))
+      .withColumn("lag2_cents", lag("value_cents", 2).over(w))
+      .withColumn("roll3_cents",
+        sum("value_cents").over(w.rowsBetween(-2, 0)))
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__prev_us", lag("__us", 1).over(w))
+      .withColumn("gap_s", expr("(__us - __prev_us) DIV 1000000"))
+      .select("user_id", "event_id", "value_cents", "lag1_cents",
+        "lag2_cents", "roll3_cents", "gap_s")
+  }
+
+  /** Q_ATTRIBUTION [EXT] — LAST-TOUCH attribution: each purchase is
+    * credited to the user's most recent preceding view/click (the
+    * marketing-analytics staple), then purchases and cent-exact value
+    * roll up per credited touch type ('none' when nothing precedes).
+    * One user-keyed shuffle; the credited touch is a running
+    * `last(..., ignoreNulls)` over the (ts, event_id)-total-ordered
+    * per-user frame — an incrementally-evaluated growing frame, never
+    * a per-row rescan, and partitioned by user so no single task sees
+    * more than one user's history.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(s, dir, "events")
+      .withColumn("last_touch",
+        last(when(col("event_type").isin("view", "click"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("value_cents"))
+  }
+
   /** JSON extraction from the events props column. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -3484,5 +3538,7 @@ object GraftQueries {
     "er3_blocking_quality" -> (er3BlockingQuality _),
     "o38_t_closeness"    -> (o38TCloseness _),
     "q_auc"              -> (qAuc _),
+    "q_attribution"      -> (qAttribution _),
+    "q_lag_features"     -> (qLagFeatures _),
   )
 }

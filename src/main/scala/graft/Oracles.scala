@@ -306,6 +306,42 @@ object Oracles {
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
 
+    // last-touch attribution: running IGNORE-NULLS last over the
+    // (ts, event_id)-ordered per-user frame, cents-exact rollup
+    "q_attribution" ->
+      """WITH o AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |               THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt
+        |  FROM events)
+        |SELECT coalesce(lt, 'none') AS touch,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    // lag/rolling features on the 5% user slice — the filter is on the
+    // window partition key, so pre-filtering cannot change any frame
+    "q_lag_features" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+        |    epoch_us(ts) AS us, ts
+        |  FROM events WHERE user_id % 20 = 0)
+        |SELECT user_id, event_id, value_cents,
+        |  lag(value_cents, 1) OVER w AS lag1_cents,
+        |  lag(value_cents, 2) OVER w AS lag2_cents,
+        |  CAST(sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll3_cents,
+        |  CAST((us - lag(us, 1) OVER w) // 1000000 AS BIGINT) AS gap_s
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     // t-closeness: exact-rational TVD per QI class, unseen bands folded
     // in via n_c*N minus the seen-band mass — same identity as the engine
     "o38_t_closeness" ->

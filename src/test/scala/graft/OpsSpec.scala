@@ -2395,6 +2395,76 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(unionFound <= unionCand)
   }
 
+  test("last-touch attribution matches a driver replay of per-user sequences") {
+    import spark.implicits._
+    val ev = graft.sources.ParquetSource.normalizeNanoTimestamps(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long)].collect()
+    val brute = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var lastTouch: String = null
+      rows.sortBy(r => (r._3, r._2)).foreach { case (_, _, _, typ, cents) =>
+        if (typ == "purchase") {
+          val k = Option(lastTouch).getOrElse("none")
+          val (n, v) = brute.getOrElse(k, (0L, 0L))
+          brute(k) = (n + 1, v + cents)
+        }
+        if (typ == "view" || typ == "click") lastTouch = typ
+      }
+    }
+    val got = GraftQueries.qAttribution(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == brute.toMap)
+  }
+
+  test("lag features match a driver replay; slice filter stays below the window exchange") {
+    import spark.implicits._
+    val ev = graft.sources.ParquetSource.normalizeNanoTimestamps(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val brute = ev.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._2))
+      s.zipWithIndex.map { case ((u, id, us, c), i) =>
+        val lag1 = if (i >= 1) Some(s(i - 1)._4) else None
+        val lag2 = if (i >= 2) Some(s(i - 2)._4) else None
+        val roll3 = s.slice(math.max(0, i - 2), i + 1).map(_._4).sum
+        val gap = if (i >= 1) Some(Math.floorDiv(us - s(i - 1)._3, 1000000L))
+                  else None
+        (u, id) -> ((c, lag1, lag2, roll3, gap))
+      }
+    }.toMap
+    val df = GraftQueries.qLagFeatures(spark, sfDir)
+    val got = df
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long, Option[Long])]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == brute)
+    // the slice filter must sit BELOW the user-keyed Exchange: the
+    // window never shuffles rows the slice drops
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def hasFilterAbove(p: org.apache.spark.sql.execution.SparkPlan,
+                       seenExchange: Boolean): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasFilterAbove(a.executedPlan, seenExchange)
+      case qs: QueryStageExec => hasFilterAbove(qs.plan, seenExchange)
+      case _: FilterExec if !seenExchange => true
+      case e: ShuffleExchangeExec =>
+        e.children.exists(hasFilterAbove(_, seenExchange = true))
+      case other => other.children.exists(hasFilterAbove(_, seenExchange))
+    }
+    assert(!hasFilterAbove(plan, seenExchange = false),
+      "slice filter evaluated above the window exchange")
+  }
+
   test("t-closeness: exact-rational TVD matches a driver brute force over the fixture") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$sfDir/customer.parquet")
