@@ -2317,6 +2317,45 @@ object GraftQueries {
       .unionByName(stats("union", a.unionByName(b)))
   }
 
+  /** ER4 [EXT] — INCREMENTAL linkage, the daily-feed shape of MDM:
+    * a small new batch (a 4% returning slice of the er1 feed plus
+    * walk-ins whose names match nothing) links against the FULL
+    * registry with the BATCH side broadcast, so the master table
+    * never shuffles — the asymmetry that makes incremental linkage
+    * cheap at 100 TB (er1 re-links everything; er4 pays only
+    * batch-sized work per feed). Unmatched records surface with
+    * `is_new = true` — the upsert decision the golden table needs.
+    * Walk-ins still BLOCK on their intact phone key (candidates
+    * exist!) but score ≤ 25 < 35, exercising the threshold, not just
+    * the blocking.
+    */
+  def er4IncrementalLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val (dirtyAll, clean) = er1Keyed(s, dir)
+    val returning = dirtyAll.filter(pmod(col("d_id"), lit(25)) === 0)
+    val walkIns = returning.select(
+        (col("d_id") + lit(1000000000L)).as("d_id"),
+        md5(col("d_name")).as("d_name"),
+        col("d_phone"), col("d_nation"), col("d_blk_phone"))
+      .withColumn("d_blk_name", concat(col("d_nation").cast("string"),
+        lit(":"), substring(col("d_name"), 13, 6)))
+    val batch = graft.ops.OpCaches.persist(
+      returning.unionByName(walkIns))
+    val cand = Linkage.blockedCandidates(broadcast(batch), clean,
+      Seq("d_blk_phone" -> "c_blk_phone", "d_blk_name" -> "c_blk_name"))
+    val scored = cand.withColumn("score",
+      Linkage.editWeight(col("d_name"), col("c_name"), 30L, 6L) +
+        when(col("d_phone") === col("c_phone"), lit(20L))
+          .otherwise(Linkage.editWeight(col("d_phone"), col("c_phone"), 20L, 4L)) +
+        when(col("d_nation") === col("c_nationkey"), lit(5L)).otherwise(lit(0L)))
+    val matches = Linkage.bestMatches(scored, "d_id", "c_custkey", "score", 35L)
+      .withColumnRenamed("c_custkey", "matched_id")
+    batch.select("d_id")
+      .join(broadcast(matches), Seq("d_id"), "left")
+      .select(col("d_id"), col("matched_id"), col("score"),
+        col("matched_id").isNull.as("is_new"))
+  }
+
   /** P5 [EXT] — the MASTER-DATA pipeline capstone: dirty feed →
     * blocked linkage (er1) → survivorship consolidation (er2's
     * goldenRecords) → pseudonymised golden table (the o32 recipe) →
@@ -3540,5 +3579,6 @@ object GraftQueries {
     "q_auc"              -> (qAuc _),
     "q_attribution"      -> (qAttribution _),
     "q_lag_features"     -> (qLagFeatures _),
+    "er4_incremental_linkage" -> (er4IncrementalLinkage _),
   )
 }

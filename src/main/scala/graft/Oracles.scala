@@ -3064,6 +3064,43 @@ object Oracles {
          |  CAST(((nd * nc - n_candidates) * 1000) // (nd * nc) AS BIGINT) AS reduction_pm
          |FROM st, tot""".stripMargin,
 
+    // incremental linkage: the er1 CTEs, a 4% returning batch plus
+    // md5-renamed walk-ins, batch-only candidates, left-join is_new
+    "er4_incremental_linkage" ->
+      s"""WITH $er1MatchCtes,
+         |bk AS (
+         |  SELECT * FROM dk WHERE d_id % 25 = 0
+         |  UNION ALL
+         |  SELECT d_id + 1000000000 AS d_id, md5(d_name) AS d_name,
+         |    d_phone, d_nation, bp,
+         |    CAST(d_nation AS VARCHAR) || ':' || substr(md5(d_name), 13, 6)
+         |      AS bn
+         |  FROM dk WHERE d_id % 25 = 0),
+         |bcand AS (
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM bk JOIN ck ON bk.bp = ck.bp
+         |  UNION ALL
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM bk JOIN ck ON bk.bn = ck.bn),
+         |bscored AS (
+         |  SELECT d_id, c_custkey,
+         |    greatest(30 - 6 * levenshtein(d_name, c_name), 0)
+         |    + CASE WHEN d_phone = c_phone THEN 20
+         |           ELSE greatest(20 - 4 * levenshtein(d_phone, c_phone), 0) END
+         |    + CASE WHEN d_nation = c_nationkey THEN 5 ELSE 0 END AS score
+         |  FROM bcand),
+         |bbest AS (
+         |  SELECT d_id, c_custkey, score, row_number() OVER (
+         |    PARTITION BY d_id ORDER BY score DESC, c_custkey) AS rn
+         |  FROM bscored WHERE score >= 35)
+         |SELECT ids.d_id, b.c_custkey AS matched_id,
+         |  CAST(b.score AS BIGINT) AS score,
+         |  b.c_custkey IS NULL AS is_new
+         |FROM (SELECT d_id FROM bk) ids
+         |LEFT JOIN (SELECT * FROM bbest WHERE rn = 1) b USING (d_id)""".stripMargin,
+
     // the master-data capstone: er1's match CTEs, the er2 survivorship
     // min-encoding, the o32 pseudonym digest, one summary aggregate
     "p5_link_pipeline" -> {

@@ -2520,6 +2520,43 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(aucPm == Math.floorDiv(numX2 * 1000, 2 * aucDen))
   }
 
+  test("incremental linkage agrees with full er1 on the returning slice; walk-ins are new; registry never sort-merge-joins") {
+    import spark.implicits._
+    val er4 = GraftQueries.er4IncrementalLinkage(spark, sfDir)
+    val got = er4.as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    graft.ops.OpCaches.releaseAll()
+    // is_new is exactly "no match"; every walk-in (offset ids) is new
+    got.foreach { case (id, m, sc, isNew) =>
+      assert(isNew == m.isEmpty && m.isEmpty == sc.isEmpty, s"row $id")
+      if (id >= 1000000000L) assert(isNew, s"walk-in $id matched")
+    }
+    // batch ids appear exactly once: returning slice + its walk-in twin
+    val ids = got.map(_._1).sorted
+    assert(ids.distinct.length == ids.length)
+    assert(ids.count(_ < 1000000000L) == ids.count(_ >= 1000000000L))
+    // the returning slice must match full er1 restricted to the slice —
+    // incremental linkage may not drift from the batch re-run
+    val er1 = GraftQueries.er1RecordLinkage(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .filter(_._1 % 25 == 0).map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.ops.OpCaches.releaseAll()
+    got.filter(_._1 < 1000000000L).foreach { case (id, m, sc, _) =>
+      assert(er1.get(id) == m.zip(sc).headOption, s"returning $id")
+    }
+    // broadcast-batch shape: the registry side never sort-merge-joins
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def smj(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => smj(a.executedPlan)
+      case qs: QueryStageExec => smj(qs.plan)
+      case _: SortMergeJoinExec => true
+      case other => other.children.exists(smj)
+    }
+    assert(!smj(er4.queryExecution.executedPlan),
+      "incremental linkage sort-merge-joined the registry")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("goldenRecords: survivorship picks trusted non-null fields; all-null survives as null") {
     import spark.implicits._
     import graft.ops.Linkage

@@ -57,7 +57,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "g3_khop", "er2_golden_record", "q_seasonal_mad", "s16_mmr",
     "q_calibration", "o37_drift", "p5_link_pipeline", "t25_novelty",
     "st19_late_audit", "er3_blocking_quality", "o38_t_closeness",
-    "q_auc", "q_attribution", "q_lag_features")
+    "q_auc", "q_attribution", "q_lag_features",
+    "er4_incremental_linkage")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
