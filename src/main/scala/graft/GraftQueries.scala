@@ -1019,6 +1019,46 @@ object GraftQueries {
       stages = Seq("view", "click", "purchase"),
       names = Seq("n_view", "n_click_after_view", "n_purchase_after_click"))
 
+  /** Q_KS_TEST [EXT] — exact two-sample Kolmogorov–Smirnov
+    * (`Experiment.ksTest`): do purchase and click event values come
+    * from the same distribution? Integer ECDF-gap statistic over
+    * cent-quantised values, α = 0.05 verdict via the squared decision
+    * inequality in DECIMAL(38,0) — the q_ab_chisq posture applied to
+    * a distributional test.
+    */
+  def qKsTest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.ksTest(tbl(s, dir, "events"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long"),
+      col("event_type") === "purchase", col("event_type") === "click")
+
+  /** Q_GINI [EXT] — EXACT Gini coefficient of per-customer lifetime
+    * spend, the inequality/concentration statistic every corpus or
+    * revenue mix gets audited with: with spend sorted ascending and
+    * i the global rank (the t14 distributed prefix sum — never a
+    * partitionless window), `G = (2·Σ i·x_i − (n+1)·Σ x_i) /
+    * (n·Σ x_i)` — emitted as the exact rational plus its per-mille
+    * floor (computed in DECIMAL(38,0): gini_num·1000 can overflow a
+    * long even when the rational's parts don't).
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+    graft.ops.Sampling.runningTotal(
+        spend.withColumn("__one", lit(1L)), Seq(col("x"), col("k")), "__one")
+      .withColumnRenamed("running_total", "i")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("i") * col("x")).as("s2"))
+      .select(col("n").as("n_customers"), col("s1").as("total_cents"),
+        (col("s2") * 2 - (col("n") + 1) * col("s1")).as("gini_num"),
+        (col("n") * col("s1")).as("gini_den"))
+      .withColumn("gini_pm",
+        expr("""CAST((CAST(gini_num AS DECIMAL(38,0)) * 1000)
+               |     DIV CAST(gini_den AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin))
+  }
+
   /** Q_LAG_FEATURES [EXT] — per-entity LAG/ROLLING feature
     * engineering, the supervised-training-set prep staple: for each
     * event of a deterministic 5% user slice, cent-exact value, the
@@ -3580,5 +3620,7 @@ object GraftQueries {
     "q_attribution"      -> (qAttribution _),
     "q_lag_features"     -> (qLagFeatures _),
     "er4_incremental_linkage" -> (er4IncrementalLinkage _),
+    "q_ks_test"          -> (qKsTest _),
+    "q_gini"             -> (qGini _),
   )
 }

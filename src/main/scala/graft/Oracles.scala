@@ -306,6 +306,41 @@ object Oracles {
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
 
+    // exact two-sample KS: integer ECDF-gap max at pooled distinct
+    // values, squared decision inequality in HUGEINT
+    "q_ks_test" ->
+      """WITH per AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na_v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb_v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |run AS (SELECT v, sum(na_v) OVER w AS fa, sum(nb_v) OVER w AS fb
+        |        FROM per WINDOW w AS (ORDER BY v)),
+        |tot AS (SELECT sum(na_v) AS n_a, sum(nb_v) AS n_b FROM per),
+        |m AS (SELECT max(abs(fa * n_b - fb * n_a)) AS k FROM run, tot)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(k AS BIGINT) AS ks_num,
+        |  CAST(n_a * n_b AS BIGINT) AS ks_den,
+        |  1000000 * k * k > 1844164 * (n_a + n_b) * n_a * n_b
+        |    AND n_a * n_b > 0 AS reject_05
+        |FROM m, tot""".stripMargin,
+
+    // exact Gini: global ascending spend rank, the closed form as the
+    // exact rational, per-mille floor in HUGEINT
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS k,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM spend),
+        |a AS (SELECT count(*) AS n, sum(x) AS s1, sum(i * x) AS s2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers, CAST(s1 AS BIGINT) AS total_cents,
+        |  CAST(2 * s2 - (n + 1) * s1 AS BIGINT) AS gini_num,
+        |  CAST(n * s1 AS BIGINT) AS gini_den,
+        |  CAST(((2 * s2 - (n + 1) * s1) * 1000) // (n * s1) AS BIGINT) AS gini_pm
+        |FROM a""".stripMargin,
+
     // last-touch attribution: running IGNORE-NULLS last over the
     // (ts, event_id)-ordered per-user frame, cents-exact rollup
     "q_attribution" ->

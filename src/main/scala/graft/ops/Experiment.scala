@@ -72,4 +72,50 @@ object Experiment {
         rhs > 0 && lhs >= rhs
       })
   }
+
+  /** (1.358)² × 10⁶ — the squared α = 0.05 two-sample KS coefficient
+    * as an exact rational, so the verdict needs no square root.
+    */
+  val KsCritSqX1e6: Long = 1844164L
+
+  /** Two-sample Kolmogorov–Smirnov test, EXACT: the statistic is the
+    * max ECDF gap, which only changes at pooled distinct values, so
+    * `D·n_a·n_b = max_v |F_a(v)·n_b − F_b(v)·n_a|` is an integer —
+    * emitted as the rational `ks_num / ks_den`. The verdict squares
+    * the decision inequality `D > c·√((n_a+n_b)/(n_a·n_b))` into
+    * `10⁶·K² > c²·10⁶·(n_a+n_b)·n_a·n_b`, evaluated in DECIMAL(38,0)
+    * — no float, no √, bit-portable. Cumulative counts ride the
+    * range-partitioned prefix sum over the DISTINCT-value relation
+    * (two passes over a value-domain-sized table, never a
+    * partitionless window over the data).
+    */
+  def ksTest(df: DataFrame, valueCol: Column,
+             inA: Column, inB: Column): DataFrame = {
+    val per = OpCaches.persist(
+      df.filter(inA || inB)
+        .select(valueCol.as("v"),
+          when(inA, 1L).otherwise(0L).as("a"),
+          when(inB, 1L).otherwise(0L).as("b"))
+        .groupBy("v")
+        .agg(sum("a").as("na_v"), sum("b").as("nb_v")))
+    val fa = Sampling.runningTotal(per, Seq(col("v")), "na_v")
+      .withColumnRenamed("running_total", "fa")
+    val fab = Sampling.runningTotal(fa, Seq(col("v")), "nb_v")
+      .withColumnRenamed("running_total", "fb")
+    val tot = broadcast(per.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b")))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    fab.crossJoin(tot)
+      .agg(max(abs(col("fa") * col("n_b") - col("fb") * col("n_a")))
+          .as("ks_num"),
+        max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        (col("n_a") * col("n_b")).as("ks_den"))
+      .withColumn("reject_05", {
+        val k = dec(col("ks_num"))
+        lit(1000000L).cast("decimal(38,0)") * k * k >
+          lit(KsCritSqX1e6).cast("decimal(38,0)") *
+            dec(col("n_a") + col("n_b")) * dec(col("ks_den")) &&
+          col("ks_den") > 0
+      })
+  }
 }

@@ -2465,6 +2465,56 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       "slice filter evaluated above the window exchange")
   }
 
+  test("exact KS statistic and verdict match a driver ECDF brute force") {
+    import spark.implicits._
+    val ev = graft.sources.ParquetSource.normalizeNanoTimestamps(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val a = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val b = ev.filter(_._1 == "click").map(_._2).sorted
+    val pooled = (a ++ b).distinct.sorted
+    val k = pooled.map { v =>
+      val fa = a.count(_ <= v).toLong
+      val fb = b.count(_ <= v).toLong
+      math.abs(fa * b.length - fb * a.length)
+    }.max
+    val got = GraftQueries.qKsTest(spark, sfDir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    graft.ops.OpCaches.releaseAll()
+    assert(got.length == 1)
+    val (na, nb, num, den, rej) = got.head
+    assert((na, nb) == ((a.length.toLong, b.length.toLong)))
+    assert(num == k && den == na * nb)
+    val lhs = BigInt(1000000) * BigInt(k) * BigInt(k)
+    val rhs = BigInt(1844164) * BigInt(na + nb) * BigInt(na) * BigInt(nb)
+    assert(rej == (lhs > rhs && den > 0))
+  }
+
+  test("exact Gini matches a driver sorted-rank brute force") {
+    import spark.implicits._
+    val spend = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+      .as[(Long, Long)].collect()
+      .sortBy(r => (r._2, r._1)).map(_._2)
+    val n = BigInt(spend.length)
+    val s1 = spend.map(BigInt(_)).sum
+    val s2 = spend.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val (num, den) = (2 * s2 - (n + 1) * s1, n * s1)
+    val got = GraftQueries.qGini(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.ops.OpCaches.releaseAll()
+    assert(got.length == 1)
+    val (gn, gs1, gnum, gden, gpm) = got.head
+    assert(BigInt(gn) == n && BigInt(gs1) == s1)
+    assert(BigInt(gnum) == num && BigInt(gden) == den)
+    assert(BigInt(gpm) == num * 1000 / den)
+    assert(num >= 0 && num <= den) // 0 ≤ G ≤ 1
+  }
+
   test("t-closeness: exact-rational TVD matches a driver brute force over the fixture") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$sfDir/customer.parquet")
