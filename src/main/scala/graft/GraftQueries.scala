@@ -1059,6 +1059,70 @@ object GraftQueries {
           .stripMargin))
   }
 
+  /** Q_LORENZ [EXT] — Lorenz curve deciles of per-customer spend,
+    * the concentration profile behind q_gini's single number: rank by
+    * the same distributed prefix sum, decile = `((i−1)·10) div n`,
+    * then cumulative population / spend shares in integer per-mille.
+    * The 10-row cumulative rides runningTotal again (metadata-scale,
+    * but the machinery is already partition-shaped) — no
+    * partitionless window anywhere.
+    */
+  def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+    val ranked = graft.ops.Sampling.runningTotal(
+        spend.withColumn("__one", lit(1L)), Seq(col("x"), col("k")), "__one")
+      .withColumnRenamed("running_total", "i")
+    // deliberately NOT persisted: both uses re-derive the single row
+    // from runningTotal's cached ranked relation, and the bare
+    // no-grouping aggregate is what the plan gate recognises as a
+    // scalar build
+    val tot = broadcast(
+      ranked.agg(count(lit(1)).as("n"), sum("x").as("total_cents")))
+    val deciles = ranked.crossJoin(tot)
+      .withColumn("decile", expr("((i - 1) * 10) DIV n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("x").as("bucket_cents"))
+    val cumC = graft.ops.Sampling.runningTotal(
+        deciles, Seq(col("decile")), "bucket_cents")
+      .withColumnRenamed("running_total", "cum_cents")
+    graft.ops.Sampling.runningTotal(cumC, Seq(col("decile")), "n_customers")
+      .withColumnRenamed("running_total", "cum_customers")
+      .crossJoin(tot)
+      .select(col("decile"), col("n_customers"), col("bucket_cents"),
+        expr("(cum_customers * 1000) DIV n").as("cum_pop_pm"),
+        expr("""CASE WHEN total_cents > 0
+               |  THEN (cum_cents * 1000) DIV total_cents END"""
+          .stripMargin).as("cum_share_pm"))
+  }
+
+  /** Q_SPEARMAN [EXT] — exact Spearman rank correlation between
+    * per-customer spend and order count (`Experiment.spearman`):
+    * doubled midranks through ties, the n-cancelled rational
+    * `A/√(Bx·By)` emitted exactly plus ρ²·10⁶ and the |ρ| > 0.2
+    * verdict as a DECIMAL(38,0) inequality.
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val per = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("spend"),
+        count(lit(1)).as("n_orders"))
+    graft.ops.Experiment.spearman(per, col("spend"), col("n_orders"))
+  }
+
+  /** Q_BENFORD [EXT] — Benford first-digit audit of line-item
+    * extended prices (`Profiler.benford`): observed leading-digit
+    * per-milles vs the nine Benford literals, 15‰ deviation flags —
+    * the fraud / synthetic-data screen, one 9-group mergeable
+    * aggregate over the scan.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.analyse.Profiler.benford(tbl(s, dir, "lineitem"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+
   /** Q_LAG_FEATURES [EXT] — per-entity LAG/ROLLING feature
     * engineering, the supervised-training-set prep staple: for each
     * event of a deterministic 5% user slice, cent-exact value, the
@@ -3622,5 +3686,8 @@ object GraftQueries {
     "er4_incremental_linkage" -> (er4IncrementalLinkage _),
     "q_ks_test"          -> (qKsTest _),
     "q_gini"             -> (qGini _),
+    "q_lorenz"           -> (qLorenz _),
+    "q_spearman"         -> (qSpearman _),
+    "q_benford"          -> (qBenford _),
   )
 }

@@ -341,6 +341,85 @@ object Oracles {
         |  CAST(((2 * s2 - (n + 1) * s1) * 1000) // (n * s1) AS BIGINT) AS gini_pm
         |FROM a""".stripMargin,
 
+    // Lorenz deciles: ascending spend rank, decile buckets, cumulative
+    // population/spend shares in per-mille
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS k,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+        |        count(*) OVER () AS n, sum(x) OVER () AS tot
+        |      FROM spend),
+        |d AS (SELECT ((i - 1) * 10) // n AS decile, count(*) AS n_customers,
+        |        sum(x) AS bucket_cents, max(n) AS n, max(tot) AS tot
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT decile, n_customers, bucket_cents, n, tot,
+        |        sum(n_customers) OVER w AS cum_c, sum(bucket_cents) OVER w AS cum_x
+        |      FROM d WINDOW w AS (ORDER BY decile))
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(bucket_cents AS BIGINT) AS bucket_cents,
+        |  CAST((cum_c * 1000) // n AS BIGINT) AS cum_pop_pm,
+        |  CAST(CASE WHEN tot > 0 THEN (cum_x * 1000) // tot END AS BIGINT)
+        |    AS cum_share_pm
+        |FROM c""".stripMargin,
+
+    // exact Spearman via doubled midranks: 2r_v = 2F_v - c_v + 1 per
+    // distinct value, Pearson on the doubled ranks, n cancelled
+    "q_spearman" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |xr AS (SELECT x, count(*) AS c FROM per GROUP BY 1),
+        |xrr AS (SELECT x, 2 * sum(c) OVER (ORDER BY x) - c + 1 AS rx FROM xr),
+        |yr AS (SELECT y, count(*) AS c FROM per GROUP BY 1),
+        |yrr AS (SELECT y, 2 * sum(c) OVER (ORDER BY y) - c + 1 AS ry FROM yr),
+        |j AS (SELECT rx, ry FROM per
+        |      JOIN xrr USING (x) JOIN yrr USING (y)),
+        |a AS (SELECT count(*) AS n, sum(rx * ry) AS sxy,
+        |        sum(rx * rx) AS sxx, sum(ry * ry) AS syy FROM j),
+        |b AS (SELECT n, sxy - n * (n + 1) * (n + 1) AS num,
+        |        sxx - n * (n + 1) * (n + 1) AS dx,
+        |        syy - n * (n + 1) * (n + 1) AS dy FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(num AS BIGINT) AS rho_num,
+        |  CAST(dx AS BIGINT) AS rho_den_x, CAST(dy AS BIGINT) AS rho_den_y,
+        |  CAST(CASE WHEN dx > 0 AND dy > 0
+        |    THEN (num * num * 1000000) // (dx * dy) END AS BIGINT) AS rho2_ppm,
+        |  num > 0 AS positive,
+        |  dx > 0 AND dy > 0 AND 25 * num * num > dx * dy AS strong_02
+        |FROM b""".stripMargin,
+
+    // Benford first-digit audit: leading decimal digit of positive
+    // cents vs the nine floor-per-mille Benford literals
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM lineitem),
+        |cnt AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |          AS digit, count(*) AS n_values
+        |        FROM v WHERE cents > 0 GROUP BY 1),
+        |tot AS (SELECT sum(n_values) AS n_total FROM cnt),
+        |e(digit, exp_pm) AS (VALUES (1, 301), (2, 176), (3, 124), (4, 96),
+        |  (5, 79), (6, 66), (7, 57), (8, 51), (9, 45)),
+        |f AS (SELECT e.digit, COALESCE(cnt.n_values, 0) AS n_values,
+        |        CAST(e.exp_pm AS BIGINT) AS exp_pm
+        |      FROM e LEFT JOIN cnt ON e.digit = cnt.digit)
+        |SELECT f.digit, CAST(f.n_values AS BIGINT) AS n_values,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(CASE WHEN n_total > 0
+        |    THEN (f.n_values * 1000) // n_total END AS BIGINT) AS obs_pm,
+        |  exp_pm,
+        |  CAST(abs(CASE WHEN n_total > 0
+        |    THEN (f.n_values * 1000) // n_total END - exp_pm) AS BIGINT)
+        |    AS dev_pm,
+        |  abs(CASE WHEN n_total > 0
+        |    THEN (f.n_values * 1000) // n_total END - exp_pm) > 15 AS flag_15
+        |FROM f, tot""".stripMargin,
+
     // last-touch attribution: running IGNORE-NULLS last over the
     // (ts, event_id)-ordered per-user frame, cents-exact rollup
     "q_attribution" ->

@@ -3,6 +3,8 @@ package graft.analyse
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.OpCaches
+
 /** Column profiling — the ANALYZE/data-audit pass a pipeline runs on a
   * new source before ingesting it: per column, row/null counts, exact
   * distinct cardinality, and min/max rendered as strings.
@@ -53,6 +55,48 @@ object Profiler {
     * two narrow scans, two tiny shuffles, nothing data-dependent on
     * the driver.
     */
+  /** Benford expected first-digit frequencies, floor per-mille of
+    * log10(1 + 1/d) — fixed constants, so no transcendental appears
+    * in either engine.
+    */
+  val BenfordExpectedPm: Seq[(Int, Long)] = Seq(
+    1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+    6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+
+  /** Benford first-digit audit — the fraud / synthetic-data signal a
+    * financial or generated column gets screened with: observed
+    * first-significant-digit frequencies of a POSITIVE integer column
+    * against Benford's law, deviations in integer per-mille with a
+    * per-digit flag at 15‰. First digit comes from the decimal string
+    * head (both engines render BIGINT identically), so no float log10
+    * touches the data; the expected table is nine literals.
+    *
+    * Scale shape: one mergeable 9-group aggregate over the scan, the
+    * total riding in as a broadcast single-row cross join, the
+    * expected table a 9-row literal join — nothing data-dependent on
+    * the driver.
+    */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val counts = OpCaches.persist(
+      df.select(value.as("__v")).filter(col("__v") > 0)
+        .select(substring(col("__v").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_values")))
+    val tot = broadcast(counts.agg(sum("n_values").as("n_total")))
+    val expected = spark.createDataFrame(BenfordExpectedPm)
+      .toDF("digit", "exp_pm")
+    expected.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_values"))
+      .crossJoin(tot)
+      .withColumn("obs_pm",
+        expr("CASE WHEN n_total > 0 THEN (n_values * 1000) DIV n_total END"))
+      .withColumn("dev_pm", abs(col("obs_pm") - col("exp_pm")))
+      .withColumn("flag_15", col("dev_pm") > 15)
+      .select("digit", "n_values", "n_total", "obs_pm", "exp_pm",
+        "dev_pm", "flag_15")
+  }
+
   def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
     require(bins >= 1, "histogram: bins must be positive")
     val vals = df.select(value.cast("long").as("c"))

@@ -2515,6 +2515,98 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(num >= 0 && num <= den) // 0 ≤ G ≤ 1
   }
 
+  test("exact Spearman matches a driver midrank brute force") {
+    import spark.implicits._
+    val per = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3))
+    def doubled(vs: Array[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sortedV = byV.keys.toArray.sorted
+      var f = 0L
+      sortedV.map { v =>
+        f += byV(v); v -> (2 * f - byV(v) + 1)
+      }.toMap
+    }
+    val rx = doubled(per.map(_._1)); val ry = doubled(per.map(_._2))
+    val n = BigInt(per.length)
+    val sxy = per.map(p => BigInt(rx(p._1)) * ry(p._2)).sum
+    val sxx = per.map(p => BigInt(rx(p._1)).pow(2)).sum
+    val syy = per.map(p => BigInt(ry(p._2)).pow(2)).sum
+    val (num, dx, dy) = (sxy - n * (n + 1) * (n + 1),
+      sxx - n * (n + 1) * (n + 1), syy - n * (n + 1) * (n + 1))
+    val got = GraftQueries.qSpearman(spark, sfDir)
+      .as[(Long, Long, Long, Long, Option[Long], Boolean, Boolean)].collect()
+    graft.ops.OpCaches.releaseAll()
+    assert(got.length == 1)
+    val (gn, gnum, gdx, gdy, gppm, gpos, gstrong) = got.head
+    assert(BigInt(gn) == n && BigInt(gnum) == num)
+    assert(BigInt(gdx) == dx && BigInt(gdy) == dy)
+    assert(gppm.map(BigInt(_)) ==
+      (if (dx > 0 && dy > 0) Some(num * num * 1000000 / (dx * dy)) else None))
+    assert(gpos == (num > 0))
+    assert(gstrong == (dx > 0 && dy > 0 && 25 * num * num > dx * dy))
+    // sanity: spend and order count must correlate positively
+    assert(gpos && gppm.exists(_ > 0))
+  }
+
+  test("Benford audit matches a driver first-digit brute force") {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long"))
+      .as[Long].collect().filter(_ > 0)
+    val byDigit = cents.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val nTot = cents.length.toLong
+    val expPm = graft.analyse.Profiler.BenfordExpectedPm.toMap
+    val got = GraftQueries.qBenford(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    graft.ops.OpCaches.releaseAll()
+    assert(got.map(_._1).toSeq == (1 to 9))
+    got.foreach { case (d, nV, gTot, obs, exp, dev, flag) =>
+      assert(nV == byDigit.getOrElse(d, 0L))
+      assert(gTot == nTot)
+      assert(obs == nV * 1000 / nTot)
+      assert(exp == expPm(d))
+      assert(dev == math.abs(obs - exp) && flag == (dev > 15))
+    }
+  }
+
+  test("Lorenz deciles match a driver sorted brute force and are convex") {
+    import spark.implicits._
+    val spend = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).map(_._2)
+    val n = spend.length.toLong
+    val tot = spend.map(BigInt(_)).sum
+    val exp = spend.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .view.mapValues(b => (b.length.toLong, b.map(p => BigInt(p._1)).sum))
+      .toMap
+    val got = GraftQueries.qLorenz(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    graft.ops.OpCaches.releaseAll()
+    assert(got.map(_._1).toSeq == exp.keys.toSeq.sorted)
+    var (cumN, cumX) = (0L, BigInt(0))
+    var prevShare = -1L
+    got.foreach { case (d, nC, cents, popPm, sharePm) =>
+      assert((nC, BigInt(cents)) == exp(d))
+      cumN += nC; cumX += cents
+      assert(popPm == cumN * 1000 / n)
+      assert(BigInt(sharePm) == cumX * 1000 / tot)
+      // Lorenz curve: share never exceeds population share, monotone
+      assert(sharePm <= popPm && sharePm >= prevShare)
+      prevShare = sharePm
+    }
+  }
+
   test("t-closeness: exact-rational TVD matches a driver brute force over the fixture") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$sfDir/customer.parquet")

@@ -58,7 +58,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_calibration", "o37_drift", "p5_link_pipeline", "t25_novelty",
     "st19_late_audit", "er3_blocking_quality", "o38_t_closeness",
     "q_auc", "q_attribution", "q_lag_features",
-    "er4_incremental_linkage", "q_ks_test", "q_gini")
+    "er4_incremental_linkage", "q_ks_test", "q_gini", "q_lorenz",
+    "q_spearman", "q_benford")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
