@@ -3020,6 +3020,31 @@ object GraftQueries {
       .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** G4 [EXT] — weakly connected components of the supplier affinity
+    * graph as a first-class graph query: `Dedup.clusters` (the
+    * guarded union-find / label-propagation chooser that powers
+    * d7/d12) labels every node with its component-min id, then a
+    * per-component size census. The oracle replays the affinity
+    * projection and resolves components with a recursive reach CTE
+    * (the d7 recipe).
+    */
+  def g4Components(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.clusters(affinityEdges(s, dir), "src", "dst")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** Q_TREND [EXT] — Mann–Kendall monotone-trend test over daily
+    * purchase volume (`TimeSeries.mannKendall`): integer S statistic
+    * from the calendar-bounded bucket self-join, tie-corrected
+    * variance ×18 kept integral, and the two-sided α = 0.05 verdict
+    * as the squared inequality `11250·S² ≥ 2401·σ²·18` — the
+    * monitoring question ("is volume drifting up?") answered with no
+    * floats and no p-value tables.
+    */
+  def qTrend(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.mannKendall(
+      tbl(s, dir, "events").filter(col("event_type") === "purchase"), "ts")
+
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
     * first join): parts bought together in one order, top-20 pairs by
     * support. The A-priori downward-closure prefilter does the scale
@@ -3689,5 +3714,7 @@ object GraftQueries {
     "q_lorenz"           -> (qLorenz _),
     "q_spearman"         -> (qSpearman _),
     "q_benford"          -> (qBenford _),
+    "g4_components"      -> (g4Components _),
+    "q_trend"            -> (qTrend _),
   )
 }

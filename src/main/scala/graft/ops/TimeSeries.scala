@@ -134,4 +134,50 @@ object TimeSeries {
         col("s_scaled"),
         (col("s_scaled") > lit(thresholdMeans.toLong) * col("total")).as("drift_flag"))
   }
+
+  /** Mann–Kendall trend test over a calendar-bucketed series, EXACT:
+    * events collapse to per-bucket counts FIRST (the q_changepoint
+    * posture — everything downstream is bounded by the calendar, not
+    * the data), then the S statistic `Σ_{i<j} sgn(x_j − x_i)` comes
+    * from the bucket×bucket self-join — a non-equi join whose BOTH
+    * sides are the calendar-bounded aggregate, the designed shape.
+    * The tie-corrected variance `σ² = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5)] / 18` stays as the integer `var_x18`, and the α = 0.05
+    * two-sided normal verdict squares `|S| ≥ 1.96σ` into
+    * `11250·S² ≥ 2401·var_x18` (1.96 = 49/25 exactly; no continuity
+    * correction, documented) — all-long arithmetic, bit-portable.
+    */
+  def mannKendall(events: DataFrame, tsCol: String,
+                  bucket: String = "day"): DataFrame = {
+    val daily = OpCaches.persist(events
+      .groupBy(date_trunc(bucket, col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x")))
+    val sStat = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .agg(coalesce(sum(when(col("b.x") > col("a.x"), 1L)
+        .when(col("b.x") < col("a.x"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("n_distinct"),
+        coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+          lit(0L)).as("tie18"),
+        coalesce(sum("t"), lit(0L)).as("n"))
+    sStat.crossJoin(broadcast(ties))
+      .withColumn("var_x18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie18"))
+      .select(col("n").as("n_buckets"), col("n_distinct"), col("s_stat"),
+        col("var_x18"))
+      // var_x18 = 0 means a degenerate series (≤1 bucket or all
+      // buckets tied): there is no trend evidence and the honest
+      // verdict is NOT significant — the q_ab_chisq rhs > 0 posture
+      .withColumn("significant",
+        col("n_buckets") > 1 && col("var_x18") > 0 &&
+          lit(11250L).cast("decimal(38,0)") *
+            col("s_stat").cast("decimal(38,0)") *
+            col("s_stat").cast("decimal(38,0)") >=
+            lit(2401L).cast("decimal(38,0)") *
+              col("var_x18").cast("decimal(38,0)"))
+      .withColumn("trend",
+        when(!col("significant"), "none")
+          .when(col("s_stat") > 0, "increasing").otherwise("decreasing"))
+  }
 }
