@@ -1037,8 +1037,12 @@ object GraftQueries {
     * i the global rank (the t14 distributed prefix sum — never a
     * partitionless window), `G = (2·Σ i·x_i − (n+1)·Σ x_i) /
     * (n·Σ x_i)` — emitted as the exact rational plus its per-mille
-    * floor (computed in DECIMAL(38,0): gini_num·1000 can overflow a
-    * long even when the rational's parts don't).
+    * floor. EVERY product (the per-row i·x as well as n·s1 and the
+    * ·1000) forms in DECIMAL(38,0): at SF ≈ 10 the rank×cents rows
+    * already sum past 2⁶³ and a LongType Σ i·x would silently wrap
+    * under non-ANSI arithmetic while the DuckDB oracle auto-promotes
+    * to HUGEINT. The output rational casts back to BIGINT — exact to
+    * ~9×10¹⁸ (SF ≈ 100s), NULL (loud, never wrong) beyond.
     */
   def qGini(s: SparkSession, dir: String): DataFrame = {
     val spend = tbl(s, dir, "orders")
@@ -1049,14 +1053,14 @@ object GraftQueries {
         spend.withColumn("__one", lit(1L)), Seq(col("x"), col("k")), "__one")
       .withColumnRenamed("running_total", "i")
       .agg(count(lit(1)).as("n"), sum("x").as("s1"),
-        sum(col("i") * col("x")).as("s2"))
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("s2"))
+      .withColumn("num_d", col("s2") * 2 -
+        (col("n") + 1).cast("decimal(38,0)") * col("s1"))
+      .withColumn("den_d", col("n").cast("decimal(38,0)") * col("s1"))
       .select(col("n").as("n_customers"), col("s1").as("total_cents"),
-        (col("s2") * 2 - (col("n") + 1) * col("s1")).as("gini_num"),
-        (col("n") * col("s1")).as("gini_den"))
-      .withColumn("gini_pm",
-        expr("""CAST((CAST(gini_num AS DECIMAL(38,0)) * 1000)
-               |     DIV CAST(gini_den AS DECIMAL(38,0)) AS BIGINT)"""
-          .stripMargin))
+        col("num_d").cast("long").as("gini_num"),
+        col("den_d").cast("long").as("gini_den"),
+        expr("CAST((num_d * 1000) DIV den_d AS BIGINT)").as("gini_pm"))
   }
 
   /** Q_LORENZ [EXT] — Lorenz curve deciles of per-customer spend,

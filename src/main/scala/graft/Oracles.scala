@@ -387,8 +387,11 @@ object Oracles {
         |SELECT CAST(n AS BIGINT) AS n_pairs,
         |  CAST(num AS BIGINT) AS rho_num,
         |  CAST(dx AS BIGINT) AS rho_den_x, CAST(dy AS BIGINT) AS rho_den_y,
-        |  CAST(CASE WHEN dx > 0 AND dy > 0
-        |    THEN (num * num * 1000000) // (dx * dy) END AS BIGINT) AS rho2_ppm,
+        |  CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+        |    CASE WHEN (dx * dy) // 1000000 > 0
+        |      THEN (num * num) // ((dx * dy) // 1000000)
+        |      ELSE (num * num * 1000000) // (dx * dy) END
+        |    END AS BIGINT) AS rho2_ppm,
         |  num > 0 AS positive,
         |  dx > 0 AND dy > 0 AND 25 * num * num > dx * dy AS strong_02
         |FROM b""".stripMargin,
@@ -1361,6 +1364,67 @@ object Oracles {
         |r3 AS (SELECT * FROM r2 UNION ALL SELECT * FROM f3)
         |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM r3 GROUP BY 1""".stripMargin,
+
+    // weakly connected components of the affinity graph: the d7
+    // recursive-reach recipe (cluster label = min reachable id) over
+    // the undirected top-3 edge set, then a per-component size census.
+    // topk is MATERIALIZED for the same reason as g3_khop
+    "g4_components" ->
+      """WITH RECURSIVE cs AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sh AS (
+        |  SELECT a.s AS u, b.s AS v, count(*) AS shared
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s != b.s
+        |  GROUP BY 1, 2),
+        |topk AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS rn
+        |    FROM sh) t WHERE rn <= 3),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS a, v AS b FROM topk UNION SELECT v, u FROM topk),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM labels GROUP BY 1""".stripMargin,
+
+    // Mann–Kendall: per-day purchase counts, S from the bucket×bucket
+    // self-join, tie-corrected variance ×18 integral, the 1.96σ
+    // two-sided verdict squared into 11250·S² ≥ 2401·var_x18
+    "q_trend" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT date_trunc('day', ts) AS d, count(*) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |s AS (
+        |  SELECT coalesce(sum(CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS s_stat
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |t AS (
+        |  SELECT count(*) AS n_distinct,
+        |    coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie18,
+        |    coalesce(sum(t), 0) AS n
+        |  FROM (SELECT x, count(*) AS t FROM daily GROUP BY x) g),
+        |v AS (
+        |  SELECT n, n_distinct, s_stat,
+        |    n * (n - 1) * (2 * n + 5) - tie18 AS var_x18
+        |  FROM s, t)
+        |SELECT CAST(n AS BIGINT) AS n_buckets,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  CAST(var_x18 AS BIGINT) AS var_x18,
+        |  n > 1 AND var_x18 > 0
+        |    AND 11250 * s_stat * s_stat >= 2401 * var_x18 AS significant,
+        |  CASE WHEN NOT (n > 1 AND var_x18 > 0
+        |      AND 11250 * s_stat * s_stat >= 2401 * var_x18) THEN 'none'
+        |    WHEN s_stat > 0 THEN 'increasing'
+        |    ELSE 'decreasing' END AS trend
+        |FROM v""".stripMargin,
 
     // integer-exact PageRank, 3 supersteps unrolled; `//` is floor
     // division = Spark's DIV on the all-positive operands here

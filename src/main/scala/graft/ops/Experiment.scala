@@ -104,19 +104,27 @@ object Experiment {
       .withColumnRenamed("running_total", "fb")
     val tot = broadcast(per.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b")))
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // the K = D·n_a·n_b statistic and the n_a·n_b denominator are
+    // products of two cohort counts: in LongType they silently wrap
+    // once n_a·n_b exceeds 2⁶³ (~3×10⁹ rows per arm), so every product
+    // is formed in DECIMAL(38,0) and only the OUTPUT columns cast back
+    // to BIGINT (NULL — loud, never wrong — beyond ~9×10¹⁸)
     fab.crossJoin(tot)
-      .agg(max(abs(col("fa") * col("n_b") - col("fb") * col("n_a")))
-          .as("ks_num"),
+      .agg(max(abs(dec(col("fa")) * dec(col("n_b")) -
+          dec(col("fb")) * dec(col("n_a")))).as("ks_num_d"),
         max("n_a").as("n_a"), max("n_b").as("n_b"))
-      .select(col("n_a"), col("n_b"), col("ks_num"),
-        (col("n_a") * col("n_b")).as("ks_den"))
+      .withColumn("ks_den_d", dec(col("n_a")) * dec(col("n_b")))
       .withColumn("reject_05", {
-        val k = dec(col("ks_num"))
+        val k = col("ks_num_d")
         lit(1000000L).cast("decimal(38,0)") * k * k >
           lit(KsCritSqX1e6).cast("decimal(38,0)") *
-            dec(col("n_a") + col("n_b")) * dec(col("ks_den")) &&
-          col("ks_den") > 0
+            dec(col("n_a") + col("n_b")) * col("ks_den_d") &&
+          col("ks_den_d") > 0
       })
+      .select(col("n_a"), col("n_b"),
+        col("ks_num_d").cast("long").as("ks_num"),
+        col("ks_den_d").cast("long").as("ks_den"),
+        col("reject_05"))
   }
 
   /** Spearman rank correlation, EXACT through ties: doubled midranks
@@ -128,9 +136,15 @@ object Experiment {
     *
     *   ρ = A / √(Bx·By),  A = Σrxry − n(n+1)²,  B• = Σr•² − n(n+1)²
     *
-    * with A ≲ n³ — so ρ²·10⁶ = A²·10⁶ / (Bx·By) and the |ρ| > 0.2
-    * verdict `25·A² > Bx·By` stay inside DECIMAL(38,0) to n ≈ 10⁶
-    * pairs. Beyond that (the 100 TB path) the identical machinery
+    * with A ≲ n³/3 — so A² ≈ n⁶/9 and the naive `A²·10⁶ DIV (Bx·By)`
+    * would leave DECIMAL(38,0) once n ≳ 3×10⁵. ρ²·10⁶ therefore uses
+    * the STAGED division `A² DIV ((Bx·By) DIV 10⁶)` (pre-dividing the
+    * denominator keeps every intermediate ≤ n⁶/9), which holds exact
+    * integer semantics to n ≈ 3×10⁶ pairs; when Bx·By < 10⁶ (tiny
+    * inputs, where the staged divisor would truncate to 0) it falls
+    * back to the direct form, which is overflow-safe exactly there.
+    * The |ρ| > 0.2 verdict `25·A² > Bx·By` fits un-staged to the same
+    * n ≈ 3×10⁶. Beyond that (the 100 TB path) the identical machinery
     * runs on per-mille-quantised ranks — the statistic of the
     * quantised ranks is still engine-exact; only the quantisation is
     * a (deterministic, documented) approximation. Zero-variance
@@ -163,9 +177,16 @@ object Experiment {
         (dec(col("syy")) - nn1sq).cast("long").as("rho_den_y"))
       .withColumn("rho2_ppm",
         expr("""CASE WHEN rho_den_x > 0 AND rho_den_y > 0 THEN
-               |  CAST((CAST(rho_num AS DECIMAL(38,0)) * rho_num * 1000000)
-               |       DIV (CAST(rho_den_x AS DECIMAL(38,0)) * rho_den_y)
-               |    AS BIGINT) END""".stripMargin))
+               |  CASE WHEN (CAST(rho_den_x AS DECIMAL(38,0)) * rho_den_y)
+               |            DIV 1000000 > 0 THEN
+               |    CAST((CAST(rho_num AS DECIMAL(38,0)) * rho_num)
+               |         DIV ((CAST(rho_den_x AS DECIMAL(38,0)) * rho_den_y)
+               |              DIV 1000000)
+               |      AS BIGINT)
+               |  ELSE
+               |    CAST((CAST(rho_num AS DECIMAL(38,0)) * rho_num * 1000000)
+               |         DIV (CAST(rho_den_x AS DECIMAL(38,0)) * rho_den_y)
+               |      AS BIGINT) END END""".stripMargin))
       .withColumn("positive", col("rho_num") > 0)
       .withColumn("strong_02",
         col("rho_den_x") > 0 && col("rho_den_y") > 0 &&

@@ -171,7 +171,8 @@ object Similarity {
         val cand = it.toArray.sortBy(t => (-t._3, t._2))
         val picked = scala.collection.mutable.ArrayBuffer[Int]()
         val kk = math.min(k, cand.length)
-        while (picked.length < kk) {
+        var exhausted = false
+        while (picked.length < kk && !exhausted) {
           var bestIdx = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
@@ -195,7 +196,10 @@ object Similarity {
             }
             i += 1
           }
-          picked += bestIdx
+          // every remaining candidate scored NaN (a zero-norm embedding
+          // makes cosineKernel NaN, and NaN > -Inf is false): emit the
+          // picks we have instead of indexing cand(-1)
+          if (bestIdx < 0) exhausted = true else picked += bestIdx
         }
         picked.iterator.zipWithIndex.map { case (ci, r) =>
           (qid, r + 1, cand(ci)._2)

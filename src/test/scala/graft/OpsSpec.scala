@@ -1733,6 +1733,47 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("mannKendall: hand-computed S/ties/variance; tied series is an honest non-verdict") {
+    import spark.implicits._
+    def series(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (d.toLong * 1000 + i,
+          java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")))
+      }.toDF("event_id", "ts")
+    // counts [3,3,4,...,13]: every date pair is concordant except the
+    // tied first two → S = C(12,2) − 1 = 65; one tie group of 2 →
+    // tie18 = 2·1·9 = 18, var_x18 = 12·11·29 − 18 = 3810; the verdict
+    // 11250·65² ≥ 2401·3810 holds → significant increasing
+    val up = Seq(3, 3) ++ (4 to 13)
+    val got = graft.ops.TimeSeries.mannKendall(series(up), "ts").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_buckets") == 12L)
+    assert(r.getAs[Long]("n_distinct") == 11L)
+    assert(r.getAs[Long]("s_stat") == 65L)
+    assert(r.getAs[Long]("var_x18") == 3810L)
+    assert(r.getAs[Boolean]("significant"))
+    assert(r.getAs[String]("trend") == "increasing")
+    // all-tied series: S = 0 AND var_x18 = 0 (the degenerate guard) →
+    // not significant, trend 'none', never a divide-by-zero
+    val flat = graft.ops.TimeSeries.mannKendall(series(Seq(5, 5, 5)), "ts").collect().head
+    assert(flat.getAs[Long]("s_stat") == 0L)
+    assert(flat.getAs[Long]("var_x18") == 0L)
+    assert(!flat.getAs[Boolean]("significant"))
+    assert(flat.getAs[String]("trend") == "none")
+    // decreasing: strictly falling counts → S = −C(5,2) = −10, the
+    // perfect monotone |S| = 10 > 1.96σ ≈ 8 (11250·100 ≥ 2401·300)
+    val down = graft.ops.TimeSeries.mannKendall(series(Seq(9, 8, 7, 6, 5)), "ts").collect().head
+    assert(down.getAs[Long]("s_stat") == -10L)
+    assert(down.getAs[Long]("var_x18") == 300L)
+    assert(down.getAs[Boolean]("significant"))
+    assert(down.getAs[String]("trend") == "decreasing")
+    // partitioning-invariant
+    val re = graft.ops.TimeSeries.mannKendall(series(up).repartition(7), "ts").collect().head
+    assert(re.toSeq == r.toSeq)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("containment finds the quoted-inside pair symmetric Jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"
@@ -2294,6 +2335,26 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
         vecs.filter(col("vec_id") === 0), shortlist = 3, k = 2)
       .as[(Long, Int, Long)].collect().toSet
     assert(re == got)
+  }
+
+  test("mmrTopK: zero-norm candidates (NaN cosine) never crash the greedy loop") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // after the first pick, every remaining candidate is zero-norm →
+    // its diversity cosine is NaN, NaN > -Inf is false, and the greedy
+    // argmax finds NO best index; the op must emit the picks it has
+    // (here exactly 1) instead of indexing cand(-1)
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f),
+      2L -> Array(0f, 0f, 0f),
+      3L -> Array(0f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(vecs, vecs.filter(col("vec_id") === 0),
+        shortlist = 3, k = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((0L, 1, 1L)),
+      s"expected a single surviving pick, got $got")
   }
 
   test("kHop: min-hop BFS respects direction, cycles, and the hop cap") {

@@ -59,7 +59,7 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "st19_late_audit", "er3_blocking_quality", "o38_t_closeness",
     "q_auc", "q_attribution", "q_lag_features",
     "er4_incremental_linkage", "q_ks_test", "q_gini", "q_lorenz",
-    "q_spearman", "q_benford")
+    "q_spearman", "q_benford", "g4_components", "q_trend")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
