@@ -3049,6 +3049,309 @@ object GraftQueries {
     graft.ops.TimeSeries.mannKendall(
       tbl(s, dir, "events").filter(col("event_type") === "purchase"), "ts")
 
+  /** Q_SRM [EXT] — sample-ratio-mismatch audit (`Experiment.srmCheck`):
+    * the md5-coin cohorts of the q_ab_chisq experiment checked against
+    * their designed 50/50 split with the exact χ²(1) polynomial
+    * `1000·(n_a−n_b)² ≥ 3841·n` in DECIMAL(38,0) — the gate a trusted
+    * experimentation platform runs BEFORE reading any metric.
+    */
+  def qSrm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.srmCheck(tbl(s, dir, "events"))
+
+  /** Q_BOOTSTRAP_CI [EXT] — deterministic Poisson bootstrap CI for
+    * mean customer spend (`Experiment.bootstrapCiMean`): B = 40
+    * replicas weight each customer by a Poisson(1) draw taken from
+    * the portable md5 coin (per-mille bucket vs the exact pmf prefix),
+    * replica means are integers, and the CI is the order statistics
+    * at ranks 2 / B−1 — a bit-reproducible bootstrap the oracle
+    * replays weight-for-weight.
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+    graft.ops.Experiment.bootstrapCiMean(spend, "k", "x")
+  }
+
+  /** Q_BASKET_RULES [EXT] — association rules on the q_basket_pairs
+    * itemsets: per-direction confidence (per-mille) and lift (ppm, in
+    * DECIMAL(38,0) — support·n_baskets·10⁶ overflows a long at scale),
+    * top-20 by lift. The A-priori prefilter keeps the pair self-join
+    * over frequent items only; supports and the basket total are
+    * mergeable aggregates; the final cut is TakeOrderedAndProject.
+    */
+  def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 3L
+    val items = graft.ops.OpCaches.persist(
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    val nBaskets = broadcast(
+      items.select("o").distinct().agg(count(lit(1)).as("n_baskets")))
+    val sup = graft.ops.OpCaches.persist(
+      items.groupBy("p").agg(count(lit(1)).as("sup")))
+    val frequent = sup.filter(col("sup") * 2 >= minSupport)
+    val filtered = items.join(broadcast(frequent.select("p")), "p")
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(sup.select(col("p").as("part_a"), col("sup").as("sup_a")), "part_a")
+      .join(sup.select(col("p").as("part_b"), col("sup").as("sup_b")), "part_b")
+      .crossJoin(nBaskets)
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("sup_a"), col("sup_b"),
+        expr("(support * 1000) DIV sup_a").as("conf_a2b_pm"),
+        expr("(support * 1000) DIV sup_b").as("conf_b2a_pm"),
+        expr("""CAST((CAST(support AS DECIMAL(38,0)) * n_baskets * 1000000)
+               |     DIV (CAST(sup_a AS DECIMAL(38,0)) * sup_b) AS BIGINT)"""
+          .stripMargin).as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Q_FUNNEL_WINDOW [EXT] — the q_funnel stages under a 3-day
+    * max-gap deadline (`Funnel.windowedStageCounts`): click within 3
+    * days of a view, purchase within 3 days of THAT click. Exact
+    * existence semantics via the two-slot reachability DP (greedy
+    * earliest-chain is provably wrong under deadlines — see the op
+    * doc); the oracle is the equivalent per-stage EXISTS chain.
+    */
+  def qFunnelWindow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.windowedStageCounts(tbl(s, dir, "events"),
+      "user_id", "event_type", "ts",
+      stages = Seq("view", "click", "purchase"), maxGapSec = 3L * 86400,
+      names = Seq("n_view", "n_click_3d", "n_purchase_3d"))
+
+  /** O39 [EXT] — subject-access-request export (GDPR Art. 15), the
+    * privacy-toolkit twin of o34's right-to-be-forgotten: every row
+    * holding a subject's data across the FK-linked tables
+    * (customer → orders → lineitem), normalised to one
+    * `(table_name, row_pk, subject_key, column_name, value)` entity
+    * dump a DPO can hand over. Values render through the same
+    * engine-portable forms the dump codec uses (DECIMAL(18,2) for
+    * money, ISO dates); subjects here are `c_custkey ≡ 7 (mod 1000)`.
+    *
+    * Scale shape: the subject set is tiny by contract (a SAR names
+    * people, not cohorts) — it BROADCASTS to orders, the matched
+    * order keys broadcast to lineitem (two broadcast equi-joins, the
+    * fact tables never shuffle), and the unpivot is a narrow `stack`.
+    */
+  def o39SubjectExport(s: SparkSession, dir: String): DataFrame = {
+    val subj = tbl(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(1000L)) === 7)
+    val cust = subj.select(
+      lit("customer").as("table_name"),
+      col("c_custkey").cast("string").as("row_pk"),
+      col("c_custkey").as("subject_key"),
+      expr("""stack(4,
+             |  'c_name', c_name,
+             |  'c_nationkey', CAST(c_nationkey AS STRING),
+             |  'c_acctbal', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING),
+             |  'c_mktsegment', c_mktsegment) AS (column_name, value)"""
+        .stripMargin))
+    val sOrders = graft.ops.OpCaches.persist(
+      tbl(s, dir, "orders").join(broadcast(subj.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey")))
+    val ords = sOrders.select(
+      lit("orders").as("table_name"),
+      col("o_orderkey").cast("string").as("row_pk"),
+      col("o_custkey").as("subject_key"),
+      expr("""stack(3,
+             |  'o_orderstatus', o_orderstatus,
+             |  'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+             |  'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING))
+             |  AS (column_name, value)""".stripMargin))
+    val li = tbl(s, dir, "lineitem")
+      .join(broadcast(sOrders.select(col("o_orderkey").as("so"),
+          col("o_custkey").as("sk"))),
+        col("l_orderkey") === col("so"))
+      .select(
+        lit("lineitem").as("table_name"),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("row_pk"),
+        col("sk").as("subject_key"),
+        expr("""stack(3,
+               |  'l_partkey', CAST(l_partkey AS STRING),
+               |  'l_quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING),
+               |  'l_extendedprice', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING))
+               |  AS (column_name, value)""".stripMargin))
+    cust.unionByName(ords).unionByName(li)
+  }
+
+  /** T26 [EXT] — RAG chunk table (`TextAnalysis.chunks`): overlapping
+    * 64-token windows at stride 48 with 0-based offsets and the
+    * portable md5-prefix content fingerprint — a pure narrow map
+    * (zero shuffle at any corpus size); the oracle re-derives every
+    * window and hash.
+    */
+  def t26Chunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunks(tbl(s, dir, "documents"))
+
+  /** T27 [EXT] — green-list watermark audit
+    * (`TextAnalysis.watermarkAudit`): per-document green-token count
+    * under the md5 coin with the exact χ²(1) flag
+    * `1000·(2g−n)² ≥ 3841·n` — the detection side of green/red LLM
+    * watermarking, zero-shuffle narrow map; the oracle replays coin
+    * and verdict bit-for-bit.
+    */
+  def t27Watermark(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.watermarkAudit(tbl(s, dir, "documents"))
+
+  /** T28 [EXT] — tokenizer fertility by language: the t24 BPE
+    * accounting aggregated per `lang` — BPE tokens per pre-token and
+    * chars per BPE token in per-mille, THE cross-lingual tokenizer
+    * health metric (a language with high fertility is under-served by
+    * the vocabulary). Encoding stays a vocabulary-scale computation
+    * (t24); this adds one mergeable per-lang aggregate.
+    */
+  def t28Fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    TextAnalysis.bpeEncode(docs, rounds = 3)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pretokens").as("n_pretokens"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("fertility_pm",
+        when(col("n_pretokens") > 0,
+          expr("(n_bpe_tokens * 1000) DIV n_pretokens")))
+      .withColumn("chars_per_tok_pm",
+        when(col("n_bpe_tokens") > 0,
+          expr("(n_chars * 1000) DIV n_bpe_tokens")))
+  }
+
+  /** S17 [EXT] — all-corpus kNN GRAPH (`Similarity.knnGraph`): every
+    * vector's top-10 via LSH bucket SELF-joins (3 independent tables,
+    * 3 bits) — no broadcast of the corpus, no cross join, candidate
+    * volume Σ|bucket|² instead of n². Catalog contract = the s2-style
+    * recall verdict on the sampled nodes (vec_id < 10) against the
+    * exact brute-force top-10; raw recall is asserted in the suite.
+    */
+  def s17KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val graph = Similarity.knnGraph(emb, k = 10, bits = 3, tables = 3)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = graph.select(col("src").as("query_id"),
+        col("dst").as("neighbor_id"))
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2)
+          .as("recall_ok"))
+  }
+
+  /** Q_CONFORMAL [EXT] — split-conformal prediction interval
+    * (`Experiment.splitConformal`): per-event-type integer mean fit on
+    * the calibration half (event_id ≡ 0 mod 2), nonconformity
+    * `|cents − pred|`, q̂ at α = 0.1 from the score-domain prefix sum,
+    * coverage audited on the held-out half — the distribution-free
+    * model-eval wrapper, bit-portable end to end.
+    */
+  def qConformal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.splitConformal(tbl(s, dir, "events"),
+      "event_type",
+      (col("value").cast("decimal(18,2)") * 100).cast("long"),
+      pmod(col("event_id"), lit(2L)) === 0, alphaPm = 100)
+
+  /** Q_DID [EXT] — difference-in-differences
+    * (`Experiment.diffInDiff`): md5-coin treatment, mid-month cutoff,
+    * per-cell integer means in cents, DiD as the double difference —
+    * the quasi-experimental estimator with every number exact.
+    */
+  def qDid(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.diffInDiff(tbl(s, dir, "events"),
+      "user_id", "ts",
+      (col("value").cast("decimal(18,2)") * 100).cast("long"),
+      cutoff = "2024-01-16 00:00:00")
+
+  /** Q_RFM [EXT] — RFM customer segmentation: recency (days since
+    * last order vs the global max date), frequency (order count) and
+    * monetary (spend cents) each quintile-scored 1–5 by GLOBAL rank
+    * via the t14 distributed prefix sum (three chained runningTotals —
+    * never a partitionless window), then the classic 125-cell segment
+    * census. Score = `((i−1)·5) div n + 1` ascending (recency
+    * reversed so 5 = most recent); ties broken by customer key, so
+    * both engines bucket identically.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val per = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("m"))
+    val tot = broadcast(
+      per.agg(count(lit(1)).as("n"), max("last_d").as("gmax")))
+    val base = per.crossJoin(tot)
+      .withColumn("r_days", datediff(col("gmax"), col("last_d")))
+      .withColumn("__one", lit(1L))
+    val s1 = graft.ops.Sampling.runningTotal(base,
+      Seq(col("r_days"), col("k")), "__one")
+      .withColumnRenamed("running_total", "ir")
+    val s2 = graft.ops.Sampling.runningTotal(s1,
+      Seq(col("f"), col("k")), "__one")
+      .withColumnRenamed("running_total", "if_")
+    val s3 = graft.ops.Sampling.runningTotal(s2,
+      Seq(col("m"), col("k")), "__one")
+      .withColumnRenamed("running_total", "im")
+    s3.select(
+        expr("5 - ((ir - 1) * 5) DIV n").as("r_score"),
+        expr("((if_ - 1) * 5) DIV n + 1").as("f_score"),
+        expr("((im - 1) * 5) DIV n + 1").as("m_score"),
+        col("m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("m").as("monetary_cents"))
+  }
+
+  /** O40 [EXT] — retention-policy audit, the MINIMISER's scheduled
+    * sweep as a dry-run preview (o21's posture applied to a date
+    * policy): orders older than the cutoff expire, their lineitems
+    * CASCADE (the o34/Topo FK direction), referenced dimensions are
+    * retained. Per table: total, expired, retained counts. The
+    * lineitem expiry flag rides a key-sized equi join on the expired
+    * order keys — the fact table scans once and never shuffles more
+    * than that join.
+    */
+  def o40RetentionAudit(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+    val orders = tbl(s, dir, "orders")
+    val ordersRow = orders
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderdate") < cutoff, 1L).otherwise(0L))
+          .as("n_expired"))
+      .select(lit("orders").as("table_name"), col("n_rows"), col("n_expired"))
+    val liRow = tbl(s, dir, "lineitem").select(col("l_orderkey"))
+      .join(orders.filter(col("o_orderdate") < cutoff)
+          .select(col("o_orderkey").as("l_orderkey"), lit(1L).as("__e")),
+        Seq("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_expired"))
+      .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_expired"))
+    val custRow = tbl(s, dir, "customer")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("customer").as("table_name"), col("n_rows"),
+        lit(0L).as("n_expired"))
+    ordersRow.unionByName(liRow).unionByName(custRow)
+      .withColumn("n_retained", col("n_rows") - col("n_expired"))
+  }
+
+  /** ST20 [EXT] — streaming RAG chunking, batch form
+    * (`DocsStream.chunkBatch`; stream == batch asserted in
+    * StreamingSpec): the t26 chunk table as a STATELESS streaming
+    * projection — non-overlapping 32-token windows, the indexing-feed
+    * shape.
+    */
+  def st20Chunks(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocsStream.chunkBatch(tbl(s, dir, "documents"))
+
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
     * first join): parts bought together in one order, top-20 pairs by
     * support. The A-priori downward-closure prefilter does the scale
@@ -3720,5 +4023,19 @@ object GraftQueries {
     "q_benford"          -> (qBenford _),
     "g4_components"      -> (g4Components _),
     "q_trend"            -> (qTrend _),
+    "q_srm"              -> (qSrm _),
+    "q_bootstrap_ci"     -> (qBootstrapCi _),
+    "q_basket_rules"     -> (qBasketRules _),
+    "q_funnel_window"    -> (qFunnelWindow _),
+    "o39_subject_export" -> (o39SubjectExport _),
+    "t26_chunks"         -> (t26Chunks _),
+    "t27_watermark"      -> (t27Watermark _),
+    "t28_fertility"      -> (t28Fertility _),
+    "s17_knn_graph"      -> (s17KnnGraph _),
+    "q_conformal"        -> (qConformal _),
+    "q_did"              -> (qDid _),
+    "q_rfm"              -> (qRfm _),
+    "o40_retention_audit" -> (o40RetentionAudit _),
+    "st20_chunks"        -> (st20Chunks _),
   )
 }

@@ -99,6 +99,45 @@ object Oracles {
       s"regexp_replace($acc, '$p', '$mask', 'g')"
     }
 
+  /** Shared CTE prefix of the t24/t28 oracles: the three unrolled BPE
+    * merge rounds re-encoding the vocabulary (w0 rides along as the
+    * join-back key), then per-doc token accounting in `pd`.
+    */
+  private val bpeEncodeCtes: String =
+    """WITH v0 AS (
+      |  SELECT w AS w0, w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |p1 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+      |       FROM v0, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+      |       WHERE len(w) >= 2 GROUP BY 1),
+      |m1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
+      |v1 AS (SELECT w0, replace(w, (SELECT pair FROM m1), 'A') AS w, f FROM v0),
+      |p2 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+      |       FROM v1, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+      |       WHERE len(w) >= 2 GROUP BY 1),
+      |m2 AS (SELECT pair FROM p2 ORDER BY c DESC, pair LIMIT 1),
+      |v2 AS (SELECT w0, replace(w, (SELECT pair FROM m2), 'B') AS w, f FROM v1),
+      |p3 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
+      |       FROM v2, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
+      |       WHERE len(w) >= 2 GROUP BY 1),
+      |m3 AS (SELECT pair FROM p3 ORDER BY c DESC, pair LIMIT 1),
+      |v3 AS (SELECT w0, replace(w, (SELECT pair FROM m3), 'C') AS w FROM v2),
+      |enc AS (SELECT w0, len(w) AS toks FROM v3),
+      |dw AS (
+      |  SELECT doc_id, w AS w0, count(*) AS cnt
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |pd AS (
+      |  SELECT dw.doc_id,
+      |         sum(dw.cnt) AS n_pretokens,
+      |         sum(dw.cnt * len(dw.w0)) AS n_chars,
+      |         sum(dw.cnt * enc.toks) AS n_bpe_tokens
+      |  FROM dw JOIN enc USING (w0) GROUP BY 1)""".stripMargin
+
   private def piiCountSql(expr: String): String =
     graft.ops.TextAnalysis.piiPatterns
       .map { case (_, p, _) => s"len(regexp_extract_all($expr, '$p'))" }
@@ -1425,6 +1464,317 @@ object Oracles {
         |    WHEN s_stat > 0 THEN 'increasing'
         |    ELSE 'decreasing' END AS trend
         |FROM v""".stripMargin,
+
+    // sample-ratio mismatch: the md5-coin cohorts vs the designed
+    // 50/50, exact chi-square(1) GOF polynomial
+    "q_srm" -> {
+      val coin = bucketSql("u", 2)
+      s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+         |v AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN $coin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN $coin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM u)
+         |SELECT n_a, n_b,
+         |  (n_a + n_b) > 0 AND
+         |    1000 * (n_a - n_b) * (n_a - n_b) >= 3841 * (n_a + n_b)
+         |    AS mismatch_05
+         |FROM v""".stripMargin
+    },
+
+    // deterministic Poisson bootstrap: md5 per-mille coin vs the exact
+    // Poisson(1) pmf prefix, per-replica integer means, rank-2/B-1 CI
+    "q_bootstrap_ci" -> {
+      val coin = bucketSql("CAST(k AS VARCHAR) || ':' || CAST(rep AS VARCHAR)", 1000)
+      s"""WITH spend AS (
+         |  SELECT o_custkey AS k,
+         |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+         |  FROM orders GROUP BY 1),
+         |e AS (
+         |  SELECT k, x, g.rep,
+         |    CASE WHEN $coin < 368 THEN 0 WHEN $coin < 736 THEN 1
+         |      WHEN $coin < 920 THEN 2 WHEN $coin < 981 THEN 3 ELSE 4 END AS w
+         |  FROM spend, LATERAL (SELECT unnest(range(0, 40)) AS rep) g),
+         |m AS (
+         |  SELECT rep, sum(w * x) // sum(w) AS m
+         |  FROM e GROUP BY rep HAVING sum(w) > 0),
+         |r AS (SELECT list(m ORDER BY m, rep) AS l, count(*) AS nr FROM m),
+         |t AS (SELECT count(*) AS n_rows, sum(x) AS sx FROM spend)
+         |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(sx // n_rows AS BIGINT) AS mean_value,
+         |  CAST(nr AS BIGINT) AS n_replicas,
+         |  CAST(l[2] AS BIGINT) AS ci_lo,
+         |  CAST(l[nr - 1] AS BIGINT) AS ci_hi
+         |FROM r, t""".stripMargin
+    },
+
+    // association rules over the q_basket_pairs itemsets: confidence
+    // per-mille both directions, lift in ppm, top-20 by lift
+    "q_basket_rules" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o) AS n_baskets FROM items),
+        |sup AS MATERIALIZED (SELECT p, count(*) AS sup FROM items GROUP BY 1),
+        |freq AS (SELECT p FROM sup WHERE sup * 2 >= 3),
+        |f AS (SELECT i.o, i.p FROM items i JOIN freq USING (p)),
+        |pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+        |  FROM f a JOIN f b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+        |  CAST(sa.sup AS BIGINT) AS sup_a, CAST(sb.sup AS BIGINT) AS sup_b,
+        |  CAST((support * 1000) // sa.sup AS BIGINT) AS conf_a2b_pm,
+        |  CAST((support * 1000) // sb.sup AS BIGINT) AS conf_b2a_pm,
+        |  CAST((support * n_baskets * 1000000) // (sa.sup * sb.sup) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs JOIN sup sa ON part_a = sa.p
+        |  JOIN sup sb ON part_b = sb.p, nb
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // time-bounded funnel: per-stage EXISTS chain (exact existence
+    // semantics — equivalent to the engine's reachability DP), 3-day
+    // gap in epoch microseconds
+    "q_funnel_window" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'view'),
+        |c AS MATERIALIZED (
+        |  SELECT DISTINCT e.user_id AS u, epoch_us(e.ts) AS t FROM events e
+        |  WHERE e.event_type = 'click' AND EXISTS (
+        |    SELECT 1 FROM v WHERE v.u = e.user_id AND v.t < epoch_us(e.ts)
+        |      AND epoch_us(e.ts) - v.t <= 259200000000)),
+        |p AS (
+        |  SELECT DISTINCT e.user_id AS u FROM events e
+        |  WHERE e.event_type = 'purchase' AND EXISTS (
+        |    SELECT 1 FROM c WHERE c.u = e.user_id AND c.t < epoch_us(e.ts)
+        |      AND epoch_us(e.ts) - c.t <= 259200000000))
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM c) AS n_click_3d,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_3d""".stripMargin,
+
+    // subject-access-request export: every row holding a subject's
+    // data across customer -> orders -> lineitem, unpivoted to the
+    // normalised entity dump with portable value rendering
+    "o39_subject_export" ->
+      """WITH subj AS MATERIALIZED (
+        |  SELECT * FROM customer WHERE c_custkey % 1000 = 7),
+        |sord AS MATERIALIZED (
+        |  SELECT o.* FROM orders o JOIN subj s ON o.o_custkey = s.c_custkey)
+        |SELECT 'customer' AS table_name, CAST(c_custkey AS VARCHAR) AS row_pk,
+        |  c_custkey AS subject_key, 'c_name' AS column_name, c_name AS value
+        |FROM subj
+        |UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR), c_custkey,
+        |  'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM subj
+        |UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR), c_custkey,
+        |  'c_acctbal', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM subj
+        |UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR), c_custkey,
+        |  'c_mktsegment', c_mktsegment FROM subj
+        |UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR), o_custkey,
+        |  'o_orderstatus', o_orderstatus FROM sord
+        |UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR), o_custkey,
+        |  'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM sord
+        |UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR), o_custkey,
+        |  'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM sord
+        |UNION ALL SELECT 'lineitem',
+        |  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR),
+        |  sord.o_custkey, 'l_partkey', CAST(l_partkey AS VARCHAR)
+        |FROM lineitem JOIN sord ON l_orderkey = o_orderkey
+        |UNION ALL SELECT 'lineitem',
+        |  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR),
+        |  sord.o_custkey, 'l_quantity',
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM lineitem JOIN sord ON l_orderkey = o_orderkey
+        |UNION ALL SELECT 'lineitem',
+        |  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR),
+        |  sord.o_custkey, 'l_extendedprice',
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM lineitem JOIN sord ON l_orderkey = o_orderkey""".stripMargin,
+
+    // RAG chunk table: every 64-token window at stride 48, 0-based
+    // offsets, the portable 60-bit md5-prefix content fingerprint
+    "t26_chunks" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, g.i AS start, len(tk) AS n, tk
+           |  FROM toks, LATERAL (SELECT unnest(range(0, len(tk), 48)) AS i) g
+           |  WHERE len(tk) >= 1)
+           |SELECT doc_id,
+           |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+           |  CAST(start AS BIGINT) AS tok_start,
+           |  CAST(least(64, n - start) AS BIGINT) AS n_tokens_chunk,
+           |  CAST(('0x' || substr(md5(
+           |      array_to_string(tk[start + 1 : start + 64], ' ')), 1, 15))
+           |    AS BIGINT) AS chunk_fp
+           |FROM c""".stripMargin,
+
+    // green-list watermark audit: the md5 coin per TOKEN, exact
+    // chi-square(1) flag on the green count vs the fair-coin null
+    "t27_watermark" -> {
+      val coin = bucketSql("t", 2)
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter(tk, t -> $coin = 0)) AS BIGINT) AS n_green
+           |  FROM toks)
+           |SELECT doc_id, n_tokens, n_green,
+           |  CAST(CASE WHEN n_tokens > 0
+           |    THEN (n_green * 1000) // n_tokens END AS BIGINT) AS green_pm,
+           |  n_tokens > 0 AND
+           |    1000 * (2 * n_green - n_tokens) * (2 * n_green - n_tokens)
+           |      >= 3841 * n_tokens AS flagged
+           |FROM g""".stripMargin
+    },
+
+    // s17 (kNN graph via LSH bucket self-joins) emits the s2-style
+    // deterministic recall verdict on the sampled nodes
+    "s17_knn_graph" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
+
+    // split-conformal: per-type calib mean, |v - pred| scores, q-hat at
+    // the ceil((n+1)(1-alpha)) rank via the cum*1000 inequality,
+    // held-out coverage
+    "q_conformal" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_id % 2 = 0 AS cal
+        |  FROM events),
+        |model AS (
+        |  SELECT g, CAST(sum(v) // count(*) AS BIGINT) AS pred
+        |  FROM base WHERE cal GROUP BY 1),
+        |scored AS (
+        |  SELECT b.g, b.v, b.cal, abs(b.v - m.pred) AS s
+        |  FROM base b JOIN model m USING (g)),
+        |ncal AS (SELECT count(*) AS n_cal FROM scored WHERE cal),
+        |hist AS (SELECT s, count(*) AS c FROM scored WHERE cal GROUP BY 1),
+        |rt AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+        |q AS (SELECT min(s) AS qhat_cents FROM rt, ncal
+        |      WHERE cum * 1000 >= (n_cal + 1) * 900),
+        |t AS (
+        |  SELECT count(*) AS n_test,
+        |    sum(CASE WHEN qhat_cents IS NULL OR s <= qhat_cents
+        |      THEN 1 ELSE 0 END) AS n_cov
+        |  FROM scored, q WHERE NOT cal)
+        |SELECT CAST(n_cal AS BIGINT) AS n_cal,
+        |  CAST(qhat_cents AS BIGINT) AS qhat_cents,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(n_cov AS BIGINT) AS n_covered,
+        |  CAST(CASE WHEN n_test > 0 THEN (n_cov * 1000) // n_test END
+        |    AS BIGINT) AS covered_pm,
+        |  CASE WHEN n_test > 0 THEN (n_cov * 1000) // n_test END >= 870
+        |    AS coverage_ok
+        |FROM ncal, q, t""".stripMargin,
+
+    // difference-in-differences: md5-coin treatment x cutoff pre/post,
+    // per-cell integer means, the double difference
+    "q_did" -> {
+      val coin = bucketSql("user_id", 2)
+      s"""WITH base AS (
+         |  SELECT $coin AS treat,
+         |    ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events),
+         |a AS (
+         |  SELECT
+         |    sum(CASE WHEN treat = 0 AND NOT post THEN 1 ELSE 0 END) AS n_c_pre,
+         |    sum(CASE WHEN treat = 0 AND NOT post THEN v ELSE 0 END) AS s_c_pre,
+         |    sum(CASE WHEN treat = 0 AND post THEN 1 ELSE 0 END) AS n_c_post,
+         |    sum(CASE WHEN treat = 0 AND post THEN v ELSE 0 END) AS s_c_post,
+         |    sum(CASE WHEN treat = 1 AND NOT post THEN 1 ELSE 0 END) AS n_t_pre,
+         |    sum(CASE WHEN treat = 1 AND NOT post THEN v ELSE 0 END) AS s_t_pre,
+         |    sum(CASE WHEN treat = 1 AND post THEN 1 ELSE 0 END) AS n_t_post,
+         |    sum(CASE WHEN treat = 1 AND post THEN v ELSE 0 END) AS s_t_post
+         |  FROM base),
+         |m AS (
+         |  SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+         |    CASE WHEN n_c_pre > 0 THEN s_c_pre // n_c_pre END AS m_c_pre,
+         |    CASE WHEN n_c_post > 0 THEN s_c_post // n_c_post END AS m_c_post,
+         |    CASE WHEN n_t_pre > 0 THEN s_t_pre // n_t_pre END AS m_t_pre,
+         |    CASE WHEN n_t_post > 0 THEN s_t_post // n_t_post END AS m_t_post
+         |  FROM a)
+         |SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+         |  CAST(n_c_post AS BIGINT) AS n_c_post,
+         |  CAST(n_t_pre AS BIGINT) AS n_t_pre,
+         |  CAST(n_t_post AS BIGINT) AS n_t_post,
+         |  CAST(m_c_pre AS BIGINT) AS m_c_pre,
+         |  CAST(m_c_post AS BIGINT) AS m_c_post,
+         |  CAST(m_t_pre AS BIGINT) AS m_t_pre,
+         |  CAST(m_t_post AS BIGINT) AS m_t_post,
+         |  CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)
+         |    AS did_cents
+         |FROM m""".stripMargin
+    },
+
+    // RFM quintile segmentation: global ranks by row_number, score =
+    // ((i-1)*5)//n (+1 / reversed for recency), 125-cell census
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS k, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS f,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, max(last_d) AS gmax FROM per),
+        |r AS (SELECT k, f, m, n,
+        |        date_diff('day', last_d, gmax) AS r_days FROM per, t),
+        |rk AS (SELECT k, f, m, n,
+        |        row_number() OVER (ORDER BY r_days, k) AS ir,
+        |        row_number() OVER (ORDER BY f, k) AS if_,
+        |        row_number() OVER (ORDER BY m, k) AS im
+        |       FROM r)
+        |SELECT CAST(5 - ((ir - 1) * 5) // n AS BIGINT) AS r_score,
+        |  CAST(((if_ - 1) * 5) // n + 1 AS BIGINT) AS f_score,
+        |  CAST(((im - 1) * 5) // n + 1 AS BIGINT) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(m) AS BIGINT) AS monetary_cents
+        |FROM rk GROUP BY 1, 2, 3""".stripMargin,
+
+    // retention-policy audit: date-expired orders cascade to their
+    // lineitems; referenced dimensions are retained
+    "o40_retention_audit" ->
+      """WITH eo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_expired AS BIGINT) AS n_expired,
+        |  CAST(n_rows - n_expired AS BIGINT) AS n_retained
+        |FROM (
+        |  SELECT 'orders' AS table_name,
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    (SELECT count(*) FROM eo) AS n_expired
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+        |  UNION ALL
+        |  SELECT 'customer', (SELECT count(*) FROM customer), 0) u""".stripMargin,
+
+    // st20 = the t26 chunker at the streaming feed's 32/32 window
+    "st20_chunks" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, g.i AS start, len(tk) AS n, tk
+           |  FROM toks, LATERAL (SELECT unnest(range(0, len(tk), 32)) AS i) g
+           |  WHERE len(tk) >= 1)
+           |SELECT doc_id,
+           |  CAST(start // 32 AS BIGINT) AS chunk_idx,
+           |  CAST(start AS BIGINT) AS tok_start,
+           |  CAST(least(32, n - start) AS BIGINT) AS n_tokens_chunk,
+           |  CAST(('0x' || substr(md5(
+           |      array_to_string(tk[start + 1 : start + 32], ' ')), 1, 15))
+           |    AS BIGINT) AS chunk_fp
+           |FROM c""".stripMargin,
 
     // integer-exact PageRank, 3 supersteps unrolled; `//` is floor
     // division = Spark's DIV on the all-positive operands here
@@ -3072,44 +3422,38 @@ object Oracles {
     // (w0), then per-doc word counts join the encoded vocabulary —
     // token count = length of the fully-merged form
     "t24_bpe_encode" ->
-      """WITH v0 AS (
-        |  SELECT w AS w0, w, CAST(count(*) AS BIGINT) AS f
-        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |        FROM documents)
-        |  GROUP BY w),
-        |p1 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
-        |       FROM v0, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
-        |       WHERE len(w) >= 2 GROUP BY 1),
-        |m1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
-        |v1 AS (SELECT w0, replace(w, (SELECT pair FROM m1), 'A') AS w, f FROM v0),
-        |p2 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
-        |       FROM v1, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
-        |       WHERE len(w) >= 2 GROUP BY 1),
-        |m2 AS (SELECT pair FROM p2 ORDER BY c DESC, pair LIMIT 1),
-        |v2 AS (SELECT w0, replace(w, (SELECT pair FROM m2), 'B') AS w, f FROM v1),
-        |p3 AS (SELECT substr(w, i, 2) AS pair, sum(f) AS c
-        |       FROM v2, LATERAL (SELECT unnest(range(1, len(w))) AS i) g(i)
-        |       WHERE len(w) >= 2 GROUP BY 1),
-        |m3 AS (SELECT pair FROM p3 ORDER BY c DESC, pair LIMIT 1),
-        |v3 AS (SELECT w0, replace(w, (SELECT pair FROM m3), 'C') AS w FROM v2),
-        |enc AS (SELECT w0, len(w) AS toks FROM v3),
-        |dw AS (
-        |  SELECT doc_id, w AS w0, count(*) AS cnt
-        |  FROM (SELECT doc_id,
-        |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |        FROM documents)
-        |  GROUP BY 1, 2),
-        |pd AS (
-        |  SELECT dw.doc_id,
-        |         sum(dw.cnt) AS n_pretokens,
-        |         sum(dw.cnt * len(dw.w0)) AS n_chars,
-        |         sum(dw.cnt * enc.toks) AS n_bpe_tokens
-        |  FROM dw JOIN enc USING (w0) GROUP BY 1)
-        |SELECT d.doc_id,
-        |       CAST(coalesce(pd.n_pretokens, 0) AS BIGINT) AS n_pretokens,
-        |       CAST(coalesce(pd.n_chars, 0) AS BIGINT) AS n_chars,
-        |       CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
-        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+      s"""$bpeEncodeCtes
+         |SELECT d.doc_id,
+         |       CAST(coalesce(pd.n_pretokens, 0) AS BIGINT) AS n_pretokens,
+         |       CAST(coalesce(pd.n_chars, 0) AS BIGINT) AS n_chars,
+         |       CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+
+    // per-lang tokenizer fertility: the t24 accounting (shared CTE
+    // prefix) aggregated by language, integer per-mille ratios
+    "t28_fertility" ->
+      s"""$bpeEncodeCtes,
+         |j AS (
+         |  SELECT d.lang,
+         |         coalesce(pd.n_pretokens, 0) AS np,
+         |         coalesce(pd.n_chars, 0) AS nc,
+         |         coalesce(pd.n_bpe_tokens, 0) AS nb
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+         |a AS (
+         |  SELECT lang, count(*) AS n_docs, sum(np) AS n_pretokens,
+         |         sum(nb) AS n_bpe_tokens, sum(nc) AS n_chars
+         |  FROM j GROUP BY 1)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_pretokens AS BIGINT) AS n_pretokens,
+         |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN n_pretokens > 0
+         |    THEN (n_bpe_tokens * 1000) // n_pretokens END AS BIGINT)
+         |    AS fertility_pm,
+         |  CAST(CASE WHEN n_bpe_tokens > 0
+         |    THEN (n_chars * 1000) // n_bpe_tokens END AS BIGINT)
+         |    AS chars_per_tok_pm
+         |FROM a""".stripMargin,
 
     // drift report: the evolution replayed, both one-pass profiles,
     // schema facts as fixture literals (the o35 golden posture)

@@ -127,6 +127,183 @@ object Experiment {
         col("reject_05"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH audit — the first thing a trustworthy A/B
+    * platform checks before reading any metric: do the realised cohort
+    * sizes match the designed 50/50 split? A mismatch means broken
+    * assignment/logging and invalidates the experiment regardless of
+    * the metric result. χ² goodness-of-fit against 50/50 reduces to
+    * `(n_a − n_b)²/n ≥ χ²crit`, so the α = 0.05 verdict is the exact
+    * polynomial `1000·(n_a − n_b)² ≥ 3841·n` — evaluated in
+    * DECIMAL(38,0) (the count difference squares past 2⁶³ once cohorts
+    * pass ~3×10⁹).
+    *
+    * Scale shape: one distinct-user aggregate (the md5 coin is a pure
+    * row function), one two-row mergeable pivot, a single verdict row.
+    */
+  def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    events.select(col(userCol).as("u")).distinct()
+      .withColumn("variant", Sampling.bucket(col("u"), 2))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("mismatch_05", {
+        val d = dec(col("n_a")) - dec(col("n_b"))
+        val n = dec(col("n_a")) + dec(col("n_b"))
+        n > 0 && lit(1000L).cast("decimal(38,0)") * d * d >=
+          lit(ChiSqCritX1000).cast("decimal(38,0)") * n
+      })
+  }
+
+  /** DETERMINISTIC POISSON BOOTSTRAP confidence interval for a mean —
+    * the resampling machinery production metric platforms run, made
+    * bit-reproducible: replica `b` weights row `k` by a Poisson(1)
+    * draw taken from the portable md5 coin on `k:b` (per-mille bucket
+    * against the exact Poisson(1) pmf prefix ⌊1000·P(X<j)⌋ =
+    * 0/368/736/920/981 — w ∈ {0..4}, P(X≥5) lumped into 4). Every
+    * replica mean is an integer (`Σw·x DIV Σw` in value units);
+    * ci bounds are the order statistics at ranks 2 and B−1 of B = 40
+    * replicas (≈ the 2.5/97.5 percentiles). Same inputs → the same CI
+    * on any engine, any partitioning, any cluster size — a float RNG
+    * bootstrap can promise none of that.
+    *
+    * Scale shape: the value relation explodes ×B (constant factor,
+    * narrow), one mergeable (replica)-keyed aggregate (B·cells state),
+    * and the rank pick is a single-row `sort_array(collect_list)` over
+    * exactly B rows — metadata-scale by construction, never a window
+    * or a data sort.
+    */
+  def bootstrapCiMean(values: DataFrame, idCol: String, valueCol: String,
+                      replicas: Int = 40): DataFrame = {
+    require(replicas >= 4, "bootstrapCiMean: need >= 4 replicas")
+    val b = replicas
+    val exploded = values
+      .select(col(idCol).as("k"), col(valueCol).cast("long").as("x"))
+      .select(col("k"), col("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      // Poisson(1) from the per-mille coin: thresholds are the exact
+      // floor-per-mille CDF prefix of the pmf e^{-1}/j!
+      .withColumn("coin",
+        Sampling.bucket(concat(col("k").cast("string"), lit(":"),
+          col("rep").cast("string")), 1000))
+      .withColumn("w",
+        when(col("coin") < 368, 0L).when(col("coin") < 736, 1L)
+          .when(col("coin") < 920, 2L).when(col("coin") < 981, 3L)
+          .otherwise(4L))
+    // weighted sums in DECIMAL(38,0) — the qGini/ksTest posture: a
+    // LongType Σw·x wraps once rows × values pass ~2⁶¹
+    val perRep = exploded.groupBy("rep")
+      .agg(sum((col("w") * col("x")).cast("decimal(38,0)")).as("wx"),
+        sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("rep"), expr("CAST(wx DIV sw AS BIGINT)").as("m"))
+    val whole = values
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("sx"))
+    val reps = perRep.agg(
+      sort_array(collect_list(struct(col("m"), col("rep")))).as("ms"),
+      count(lit(1)).as("n_replicas"))
+    whole.crossJoin(reps)
+      .select(col("n_rows"),
+        expr("CAST(sx DIV n_rows AS BIGINT)").as("mean_value"),
+        col("n_replicas"),
+        element_at(col("ms"), 2).getField("m").as("ci_lo"),
+        element_at(col("ms"), -2).getField("m").as("ci_hi"))
+  }
+
+  /** SPLIT-CONFORMAL prediction interval — the distribution-free
+    * model-evaluation wrapper (Vovk; Angelopoulos & Bates 2022):
+    * calibrate a nonconformity threshold `q̂` = the
+    * `⌈(n_cal+1)(1−α)⌉`-th smallest calibration score, then any
+    * prediction ± q̂ covers fresh points with probability ≥ 1−α under
+    * exchangeability — no model assumptions. Here the "model" is the
+    * per-group integer mean of the calibration slice, the score is
+    * `|value − pred|` in cents, and everything — threshold rank
+    * (`cum·1000 ≥ (n_cal+1)·(1000−α_pm)` is exactly the ceil),
+    * q̂ selection, test coverage — is integer arithmetic, so the whole
+    * calibration is bit-portable. An unreachable rank (tiny
+    * calibration) leaves q̂ NULL = +∞ (cover everything), the honest
+    * conformal degenerate.
+    *
+    * Scale shape: the model is one |groups|-row broadcast aggregate;
+    * scores are a narrow map; the order statistic rides the t14
+    * range-partitioned prefix sum over the SCORE-DOMAIN histogram
+    * (never a sort of the data); coverage is one mergeable aggregate.
+    */
+  def splitConformal(df: DataFrame, groupCol: String, valueCol: Column,
+                     inCalib: Column, alphaPm: Int = 100): DataFrame = {
+    require(alphaPm > 0 && alphaPm < 1000, "splitConformal: 0 < alphaPm < 1000")
+    val base = OpCaches.persist(df.select(col(groupCol).as("g"),
+      valueCol.cast("long").as("v"), inCalib.as("cal")))
+    val model = base.filter(col("cal")).groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"))
+      .select(col("g"), expr("CAST(sv DIV n_g AS BIGINT)").as("pred"))
+    val scored = OpCaches.persist(base.join(broadcast(model), "g")
+      .withColumn("s", abs(col("v") - col("pred"))))
+    val nCal = broadcast(
+      scored.filter(col("cal")).agg(count(lit(1)).as("n_cal")))
+    val hist = scored.filter(col("cal")).groupBy("s")
+      .agg(count(lit(1)).as("c"))
+    val qhat = broadcast(Sampling.runningTotal(hist, Seq(col("s")), "c")
+      .crossJoin(nCal)
+      .filter(col("running_total") * 1000 >=
+        (col("n_cal") + 1) * (1000 - alphaPm))
+      .agg(min(col("s")).as("qhat_cents")))
+    scored.filter(!col("cal"))
+      .crossJoin(qhat).crossJoin(nCal)
+      .agg(max("n_cal").as("n_cal"), max("qhat_cents").as("qhat_cents"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("qhat_cents").isNull ||
+          col("s") <= col("qhat_cents"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("covered_pm",
+        expr("CASE WHEN n_test > 0 THEN (n_covered * 1000) DIV n_test END"))
+      .withColumn("coverage_ok",
+        col("covered_pm") >= 1000 - alphaPm - 30)
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    * a treatment rolled out at a known cutoff: with the md5 coin as
+    * the treatment assignment and the cutoff splitting pre/post, the
+    * estimate is `(m̄_t,post − m̄_t,pre) − (m̄_c,post − m̄_c,pre)` over
+    * per-cell integer means (cents, truncating division) — parallel-
+    * trends differencing with every number engine-exact. One pass,
+    * four conditional count/sum pairs in a single mergeable aggregate;
+    * sums form in DECIMAL(38,0) (the qGini posture).
+    */
+  def diffInDiff(events: DataFrame, userCol: String, tsCol: String,
+                 valueCents: Column, cutoff: String): DataFrame = {
+    val base = events.select(
+      Sampling.bucket(col(userCol), 2).as("treat"),
+      (col(tsCol) >= lit(cutoff).cast("timestamp")).as("post"),
+      valueCents.cast("long").as("v"))
+    def cell(t: Int, p: Boolean) =
+      col("treat") === t && col("post") === p
+    def n(t: Int, p: Boolean) = sum(when(cell(t, p), 1L).otherwise(0L))
+    def sv(t: Int, p: Boolean) =
+      sum(when(cell(t, p), col("v")).otherwise(0L).cast("decimal(38,0)"))
+    base.agg(
+        n(0, false).as("n_c_pre"), sv(0, false).as("s_c_pre"),
+        n(0, true).as("n_c_post"), sv(0, true).as("s_c_post"),
+        n(1, false).as("n_t_pre"), sv(1, false).as("s_t_pre"),
+        n(1, true).as("n_t_post"), sv(1, true).as("s_t_post"))
+      // empty cells yield honest NULL means (and a NULL did) — never a
+      // division error; the oracle carries the identical CASE guards
+      .withColumn("m_c_pre",
+        expr("CAST(CASE WHEN n_c_pre > 0 THEN s_c_pre DIV n_c_pre END AS BIGINT)"))
+      .withColumn("m_c_post",
+        expr("CAST(CASE WHEN n_c_post > 0 THEN s_c_post DIV n_c_post END AS BIGINT)"))
+      .withColumn("m_t_pre",
+        expr("CAST(CASE WHEN n_t_pre > 0 THEN s_t_pre DIV n_t_pre END AS BIGINT)"))
+      .withColumn("m_t_post",
+        expr("CAST(CASE WHEN n_t_post > 0 THEN s_t_post DIV n_t_post END AS BIGINT)"))
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+        col("n_t_post"), col("m_c_pre"), col("m_c_post"), col("m_t_pre"),
+        col("m_t_post"),
+        ((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre"))).as("did_cents"))
+  }
+
   /** Spearman rank correlation, EXACT through ties: doubled midranks
     * `2r_v = 2F_v − c_v + 1` from the distinct-value prefix sum (the
     * q_auc recipe applied to both variables), then Pearson on the

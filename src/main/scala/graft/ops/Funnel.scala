@@ -81,6 +81,77 @@ object Funnel {
       }: _*)
   }
 
+  /** TIME-BOUNDED funnel — stage k must land within `maxGapSec` of a
+    * reachable stage-(k−1) completion (click within N days of a view,
+    * purchase within N days of THAT click): the form conversion
+    * funnels are actually specified in.
+    *
+    * Greedy earliest-chain is WRONG here (unlike `stageTimes`): taking
+    * the earliest click also starts the purchase deadline earliest, so
+    * a later click can complete a funnel the greedy chain misses
+    * (view@0, click@1, click@5, purchase@9, gap 7 — greedy dies at
+    * purchase, the 5→9 chain succeeds). This computes exact EXISTENCE
+    * semantics instead: stage-k timestamp `t` is reachable iff some
+    * reachable stage-(k−1) time lies in `[t − gap, t)`. One ascending
+    * pass suffices because the qualifying test only ever needs the
+    * LATEST reachable predecessor strictly below `t` — tracked with
+    * two slots per stage (largest + second-largest distinct reachable
+    * time) so a predecessor AT `t` never shadows an earlier valid one.
+    * Equivalent to the oracle's per-stage `EXISTS` chain by induction
+    * on stages.
+    *
+    * Scale shape: ONE scan (stage filter pushes into the source), ONE
+    * entity shuffle, per-entity state = that entity's stage events —
+    * the same bounded-per-user contract as `stageTimes`/`sessionize`.
+    */
+  def windowedStageCounts(events: DataFrame, entityCol: String,
+                          typeCol: String, tsCol: String,
+                          stages: Seq[String], maxGapSec: Long,
+                          names: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(names.length == stages.length, "one output name per stage")
+    require(maxGapSec > 0, "maxGapSec must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val n = stages.length
+    val gapUs = maxGapSec * 1000000L
+    val per = events
+      .select(col(entityCol).cast("long").as("e"), col(typeCol).as("tp"),
+        unix_micros(col(tsCol)).as("us"))
+      .where(col("tp").isin(stages: _*) &&
+        col("us").isNotNull && col("e").isNotNull)
+      .as[(Long, String, Long)]
+    val reached = per.groupByKey(_._1).mapGroups { (e, it) =>
+      val evs = it.toArray.sortBy(t => (t._3, stageIdx(t._2)))
+      val NEG = Long.MinValue
+      val l1 = Array.fill(n)(NEG)
+      val l2 = Array.fill(n)(NEG)
+      evs.foreach { case (_, tp, ts) =>
+        val k = stageIdx(tp)
+        val ok =
+          if (k == 0) true
+          else {
+            // the largest reachable stage-(k-1) time strictly below ts:
+            // l1 unless l1 IS ts (same-timestamp event), then l2
+            val below = if (l1(k - 1) < ts) l1(k - 1) else l2(k - 1)
+            below != NEG && ts - below <= gapUs
+          }
+        // ascending replay ⇒ ts >= l1(k); record distinct times only
+        if (ok && ts > l1(k)) { l2(k) = l1(k); l1(k) = ts }
+      }
+      var r = 0
+      while (r < n && l1(r) != NEG) r += 1
+      (e, r)
+    }
+    reached.toDF("e", "r").filter(col("r") >= 1)
+      .agg(
+        count(when(col("r") >= 1, lit(1))).as(names.head),
+        names.zipWithIndex.tail.map { case (nm, i) =>
+          count(when(col("r") >= i + 1, lit(1))).as(nm)
+        }: _*)
+  }
+
   /** Cohort retention matrix — the classic user-lifecycle analysis:
     * users cohorted by their first active week, counted in every later
     * week they return. Output `(cohort_week, week_offset, n_users)`;

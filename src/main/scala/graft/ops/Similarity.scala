@@ -379,11 +379,17 @@ object Similarity {
       idCol, "bucket", perBucket)
 
   /** Deterministic pseudo-random hyperplanes: component [i][d] from a
-    * splitmix64 stream — reproducible with no stored model.
+    * splitmix64 stream — reproducible with no stored model. `seed`
+    * selects an independent table (seed 0 = the historical planes, so
+    * every existing signature stays stable).
     */
   def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    hyperplanes(bits, dim, 0L)
+
+  def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (i, d) =>
-      val h = graft.anonymise.Faker.mix64(i.toLong * 1000003L + d + 1)
+      val h = graft.anonymise.Faker.mix64(
+        seed * 77777777777L + i.toLong * 1000003L + d + 1)
       h.toDouble / Long.MaxValue.toDouble
     }
 
@@ -464,6 +470,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
+  /** ALL-CORPUS kNN GRAPH construction — every vector's approximate
+    * top-k neighbour list, the primitive SemDeDup-style clustering,
+    * graph-based ANN serving (HNSW seeding), and diversity analysis
+    * all start from. The brute-force form is an O(n²) cross join, so
+    * candidates come from LSH bucket SELF-JOINS instead: `tables`
+    * independent sign-LSH tables (different hyperplane seeds), a pair
+    * is a candidate when ANY table buckets it with the node, pairs
+    * dedup by max-sim aggregate, then a per-node top-k window.
+    * Approximate: a true neighbour sharing no bucket in any table is
+    * missed — the recall price of never materialising n².
+    *
+    * Scale shape: NO broadcast of anything corpus-sized and NO cross
+    * join — each table is one bucket-keyed equi self-join (shuffle on
+    * the bucket signature, candidate volume Σ_b |bucket_b|²), the
+    * dedup is a mergeable (src,dst)-keyed max aggregate, and the
+    * final window partitions by src (per-node state = its candidate
+    * list). More bits ⇒ smaller buckets ⇒ fewer candidates per node;
+    * more tables ⇒ recall back. Both knobs are independent of n, so
+    * candidate volume scales as n·E[bucket load], not n².
+    */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 6, tables: Int = 2,
+               dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && bits >= 1 && tables >= 1, "knnGraph: bad knobs")
+    val c0 = OpCaches.persist(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism))
+    val cand = (0 until tables).map { t =>
+      val sigUdf = udf(signatureKernel(hyperplanes(bits, dim, t.toLong)) _)
+      val a = c0.withColumn("bucket", sigUdf(col("v")))
+      a.select(col("bucket"), col("id").as("src"), col("v").as("sv"))
+        .join(a.select(col("bucket"), col("id").as("dst"), col("v").as("dv")),
+          Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
+    }.reduce(_ unionByName _)
+    // a pair found by several tables has the SAME sim — max() is dedup
+    val pairs = cand.groupBy("src", "dst").agg(max("sim").as("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank").cast("int").as("rank"), col("dst"))
   }
 
   /** IVF (inverted-file) ANN top-k: a coarse k-means quantizer assigns

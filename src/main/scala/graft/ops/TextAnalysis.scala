@@ -896,4 +896,85 @@ object TextAnalysis {
         coalesce(col("n_chars"), lit(0L)).as("n_chars"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
+
+  /** RAG CHUNKING — split every document into overlapping fixed-size
+    * token windows, the retrieval-unit table every RAG/embedding
+    * pipeline materialises before indexing. Chunk starts advance by
+    * `stride` (< `size` ⇒ overlap); the tail chunk may be short but
+    * never empty; a document shorter than one window is one chunk.
+    * Output per chunk: `(doc_id, chunk_idx, tok_start, n_tokens_chunk,
+    * chunk_fp)` — 0-based start offset in tokens and the portable
+    * 60-bit md5-prefix fingerprint of the space-joined window (the t4
+    * hash recipe), so downstream dedup/indexing can key on content.
+    *
+    * Scale shape: tokenize + windowed slice + hash is a pure NARROW
+    * map (`posexplode` over the per-doc start sequence) — zero
+    * shuffle, whole-stage codegen, embarrassingly parallel at any
+    * corpus size. Chunk count per doc is ⌈n/stride⌉, bounded by the
+    * document itself — no skew beyond document length skew.
+    */
+  def chunks(df: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", size: Int = 64,
+             stride: Int = 48, repartition: Boolean = true): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "chunks: need 1 <= stride <= size")
+    val tk = tokens(col(textCol))
+    // repartition=false for STREAMING callers: ensureParallelism peeks
+    // at df.rdd, which a streaming frame cannot answer (the op itself
+    // is row-local either way)
+    val base = if (repartition) Partitioning.ensureParallelism(df) else df
+    base
+      .select(col(idCol).as("doc_id"), tk.as("tk"))
+      .filter(size_(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size_(col("tk")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("tok_start"),
+        least(lit(size.toLong), size_(col("tk")) - col("col"))
+          .cast("long").as("n_tokens_chunk"),
+        conv(substring(md5(concat_ws(" ",
+            slice(col("tk"), col("col") + 1, lit(size)))), 1, 15), 16, 10)
+          .cast("long").as("chunk_fp"))
+  }
+
+  // functions.size clashes with the Int parameter name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** GREEN-LIST WATERMARK AUDIT — the detection side of the
+    * "green/red token list" LLM watermarking scheme (Kirchenbauer et
+    * al., 2023, simplified to a context-free list): each vocabulary
+    * token hashes to green or red with the portable md5 coin
+    * (`Sampling.bucket(token, 2)`), watermarked generators
+    * over-produce green tokens, and a document flags when its green
+    * count deviates from the fair-coin null at α = 0.05. The verdict
+    * is the exact χ²(1 df) polynomial inequality on the binomial —
+    * `1000·(2g − n)² ≥ 3841·n` — the q_ab_chisq posture: no normal
+    * CDF, no float, bit-portable. (Two-sided: an audit flags BOTH
+    * green excess and green deficit as non-natural; the watermark
+    * direction is the sign of `2g − n`.)
+    *
+    * Scale shape: pure NARROW map — token array, one `filter` HOF for
+    * the green count (the lambda touches only its own variable, so no
+    * re-evaluation trap), integer verdict per row. Zero shuffle at
+    * any corpus size.
+    */
+  def watermarkAudit(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    // THE md5 coin (Sampling.bucket) applied per token — one recipe,
+    // zero drift risk vs the oracle's bucketSql twin
+    val green = filter(tk, t => Sampling.bucket(t, 2) === 0)
+    Partitioning.ensureParallelism(df)
+      .select(col(idCol).as("doc_id"),
+        size_(tk).cast("long").as("n_tokens"),
+        size_(green).cast("long").as("n_green"))
+      .withColumn("green_pm",
+        when(col("n_tokens") > 0, expr("(n_green * 1000) DIV n_tokens")))
+      .withColumn("flagged",
+        col("n_tokens") > 0 &&
+          lit(1000L) * (col("n_green") * 2 - col("n_tokens")) *
+            (col("n_green") * 2 - col("n_tokens")) >=
+            lit(3841L) * col("n_tokens"))
+  }
 }

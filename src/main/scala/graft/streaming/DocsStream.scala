@@ -49,6 +49,25 @@ object DocsStream {
                      textCol: String = "text"): DataFrame =
     screenNewStream(docs, historyFps, textCol)
 
+  /** Streaming RAG chunking — the t26 chunk table maintained over an
+    * unbounded document feed: a chunk is a pure row-local function of
+    * its document (tokenize → windowed slice → content fingerprint),
+    * so the streaming form is STATELESS — no watermark, no state
+    * store, one narrow codegen'd projection per micro-batch, and
+    * stream == batch row-identical by construction (spec-asserted).
+    * Non-overlapping 32-token windows here (the indexing-feed shape);
+    * the overlap knobs are the same as batch `TextAnalysis.chunks`.
+    */
+  def chunkStream(stream: DataFrame, size: Int = 32,
+                  stride: Int = 32): DataFrame =
+    TextAnalysis.chunks(stream, size = size, stride = stride,
+      repartition = false)
+
+  /** Batch twin of [[chunkStream]] (the oracle-gated form). */
+  def chunkBatch(docs: DataFrame, size: Int = 32,
+                 stride: Int = 32): DataFrame =
+    TextAnalysis.chunks(docs, size = size, stride = stride)
+
   /** PER-ROW portable MinHash LSH band keys — the streaming-shaped twin
     * of `Dedup.minhashCandidates`' banding. The batch form aggregates
     * signature minima with an explode + `groupBy(id)`; a streaming

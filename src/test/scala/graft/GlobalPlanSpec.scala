@@ -105,7 +105,15 @@ class GlobalPlanSpec extends AnyFunSuite with SparkSuite {
     "s7_knn_ivfpq", "s8_knn_persisted", "s9_knn_rerank", "s11_ivf_append",
     "s12_knn_sq8", "s13_filtered_knn", "s14_hybrid_rrf",
     // s16's shortlist is the s1 broadcast-query scan
-    "s16_mmr")
+    "s16_mmr",
+    // s17's GRAPH is bucket-keyed equi self-joins; the BNLJ is its
+    // recall-verdict's exact reference scan (broadcast sampled
+    // queries) — the s1 shape
+    "s17_knn_graph",
+    // Mann–Kendall's S-statistic self-join: BOTH sides are the
+    // calendar-bounded daily aggregate — n_days rows regardless of
+    // event volume, the designed q_changepoint-style bound
+    "q_trend")
 
   test("no catalog query joins data relations by cartesian or nested loop") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}

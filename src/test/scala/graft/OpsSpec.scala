@@ -2337,6 +2337,202 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(re == got)
   }
 
+  test("windowedStageCounts: deadline DP completes the chain greedy earliest misses") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    def ev(u: Long, tp: String, day: Int): (Long, String, java.sql.Timestamp) =
+      (u, tp, java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00"))
+    // user 1: view@1, click@2, click@6, purchase@10, gap 7d — the
+    // greedy chain (view@1 -> click@2) leaves purchase@10 8d away and
+    // FAILS; the click@6 chain succeeds. Existence semantics must
+    // count user 1 through all three stages.
+    // user 2: view@1, click@20 — click outside the 7d window.
+    // user 3: purchase@1 only — no stage-0 anchor, excluded entirely.
+    val df = Seq(
+      ev(1, "view", 1), ev(1, "click", 2), ev(1, "click", 6), ev(1, "purchase", 10),
+      ev(2, "view", 1), ev(2, "click", 20),
+      ev(3, "purchase", 1)
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.windowedStageCounts(df, "user_id", "event_type", "ts",
+      stages = Seq("view", "click", "purchase"), maxGapSec = 7L * 86400,
+      names = Seq("n_view", "n_click", "n_purchase")).collect().head
+    assert(got.getLong(0) == 2L, "users 1 and 2 have views")
+    assert(got.getLong(1) == 1L, "only user 1 clicks inside the window")
+    assert(got.getLong(2) == 1L, "the non-greedy chain must complete")
+    // same-timestamp predecessor must not shadow an earlier valid one:
+    // view@1, view@3, click@3 — click at ts 3 needs a view < 3; l1 = 3
+    // (same ts) must fall back to the 2-slot's l2 = 1
+    val tie = Seq(ev(4, "view", 1), ev(4, "view", 3), ev(4, "click", 3))
+      .toDF("user_id", "event_type", "ts")
+    val got2 = Funnel.windowedStageCounts(tie, "user_id", "event_type", "ts",
+      stages = Seq("view", "click"), maxGapSec = 7L * 86400,
+      names = Seq("n_view", "n_click")).collect().head
+    assert(got2.getLong(0) == 1L && got2.getLong(1) == 1L)
+    // layout invariance
+    val re = Funnel.windowedStageCounts(df.repartition(5), "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"), 7L * 86400,
+      Seq("n_view", "n_click", "n_purchase")).collect().head
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("chunks: windows tile with overlap, tail is short, fingerprints keyed on content") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text10), (2L, "solo"), (3L, "  "), (4L, text10))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunks(df, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d1 = got.filter(_._1 == 1L)
+    // starts 0,3,6,9; sizes 4,4,4,1
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // whitespace-only doc yields no chunks; single-token doc yields one
+    assert(got.count(_._1 == 3L) == 0)
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._4)).toSeq == Seq((0L, 1L)))
+    // identical text => identical fingerprints per window (content-keyed)
+    val d4 = got.filter(_._1 == 4L)
+    assert(d1.map(_._5).toSeq == d4.map(_._5).toSeq)
+    // overlapping windows with different content differ
+    assert(d1.map(_._5).distinct.length == d1.length)
+  }
+
+  test("watermarkAudit: green counts follow the md5 coin; planted green-only doc flags") {
+    import spark.implicits._
+    import graft.ops.{Sampling, TextAnalysis}
+    // find concrete green tokens with the op's own coin so the planted
+    // doc is deterministic
+    val words = (1 to 200).map(i => s"tok$i")
+    val coin = Seq.tabulate(200)(i => words(i)).toDF("w")
+      .select(col("w"), Sampling.bucket(col("w"), 2).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val greens = words.filter(coin(_) == 0L).take(30)
+    val mixed = words.take(30)
+    val df = Seq(
+      (1L, greens.mkString(" ")),       // all green -> must flag
+      (2L, mixed.mkString(" ")),        // coin mix  -> count must match the coin
+      (3L, "")                          // empty -> honest nulls, no flag
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.watermarkAudit(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_green") == 30L && got(1L).getAs[Boolean]("flagged"))
+    val expect2 = mixed.count(coin(_) == 0L).toLong
+    assert(got(2L).getAs[Long]("n_green") == expect2)
+    assert(got(3L).getAs[Long]("n_tokens") == 0L && !got(3L).getAs[Boolean]("flagged"))
+    assert(got(3L).isNullAt(got(3L).fieldIndex("green_pm")))
+  }
+
+  test("srmCheck: balanced coin passes, planted imbalance flags") {
+    import spark.implicits._
+    import graft.ops.{Experiment, Sampling}
+    val users = (1L to 400L).toDF("user_id")
+    val ok = Experiment.srmCheck(users).collect().head
+    assert(ok.getAs[Long]("n_a") + ok.getAs[Long]("n_b") == 400L)
+    assert(!ok.getAs[Boolean]("mismatch_05"), "the md5 coin must look fair")
+    // keep only variant-0 users: maximal imbalance must flag
+    val skewed = users.filter(Sampling.bucket(col("user_id"), 2) === 0)
+    val bad = Experiment.srmCheck(skewed).collect().head
+    assert(bad.getAs[Long]("n_b") == 0L && bad.getAs[Boolean]("mismatch_05"))
+  }
+
+  test("bootstrapCiMean: CI brackets the mean, deterministic across layouts") {
+    import spark.implicits._
+    import graft.ops.Experiment
+    val df = (1L to 300L).map(k => (k, 100L + (k % 50))).toDF("k", "x")
+    val got = Experiment.bootstrapCiMean(df, "k", "x").collect().head
+    val (n, mean, nrep, lo, hi) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3), got.getLong(4))
+    assert(n == 300L && nrep == 40L)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] must bracket $mean")
+    assert(hi - lo < 20L, "resampling a tight distribution gives a tight CI")
+    val re = Experiment.bootstrapCiMean(df.repartition(7), "k", "x").collect().head
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("knnGraph: every node gets neighbours; sampled recall beats the floor; no self-edges") {
+    import graft.ops.Similarity
+    val g = Similarity.knnGraph(emb, k = 10, bits = 3, tables = 3)
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+    val nodes = emb.select("vec_id").distinct().count()
+    val covered = g.select("src").distinct().count()
+    assert(covered >= nodes * 9 / 10, s"only $covered/$nodes nodes got neighbours")
+    // raw recall@10 on the sampled nodes vs exact
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+    val hits = g.select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    assert(hits >= 20, s"recall@10 over 10 queries too low: $hits/100 hits")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("splitConformal: hand-computed q-hat rank; coverage counts; degenerate rank -> infinite q-hat") {
+    import spark.implicits._
+    import graft.ops.Experiment
+    // calibration values 0,10,...,90 in one group: pred = 45 (450 DIV 10),
+    // scores sorted 5,5,15,15,25,25,35,35,45,45; k = ceil(11*0.9) = 10
+    // -> q-hat = 45. Test points: 45 (s=0, covered), 100 (s=55, not).
+    val rows = (0 until 10).map(i => ("g", i * 10L, true)) ++
+      Seq(("g", 45L, false), ("g", 100L, false))
+    val df = rows.toDF("g", "v", "cal")
+    val got = Experiment.splitConformal(df, "g", col("v"), col("cal")).collect().head
+    assert(got.getAs[Long]("n_cal") == 10L)
+    assert(got.getAs[Long]("qhat_cents") == 45L)
+    assert(got.getAs[Long]("n_test") == 2L && got.getAs[Long]("n_covered") == 1L)
+    assert(got.getAs[Long]("covered_pm") == 500L)
+    // one calibration point: k = ceil(2*0.9) = 2 > n_cal -> q-hat NULL
+    // = infinite -> everything covered (the honest conformal degenerate)
+    val tiny = Seq(("g", 10L, true), ("g", 999L, false)).toDF("g", "v", "cal")
+    val t = Experiment.splitConformal(tiny, "g", col("v"), col("cal")).collect().head
+    assert(t.isNullAt(t.fieldIndex("qhat_cents")))
+    assert(t.getAs[Long]("n_covered") == 1L)
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("diffInDiff: planted parallel-trends violation recovered exactly") {
+    import spark.implicits._
+    import graft.ops.{Experiment, Sampling}
+    // find one control (bucket 0) and one treat (bucket 1) user id with
+    // the op's own coin, so the fixture is deterministic
+    val coin = (1L to 50L).toDF("u")
+      .select(col("u"), Sampling.bucket(col("u"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cu = coin.collectFirst { case (u, 0L) => u }.get
+    val tu = coin.collectFirst { case (u, 1L) => u }.get
+    def ev(u: Long, day: Int, v: Long) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), v)
+    // control: 10 -> 20 (+10); treat: 10 -> 35 (+25) => DiD = 15
+    val df = Seq(ev(cu, 5, 10L), ev(cu, 20, 20L),
+      ev(tu, 5, 10L), ev(tu, 20, 35L)).toDF("user_id", "ts", "v")
+    val got = Experiment.diffInDiff(df, "user_id", "ts", col("v"),
+      "2024-01-16 00:00:00").collect().head
+    assert(got.getAs[Long]("m_c_pre") == 10L && got.getAs[Long]("m_c_post") == 20L)
+    assert(got.getAs[Long]("m_t_pre") == 10L && got.getAs[Long]("m_t_post") == 35L)
+    assert(got.getAs[Long]("did_cents") == 15L)
+    // empty-cell honesty: control-only data leaves treat means (and the
+    // estimate) NULL, never a division error
+    val onlyC = Seq(ev(cu, 5, 10L), ev(cu, 20, 20L)).toDF("user_id", "ts", "v")
+    val g2 = Experiment.diffInDiff(onlyC, "user_id", "ts", col("v"),
+      "2024-01-16 00:00:00").collect().head
+    assert(g2.isNullAt(g2.fieldIndex("m_t_pre")) && g2.isNullAt(g2.fieldIndex("did_cents")))
+  }
+
+  test("qRfm: scores span 1..5, census sums to the customer count, monetary conserved") {
+    val per = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_custkey").count()
+    val nCust = per.count()
+    val got = GraftQueries.qRfm(spark, sfDir)
+    val rows = got.collect()
+    rows.foreach { r =>
+      (0 to 2).foreach { i =>
+        assert(r.getLong(i) >= 1L && r.getLong(i) <= 5L, s"score out of range: $r")
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("mmrTopK: zero-norm candidates (NaN cosine) never crash the greedy loop") {
     import spark.implicits._
     import graft.ops.Similarity
@@ -2606,8 +2802,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val (gn, gnum, gdx, gdy, gppm, gpos, gstrong) = got.head
     assert(BigInt(gn) == n && BigInt(gnum) == num)
     assert(BigInt(gdx) == dx && BigInt(gdy) == dy)
-    assert(gppm.map(BigInt(_)) ==
-      (if (dx > 0 && dy > 0) Some(num * num * 1000000 / (dx * dy)) else None))
+    // the op's staged division (overflow-safe past n ~ 3e5): pre-divide
+    // the denominator by 1e6, fall back to the direct form when the
+    // staged divisor truncates to 0
+    val wantPpm =
+      if (dx > 0 && dy > 0) {
+        val staged = (dx * dy) / 1000000
+        Some(if (staged > 0) num * num / staged
+             else num * num * 1000000 / (dx * dy))
+      } else None
+    assert(gppm.map(BigInt(_)) == wantPpm)
     assert(gpos == (num > 0))
     assert(gstrong == (dx > 0 && dy > 0 && 25 * num * num > dx * dy))
     // sanity: spend and order count must correlate positively

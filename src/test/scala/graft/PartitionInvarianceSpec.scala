@@ -59,7 +59,15 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "st19_late_audit", "er3_blocking_quality", "o38_t_closeness",
     "q_auc", "q_attribution", "q_lag_features",
     "er4_incremental_linkage", "q_ks_test", "q_gini", "q_lorenz",
-    "q_spearman", "q_benford", "g4_components", "q_trend")
+    "q_spearman", "q_benford", "g4_components", "q_trend",
+    // round-8 additions: deadline funnel (per-entity fold), bootstrap
+    // (coin + order statistics), SAR export (broadcast unpivot), RAG
+    // chunking/watermark (narrow maps), rules + fertility (aggregate
+    // joins), kNN graph (bucket self-joins + per-node window)
+    "q_srm", "q_bootstrap_ci", "q_basket_rules", "q_funnel_window",
+    "o39_subject_export", "t26_chunks", "t27_watermark", "t28_fertility",
+    "s17_knn_graph", "q_conformal", "q_did", "q_rfm",
+    "o40_retention_audit", "st20_chunks")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString

@@ -145,6 +145,19 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamedSel).count() == 0)
   }
 
+  test("chunk stream: stateless row-local projection — streaming == batch row-identical") {
+    import graft.streaming.DocsStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/documents.parquet", docs.schema,
+      df => DocsStream.chunkStream(df),
+      queryName = "chunk_stream_test")
+    val batch = DocsStream.chunkBatch(docs)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-static near-dup band screen matches batch equivalent, stateless") {
     import graft.streaming.DocsStream
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
