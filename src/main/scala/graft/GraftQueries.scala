@@ -3352,6 +3352,82 @@ object GraftQueries {
   def st20Chunks(s: SparkSession, dir: String): DataFrame =
     graft.streaming.DocsStream.chunkBatch(tbl(s, dir, "documents"))
 
+  /** G5 [EXT] — local clustering coefficient per supplier
+    * (`Graph.clusteringCoefficient`): per-node triangle tallies from
+    * the g2 degree-oriented wedge join, `2T/(deg(deg−1))` in integer
+    * per-mille, NULL below degree 2. The oracle brute-forces the
+    * triangle join and the three-corner tally on the same edge set.
+    */
+  def g5Clustering(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.clusteringCoefficient(affinityEdges(s, dir))
+
+  /** O41 [EXT] — format-preserving consistent pseudonymisation
+    * (`Anonymiser.formatPreserving`): digits→digits, letters→case-
+    * preserving letters, punctuation fixed — the masking that keeps
+    * format validators and fixed-width parsers working; shifts are
+    * md5-bucketed per (key, position, whole value), so the o11
+    * consistency contract holds with zero state and the oracle
+    * replays every character.
+    */
+  def o41Fpe(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_custkey"),
+      Anonymiser.formatPreserving(col("c_name")).as("name_pseud"))
+
+  /** Q_POWER [EXT] — A/B power analysis (`Experiment.powerMde`): the
+    * minimum detectable effect of the running experiment at α = 0.05 /
+    * power 0.8, emitted SQUARED in per-mille² so no √ ever evaluates
+    * (28016²/10⁸ is the exact z-sum rational), plus the
+    * `obs_diff_pm² ≥ mde_pm2` "big enough for what it saw" verdict —
+    * the design-side complement of q_ab_chisq.
+    */
+  def qPower(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.powerMde(tbl(s, dir, "events"))
+
+  /** Q_RETURNED_ITEMS [EXT] — the TPC-H Q10 revenue-at-risk shape:
+    * per-customer revenue lost to returned lineitems, exact to the
+    * micro-dollar (`cents × (10000 − discount_bp)` summed in
+    * DECIMAL(38,0) — no float money anywhere), top-20 by lost revenue
+    * via TakeOrderedAndProject. The return-flag filter pushes into
+    * the lineitem scan.
+    */
+  def qReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        (col("l_discount").cast("decimal(6,4)") * 10000)
+          .cast("long").as("bp"))
+    li.join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("cents") * (lit(10000L) - col("bp")))
+          .cast("decimal(38,0)")).as("rev_d"),
+        count(lit(1)).as("n_items"))
+      .select(col("o_custkey"), col("rev_d").cast("long").as("lost_rev_micro"),
+        col("n_items"))
+      .orderBy(col("lost_rev_micro").desc, col("o_custkey"))
+      .limit(20)
+  }
+
+  /** Q_LARGE_ORDERS [EXT] — the TPC-H Q18 large-volume-order shape:
+    * orders whose total quantity exceeds 200 units, quantity exact in
+    * hundredths, top-20 by volume. One join, one mergeable aggregate,
+    * a HAVING filter, TakeOrderedAndProject.
+    */
+  def qLargeOrders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("long").as("q100"))
+      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(sum("q100").as("total_qty_x100"), count(lit(1)).as("n_items"))
+      .filter(col("total_qty_x100") > 20000L)
+      .orderBy(col("total_qty_x100").desc, col("o_orderkey"))
+      .limit(20)
+
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
     * first join): parts bought together in one order, top-20 pairs by
     * support. The A-priori downward-closure prefilter does the scale
@@ -4037,5 +4113,10 @@ object GraftQueries {
     "q_rfm"              -> (qRfm _),
     "o40_retention_audit" -> (o40RetentionAudit _),
     "st20_chunks"        -> (st20Chunks _),
+    "g5_clustering"      -> (g5Clustering _),
+    "o41_fpe"            -> (o41Fpe _),
+    "q_power"            -> (qPower _),
+    "q_returned_items"   -> (qReturnedItems _),
+    "q_large_orders"     -> (qLargeOrders _),
   )
 }

@@ -1757,6 +1757,128 @@ object Oracles {
         |  UNION ALL
         |  SELECT 'customer', (SELECT count(*) FROM customer), 0) u""".stripMargin,
 
+    // local clustering coefficient: g2's brute triangle join, the
+    // three-corner tally, 2T/(deg(deg-1)) in per-mille
+    "g5_clustering" ->
+      """WITH cs AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sh AS (
+        |  SELECT a.s AS u, b.s AS v, count(*) AS shared
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s != b.s
+        |  GROUP BY 1, 2),
+        |topk AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT u, v,
+        |      row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS rn
+        |    FROM sh) t WHERE rn <= 3),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM topk),
+        |deg AS (
+        |  SELECT n, count(*) AS degree FROM
+        |    (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t GROUP BY 1),
+        |tr AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pn AS (
+        |  SELECT n, count(*) AS tri FROM
+        |    (SELECT a AS n FROM tr UNION ALL SELECT b FROM tr
+        |     UNION ALL SELECT c FROM tr) t GROUP BY 1)
+        |SELECT deg.n AS node, CAST(degree AS BIGINT) AS degree,
+        |  CAST(coalesce(pn.tri, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN degree >= 2
+        |    THEN (coalesce(pn.tri, 0) * 2000) // (degree * (degree - 1)) END
+        |    AS BIGINT) AS coeff_pm
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n""".stripMargin,
+
+    // format-preserving pseudonym: per-position md5 class shift replayed
+    // character by character
+    "o41_fpe" -> {
+      def b(m: Int) = bucketSql(
+        "'graft-fpe:' || CAST(i AS VARCHAR) || ':' || c_name", m)
+      s"""SELECT c_custkey,
+         |  array_to_string(list_transform(range(1, len(c_name) + 1), i ->
+         |    CASE
+         |      WHEN ascii(substr(c_name, i, 1)) BETWEEN 48 AND 57
+         |        THEN chr(CAST(((ascii(substr(c_name, i, 1)) - 48 + ${b(10)})
+         |               % 10) + 48 AS INT))
+         |      WHEN ascii(substr(c_name, i, 1)) BETWEEN 65 AND 90
+         |        THEN chr(CAST(((ascii(substr(c_name, i, 1)) - 65 + ${b(26)})
+         |               % 26) + 65 AS INT))
+         |      WHEN ascii(substr(c_name, i, 1)) BETWEEN 97 AND 122
+         |        THEN chr(CAST(((ascii(substr(c_name, i, 1)) - 97 + ${b(26)})
+         |               % 26) + 97 AS INT))
+         |      ELSE substr(c_name, i, 1) END), '') AS name_pseud
+         |FROM customer""".stripMargin
+    },
+
+    // A/B power analysis: the q_ab_chisq cells, pooled rate, squared
+    // MDE via the exact 28016^2/1e8 rational, detectability verdict
+    "q_power" -> {
+      val coin = bucketSql("u", 2)
+      s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+         |v AS (SELECT u, $coin AS variant FROM u),
+         |cvt AS (SELECT DISTINCT user_id AS u FROM events
+         |        WHERE event_type = 'purchase'),
+         |cells AS (SELECT variant, count(*) AS n,
+         |            sum(CASE WHEN cvt.u IS NOT NULL THEN 1 ELSE 0 END) AS k
+         |          FROM v LEFT JOIN cvt ON v.u = cvt.u GROUP BY 1),
+         |t AS (SELECT
+         |        sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS n_a,
+         |        sum(CASE WHEN variant = 0 THEN k ELSE 0 END) AS conv_a,
+         |        sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS n_b,
+         |        sum(CASE WHEN variant = 1 THEN k ELSE 0 END) AS conv_b
+         |      FROM cells),
+         |p AS (SELECT *,
+         |        CASE WHEN n_a + n_b > 0
+         |          THEN ((conv_a + conv_b) * 1000) // (n_a + n_b) END
+         |          AS p_pool_pm
+         |      FROM t),
+         |m AS (SELECT *,
+         |        CASE WHEN n_a > 0 AND n_b > 0 AND p_pool_pm IS NOT NULL THEN
+         |          (784896256 * CAST(p_pool_pm AS HUGEINT)
+         |           * (1000 - p_pool_pm) * (n_a + n_b))
+         |          // (100000000 * CAST(n_a AS HUGEINT) * n_b) END AS mde_pm2,
+         |        CASE WHEN n_a > 0 THEN (conv_a * 1000) // n_a END AS rate_a_pm,
+         |        CASE WHEN n_b > 0 THEN (conv_b * 1000) // n_b END AS rate_b_pm
+         |      FROM p)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+         |  CAST(p_pool_pm AS BIGINT) AS p_pool_pm,
+         |  CAST(mde_pm2 AS BIGINT) AS mde_pm2,
+         |  CAST(abs(rate_a_pm - rate_b_pm) AS BIGINT) AS obs_diff_pm,
+         |  abs(rate_a_pm - rate_b_pm) * abs(rate_a_pm - rate_b_pm) >= mde_pm2
+         |    AS powered_detect
+         |FROM m""".stripMargin
+    },
+
+    // TPC-H Q10 shape: revenue lost to returns per customer, exact
+    // micro-dollars, top-20
+    "q_returned_items" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS bp
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_custkey,
+        |  CAST(sum(cents * (10000 - bp)) AS BIGINT) AS lost_rev_micro,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY lost_rev_micro DESC, o_custkey LIMIT 20""".stripMargin,
+
+    // TPC-H Q18 shape: orders above 200 total units, top-20 by volume
+    "q_large_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS total_qty_x100,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 20000
+        |ORDER BY total_qty_x100 DESC, o_orderkey LIMIT 20""".stripMargin,
+
     // st20 = the t26 chunker at the streaming feed's 32/32 window
     "st20_chunks" ->
       raw"""WITH toks AS (

@@ -53,6 +53,45 @@ object Anonymiser {
   def pseudonym(c: Column, salt: String = ""): Column =
     substring(md5(concat(lit(salt), c.cast(StringType))), 1, 16)
 
+  /** FORMAT-PRESERVING consistent pseudonym: digits map to digits,
+    * letters to case-preserving letters, everything else (spaces,
+    * punctuation, '#') passes through — so downstream format
+    * validators, fixed-width parsers and pattern-matched ETL keep
+    * working on the anonymised value (the property plain `pseudonym`'s
+    * hex digest destroys). Each character shifts by a bucket of
+    * `md5(key:position:value)` within its class, so the mapping is a
+    * pure function of (key, whole original value): the same original
+    * pseudonymises identically everywhere — the o11 consistency
+    * contract — while sharing a prefix leaks nothing (the shift hashes
+    * the WHOLE value). One-way by design (the reference's contract is
+    * consistency, not reversibility; a keyed FF1/FF3 cipher would slot
+    * in here if decryption were ever required).
+    *
+    * Scale shape: a narrow per-row `transform` HOF over the character
+    * positions. The lambda references the outer VALUE column — but as
+    * a plain attribute read, not a computed expression, so the
+    * documented nested-HOF re-evaluation trap costs nothing here; the
+    * per-position whole-string md5 is the DESIGNED O(len²) — value-
+    * length-bounded, corpus-size-independent, no shuffle, no state.
+    */
+  def formatPreserving(c: Column, key: String = "graft-fpe"): Column = {
+    def bucketAt(i: Column, m: Int): Column =
+      graft.ops.Sampling.bucket(
+        concat_ws(":", lit(key), i.cast(StringType), c.cast(StringType)), m)
+    val mapped = transform(sequence(lit(1), length(c)), i => {
+      val ch = c.substr(i, lit(1))
+      val a = ascii(ch)
+      when(a.between(48, 57),
+        call_function("chr", (a - 48 + bucketAt(i, 10)) % 10 + 48))
+        .when(a.between(65, 90),
+          call_function("chr", (a - 65 + bucketAt(i, 26)) % 26 + 65))
+        .when(a.between(97, 122),
+          call_function("chr", (a - 97 + bucketAt(i, 26)) % 26 + 97))
+        .otherwise(ch)
+    })
+    array_join(mapped, "")
+  }
+
   /** Warner's randomized response (1965) — the local-DP perturbation
     * mechanism: with probability `(modulus-1)/modulus` report the true
     * boolean, otherwise report its negation. The "coin" is the

@@ -34,23 +34,33 @@ object Experiment {
     * converter counts, per-mille conversion rates, and the exact
     * significance verdict at α = 0.05.
     */
-  def abChisq(events: DataFrame, userCol: String = "user_id",
-              typeCol: String = "event_type",
-              convertType: String = "purchase"): DataFrame = {
+  /** The 2×2 conversion cells both [[abChisq]] and [[powerMde]] start
+    * from: one row `(n_a, conv_a, n_b, conv_b)` — md5-coin variants,
+    * distinct-user cohort and converter counts.
+    */
+  private def conversionCells(events: DataFrame, userCol: String,
+                              typeCol: String,
+                              convertType: String): DataFrame = {
     val users = events.select(col(userCol).as("u")).distinct()
       .withColumn("variant", Sampling.bucket(col("u"), 2))
     val converted = events.filter(col(typeCol) === convertType)
       .select(col(userCol).as("u")).distinct()
       .withColumn("conv", lit(1L))
-    val cells = users.join(converted, Seq("u"), "left")
+    users.join(converted, Seq("u"), "left")
       .groupBy("variant")
       .agg(count(lit(1)).as("n"), sum(coalesce(col("conv"), lit(0L))).as("k"))
-    def dec(c: Column) = c.cast("decimal(38,0)")
-    cells.agg(
+      .agg(
         sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === 0, col("k")).otherwise(0L)).as("conv_a"),
         sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("k")).otherwise(0L)).as("conv_b"))
+  }
+
+  def abChisq(events: DataFrame, userCol: String = "user_id",
+              typeCol: String = "event_type",
+              convertType: String = "purchase"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    conversionCells(events, userCol, typeCol, convertType)
       // empty-cohort guard: a degenerate md5 coin (tiny or skewed
       // cohorts) must report a NULL rate, not divide by zero — the
       // same degenerate-table posture as the rhs > 0 verdict guard
@@ -71,6 +81,54 @@ object Experiment {
         // and the honest verdict is NOT significant
         rhs > 0 && lhs >= rhs
       })
+  }
+
+  /** (z₀.₀₂₅ + z₀.₂)² × 10⁸ = 28016² — the squared two-sided α = 0.05 /
+    * power = 0.8 normal coefficient (1.96 + 0.8416 = 2.8016 exactly)
+    * as an exact rational over 10⁸.
+    */
+  val PowerCoefSqX1e8: Long = 784896256L
+
+  /** A/B POWER ANALYSIS — the minimum detectable effect for the
+    * running experiment, the design-side complement of [[abChisq]]'s
+    * verdict: with pooled baseline rate p and cohorts n_a/n_b, the
+    * two-proportion MDE at α = 0.05, power 0.8 is
+    * `δ = (z_{α/2}+z_β)·√(p(1−p)(1/n_a+1/n_b))`. The √ never
+    * evaluates: the op emits δ² in per-mille² as
+    * `mde_pm2 = (28016² · p_pm·(1000−p_pm) · (n_a+n_b)) DIV
+    * (10⁸ · n_a·n_b)`, all formed in DECIMAL(38,0) with truncating
+    * DIV (decimal `/` would round HALF_UP and drift from the oracle's
+    * floor), and the "was this experiment even big enough for what it
+    * saw" answer as the squared comparison `obs_diff_pm² ≥ mde_pm2`.
+    * Empty cohorts → honest NULLs.
+    *
+    * Scale shape: identical to abChisq — two distinct-user aggregates
+    * and a single verdict row.
+    */
+  def powerMde(events: DataFrame, userCol: String = "user_id",
+               typeCol: String = "event_type",
+               convertType: String = "purchase"): DataFrame = {
+    conversionCells(events, userCol, typeCol, convertType)
+      .withColumn("p_pool_pm",
+        expr("""CASE WHEN n_a + n_b > 0
+               |  THEN ((conv_a + conv_b) * 1000) DIV (n_a + n_b) END"""
+          .stripMargin))
+      .withColumn("mde_pm2",
+        expr(s"""CASE WHEN n_a > 0 AND n_b > 0 AND p_pool_pm IS NOT NULL THEN
+                |  CAST((CAST($PowerCoefSqX1e8 AS DECIMAL(38,0)) * p_pool_pm
+                |        * (1000 - p_pool_pm) * (n_a + n_b))
+                |       DIV (CAST(100000000 AS DECIMAL(38,0)) * n_a * n_b)
+                |    AS BIGINT) END""".stripMargin))
+      .withColumn("rate_a_pm",
+        expr("CASE WHEN n_a > 0 THEN (conv_a * 1000) DIV n_a END"))
+      .withColumn("rate_b_pm",
+        expr("CASE WHEN n_b > 0 THEN (conv_b * 1000) DIV n_b END"))
+      .withColumn("obs_diff_pm", abs(col("rate_a_pm") - col("rate_b_pm")))
+      .withColumn("powered_detect",
+        col("obs_diff_pm") * col("obs_diff_pm") >= col("mde_pm2"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("p_pool_pm"), col("mde_pm2"), col("obs_diff_pm"),
+        col("powered_detect"))
   }
 
   /** (1.358)² × 10⁶ — the squared α = 0.05 two-sample KS coefficient

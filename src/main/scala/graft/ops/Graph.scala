@@ -98,6 +98,21 @@ object Graph {
     */
   def triangleCount(edges: DataFrame,
                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val (norm, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
+    norm.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Shared core of [[triangleCount]] / [[clusteringCoefficient]]:
+    * normalised undirected edges, per-node degrees, and the triangle
+    * relation `(apex, lo, hi)` — each triangle exactly once from its
+    * orientation-minimal apex, wedge volume Σ outdeg².
+    */
+  private def orientedTriangles(edges: DataFrame, srcCol: String,
+                                dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val norm = OpCaches.persist(Partitioning.ensureParallelism(
       edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
@@ -124,13 +139,35 @@ object Graph {
         col("x.src") === col("y.src") &&
           (col("x.ddeg") < col("y.ddeg") ||
             (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
-      .select(col("x.dst").as("lo"), col("y.dst").as("hi"))
+      .select(col("x.src").as("apex"), col("x.dst").as("lo"), col("y.dst").as("hi"))
     val triangles = wedges.join(oriented,
       col("lo") === col("src") && col("hi") === col("dst"), "left_semi")
-    norm.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    (norm, deg, triangles)
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node — "how much of my
+    * neighbourhood knows each other", the community-structure /
+    * spam-graph signal: `c(v) = 2·T(v) / (deg(v)·(deg(v)−1))` in
+    * integer per-mille (NULL below degree 2 — no pair to close).
+    * Triangles come from the same degree-oriented wedge join as
+    * [[triangleCount]] (each triangle once, volume Σ outdeg²); the
+    * per-node tally is one explode of the triangle's three corners +
+    * one mergeable count — a triangle relation is sparse-graph-sized,
+    * never corpus-sized.
+    */
+  def clusteringCoefficient(edges: DataFrame,
+                            srcCol: String = "src",
+                            dstCol: String = "dst"): DataFrame = {
+    val (_, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
+    val perNode = triangles
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_pm",
+        when(col("degree") >= 2,
+          expr("(n_triangles * 2000) DIV (degree * (degree - 1))")))
   }
 
   /** Multi-source BFS reachability: the minimum hop count from the

@@ -2533,6 +2533,75 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("clusteringCoefficient: hand-computed coefficients on a crafted graph") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // triangle {1,2,3}, plus 4 adjacent to 1 and 2 (closing a second
+    // triangle 1-2-4), plus a pendant pair 5-6. Degrees 1:3 2:3 3:2
+    // 4:2 5:1 6:1; triangles per node 1:2 2:2 3:1 4:1.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L), (2L, 4L),
+      (5L, 6L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) == ((3L, 2L, Some(666L))))
+    assert(got(2L) == ((3L, 2L, Some(666L))))
+    assert(got(3L) == ((2L, 1L, Some(1000L))))
+    assert(got(4L) == ((2L, 1L, Some(1000L))))
+    assert(got(5L) == ((1L, 0L, None)) && got(6L) == ((1L, 0L, None)))
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("formatPreserving: class-exact masking, consistent, position-sensitive") {
+    import spark.implicits._
+    import graft.anonymise.Anonymiser
+    val in = Seq("Customer#000000001", "Customer#000000001", "abc-XYZ 42!", "")
+      .toDF("s")
+    val out = in.select(col("s"), Anonymiser.formatPreserving(col("s")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // same original -> same pseudonym (the o11 consistency contract)
+    assert(out(0)._2 == out(1)._2)
+    out.foreach { case (s, p) =>
+      assert(p.length == s.length, s"length drift: '$s' -> '$p'")
+      s.zip(p).foreach { case (a, b) =>
+        if (a.isDigit) assert(b.isDigit, s"digit class broken: $a -> $b in '$s'")
+        else if (a.isUpper) assert(b.isUpper, s"upper class broken: $a -> $b")
+        else if (a.isLower) assert(b.isLower, s"lower class broken: $a -> $b")
+        else assert(a == b, s"punctuation not preserved: $a -> $b")
+      }
+    }
+    // the mask must actually mask (some character changes)
+    assert(out(0)._1 != out(0)._2)
+    // repeated identical source chars at different positions should
+    // usually map differently (position is in the hash) — check the
+    // run of zeros is not mapped to one repeated digit
+    val zeros = out(0)._1.zip(out(0)._2).filter(_._1 == '0').map(_._2)
+    assert(zeros.distinct.length > 1, s"positional shift missing: $zeros")
+  }
+
+  test("powerMde: hand-computed MDE on crafted cohorts; underpowered verdict") {
+    import spark.implicits._
+    import graft.ops.{Experiment, Sampling}
+    val coin = (1L to 60L).toDF("u")
+      .select(col("u"), Sampling.bucket(col("u"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val as = coin.collect { case (u, 0L) => u }.toSeq.sorted.take(2)
+    val bs = coin.collect { case (u, 1L) => u }.toSeq.sorted.take(2)
+    def ev(u: Long, tp: String) =
+      (u, tp, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+    // 2 control users (one converts), 2 treat users (none convert)
+    val df = (as.map(ev(_, "view")) ++ bs.map(ev(_, "view")) ++
+      Seq(ev(as.head, "purchase"))).toDF("user_id", "event_type", "ts")
+    val got = Experiment.powerMde(df).collect().head
+    assert(got.getAs[Long]("n_a") == 2L && got.getAs[Long]("conv_a") == 1L)
+    assert(got.getAs[Long]("n_b") == 2L && got.getAs[Long]("conv_b") == 0L)
+    assert(got.getAs[Long]("p_pool_pm") == 250L)
+    // (784896256 * 250 * 750 * 4) DIV (1e8 * 4) = 1471680
+    assert(got.getAs[Long]("mde_pm2") == 1471680L)
+    assert(got.getAs[Long]("obs_diff_pm") == 500L)
+    assert(!got.getAs[Boolean]("powered_detect"), "n = 4 must be underpowered")
+  }
+
   test("mmrTopK: zero-norm candidates (NaN cosine) never crash the greedy loop") {
     import spark.implicits._
     import graft.ops.Similarity

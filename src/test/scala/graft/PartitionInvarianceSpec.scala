@@ -67,7 +67,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_srm", "q_bootstrap_ci", "q_basket_rules", "q_funnel_window",
     "o39_subject_export", "t26_chunks", "t27_watermark", "t28_fertility",
     "s17_knn_graph", "q_conformal", "q_did", "q_rfm",
-    "o40_retention_audit", "st20_chunks")
+    "o40_retention_audit", "st20_chunks", "g5_clustering", "o41_fpe",
+    "q_power", "q_returned_items", "q_large_orders")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
