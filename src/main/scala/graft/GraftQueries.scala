@@ -3428,6 +3428,42 @@ object GraftQueries {
       .orderBy(col("total_qty_x100").desc, col("o_orderkey"))
       .limit(20)
 
+  /** Q_ABN_CHISQ [EXT] — A/B/n conversion homogeneity
+    * (`Experiment.abnChisq`, k = 4 md5-coin variants): the χ²
+    * homogeneity test WITH per-variant diagnostics — each arm's
+    * contribution `Dᵢ²/(nᵢ·C·(N−C))` in deterministic truncated ppm,
+    * the verdict against χ²₀.₉₅,₃·10⁶. Shows WHICH variant deviates,
+    * not just that something does.
+    */
+  def qAbnChisq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.abnChisq(tbl(s, dir, "events"))
+
+  /** Q_COHORT_LTV [EXT] — cumulative revenue per signup cohort over
+    * weeks since signup (`Funnel.cohortLtv`): the growth-team
+    * triangle table, cents-exact, cumulative via a cohort-keyed
+    * calendar-bounded window, per-user LTV by truncating division.
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cohortLtv(tbl(s, dir, "events"),
+      valueCents = (col("value").cast("decimal(18,2)") * 100).cast("long"))
+
+  /** Q_FORECAST_BACKTEST [EXT] — seasonal-naive forecast backtest
+    * (`TimeSeries.seasonalNaiveBacktest`): predict each day's volume
+    * with the same weekday last week, score integer MAE and WAPE
+    * per-mille — the baseline any forecasting deployment must beat,
+    * computed entirely on the calendar-bounded daily aggregate.
+    */
+  def qForecastBacktest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.seasonalNaiveBacktest(tbl(s, dir, "events"), "ts")
+
+  /** ST21 [EXT] — streaming watermark screen, batch form
+    * (`DocsStream.watermarkScreenBatch`; stream == batch asserted in
+    * StreamingSpec): the t27 audit as an alerting feed — only flagged
+    * documents are emitted, stateless.
+    */
+  def st21WatermarkScreen(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocsStream.watermarkScreenBatch(tbl(s, dir, "documents"))
+
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
     * first join): parts bought together in one order, top-20 pairs by
     * support. The A-priori downward-closure prefilter does the scale
@@ -4118,5 +4154,9 @@ object GraftQueries {
     "q_power"            -> (qPower _),
     "q_returned_items"   -> (qReturnedItems _),
     "q_large_orders"     -> (qLargeOrders _),
+    "q_abn_chisq"        -> (qAbnChisq _),
+    "q_cohort_ltv"       -> (qCohortLtv _),
+    "q_forecast_backtest" -> (qForecastBacktest _),
+    "st21_watermark_screen" -> (st21WatermarkScreen _),
   )
 }

@@ -1879,6 +1879,112 @@ object Oracles {
         |HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 20000
         |ORDER BY total_qty_x100 DESC, o_orderkey LIMIT 20""".stripMargin,
 
+    // A/B/n homogeneity: per-variant chi-square contributions in
+    // deterministic truncated ppm, verdict vs chi2(3 df) crit
+    "q_abn_chisq" -> {
+      val coin = bucketSql("u", 4)
+      s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+         |v AS (SELECT u, $coin AS variant FROM u),
+         |cvt AS (SELECT DISTINCT user_id AS u FROM events
+         |        WHERE event_type = 'purchase'),
+         |cells AS (SELECT variant, count(*) AS n_users,
+         |            sum(CASE WHEN cvt.u IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+         |          FROM v LEFT JOIN cvt ON v.u = cvt.u GROUP BY 1),
+         |t AS (SELECT sum(n_users) AS n_total, sum(n_conv) AS c_total
+         |      FROM cells),
+         |pv AS (SELECT variant, n_users, n_conv,
+         |         (n_conv * 1000) // n_users AS rate_pm,
+         |         CASE WHEN n_users > 0 AND c_total > 0
+         |              AND c_total < n_total THEN
+         |           (1000000 * (CAST(n_conv AS HUGEINT) * n_total
+         |                       - CAST(n_users AS HUGEINT) * c_total)
+         |                    * (CAST(n_conv AS HUGEINT) * n_total
+         |                       - CAST(n_users AS HUGEINT) * c_total))
+         |           // (CAST(n_users AS HUGEINT) * c_total
+         |              * (n_total - c_total))
+         |         ELSE 0 END AS chi2_ppm
+         |       FROM cells, t),
+         |tt AS (SELECT sum(chi2_ppm) AS chi2_total_ppm FROM pv)
+         |SELECT CAST(variant AS BIGINT) AS variant,
+         |  CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_conv AS BIGINT) AS n_conv,
+         |  CAST(rate_pm AS BIGINT) AS rate_pm,
+         |  CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+         |  CAST(chi2_total_ppm AS BIGINT) AS chi2_total_ppm,
+         |  chi2_total_ppm >= 7815000 AS significant
+         |FROM pv, tt""".stripMargin
+    },
+
+    // cohort LTV triangle: weekly cohorts, cents-exact cumulative
+    // revenue, per-user LTV by truncating division
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |puw AS (SELECT u, w, sum(cents) AS cents FROM ev GROUP BY 1, 2),
+        |f AS (SELECT u, min(w) AS cohort_week FROM puw GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS n_users_cohort FROM f GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort_week,
+        |    date_diff('day', f.cohort_week, puw.w) // 7 AS week_offset,
+        |    sum(puw.cents) AS rev_cents
+        |  FROM puw JOIN f ON puw.u = f.u GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT cohort_week, week_offset, rev_cents,
+        |    sum(rev_cents) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset) AS cum
+        |  FROM cells)
+        |SELECT c2.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(cum AS BIGINT) AS cum_rev_cents,
+        |  CAST(n_users_cohort AS BIGINT) AS n_users_cohort,
+        |  CAST(cum // n_users_cohort AS BIGINT) AS ltv_cents
+        |FROM c2 JOIN sz USING (cohort_week)""".stripMargin,
+
+    // seasonal-naive backtest: daily counts vs same-weekday-last-week,
+    // integer MAE and WAPE per-mille
+    "q_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS d, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT a.c, b.c AS pred
+        |      FROM daily a JOIN daily b ON a.d = b.d + INTERVAL 7 DAY),
+        |t AS (SELECT count(*) AS n_days_scored, sum(c) AS total_actual,
+        |        sum(abs(c - pred)) AS total_abs_err FROM j)
+        |SELECT CAST(n_days_scored AS BIGINT) AS n_days_scored,
+        |  CAST(total_actual AS BIGINT) AS total_actual,
+        |  CAST(total_abs_err AS BIGINT) AS total_abs_err,
+        |  CAST(CASE WHEN n_days_scored > 0
+        |    THEN total_abs_err // n_days_scored END AS BIGINT) AS mae,
+        |  CAST(CASE WHEN total_actual > 0
+        |    THEN (total_abs_err * 1000) // total_actual END AS BIGINT)
+        |    AS wape_pm
+        |FROM t""".stripMargin,
+
+    // st21 = the t27 audit filtered to flagged docs (the alerting feed)
+    "st21_watermark_screen" -> {
+      val coin = bucketSql("t", 2)
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter(tk, t -> $coin = 0)) AS BIGINT) AS n_green
+           |  FROM toks)
+           |SELECT doc_id, n_tokens, n_green,
+           |  CAST(CASE WHEN n_tokens > 0
+           |    THEN (n_green * 1000) // n_tokens END AS BIGINT) AS green_pm,
+           |  n_tokens > 0 AND
+           |    1000 * (2 * n_green - n_tokens) * (2 * n_green - n_tokens)
+           |      >= 3841 * n_tokens AS flagged
+           |FROM g
+           |WHERE n_tokens > 0 AND
+           |  1000 * (2 * n_green - n_tokens) * (2 * n_green - n_tokens)
+           |    >= 3841 * n_tokens""".stripMargin
+    },
+
     // st20 = the t26 chunker at the streaming feed's 32/32 window
     "st20_chunks" ->
       raw"""WITH toks AS (

@@ -131,6 +131,65 @@ object Experiment {
         col("powered_detect"))
   }
 
+  /** χ²₀.₉₅,df × 1000 for df = 1..15 — the exact rational critical
+    * values the k-variant homogeneity verdict uses (df = k − 1).
+    */
+  val ChiSqCritX1000ByDf: Map[Int, Long] = Map(
+    1 -> 3841L, 2 -> 5991L, 3 -> 7815L, 4 -> 9488L, 5 -> 11070L,
+    6 -> 12592L, 7 -> 14067L, 8 -> 15507L, 9 -> 16919L, 10 -> 18307L,
+    11 -> 19675L, 12 -> 21026L, 13 -> 22362L, 14 -> 23685L, 15 -> 24996L)
+
+  /** A/B/n — the k-variant conversion homogeneity test WITH per-variant
+    * diagnostics (which arm deviates, not just "something differs").
+    * Variants come from the md5 coin mod k; with C total converters of
+    * N users, the classic identity collapses each variant's two cells
+    * into one term: `χ² = Σᵢ Dᵢ² / (nᵢ·C·(N−C))`, `Dᵢ = convᵢ·N − nᵢ·C`
+    * (all integers). Each term is emitted in ppm by truncating
+    * DECIMAL(38,0) division — a DETERMINISTIC quantisation of the real
+    * statistic (error < k/10⁶, far below the 7.815 threshold), identical
+    * in both engines because floor-of-integer-division is; the verdict
+    * compares the ppm sum against χ²₀.₉₅,₍ₖ₋₁₎·10⁶. Intermediates stay
+    * inside 38 digits to N ≈ 10⁸ users.
+    *
+    * Scale shape: one distinct-user aggregate, a k-row mergeable cell
+    * aggregate, totals broadcast back over the k rows.
+    */
+  def abnChisq(events: DataFrame, variants: Int = 4,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               convertType: String = "purchase"): DataFrame = {
+    require(variants >= 2 && variants <= 16, "abnChisq: 2 <= variants <= 16")
+    val users = events.select(col(userCol).as("u")).distinct()
+      .withColumn("variant", Sampling.bucket(col("u"), variants))
+    val converted = events.filter(col(typeCol) === convertType)
+      .select(col(userCol).as("u")).distinct()
+      .withColumn("conv", lit(1L))
+    val cells = OpCaches.persist(users.join(converted, Seq("u"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_conv")))
+    val tot = broadcast(cells.agg(sum("n_users").as("n_total"),
+      sum("n_conv").as("c_total")))
+    val perVar = cells.crossJoin(tot)
+      .withColumn("rate_pm", expr("(n_conv * 1000) DIV n_users"))
+      .withColumn("chi2_ppm",
+        expr("""CASE WHEN n_users > 0 AND c_total > 0
+               |      AND c_total < n_total THEN
+               |  CAST((CAST(1000000 AS DECIMAL(38,0))
+               |        * (n_conv * CAST(n_total AS DECIMAL(38,0))
+               |           - n_users * CAST(c_total AS DECIMAL(38,0)))
+               |        * (n_conv * CAST(n_total AS DECIMAL(38,0))
+               |           - n_users * CAST(c_total AS DECIMAL(38,0))))
+               |       DIV (CAST(n_users AS DECIMAL(38,0)) * c_total
+               |            * (n_total - c_total))
+               |    AS BIGINT) ELSE 0 END""".stripMargin))
+    val total = broadcast(perVar.agg(sum("chi2_ppm").as("chi2_total_ppm")))
+    val critPpm = ChiSqCritX1000ByDf(variants - 1) * 1000L
+    perVar.crossJoin(total)
+      .withColumn("significant", col("chi2_total_ppm") >= lit(critPpm))
+      .select(col("variant"), col("n_users"), col("n_conv"), col("rate_pm"),
+        col("chi2_ppm"), col("chi2_total_ppm"), col("significant"))
+  }
+
   /** (1.358)² × 10⁶ — the squared α = 0.05 two-sample KS coefficient
     * as an exact rational, so the verdict needs no square root.
     */

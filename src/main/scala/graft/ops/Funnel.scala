@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** N-stage ordered funnel analysis over an event log: for each entity,
@@ -177,6 +177,44 @@ object Funnel {
       .groupBy(col("cohort_week"),
         expr("datediff(w, cohort_week) DIV 7").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** COHORT LTV curve — cumulative revenue per signup cohort over
+    * weeks since signup, the triangle table every growth team reads
+    * (and the honest basis for payback-period decisions): users
+    * cohorted by first active week (the `cohortRetention` recipe),
+    * revenue in exact cents per (cohort, offset) cell, cumulative via
+    * a COHORT-KEYED window whose state is the cohort's own offsets —
+    * calendar-bounded, never a partitionless window — and per-user
+    * LTV by truncating division.
+    *
+    * Scale shape: one (user, week, cents) aggregate collapses event
+    * volume first; cohort week is a mergeable min; the matrix is
+    * cohorts × offsets metadata-sized, so the window and the size
+    * join ride on metadata rows.
+    */
+  def cohortLtv(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col(userCol).as("u"), date_trunc("week", col(tsCol)).as("w"),
+        valueCents.cast("long").as("cents"))
+    val perUserWeek = ev.groupBy("u", "w")
+      .agg(sum("cents").as("cents"))
+    val first = perUserWeek.groupBy("u").agg(min("w").as("cohort_week"))
+    val sized = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users_cohort"))
+    val cells = perUserWeek.join(first, "u")
+      .groupBy(col("cohort_week"),
+        expr("datediff(w, cohort_week) DIV 7").as("week_offset"))
+      .agg(sum("cents").as("rev_cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum("rev_cents").over(wCum))
+      .join(broadcast(sized), "cohort_week")
+      .withColumn("ltv_cents",
+        expr("cum_rev_cents DIV n_users_cohort"))
   }
 
   /** First-order Markov transition matrix over per-entity event

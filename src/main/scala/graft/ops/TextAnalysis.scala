@@ -960,12 +960,14 @@ object TextAnalysis {
     * any corpus size.
     */
   def watermarkAudit(df: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     repartition: Boolean = true): DataFrame = {
     val tk = tokens(col(textCol))
     // THE md5 coin (Sampling.bucket) applied per token — one recipe,
     // zero drift risk vs the oracle's bucketSql twin
     val green = filter(tk, t => Sampling.bucket(t, 2) === 0)
-    Partitioning.ensureParallelism(df)
+    val base = if (repartition) Partitioning.ensureParallelism(df) else df
+    base
       .select(col(idCol).as("doc_id"),
         size_(tk).cast("long").as("n_tokens"),
         size_(green).cast("long").as("n_green"))

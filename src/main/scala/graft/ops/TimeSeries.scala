@@ -147,6 +147,38 @@ object TimeSeries {
     * `11250·S² ≥ 2401·var_x18` (1.96 = 49/25 exactly; no continuity
     * correction, documented) — all-long arithmetic, bit-portable.
     */
+  /** SEASONAL-NAIVE forecast backtest — the baseline every real
+    * forecasting deployment must beat, and the honest way to report
+    * whether your volume is predictable at all: predict each day's
+    * event count with the same weekday last week, score the forecast
+    * over every day that has a 7-day-old reference. All integer:
+    * MAE by truncating division, WAPE (the aggregate percentage error
+    * robust to near-zero days) in per-mille of total actual volume.
+    *
+    * Scale shape: events collapse to the calendar-bounded daily
+    * aggregate FIRST (the q_changepoint posture); the lag join is a
+    * self-equi-join of that daily relation on `d = d' + 7 days`; the
+    * score is one mergeable aggregate. Nothing downstream of the
+    * first aggregate scales with event volume.
+    */
+  def seasonalNaiveBacktest(events: DataFrame, tsCol: String,
+                            lagDays: Int = 7): DataFrame = {
+    val daily = OpCaches.persist(events
+      .groupBy(date_trunc("day", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("c")))
+    val pred = daily.select(
+      expr(s"d + INTERVAL $lagDays DAYS").as("d"), col("c").as("pred"))
+    daily.join(pred, "d")
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum("c").as("total_actual"),
+        sum(abs(col("c") - col("pred"))).as("total_abs_err"))
+      .select(col("n_days_scored"), col("total_actual"), col("total_abs_err"),
+        expr("CASE WHEN n_days_scored > 0 THEN total_abs_err DIV n_days_scored END")
+          .as("mae"),
+        expr("CASE WHEN total_actual > 0 THEN (total_abs_err * 1000) DIV total_actual END")
+          .as("wape_pm"))
+  }
+
   def mannKendall(events: DataFrame, tsCol: String,
                   bucket: String = "day"): DataFrame = {
     val daily = OpCaches.persist(events

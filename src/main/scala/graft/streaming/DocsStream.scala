@@ -68,6 +68,20 @@ object DocsStream {
                  stride: Int = 32): DataFrame =
     TextAnalysis.chunks(docs, size = size, stride = stride)
 
+  /** Streaming WATERMARK SCREEN — the t27 green-list audit as an
+    * alerting feed: arriving documents whose green-token count flags
+    * the χ²(1) deviation test are emitted, everything else is dropped.
+    * Stateless (the audit is a pure row function) — no watermark, no
+    * state store; stream == batch row-identical, spec-asserted.
+    */
+  def watermarkScreenStream(stream: DataFrame): DataFrame =
+    TextAnalysis.watermarkAudit(stream, repartition = false)
+      .filter(col("flagged"))
+
+  /** Batch twin of [[watermarkScreenStream]] (the oracle-gated form). */
+  def watermarkScreenBatch(docs: DataFrame): DataFrame =
+    TextAnalysis.watermarkAudit(docs).filter(col("flagged"))
+
   /** PER-ROW portable MinHash LSH band keys — the streaming-shaped twin
     * of `Dedup.minhashCandidates`' banding. The batch form aggregates
     * signature minima with an explode + `groupBy(id)`; a streaming

@@ -2602,6 +2602,86 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(!got.getAs[Boolean]("powered_detect"), "n = 4 must be underpowered")
   }
 
+  test("abnChisq: per-variant decomposition sums to the verdict; planted deviant arm flags") {
+    import spark.implicits._
+    import graft.ops.{Experiment, Sampling}
+    // bucket 200 users with the op's own coin, then make EVERY user of
+    // variant 3 convert and nobody else: maximal homogeneity violation
+    val coin = (1L to 200L).toDF("u")
+      .select(col("u"), Sampling.bucket(col("u"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ev(u: Long, tp: String) =
+      (u, tp, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+    val base = (1L to 200L).map(ev(_, "view"))
+    val conv = coin.collect { case (u, 3L) => u }.map(ev(_, "purchase"))
+    val df = (base ++ conv).toDF("user_id", "event_type", "ts")
+    val rows = Experiment.abnChisq(df).collect()
+    assert(rows.length == 4)
+    val byVar = rows.map(r => r.getAs[Long]("variant") -> r).toMap
+    // the deviant arm converts fully, the others never
+    assert(byVar(3L).getAs[Long]("rate_pm") == 1000L)
+    (0L to 2L).foreach(v => assert(byVar(v).getAs[Long]("rate_pm") == 0L))
+    // every row carries the same total and the verdict must fire
+    assert(rows.map(_.getAs[Long]("chi2_total_ppm")).distinct.length == 1)
+    assert(rows.forall(_.getAs[Boolean]("significant")))
+    // decomposition: total = sum of per-variant contributions
+    assert(rows.map(_.getAs[Long]("chi2_ppm")).sum ==
+      rows.head.getAs[Long]("chi2_total_ppm"))
+    // a perfectly homogeneous split (nobody converts) is degenerate:
+    // every contribution 0, honest non-verdict
+    val none = base.toDF("user_id", "event_type", "ts")
+    val quiet = Experiment.abnChisq(none).collect()
+    assert(quiet.forall(r => r.getAs[Long]("chi2_ppm") == 0L &&
+      !r.getAs[Boolean]("significant")))
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("cohortLtv: hand-computed triangle on two cohorts") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    def ev(u: Long, day: Int, cents: Long) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), cents)
+    // weeks (Mon-aligned): Jan 1 2024 IS a Monday. Cohort A = users 1,2
+    // first seen week of Jan 1; user 1 returns week of Jan 8.
+    // Cohort B = user 3, week of Jan 8 only.
+    val df = Seq(
+      ev(1, 2, 100L), ev(1, 3, 50L),  // cohort A offset 0: 150
+      ev(2, 4, 200L),                 // cohort A offset 0: +200 = 350
+      ev(1, 9, 80L),                  // cohort A offset 1: 80
+      ev(3, 10, 500L)                 // cohort B offset 0: 500
+    ).toDF("user_id", "ts", "v")
+    val got = Funnel.cohortLtv(df, valueCents = col("v"))
+      .select(col("cohort_week").cast("date").cast("string"),
+        col("week_offset"), col("rev_cents"), col("cum_rev_cents"),
+        col("n_users_cohort"), col("ltv_cents"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 350L, 350L, 2L, 175L),
+      ("2024-01-01", 1L, 80L, 430L, 2L, 215L),
+      ("2024-01-08", 0L, 500L, 500L, 1L, 500L)))
+  }
+
+  test("seasonalNaiveBacktest: hand-computed MAE/WAPE on a planted fortnight") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    // day d (1..14) gets `counts(d-1)` events; week 2 = week 1 + noise
+    val counts = Seq(10, 12, 8, 11, 9, 13, 10,  // week 1
+                     12, 12, 7, 14, 9, 10, 10)  // week 2
+    val events = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i =>
+        (d.toLong * 1000 + i, java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 09:00:00")))
+    }.toDF("event_id", "ts")
+    val got = TimeSeries.seasonalNaiveBacktest(events, "ts").collect().head
+    // scored days: 8..14, errors |12-10|,|12-12|,|7-8|,|14-11|,|9-9|,|10-13|,|10-10| = 2,0,1,3,0,3,0 = 9
+    val actual = counts.drop(7).sum.toLong
+    assert(got.getAs[Long]("n_days_scored") == 7L)
+    assert(got.getAs[Long]("total_actual") == actual)
+    assert(got.getAs[Long]("total_abs_err") == 9L)
+    assert(got.getAs[Long]("mae") == 9L / 7L)
+    assert(got.getAs[Long]("wape_pm") == 9L * 1000L / actual)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("mmrTopK: zero-norm candidates (NaN cosine) never crash the greedy loop") {
     import spark.implicits._
     import graft.ops.Similarity

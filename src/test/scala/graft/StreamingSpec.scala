@@ -158,6 +158,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("watermark screen stream: stateless — streaming == batch; only flagged docs emitted") {
+    import graft.streaming.DocsStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$sfDir/documents.parquet", docs.schema,
+      df => DocsStream.watermarkScreenStream(df),
+      queryName = "watermark_screen_test")
+    val batch = DocsStream.watermarkScreenBatch(docs)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // the screen must emit a strict subset (the fixture's natural text
+    // should not all flag) and every emitted row must be flagged
+    assert(batch.count() < docs.count())
+    assert(batch.filter(!col("flagged")).count() == 0)
+  }
+
   test("stream-static near-dup band screen matches batch equivalent, stateless") {
     import graft.streaming.DocsStream
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
