@@ -3464,6 +3464,104 @@ object GraftQueries {
   def st21WatermarkScreen(s: SparkSession, dir: String): DataFrame =
     graft.streaming.DocsStream.watermarkScreenBatch(tbl(s, dir, "documents"))
 
+  /** P6 [EXT] — the RAG INDEXING pipeline composed end-to-end: length
+    * gate → 32-token chunking (t26) → exact chunk-level dedup (min
+    * (doc, idx) canonical per content fingerprint — boilerplate
+    * collapses at CHUNK granularity, which document-level dedup
+    * structurally misses) → lexical retrieval for a query set (the s14
+    * lexical side at chunk granularity): distinct-token overlap,
+    * top-3 chunks per query. Every stage deterministic, so the whole
+    * composition is hash-exact against the stitched SQL twin.
+    *
+    * Scale shape: chunking is a narrow map; the dedup is ONE
+    * fp-keyed mergeable min-struct; chunk tokens re-slice from the
+    * gated docs through an equi join; the query side broadcasts
+    * (queries are constant-bounded); the final cut is a per-query
+    * window over the overlap counts.
+    */
+  def p6RagPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(s, dir, "documents")
+    val tk = TextAnalysis.tokens(col("text"))
+    val gated = graft.ops.OpCaches.persist(
+      docs.filter(size(tk).between(50, 5000))
+        .select(col("doc_id"), tk.as("tk")))
+    val chunks = TextAnalysis.chunks(
+      docs.filter(size(tk).between(50, 5000)), size = 32, stride = 32)
+    val canon = chunks.groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.chunk_idx").as("chunk_idx"))
+    val ct = canon.join(gated, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(array_distinct(slice(col("tk"),
+          (col("chunk_idx") * 32 + 1).cast("int"), lit(32)))).as("token"))
+    val qt = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tk)).as("token"))
+    val overlap = ct.join(broadcast(qt), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_shared").desc, col("doc_id"), col("chunk_idx"))
+    overlap.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_idx"),
+        col("n_shared"))
+  }
+
+  /** O42 [EXT] — data-minimisation audit
+    * (`Profiler.minimisationAudit`): per column, null saturation /
+    * cardinality / modal share with the `drop_candidate` flag — the
+    * GDPR minimisation principle as a mechanical report over portable
+    * value renderings. One (column, value)-keyed shuffle per table.
+    */
+  def o42Minimisation(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.analyse.Profiler.minimisationAudit(
+      tbl(s, dir, "customer"), "customer", Seq(
+        "c_name" -> col("c_name"),
+        "c_nationkey" -> col("c_nationkey").cast("string"),
+        "c_mktsegment" -> col("c_mktsegment"),
+        "c_acctbal" -> col("c_acctbal").cast("decimal(18,2)").cast("string")))
+    val ords = graft.analyse.Profiler.minimisationAudit(
+      tbl(s, dir, "orders"), "orders", Seq(
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority")))
+    cust.unionByName(ords)
+  }
+
+  /** Q_CORPUS_REPORT [EXT] — the one-row corpus health dashboard a
+    * data curator reads before anything trains: doc and token volume,
+    * exact-dup rate (d1 fingerprints), language spread with the top
+    * language's share, mean document length, and the watermark-flag
+    * count — each number a single-row mergeable aggregate, stitched
+    * with scalar broadcast crosses (gate-safe by construction).
+    */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val tk = TextAnalysis.tokens(col("text"))
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tk).cast("long")).as("total_tokens"))
+    val uniq = docs.agg(
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_docs"))
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("n_langs"), col("m.lang").as("top_lang"),
+        col("m.c").as("__top_c"))
+    val wm = TextAnalysis.watermarkAudit(docs)
+      .agg(sum(when(col("flagged"), 1L).otherwise(0L))
+        .as("n_watermark_flagged"))
+    base.crossJoin(broadcast(uniq)).crossJoin(broadcast(langs))
+      .crossJoin(broadcast(wm))
+      .select(col("n_docs"), col("total_tokens"), col("n_unique_docs"),
+        expr("((n_docs - n_unique_docs) * 1000) DIV n_docs").as("dup_rate_pm"),
+        expr("total_tokens DIV n_docs").as("mean_doc_tokens"),
+        col("n_langs"), col("top_lang"),
+        expr("(__top_c * 1000) DIV n_docs").as("top_lang_share_pm"),
+        col("n_watermark_flagged"))
+  }
+
   /** Q_BASKET_PAIRS [EXT] — frequent-itemset pair mining (the A-priori
     * first join): parts bought together in one order, top-20 pairs by
     * support. The A-priori downward-closure prefilter does the scale
@@ -4158,5 +4256,8 @@ object GraftQueries {
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_forecast_backtest" -> (qForecastBacktest _),
     "st21_watermark_screen" -> (st21WatermarkScreen _),
+    "p6_rag_pipeline"    -> (p6RagPipeline _),
+    "o42_minimisation"   -> (o42Minimisation _),
+    "q_corpus_report"    -> (qCorpusReport _),
   )
 }

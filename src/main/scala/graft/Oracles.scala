@@ -1985,6 +1985,112 @@ object Oracles {
            |    >= 3841 * n_tokens""".stripMargin
     },
 
+    // RAG indexing capstone: length gate -> 32/32 chunks -> chunk-level
+    // exact dedup (min (doc,idx) per fp) -> lexical top-3 per query
+    "p6_rag_pipeline" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+           |  FROM documents),
+           |gated AS (SELECT doc_id, tk FROM toks
+           |          WHERE len(tk) BETWEEN 50 AND 5000),
+           |c AS (
+           |  SELECT doc_id, g.i // 32 AS chunk_idx,
+           |    CAST(('0x' || substr(md5(
+           |        array_to_string(tk[g.i + 1 : g.i + 32], ' ')), 1, 15))
+           |      AS BIGINT) AS fp
+           |  FROM gated, LATERAL (SELECT unnest(range(0, len(tk), 32)) AS i) g),
+           |canon AS (
+           |  SELECT doc_id, chunk_idx FROM (
+           |    SELECT doc_id, chunk_idx,
+           |      row_number() OVER (PARTITION BY fp
+           |        ORDER BY doc_id, chunk_idx) AS rn
+           |    FROM c) t WHERE rn = 1),
+           |ct AS (
+           |  SELECT DISTINCT doc_id, chunk_idx, token FROM (
+           |    SELECT cn.doc_id, cn.chunk_idx,
+           |      unnest(g.tk[cn.chunk_idx * 32 + 1 : cn.chunk_idx * 32 + 32])
+           |        AS token
+           |    FROM canon cn JOIN gated g ON cn.doc_id = g.doc_id) t),
+           |qt AS (
+           |  SELECT DISTINCT doc_id AS query_id, unnest(tk) AS token
+           |  FROM toks WHERE doc_id < 5),
+           |ov AS (
+           |  SELECT qt.query_id, ct.doc_id, ct.chunk_idx, count(*) AS n_shared
+           |  FROM ct JOIN qt USING (token)
+           |  WHERE ct.doc_id != qt.query_id GROUP BY 1, 2, 3),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY n_shared DESC, doc_id, chunk_idx) AS rank FROM ov)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |  CAST(n_shared AS BIGINT) AS n_shared
+           |FROM r WHERE rank <= 3""".stripMargin,
+
+    // data-minimisation audit: per-column null saturation, cardinality,
+    // modal share over the portable renderings, drop_candidate flag
+    "o42_minimisation" -> {
+      def block(table: String, colName: String, rendered: String): String =
+        s"""SELECT '$table' AS table_name, '$colName' AS column_name,
+           |  CAST((SELECT count(*) FROM $table) AS BIGINT) AS n_rows,
+           |  CAST((SELECT count(*) FROM $table WHERE $rendered IS NULL)
+           |    AS BIGINT) AS n_nulls,
+           |  CAST((SELECT count(DISTINCT $rendered) FROM $table)
+           |    AS BIGINT) AS n_distinct,
+           |  CAST((coalesce((SELECT max(c) FROM (
+           |      SELECT count(*) AS c FROM $table
+           |      WHERE $rendered IS NOT NULL GROUP BY $rendered) t), 0)
+           |    * 1000) // (SELECT count(*) FROM $table) AS BIGINT)
+           |    AS top_share_pm""".stripMargin
+      val blocks = Seq(
+        block("customer", "c_name", "c_name"),
+        block("customer", "c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+        block("customer", "c_mktsegment", "c_mktsegment"),
+        block("customer", "c_acctbal",
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)"),
+        block("orders", "o_orderstatus", "o_orderstatus"),
+        block("orders", "o_orderpriority", "o_orderpriority"))
+      s"""SELECT table_name, column_name, n_rows, n_nulls, n_distinct,
+         |  top_share_pm,
+         |  n_nulls = n_rows OR n_distinct <= 1 OR top_share_pm >= 990
+         |    AS drop_candidate
+         |FROM (${blocks.mkString("\nUNION ALL\n")}) u""".stripMargin
+    },
+
+    // corpus health dashboard: volumes, d1 dup rate, language spread,
+    // watermark flags — one row of stitched scalar aggregates
+    "q_corpus_report" -> {
+      val coin = bucketSql("t", 2)
+      raw"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+           |  FROM documents),
+           |a AS (SELECT count(*) AS n_docs, sum(len(tk)) AS total_tokens
+           |      FROM toks),
+           |u AS (SELECT count(DISTINCT md5(lower(regexp_replace(trim(text),
+           |        '\s+', ' ', 'g')))) AS n_unique_docs FROM documents),
+           |l AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+           |ln AS (SELECT count(*) AS n_langs FROM l),
+           |lt AS (SELECT lang AS top_lang, c AS top_c FROM l
+           |       ORDER BY c DESC, lang DESC LIMIT 1),
+           |wm AS (
+           |  SELECT sum(CASE WHEN len(tk) > 0 AND
+           |      1000 * (2 * g - len(tk)) * (2 * g - len(tk)) >= 3841 * len(tk)
+           |    THEN 1 ELSE 0 END) AS n_watermark_flagged
+           |  FROM (SELECT tk, len(list_filter(tk, t -> $coin = 0)) AS g
+           |        FROM toks) x)
+           |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(total_tokens AS BIGINT) AS total_tokens,
+           |  CAST(n_unique_docs AS BIGINT) AS n_unique_docs,
+           |  CAST(((n_docs - n_unique_docs) * 1000) // n_docs AS BIGINT)
+           |    AS dup_rate_pm,
+           |  CAST(total_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+           |  CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+           |  CAST((top_c * 1000) // n_docs AS BIGINT) AS top_lang_share_pm,
+           |  CAST(n_watermark_flagged AS BIGINT) AS n_watermark_flagged
+           |FROM a, u, ln, lt, wm""".stripMargin
+    },
+
     // st20 = the t26 chunker at the streaming feed's 32/32 window
     "st20_chunks" ->
       raw"""WITH toks AS (

@@ -42,6 +42,42 @@ object Profiler {
         col("n_distinct"), col("min_v"), col("max_v"))
   }
 
+  /** DATA-MINIMISATION audit — the MINIMISER's "why are we even
+    * storing this" report: per column, null saturation, distinct
+    * cardinality and the modal value's share, with a `drop_candidate`
+    * flag when a column is all-null, single-valued, or ≥ 99% one value
+    * (storing it is all risk, no signal — the GDPR data-minimisation
+    * principle turned into a mechanical check). Values audit through a
+    * caller-supplied PORTABLE string rendering so the modal grouping
+    * is engine-exact.
+    *
+    * Scale shape: one narrow `stack` unpivot, ONE shuffle keyed on
+    * (column, rendered value) for the value counts, then a
+    * column-keyed mergeable rollup — state is the value domain per
+    * column, never the row count.
+    */
+  def minimisationAudit(df: DataFrame, tableName: String,
+                        rendered: Seq[(String, Column)]): DataFrame = {
+    require(rendered.nonEmpty, "minimisationAudit: no columns given")
+    val stacked = df.select(explode(array(rendered.map { case (n, c) =>
+      struct(lit(n).as("column_name"), c.cast("string").as("value"))
+    }: _*)).as("kv")).select(col("kv.column_name"), col("kv.value"))
+    val vc = stacked.groupBy("column_name", "value")
+      .agg(count(lit(1)).as("c"))
+    vc.groupBy("column_name")
+      .agg(sum("c").as("n_rows"),
+        sum(when(col("value").isNull, col("c")).otherwise(0L)).as("n_nulls"),
+        count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
+        max(when(col("value").isNotNull, col("c")).otherwise(0L))
+          .as("__top"))
+      .select(lit(tableName).as("table_name"), col("column_name"),
+        col("n_rows"), col("n_nulls"), col("n_distinct"),
+        expr("(__top * 1000) DIV n_rows").as("top_share_pm"))
+      .withColumn("drop_candidate",
+        col("n_nulls") === col("n_rows") || col("n_distinct") <= 1 ||
+          col("top_share_pm") >= 990)
+  }
+
   /** Equi-width histogram of an INTEGER-valued column (callers quantise
     * money to cents etc. first) — the ANALYZE-histogram companion to
     * [[profile]]. Bin edges come from the data's own min/max; the bin

@@ -2682,6 +2682,67 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("minimisationAudit: all-null, constant, and saturated columns flag; healthy ones don't") {
+    import spark.implicits._
+    import graft.analyse.Profiler
+    val n = 200
+    val df = (1 to n).map { i =>
+      (i.toLong,
+        null.asInstanceOf[String],              // legacy_field: all null
+        "ACME",                                 // tenant: single value
+        if (i <= 198) "US" else s"X$i",         // country: 99% modal
+        s"user$i")                              // name: healthy
+    }.toDF("id", "legacy_field", "tenant", "country", "name")
+    val got = Profiler.minimisationAudit(df, "t", Seq(
+        "legacy_field" -> col("legacy_field"), "tenant" -> col("tenant"),
+        "country" -> col("country"), "name" -> col("name")))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(got("legacy_field").getAs[Long]("n_nulls") == n.toLong &&
+      got("legacy_field").getAs[Boolean]("drop_candidate"))
+    assert(got("tenant").getAs[Long]("n_distinct") == 1L &&
+      got("tenant").getAs[Boolean]("drop_candidate"))
+    assert(got("country").getAs[Long]("top_share_pm") == 990L &&
+      got("country").getAs[Boolean]("drop_candidate"))
+    assert(got("name").getAs[Long]("n_distinct") == n.toLong &&
+      !got("name").getAs[Boolean]("drop_candidate"))
+  }
+
+  test("p6 RAG pipeline: chunk-level dedup collapses a shared block; retrieval finds it once") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // two docs embed the IDENTICAL aligned 32-token block; chunk dedup
+    // must keep exactly one copy of that block's fingerprint
+    val block = (1 to 32).map(i => s"shared$i").mkString(" ")
+    val padA = (1 to 32).map(i => s"a$i").mkString(" ")
+    val padB = (1 to 32).map(i => s"b$i").mkString(" ")
+    val docs = Seq((10L, s"$padA $block"), (20L, s"$padB $block"))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunks(docs, size = 32, stride = 32)
+    val canon = chunks.groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.chunk_idx").as("chunk_idx"))
+    assert(chunks.count() == 4, "2 docs x 2 aligned windows")
+    assert(canon.count() == 3, "the shared block must collapse to one chunk")
+    // the survivor is the min (doc_id, chunk_idx) copy: (10, 1)
+    val surv = canon.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(surv == Set((10L, 0L), (10L, 1L), (20L, 0L)))
+  }
+
+  test("corpus report: fields cross-check against independent aggregates") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = GraftQueries.qCorpusReport(spark, sfDir).collect().head
+    assert(got.getAs[Long]("n_docs") == docs.count())
+    assert(got.getAs[Long]("n_langs") ==
+      docs.select("lang").distinct().count())
+    val topLang = docs.groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang").desc).first().getString(0)
+    assert(got.getAs[String]("top_lang") == topLang)
+    assert(got.getAs[Long]("dup_rate_pm") >= 0L &&
+      got.getAs[Long]("dup_rate_pm") <= 1000L)
+    assert(got.getAs[Long]("mean_doc_tokens") > 0L)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("mmrTopK: zero-norm candidates (NaN cosine) never crash the greedy loop") {
     import spark.implicits._
     import graft.ops.Similarity

@@ -69,7 +69,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "s17_knn_graph", "q_conformal", "q_did", "q_rfm",
     "o40_retention_audit", "st20_chunks", "g5_clustering", "o41_fpe",
     "q_power", "q_returned_items", "q_large_orders", "q_abn_chisq",
-    "q_cohort_ltv", "q_forecast_backtest", "st21_watermark_screen")
+    "q_cohort_ltv", "q_forecast_backtest", "st21_watermark_screen",
+    "p6_rag_pipeline", "o42_minimisation", "q_corpus_report")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
