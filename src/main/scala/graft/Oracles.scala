@@ -1879,6 +1879,204 @@ object Oracles {
         |HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 20000
         |ORDER BY total_qty_x100 DESC, o_orderkey LIMIT 20""".stripMargin,
 
+    // TPC-H Q4 shape: EXISTS (late lineitem) per order priority
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 10 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q7 shape: nation-pair revenue flow per ship year
+    "q_volume_shipping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, year(l_shipdate) AS l_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |cust AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |ords AS (SELECT o_orderkey, cust_nation FROM orders
+        |  JOIN cust ON o_custkey = c_custkey)
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(micro) AS BIGINT) AS rev_micro
+        |FROM li JOIN sup ON l_suppkey = s_suppkey
+        |JOIN ords ON l_orderkey = o_orderkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q8 shape: NATION_3's ppm share of ASIA's PROMO revenue
+    "q_market_share" ->
+      """WITH asia AS (SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |ords AS (SELECT o_orderkey, year(o_orderdate) AS o_year FROM orders
+        |  JOIN asia ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |rows_ AS (SELECT o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS micro,
+        |    CASE WHEN n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_n3
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN ords ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |a AS (SELECT o_year, sum(micro) AS total_micro,
+        |    sum(micro * is_n3) AS n3_micro FROM rows_ GROUP BY 1)
+        |SELECT o_year, CAST(total_micro AS BIGINT) AS total_micro,
+        |  CAST(n3_micro AS BIGINT) AS n3_micro,
+        |  CAST((n3_micro * 1000000) // total_micro AS BIGINT) AS share_ppm
+        |FROM a ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q9 shape: profit (rev minus 80% retail cost) per supplier
+    // nation per order year, 1e-7-dollar integer units
+    "q_product_profit" ->
+      """SELECT n_name, o_year, CAST(sum(profit_d) AS BIGINT) AS profit_e7
+        |FROM (
+        |  SELECT n_name, year(o_orderdate) AS o_year,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |        (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+        |      AS HUGEINT) * 10 -
+        |    CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS HUGEINT) *
+        |      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 8
+        |      AS profit_d
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // TPC-H Q12 shape: high/low priority line counts per line status
+    "q_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q14 shape: PROMO parts' ppm share of one month's revenue
+    "q_promo_revenue" ->
+      """WITH rows_ AS (
+        |  SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS micro,
+        |    CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'),
+        |a AS (SELECT sum(micro * is_promo) AS promo_micro,
+        |    sum(micro) AS total_micro FROM rows_)
+        |SELECT CAST(promo_micro AS BIGINT) AS promo_micro,
+        |  CAST(total_micro AS BIGINT) AS total_micro,
+        |  CAST((promo_micro * 1000000) // total_micro AS BIGINT) AS promo_ppm
+        |FROM a""".stripMargin,
+
+    // TPC-H Q17 shape: revenue of lineitems under 20% of part-average
+    // quantity; truncating integer average in hundredths
+    "q_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey AS a_partkey,
+        |    sum(q100) // count(*) AS avg100 FROM li GROUP BY 1)
+        |SELECT CAST(sum(cents) AS BIGINT) AS small_rev_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN a ON l_partkey = a_partkey
+        |WHERE q100 * 5 < avg100""".stripMargin,
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity revenue blocks
+    "q_disjunctive" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS micro
+        |  FROM lineitem)
+        |SELECT CAST(sum(micro) AS BIGINT) AS rev_micro,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |    AND q100 BETWEEN 100 AND 2000)
+        |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+        |    AND q100 BETWEEN 1000 AND 3000)
+        |  OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+        |    AND q100 BETWEEN 2000 AND 4000)""".stripMargin,
+
+    // TPC-H Q21 shape: sole last-shipping supplier in finished
+    // multi-supplier orders, top-10 by wait count
+    "q_waiting_orders" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+        |ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+        |  FROM li GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    max(supp_max) AS ord_max FROM ps GROUP BY 1),
+        |late AS (SELECT ps.l_orderkey, ps.l_suppkey FROM ps
+        |  JOIN po ON ps.l_orderkey = po.l_orderkey
+        |  WHERE n_supp > 1 AND supp_max = ord_max),
+        |sole AS (SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+        |  FROM late GROUP BY 1 HAVING count(*) = 1)
+        |SELECT 'Supplier#' || lpad(CAST(l_suppkey AS VARCHAR), 9, '0') AS s_name,
+        |  CAST(count(*) AS BIGINT) AS numwait
+        |FROM sole GROUP BY 1
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    // TPC-H Q22 shape: above-average-balance customers with no
+    // orders, per nation; truncating integer average of positives
+    "q_idle_customers" ->
+      """WITH cust AS (SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |a AS (SELECT sum(cents) // count(*) AS avg_cents FROM cust WHERE cents > 0)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, a
+        |WHERE cents > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q2 shape: min-(acctbal, suppkey) supplier per shipped brand
+    "q_min_cost_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT p_brand, l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey),
+        |j AS (SELECT p_brand,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    s_suppkey
+        |  FROM pairs JOIN supplier ON l_suppkey = s_suppkey),
+        |m AS (SELECT p_brand, min(cents) AS mc FROM j GROUP BY 1)
+        |SELECT j.p_brand, min(j.s_suppkey) AS s_suppkey,
+        |  CAST(m.mc AS BIGINT) AS acctbal_cents
+        |FROM j JOIN m ON j.p_brand = m.p_brand AND j.cents = m.mc
+        |GROUP BY j.p_brand, m.mc ORDER BY j.p_brand""".stripMargin,
+
+    // TPC-H Q16 shape: distinct non-deficit suppliers per (brand, type)
+    "q_supplier_count" ->
+      """SELECT p_brand, p_type,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin,
+
     // A/B/n homogeneity: per-variant chi-square contributions in
     // deterministic truncated ppm, verdict vs chi2(3 df) crit
     "q_abn_chisq" -> {

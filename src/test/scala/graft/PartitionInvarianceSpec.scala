@@ -70,7 +70,12 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "o40_retention_audit", "st20_chunks", "g5_clustering", "o41_fpe",
     "q_power", "q_returned_items", "q_large_orders", "q_abn_chisq",
     "q_cohort_ltv", "q_forecast_backtest", "st21_watermark_screen",
-    "p6_rag_pipeline", "o42_minimisation", "q_corpus_report")
+    "p6_rag_pipeline", "o42_minimisation", "q_corpus_report",
+    // round-8 TPC-H completion: semi/anti joins, scalar subqueries,
+    // correlated aggregates, count-distinct, disjunctive pushdown
+    "q_order_priority", "q_volume_shipping", "q_market_share",
+    "q_product_profit", "q_waiting_orders", "q_min_cost_supplier",
+    "q_idle_customers", "q_small_qty", "q_supplier_count")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
