@@ -4246,16 +4246,26 @@ object GraftQueries {
     * a metadata-scale join — no correlated re-scan of the fact).
     */
   def qWaitingOrders(s: SparkSession, dir: String): DataFrame = {
+    // The orderkey repartition is the plan's ONE fact shuffle: hash
+    // partitioning on l_orderkey alone satisfies the (orderkey,
+    // suppkey) aggregate, the per-order roll-up, their join, and the
+    // sole-waiter aggregate below — four stages, one Exchange.
     val li = tbl(s, dir, "lineitem")
       .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
     val perSupp = li.groupBy("l_orderkey", "l_suppkey")
       .agg(max("l_shipdate").as("supp_max"))
     val perOrd = perSupp.groupBy("l_orderkey")
       .agg(countDistinct("l_suppkey").as("n_supp"), max("supp_max").as("ord_max"))
+    // supp_max >= ord_max, not ===: ord_max is the max over supp_max,
+    // so the two are equivalent — but an equality would be extracted
+    // into the join keys, re-shuffling both order-grain sides on
+    // (max, orderkey) and discarding the co-partitioning; the
+    // inequality stays a residual filter on the orderkey-only join.
     val late = perSupp.join(perOrd, "l_orderkey")
-      .filter(col("n_supp") > 1 && col("supp_max") === col("ord_max"))
+      .filter(col("n_supp") > 1 && col("supp_max") >= col("ord_max"))
     // exactly ONE supplier may attain the order max for it to be "the"
     // waiter — ties mean shared blame and drop the order (Q21's NOT
     // EXISTS l3 clause)
@@ -4330,6 +4340,105 @@ object GraftQueries {
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
       .limit(20)
+  }
+
+  /** Q6 shape — the forecast-revenue delta: one filtered scan, one
+    * global aggregate, zero joins. The whole point of the shape is
+    * pushdown: all three predicates (date range, discount band,
+    * quantity cap) reach the parquet scan as comparisons on raw
+    * columns; micro = cents·bp is computed only on surviving rows.
+    */
+  def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select((col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q100"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (col("l_discount").cast("decimal(6,4)") * 10000).cast("long").as("bp"))
+      .filter(col("bp").between(500L, 700L) && col("q100") < 2400L)
+      .agg(sum((col("cents") * col("bp")).cast("decimal(38,0)")).cast("long")
+          .as("rev_micro"),
+        count(lit(1)).as("n_items"))
+
+  /** Q13 shape — customer order-count distribution, zero-order
+    * customers included: a right-outer-flavoured join (customer side
+    * preserved) followed by two stacked aggregates at different
+    * grains. count(o_custkey) — not count(*) — is what makes the
+    * never-ordered bucket land on 0.
+    */
+  def qCustdist(s: SparkSession, dir: String): DataFrame = {
+    // Aggregate orders to (custkey, count) BEFORE the outer join: the
+    // partial count combines map-side, so raw order rows never cross a
+    // shuffle — at 100 TB the orders fact dwarfs the customer dim and
+    // joining first would shuffle it whole. The join then moves only
+    // customer keys and count pairs; never-ordered customers surface
+    // via the coalesce-to-0 on the preserved side.
+    val cnt = tbl(s, dir, "orders").select(col("o_custkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    tbl(s, dir, "customer").select(col("c_custkey"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15 shape — top supplier(s) by one quarter's revenue: the view +
+    * scalar-subquery-max pattern. The per-supplier revenue aggregate
+    * is computed once and reused for both the max and the final
+    * filter (one shuffle; the 1-row max broadcasts back). Ties all
+    * surface, per the canonical query.
+    */
+  def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(sum(((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+          (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+          .cast("decimal(38,0)")).cast("long").as("total_rev_micro"))
+    rev.crossJoin(broadcast(rev.agg(max("total_rev_micro").as("mx"))))
+      .filter(col("total_rev_micro") === col("mx"))
+      .join(broadcast(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_micro"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q20 shape — dominant suppliers of "red" parts (the partsupp-free
+    * adaptation: a supplier qualifies when its 1997 shipped quantity
+    * of some red part exceeds half that part's total): two stacked
+    * mergeable aggregates at (part, supplier) then (part) grain — the
+    * correlated comparison is a join between the two, never a
+    * re-scan — and the distinct supplier set joins the dimension.
+    */
+  def qDominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val red = broadcast(tbl(s, dir, "part")
+      .filter(col("p_name").contains("red")).select(col("p_partkey")))
+    // One explicit partkey repartition feeds every grain: hash
+    // partitioning on l_partkey alone satisfies the clustered
+    // distribution of the (partkey, suppkey) aggregate, the partkey
+    // roll-up, AND the correlating join — so the three stages share a
+    // single Exchange instead of three, and AQE reuses it across the
+    // two references to pairQ.
+    val pairQ = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(red, col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+        .as("pair_q100"))
+    val partQ = pairQ.groupBy("l_partkey")
+      .agg(sum("pair_q100").as("part_q100"))
+    pairQ.join(partQ, "l_partkey")
+      .filter(col("pair_q100") * 2 > col("part_q100"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
   }
 
   /** All queries, keyed for the driver harness. */
@@ -4572,6 +4681,10 @@ object GraftQueries {
     "q_idle_customers"   -> (qIdleCustomers _),
     "q_min_cost_supplier" -> (qMinCostSupplier _),
     "q_supplier_count"   -> (qSupplierCount _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
+    "q_custdist"         -> (qCustdist _),
+    "q_top_supplier"     -> (qTopSupplier _),
+    "q_dominant_supplier" -> (qDominantSupplier _),
     "q_abn_chisq"        -> (qAbnChisq _),
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_forecast_backtest" -> (qForecastBacktest _),

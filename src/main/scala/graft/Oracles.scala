@@ -2077,6 +2077,60 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin,
 
+    // TPC-H Q6 shape: filtered-scan revenue delta, zero joins
+    "q_forecast_revenue" ->
+      """SELECT CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS rev_micro,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)
+        |    BETWEEN 500 AND 700
+        |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) < 2400""".stripMargin,
+
+    // TPC-H Q13 shape: order-count distribution incl. zero-order customers
+    "q_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q15 shape: supplier(s) attaining the quarter's max revenue
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey, CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)))
+        |    AS BIGINT) AS total_rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_micro
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_micro = (SELECT max(total_rev_micro) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // TPC-H Q20 shape: suppliers shipping >half of a red part's 1997 volume
+    "q_dominant_supplier" ->
+      """WITH pairq AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS pair_q100
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |partq AS (SELECT l_partkey, sum(pair_q100) AS part_q100
+        |  FROM pairq GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM pairq JOIN partq USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE pair_q100 * 2 > part_q100
+        |ORDER BY s_suppkey""".stripMargin,
+
     // A/B/n homogeneity: per-variant chi-square contributions in
     // deterministic truncated ppm, verdict vs chi2(3 df) crit
     "q_abn_chisq" -> {

@@ -75,7 +75,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     // correlated aggregates, count-distinct, disjunctive pushdown
     "q_order_priority", "q_volume_shipping", "q_market_share",
     "q_product_profit", "q_waiting_orders", "q_min_cost_supplier",
-    "q_idle_customers", "q_small_qty", "q_supplier_count")
+    "q_idle_customers", "q_small_qty", "q_supplier_count",
+    "q_forecast_revenue", "q_custdist", "q_top_supplier",
+    "q_dominant_supplier")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString

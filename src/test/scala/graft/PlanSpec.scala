@@ -619,6 +619,36 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       s"partitionless cap window detected:\n${plan.take(2500)}")
   }
 
+  test("q_custdist: raw orders never cross a shuffle — count pairs do") {
+    val plan = planOf("q_custdist")
+    // the per-custkey count must partial-aggregate BELOW its exchange,
+    // i.e. map-side combine on the scan side of the shuffle
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(o_custkey"))
+    assert(exIdx >= 0, s"orders count must shuffle on o_custkey:\n${plan.take(2000)}")
+    assert(lines.drop(exIdx).exists(_.contains("partial_count")),
+      s"orders count must map-side combine below its exchange:\n${plan.take(2500)}")
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
+  test("q_waiting_orders / q_dominant_supplier: one fact exchange feeds every grain") {
+    for ((name, key) <- Seq("q_waiting_orders" -> "l_orderkey",
+        "q_dominant_supplier" -> "l_partkey")) {
+      val plan = planOf(name)
+      // the explicit repartition is the only fact-side shuffle; the
+      // stacked aggregates and the correlating join must reuse it, so
+      // the distinct exchange keys are exactly {fact key, final group key}
+      val exKeys = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .map(_.replaceAll(".*Exchange hashpartitioning\\(([a-z_0-9]+)#.*", "$1"))
+        .toSet
+      assert(exKeys.contains(key), s"$name: missing $key exchange:\n${plan.take(2000)}")
+      assert(exKeys.size <= 2,
+        s"$name: extra exchange keys ${exKeys - key} — co-partitioning broken:\n${plan.take(3000)}")
+      assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    }
+  }
+
   test("g1 pagerank: cached edges read every superstep, never re-shuffled") {
     val df = GraftQueries.all("g1_supplier_rank")(spark, sfDir)
     df.collect()
