@@ -4441,6 +4441,21 @@ object GraftQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Inter-labeler agreement between the corpus's two quality
+    * labelers — the Gopher heuristic gate (t12's `keep`) and the
+    * hashed-vocabulary classifier (t16's `pass`): Cohen's κ in exact
+    * ppm plus McNemar's paired-difference verdict, the label-QA audit
+    * run before trusting either gate to filter 100 TB.
+    */
+  def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.ops.Experiment.labelerAgreement(
+      TextAnalysis.gopherQualityFilter(docs).select(col("doc_id"), col("keep")),
+      "doc_id", "keep",
+      TextAnalysis.classifierScore(docs).select(col("doc_id"), col("pass")),
+      "doc_id", "pass")
+  }
+
   /** All queries, keyed for the driver harness. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_tables"          -> (o1Tables _),
@@ -4685,6 +4700,7 @@ object GraftQueries {
     "q_custdist"         -> (qCustdist _),
     "q_top_supplier"     -> (qTopSupplier _),
     "q_dominant_supplier" -> (qDominantSupplier _),
+    "q_kappa"            -> (qKappa _),
     "q_abn_chisq"        -> (qAbnChisq _),
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_forecast_backtest" -> (qForecastBacktest _),

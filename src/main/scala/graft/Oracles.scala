@@ -2077,6 +2077,68 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin,
 
+    // Inter-labeler agreement: Cohen's kappa (exact integer rational,
+    // sign-decomposed ppm so trunc-vs-floor division agrees across
+    // engines) + McNemar's paired test between the t12 gopher gate and
+    // the t16 hashed-vocab classifier
+    "q_kappa" -> {
+      val w = bucketSql("tok", 2001)
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, text, len(toks) AS nt,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS na
+         |  FROM f),
+         |ka AS (
+         |  SELECT doc_id,
+         |    (nt BETWEEN 5 AND 1000)
+         |    AND ((CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1)) BETWEEN 2.0 AND 12.0)
+         |    AND (len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|that|it|for)\\b')) >= 2)
+         |    AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2)
+         |    AND (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3)
+         |    AND (CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7) AS a
+         |  FROM g),
+         |toks AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM f),
+         |vocab AS (
+         |  SELECT tok, $w * 1000 - 1000000 AS w_micro
+         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
+         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+         |kb AS (
+         |  SELECT t.doc_id, coalesce(sum(v.w_micro), 0) > 0 AS b
+         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         |cells AS (
+         |  SELECT count(*) AS n,
+         |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+         |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+         |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+         |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+         |  FROM ka JOIN kb USING (doc_id)),
+         |m AS (
+         |  SELECT *,
+         |    CAST(n AS HUGEINT) * (n11 + n00) -
+         |      (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+         |       CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS knum,
+         |    CAST(n AS HUGEINT) * n -
+         |      (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+         |       CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS kden
+         |  FROM cells)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+         |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+         |  CAST(n00 AS BIGINT) AS n00,
+         |  CAST(knum AS BIGINT) AS kappa_num, CAST(kden AS BIGINT) AS kappa_den,
+         |  CASE WHEN kden <> 0 THEN CAST(CASE WHEN knum < 0
+         |    THEN -(((-knum) * 1000000) // kden)
+         |    ELSE (knum * 1000000) // kden END AS BIGINT) END AS kappa_ppm,
+         |  CASE WHEN kden <> 0 THEN knum * 10 > kden * 4 END AS moderate_04,
+         |  CASE WHEN n10 + n01 > 0 THEN
+         |    CAST(n10 - n01 AS HUGEINT) * (n10 - n01) * 1000 >=
+         |      CAST(n10 + n01 AS HUGEINT) * 3841 END AS mcnemar_sig
+         |FROM m""".stripMargin
+    },
+
     // TPC-H Q6 shape: filtered-scan revenue delta, zero joins
     "q_forecast_revenue" ->
       """SELECT CAST(sum(

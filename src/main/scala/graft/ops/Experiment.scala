@@ -488,4 +488,67 @@ object Experiment {
             dec(col("rho_num")) >
             dec(col("rho_den_x")) * dec(col("rho_den_y")))
   }
+
+  /** Inter-labeler agreement on a shared boolean label: Cohen's κ and
+    * McNemar's paired test — the label-QA gate a training-data
+    * pipeline runs when two annotation sources (a heuristic gate and a
+    * learned classifier, two human raters, two model versions) label
+    * the same corpus.
+    *
+    * Exactness: with 2×2 cells n11/n10/n01/n00 and marginals
+    * a1 = n11+n10, b1 = n11+n01 (and a0/b0 their complements),
+    * κ = (p_o − p_e)/(1 − p_e) clears to the integer rational
+    * `(n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))`.
+    * Both sides are emitted raw plus a truncating kappa_ppm; the
+    * "moderate agreement" κ > 0.4 verdict cross-multiplies (den ≥ 0
+    * by Cauchy–Schwarz, so the inequality direction is stable), and
+    * McNemar's χ² = (n10−n01)²/(n10+n01) ≥ 3.841 becomes
+    * `1000·(n10−n01)² ≥ 3841·(n10+n01)`. All products form in
+    * DECIMAL(38,0) — at n = 10¹² docs, n² = 10²⁴ ≪ 10³⁸. Degenerate
+    * inputs stay honest: a constant labeler makes den = 0 → NULL κ;
+    * zero discordant pairs → NULL McNemar verdict (the test is
+    * undefined, not "insignificant").
+    *
+    * Scale shape: one doc-grain equi-join of the two label relations,
+    * then a single mergeable 5-cell aggregate — the corpus crosses one
+    * shuffle, the result is one row.
+    */
+  def labelerAgreement(a: DataFrame, aId: String, aLabel: String,
+                       b: DataFrame, bId: String, bLabel: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val joined = a.select(col(aId).as("__id"), col(aLabel).cast("boolean").as("__a"))
+      .join(b.select(col(bId).as("__id"), col(bLabel).cast("boolean").as("__b")),
+        "__id")
+    joined.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("__pe_num",
+        dec(col("n11") + col("n10")) * dec(col("n11") + col("n01")) +
+          dec(col("n01") + col("n00")) * dec(col("n10") + col("n00")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (dec(col("n")) * dec(col("n11") + col("n00")) - col("__pe_num"))
+          .cast("long").as("kappa_num"),
+        (dec(col("n")) * dec(col("n")) - col("__pe_num"))
+          .cast("long").as("kappa_den"))
+      .withColumn("kappa_ppm",
+        // sign-decomposed so the truncation direction is engine-
+        // independent: Spark's DIV truncates toward zero, DuckDB's //
+        // floors — on the non-negative |num| they agree, and the sign
+        // is re-applied outside the division.
+        when(col("kappa_den") =!= 0L, expr(
+          """CAST(CASE WHEN kappa_num < 0
+            |  THEN -((CAST(-kappa_num AS DECIMAL(38,0)) * 1000000) DIV kappa_den)
+            |  ELSE (CAST(kappa_num AS DECIMAL(38,0)) * 1000000) DIV kappa_den
+            |END AS BIGINT)""".stripMargin)))
+      .withColumn("moderate_04",
+        when(col("kappa_den") =!= 0L,
+          dec(col("kappa_num")) * 10 > dec(col("kappa_den")) * 4))
+      .withColumn("mcnemar_sig",
+        when(col("n10") + col("n01") > 0L,
+          dec(col("n10") - col("n01")) * dec(col("n10") - col("n01")) * 1000 >=
+            dec(col("n10") + col("n01")) * 3841))
+  }
 }

@@ -3226,4 +3226,41 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .as[(String, String, Long, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("labelerAgreement: hand-computed kappa, negative-kappa sign, degenerate NULLs") {
+    import spark.implicits._
+    def labels(name: String, bits: Seq[Boolean]) =
+      bits.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", name)
+    def agree(a: Seq[Boolean], b: Seq[Boolean]) =
+      graft.ops.Experiment.labelerAgreement(
+        labels("a", a), "id", "a", labels("b", b), "id", "b").collect().head
+    // n11=3 n10=1 n01=0 n00=2 → kappa = 12/18 ≈ 0.667: moderate, and
+    // McNemar on 1 discordant pair is insignificant (1000 < 3841)
+    val r = agree(Seq(true, true, true, true, false, false),
+      Seq(true, true, true, false, false, false))
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n00")) == (3L, 1L, 0L, 2L))
+    assert(r.getAs[Long]("kappa_num") == 12L && r.getAs[Long]("kappa_den") == 18L)
+    assert(r.getAs[Long]("kappa_ppm") == 666666L)
+    assert(r.getAs[Boolean]("moderate_04"))
+    assert(!r.getAs[Boolean]("mcnemar_sig"))
+    // perfect disagreement → kappa exactly −1; the ppm must come out
+    // −1000000, not the floor-division −1000001
+    val neg = agree(Seq(true, true, true, false, false, false),
+      Seq(false, false, false, true, true, true))
+    assert(neg.getAs[Long]("kappa_ppm") == -1000000L)
+    assert(!neg.getAs[Boolean]("moderate_04"))
+    // one constant labeler still has a defined (zero) kappa
+    val half = agree(Seq(true, true, true, true), Seq(true, false, true, false))
+    assert(half.getAs[Long]("kappa_num") == 0L && half.getAs[Long]("kappa_den") == 8L)
+    // BOTH labelers constant → chance agreement is total: kappa undefined
+    val const = agree(Seq(true, true, true, true), Seq(true, true, true, true))
+    assert(const.getAs[Long]("kappa_den") == 0L)
+    assert(const.isNullAt(const.fieldIndex("kappa_ppm")))
+    assert(const.isNullAt(const.fieldIndex("moderate_04")))
+    // zero discordant pairs: McNemar undefined, honest NULL
+    val same = agree(Seq(true, false, true), Seq(true, false, true))
+    assert(same.isNullAt(same.fieldIndex("mcnemar_sig")))
+    assert(same.getAs[Long]("kappa_ppm") == 1000000L)
+  }
 }
