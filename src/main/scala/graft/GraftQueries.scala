@@ -3947,6 +3947,57 @@ object GraftQueries {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  /** Group-leakage-safe split: the q_train_split recipe keyed by the
+    * GROUP (source domain), not the document — all docs from one
+    * source land in one fold, the property that stops near-duplicate
+    * train/test leakage through shared boilerplate. Emits per-split
+    * source/doc/token counts plus, for contrast, how many sources the
+    * doc-keyed split would scatter across folds (`leaky_sources` —
+    * the audit number that motivates group splitting; the group-keyed
+    * assignment itself cannot leak by construction).
+    */
+  def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+    def splitOf(b: Column) =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    // the doc-keyed counterfactual: a source "leaks" when its docs land
+    // in more than one fold — metadata-scale after the per-source agg
+    val leaky = docs
+      .select(col("source"), splitOf(Sampling.bucket(col("doc_id"), 100)).as("sp"))
+      .groupBy("source").agg(countDistinct(col("sp")).as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leaky_sources"))
+    docs.withColumn("split", splitOf(Sampling.bucket(col("source"), 100)))
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .crossJoin(broadcast(leaky))
+      .orderBy("split")
+  }
+
+  /** Padding-waste audit for sequence packing: token-length histogram
+    * in power-of-2 buckets with the tokens wasted if every doc were
+    * padded to its bucket ceiling — the number that decides between
+    * bucketed padding and cross-doc packing (q_seq_pack) at training
+    * time. The bucket ceiling is PURE INTEGER in both engines —
+    * `1 << bitlength(ntok−1)` via the binary-string length, never a
+    * float log2 whose boundary rounding could differ.
+    */
+  def qPackWaste(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("bucket",
+        when(col("ntok") <= 1L, 1L)
+          .otherwise(expr("shiftleft(1L, CAST(length(bin(ntok - 1)) AS INT))")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(col("bucket") - col("ntok")).as("wasted_tokens"))
+      .withColumn("waste_ppm", expr(
+        "CAST((CAST(wasted_tokens AS DECIMAL(38,0)) * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * bucket) AS BIGINT)"))
+      .orderBy("bucket")
+
   /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
@@ -4701,6 +4752,8 @@ object GraftQueries {
     "q_top_supplier"     -> (qTopSupplier _),
     "q_dominant_supplier" -> (qDominantSupplier _),
     "q_kappa"            -> (qKappa _),
+    "q_group_split"      -> (qGroupSplit _),
+    "q_pack_waste"       -> (qPackWaste _),
     "q_abn_chisq"        -> (qAbnChisq _),
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_forecast_backtest" -> (qForecastBacktest _),

@@ -2139,6 +2139,51 @@ object Oracles {
          |FROM m""".stripMargin
     },
 
+    // group-leakage-safe split: source-keyed folds + the doc-keyed
+    // counterfactual's leaky-source count
+    "q_group_split" -> {
+      val docB = bucketSql("doc_id", 100)
+      val srcB = bucketSql("source", 100)
+      s"""WITH docs AS (
+         |  SELECT source, doc_id,
+         |    len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS ntok
+         |  FROM documents),
+         |leaky AS (
+         |  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS leaky_sources
+         |  FROM (SELECT source, count(DISTINCT
+         |      CASE WHEN $docB < 90 THEN 'train'
+         |           WHEN $docB < 95 THEN 'val' ELSE 'test' END) AS n_splits
+         |    FROM docs GROUP BY source))
+         |SELECT CASE WHEN $srcB < 90 THEN 'train'
+         |            WHEN $srcB < 95 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  (SELECT leaky_sources FROM leaky) AS leaky_sources
+         |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // padding-waste audit: power-of-2 length buckets via integer
+    // bit-length (1 << len(bin(ntok-1))), never a float log2
+    "q_pack_waste" ->
+      """WITH d AS (
+        |  SELECT len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))
+        |    AS ntok
+        |  FROM documents),
+        |b AS (
+        |  SELECT ntok,
+        |    CASE WHEN ntok <= 1 THEN 1
+        |         ELSE 1 << length(bin(ntok - 1)) END AS bucket
+        |  FROM d WHERE ntok > 0)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bucket - ntok) AS BIGINT) AS wasted_tokens,
+        |  CAST((CAST(sum(bucket - ntok) AS HUGEINT) * 1000000) //
+        |    (CAST(count(*) AS HUGEINT) * bucket) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // TPC-H Q6 shape: filtered-scan revenue delta, zero joins
     "q_forecast_revenue" ->
       """SELECT CAST(sum(
