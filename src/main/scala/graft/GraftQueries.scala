@@ -3998,6 +3998,52 @@ object GraftQueries {
         "CAST((CAST(wasted_tokens AS DECIMAL(38,0)) * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * bucket) AS BIGINT)"))
       .orderBy("bucket")
 
+  /** Cross-source syndication matrix: for every pair of source
+    * domains, how many NEAR-duplicate document pairs (the d2
+    * minhash+LSH pair relation, exact-Jaccard-verified at 0.8) span
+    * them — the audit that finds mirror sites and syndication networks
+    * so a mix designer can collapse them before they double-count in
+    * the training distribution. The matrix rides on the pair relation
+    * (already banding-bounded), two doc-grain dimension joins, and one
+    * mergeable count at source-pair grain — bounded by the source
+    * dimension squared, never corpus rows.
+    */
+  def d20MirrorMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    def src(id: String, as: String) =
+      docs.select(col("doc_id").as(id), col("source").as(as))
+    Dedup.minhashNearDups(docs, "doc_id", "text")
+      .join(src("__ia", "sa"), col("id_a") === col("__ia"))
+      .join(src("__ib", "sb"), col("id_b") === col("__ib"))
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+      .orderBy(col("n_neardup_pairs").desc, col("source_a"), col("source_b"))
+  }
+
+  /** Referential-integrity audit over the declared FK graph (the
+    * reference's own o4 metadata): per FK edge, the count of child
+    * rows whose non-null key has no parent — each edge one left-anti
+    * join + mergeable count, the schema-scale loop a FK-aware exporter
+    * runs before trusting topological order (the FK surface of
+    * reference internal/database/driver.go:18-55, which O15's topo
+    * sort consumes — this op audits that the declared edges hold).
+    */
+  def o43FkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val src = sources.ParquetSource(s, dir)
+    src.foreignKeys.map { fk =>
+      tbl(s, dir, fk.table).select(col(fk.column).as("__k"))
+        .filter(col("__k").isNotNull)
+        .join(tbl(s, dir, fk.referencedTable)
+            .select(col(fk.referencedColumn).as("__p")),
+          col("__k") === col("__p"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(fk.table).as("table_name"), lit(fk.column).as("column_name"),
+          lit(fk.referencedTable).as("referenced_table"), col("n_orphans"))
+    }.reduce(_.unionAll(_)).orderBy("table_name", "column_name")
+  }
+
   /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
@@ -4754,6 +4800,8 @@ object GraftQueries {
     "q_kappa"            -> (qKappa _),
     "q_group_split"      -> (qGroupSplit _),
     "q_pack_waste"       -> (qPackWaste _),
+    "d20_mirror_matrix"  -> (d20MirrorMatrix _),
+    "o43_fk_orphans"     -> (o43FkOrphans _),
     "q_abn_chisq"        -> (qAbnChisq _),
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_forecast_backtest" -> (qForecastBacktest _),

@@ -2184,6 +2184,34 @@ object Oracles {
         |    (CAST(count(*) AS HUGEINT) * bucket) AS BIGINT) AS waste_ppm
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // cross-source syndication matrix on the d2 near-dup pair relation
+    // (shares jaccardPairsSql so the pair twin cannot drift)
+    "d20_mirror_matrix" ->
+      s"""SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_neardup_pairs
+         |FROM (${jaccardPairsSql(0.8)}) p
+         |JOIN documents da ON p.id_a = da.doc_id
+         |JOIN documents db ON p.id_b = db.doc_id
+         |WHERE da.source <> db.source
+         |GROUP BY 1, 2
+         |ORDER BY n_neardup_pairs DESC, source_a, source_b""".stripMargin,
+
+    // FK orphan audit — GENERATED from the same declared edge list the
+    // Scala op consumes (ParquetSource.fixtureForeignKeys), so the twin
+    // cannot drift from the schema
+    "o43_fk_orphans" ->
+      graft.sources.ParquetSource.fixtureForeignKeys.map { fk =>
+        s"""SELECT '${fk.table}' AS table_name, '${fk.column}' AS column_name,
+           |  '${fk.referencedTable}' AS referenced_table,
+           |  CAST(count(*) AS BIGINT) AS n_orphans
+           |FROM ${fk.table} c
+           |WHERE c.${fk.column} IS NOT NULL AND NOT EXISTS
+           |  (SELECT 1 FROM ${fk.referencedTable} p
+           |   WHERE p.${fk.referencedColumn} = c.${fk.column})""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY table_name, column_name"),
+
     // TPC-H Q6 shape: filtered-scan revenue delta, zero joins
     "q_forecast_revenue" ->
       """SELECT CAST(sum(

@@ -77,7 +77,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_product_profit", "q_waiting_orders", "q_min_cost_supplier",
     "q_idle_customers", "q_small_qty", "q_supplier_count",
     "q_forecast_revenue", "q_custdist", "q_top_supplier",
-    "q_dominant_supplier", "q_kappa", "q_group_split", "q_pack_waste")
+    "q_dominant_supplier", "q_kappa", "q_group_split", "q_pack_waste",
+    "d20_mirror_matrix", "o43_fk_orphans")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
