@@ -4133,6 +4133,16 @@ object GraftQueries {
   // (micro = cents·(10000−bp), a 10⁻⁶-dollar unit) so every result is
   // hash-exact against the DuckDB twin.
 
+  /** Exact discounted line revenue in 10⁻⁶-dollar integer units —
+    * cents × (10000 − discount_bp) — the one shared money expression of
+    * every TPC-H revenue shape, defined once so a precision change
+    * cannot miss a site. Per-row magnitude ≤ ~10¹¹, safely inside a
+    * long; SUMS must still go through DECIMAL(38,0) at the call site.
+    */
+  private def discountedMicro: Column =
+    (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+      (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long"))
+
   /** Q4 shape — order-priority checking: orders in one quarter with at
     * least one lineitem shipped >10 days after the order date (the
     * commit-date adaptation), counted per priority. The EXISTS lowers
@@ -4162,8 +4172,7 @@ object GraftQueries {
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
       .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).cast("long").as("l_year"),
-        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
-          (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+        discountedMicro
           .as("micro"))
     val sup = broadcast(tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       .join(nat, col("s_nationkey") === col("n_nationkey"))
@@ -4212,8 +4221,7 @@ object GraftQueries {
       .join(ords, col("l_orderkey") === col("o_orderkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .select(col("o_year"),
-        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
-          (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+        discountedMicro
           .cast("decimal(38,0)").as("micro"),
         when(col("n_name") === "NATION_3", lit(1L)).otherwise(lit(0L)).as("is_n3"))
       .groupBy("o_year")
@@ -4244,8 +4252,7 @@ object GraftQueries {
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ords, col("l_orderkey") === col("o_orderkey"))
       .select(col("n_name"), col("o_year"),
-        (((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
-            (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+        (discountedMicro
           .cast("decimal(38,0)") * 10 -
           (col("l_quantity").cast("decimal(18,2)") * 100).cast("long") *
             col("retail_cents").cast("decimal(38,0)") * 8).as("profit_d"))
@@ -4284,8 +4291,7 @@ object GraftQueries {
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
       .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
-      .select(((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
-          (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+      .select(discountedMicro
           .cast("decimal(38,0)").as("micro"),
         when(col("p_type") === "PROMO", lit(1L)).otherwise(lit(0L)).as("is_promo"))
       .agg(sum(col("micro") * col("is_promo")).cast("long").as("promo_micro"),
@@ -4326,8 +4332,7 @@ object GraftQueries {
     tbl(s, dir, "lineitem")
       .select(col("l_partkey"),
         (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q100"),
-        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
-          (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+        discountedMicro
           .cast("decimal(38,0)").as("micro"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .filter((col("p_brand") === "Brand#4" && col("q100").between(100L, 2000L)) ||
@@ -4492,8 +4497,7 @@ object GraftQueries {
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")) &&
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
       .groupBy("l_suppkey")
-      .agg(sum(((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
-          (lit(10000L) - (col("l_discount").cast("decimal(6,4)") * 10000).cast("long")))
+      .agg(sum(discountedMicro
           .cast("decimal(38,0)")).cast("long").as("total_rev_micro"))
     rev.crossJoin(broadcast(rev.agg(max("total_rev_micro").as("mx"))))
       .filter(col("total_rev_micro") === col("mx"))

@@ -152,6 +152,52 @@ object Oracles {
        |JOIN sizes sb ON ib = sb.doc_id
        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold""".stripMargin
 
+  /** The t12 gopher-gate CTE chain (`f` → `g`) and its six rule
+    * expressions — ONE definition shared by t12_quality_filter and
+    * q_kappa so the gate's SQL twin cannot drift between them.
+    */
+  private val gopherCtes: String =
+    """f AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, text, len(toks) AS nt,
+      |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS na
+      |  FROM f)""".stripMargin
+
+  private val gopherRuleSql: Seq[(String, String)] = Seq(
+    "r_len" -> "nt BETWEEN 5 AND 1000",
+    "r_mean_len" ->
+      "(CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1)) BETWEEN 2.0 AND 12.0",
+    "r_stopwords" ->
+      """len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) >= 2""",
+    "r_symbol" ->
+      """CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2""",
+    "r_digit" ->
+      """CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3""",
+    "r_alpha" -> "CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7")
+
+  private def gopherKeepSql: String =
+    gopherRuleSql.map { case (_, e) => s"($e)" }.mkString("\n    AND ")
+
+  /** The t16 classifier CTE chain (`toks` → `vocab` → `per`), shared by
+    * t16_classifier_score and q_kappa — `per` ends with
+    * (doc_id, n_tok, n_hits, lm) and `pass` is `lm > 0`.
+    */
+  private def classifierCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok, ${bucketSql("tok", 2001)} * 1000 - 1000000 AS w_micro
+       |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
+       |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+       |per AS (
+       |  SELECT t.doc_id, count(*) AS n_tok, count(v.w_micro) AS n_hits,
+       |    coalesce(sum(v.w_micro), 0) AS lm
+       |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)""".stripMargin
+
   private val langScoreExprs = Seq(
     "en" -> """len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b'))""",
     "de" -> """len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|zu|den|von)\b'))""",
@@ -2032,11 +2078,14 @@ object Oracles {
         |  JOIN po ON ps.l_orderkey = po.l_orderkey
         |  WHERE n_supp > 1 AND supp_max = ord_max),
         |sole AS (SELECT l_orderkey, min(l_suppkey) AS l_suppkey
-        |  FROM late GROUP BY 1 HAVING count(*) = 1)
-        |SELECT 'Supplier#' || lpad(CAST(l_suppkey AS VARCHAR), 9, '0') AS s_name,
-        |  CAST(count(*) AS BIGINT) AS numwait
-        |FROM sole GROUP BY 1
-        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+        |  FROM late GROUP BY 1 HAVING count(*) = 1),
+        |grp AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM sole GROUP BY 1)
+        |-- group/order by the NUMERIC key (as the Spark side does) and
+        |-- format last with printf, which pads without truncating —
+        |-- lpad(...,9) would silently truncate suppkeys past 9 digits
+        |SELECT 'Supplier#' || printf('%09d', l_suppkey) AS s_name, numwait
+        |FROM grp ORDER BY numwait DESC, l_suppkey LIMIT 10""".stripMargin,
 
     // TPC-H Q22 shape: above-average-balance customers with no
     // orders, per nation; truncating integer average of positives
@@ -2081,34 +2130,14 @@ object Oracles {
     // sign-decomposed ppm so trunc-vs-floor division agrees across
     // engines) + McNemar's paired test between the t12 gopher gate and
     // the t16 hashed-vocab classifier
-    "q_kappa" -> {
-      val w = bucketSql("tok", 2001)
-      s"""WITH f AS (
-         |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, text, len(toks) AS nt,
-         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS na
-         |  FROM f),
+    "q_kappa" ->
+      s"""WITH $gopherCtes,
          |ka AS (
-         |  SELECT doc_id,
-         |    (nt BETWEEN 5 AND 1000)
-         |    AND ((CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1)) BETWEEN 2.0 AND 12.0)
-         |    AND (len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|that|it|for)\\b')) >= 2)
-         |    AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2)
-         |    AND (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3)
-         |    AND (CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7) AS a
+         |  SELECT doc_id, $gopherKeepSql AS a
          |  FROM g),
-         |toks AS (
-         |  SELECT doc_id, unnest(toks) AS tok FROM f),
-         |vocab AS (
-         |  SELECT tok, $w * 1000 - 1000000 AS w_micro
-         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
-         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
+         |$classifierCtes,
          |kb AS (
-         |  SELECT t.doc_id, coalesce(sum(v.w_micro), 0) > 0 AS b
-         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         |  SELECT doc_id, lm > 0 AS b FROM per),
          |cells AS (
          |  SELECT count(*) AS n,
          |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
@@ -2136,8 +2165,7 @@ object Oracles {
          |  CASE WHEN n10 + n01 > 0 THEN
          |    CAST(n10 - n01 AS HUGEINT) * (n10 - n01) * 1000 >=
          |      CAST(n10 + n01 AS HUGEINT) * 3841 END AS mcnemar_sig
-         |FROM m""".stripMargin
-    },
+         |FROM m""".stripMargin,
 
     // group-leakage-safe split: source-keyed folds + the doc-keyed
     // counterfactual's leaky-source count
@@ -2173,8 +2201,8 @@ object Oracles {
         |  FROM documents),
         |b AS (
         |  SELECT ntok,
-        |    CASE WHEN ntok <= 1 THEN 1
-        |         ELSE 1 << length(bin(ntok - 1)) END AS bucket
+        |    CASE WHEN ntok <= 1 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << length(bin(ntok - 1)) END AS bucket
         |  FROM d WHERE ntok > 0)
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -3064,32 +3092,11 @@ object Oracles {
     // tokenisation and single-division ratio shapes as t1, so boundary
     // comparisons are bit-reproducible
     "t12_quality_filter" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, text, len(toks) AS nt,
-        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS na
-        |  FROM f)
-        |SELECT doc_id,
-        |  nt BETWEEN 5 AND 1000 AS r_len,
-        |  (CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1))
-        |    BETWEEN 2.0 AND 12.0 AS r_mean_len,
-        |  len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) >= 2
-        |    AS r_stopwords,
-        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |    / greatest(length(text), 1) < 0.2 AS r_symbol,
-        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-        |    / greatest(length(text), 1) < 0.3 AS r_digit,
-        |  CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7 AS r_alpha,
-        |  (nt BETWEEN 5 AND 1000)
-        |    AND ((CAST(length(text) - nt + 1 AS DOUBLE) / greatest(nt, 1)) BETWEEN 2.0 AND 12.0)
-        |    AND (len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that|it|for)\b')) >= 2)
-        |    AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2)
-        |    AND (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) < 0.3)
-        |    AND (CAST(na AS DOUBLE) / greatest(nt, 1) >= 0.7) AS keep
-        |FROM g""".stripMargin,
+      s"""WITH $gopherCtes
+         |SELECT doc_id,
+         |  ${gopherRuleSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")},
+         |  $gopherKeepSql AS keep
+         |FROM g""".stripMargin,
 
     // water-filling mix rebalance: scale = min over target groups of
     // n_g / w_g (all five langs present in the fixture, so the inner
@@ -3302,17 +3309,7 @@ object Oracles {
     // weight the portable md5 bucket mapped to micro-logits — the twin
     // rebuilds the identical model table, scores are integer-exact
     "t16_classifier_score" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
-         |  FROM documents),
-         |vocab AS (
-         |  SELECT tok, ${bucketSql("tok", 2001)} * 1000 - 1000000 AS w_micro
-         |  FROM (SELECT tok, count(DISTINCT doc_id) AS dfd FROM toks
-         |        GROUP BY tok ORDER BY dfd DESC, tok LIMIT 1000)),
-         |per AS (
-         |  SELECT t.doc_id, count(*) AS n_tok, count(v.w_micro) AS n_hits,
-         |    coalesce(sum(v.w_micro), 0) AS lm
-         |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)
+      s"""WITH $classifierCtes
          |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
          |  CAST(n_hits AS BIGINT) AS n_hits, CAST(lm AS BIGINT) AS logit_micro,
          |  lm > 0 AS pass

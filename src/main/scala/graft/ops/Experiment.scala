@@ -528,24 +528,27 @@ object Experiment {
       .withColumn("__pe_num",
         dec(col("n11") + col("n10")) * dec(col("n11") + col("n01")) +
           dec(col("n01") + col("n00")) * dec(col("n10") + col("n00")))
+      // the ppm and the verdict are computed on the DECIMAL num/den —
+      // they stay representable at ANY corpus size (ppm ∈ [−10⁶, 10⁶]).
+      // The raw num/den diagnostics ARE cast to BIGINT below, which is
+      // loud (ANSI overflow) past n ≈ 3×10⁹ — acceptable for the
+      // inspection columns, never for the verdict.
+      .withColumn("__knum", dec(col("n")) * dec(col("n11") + col("n00")) - col("__pe_num"))
+      .withColumn("__kden", dec(col("n")) * dec(col("n")) - col("__pe_num"))
       .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        (dec(col("n")) * dec(col("n11") + col("n00")) - col("__pe_num"))
-          .cast("long").as("kappa_num"),
-        (dec(col("n")) * dec(col("n")) - col("__pe_num"))
-          .cast("long").as("kappa_den"))
-      .withColumn("kappa_ppm",
+        col("__knum").cast("long").as("kappa_num"),
+        col("__kden").cast("long").as("kappa_den"),
         // sign-decomposed so the truncation direction is engine-
         // independent: Spark's DIV truncates toward zero, DuckDB's //
         // floors — on the non-negative |num| they agree, and the sign
         // is re-applied outside the division.
-        when(col("kappa_den") =!= 0L, expr(
-          """CAST(CASE WHEN kappa_num < 0
-            |  THEN -((CAST(-kappa_num AS DECIMAL(38,0)) * 1000000) DIV kappa_den)
-            |  ELSE (CAST(kappa_num AS DECIMAL(38,0)) * 1000000) DIV kappa_den
-            |END AS BIGINT)""".stripMargin)))
-      .withColumn("moderate_04",
-        when(col("kappa_den") =!= 0L,
-          dec(col("kappa_num")) * 10 > dec(col("kappa_den")) * 4))
+        when(col("__kden") =!= 0, expr(
+          """CAST(CASE WHEN __knum < 0
+            |  THEN -((-__knum * 1000000) DIV __kden)
+            |  ELSE (__knum * 1000000) DIV __kden
+            |END AS BIGINT)""".stripMargin)).as("kappa_ppm"),
+        when(col("__kden") =!= 0, col("__knum") * 10 > col("__kden") * 4)
+          .as("moderate_04"))
       .withColumn("mcnemar_sig",
         when(col("n10") + col("n01") > 0L,
           dec(col("n10") - col("n01")) * dec(col("n10") - col("n01")) * 1000 >=

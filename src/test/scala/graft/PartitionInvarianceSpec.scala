@@ -78,7 +78,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_idle_customers", "q_small_qty", "q_supplier_count",
     "q_forecast_revenue", "q_custdist", "q_top_supplier",
     "q_dominant_supplier", "q_kappa", "q_group_split", "q_pack_waste",
-    "d20_mirror_matrix", "o43_fk_orphans")
+    "d20_mirror_matrix", "o43_fk_orphans",
+    "q_disjunctive", "q_shipmode_priority", "q_promo_revenue")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
