@@ -35,7 +35,7 @@ object Bench {
     "q_train_split", "q_stratified_sample", "q_upsample_mix",
     "p1_pipeline", "p2_pipeline",
     "mm1_decode_meta", "mm2_frame_samples",
-    "mm3_resize_spec", "mm4_feature_knn", "mm5_audio_meta",
+    "mm3_resize_spec", "mm4_feature_knn", "mm5_audio_meta", "mm8_audio_levels",
     // rounds 3-4 flagship additions — listed (rather than left to the
     // alphabetical remainder) so the capped stdout line keeps them when
     // space runs out; the cut should land on o-series metadata trivia

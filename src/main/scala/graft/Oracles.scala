@@ -3478,25 +3478,45 @@ object Oracles {
         |  m AS checksum
         |FROM b""".stripMargin,
 
+    // REAL nearest-neighbour resize: output box in exact integer
+    // arithmetic, every sampled source pixel re-derived from the
+    // DigestPixels formula (both nibbles this time — the full byte),
+    // summed into the checksum the Spark kernel computes from the
+    // ImageIO-decoded raster
     "mm3_resize_spec" ->
-      """WITH b AS (
-        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
-        |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS b0,
-        |    (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS b1
+      """WITH dims AS (
+        |  SELECT doc_id, text,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
         |  FROM documents),
-        |m AS (
+        |box AS (
+        |  SELECT doc_id, text, w, h,
+        |    GREATEST(1, w*16 // GREATEST(w, h)) AS ow,
+        |    GREATEST(1, h*16 // GREATEST(w, h)) AS oh
+        |  FROM dims),
+        |spx AS (
+        |  SELECT doc_id, text,
+        |    (oy.y * h // oh) * w + (ox.x * w // ow) AS idx
+        |  FROM box,
+        |    LATERAL (SELECT unnest(range(0, CAST(oh AS BIGINT))) AS y) oy,
+        |    LATERAL (SELECT unnest(range(0, CAST(ow AS BIGINT))) AS x) ox),
+        |vals AS (
         |  SELECT doc_id,
-        |    CAST(CASE mt WHEN 0 THEN 64 + b0*8 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
-        |    CAST(CASE mt WHEN 0 THEN 64 + b1*8 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height
-        |  FROM b),
-        |s AS (
-        |  SELECT doc_id, width, height,
-        |    LEAST(256.0 / GREATEST(width, 1), 256.0 / GREATEST(height, 1), 1.0) AS scale
-        |  FROM m)
-        |SELECT doc_id AS asset_id, width, height,
-        |  CAST(floor(width * scale) AS INTEGER) AS out_width,
-        |  CAST(floor(height * scale) AS INTEGER) AS out_height
-        |FROM s""".stripMargin,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(text || ':' || CAST(idx // 16 AS VARCHAR)),
+        |              CAST(2*(idx % 16) + 1 AS INTEGER), 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |       substr(md5(text || ':' || CAST(idx // 16 AS VARCHAR)),
+        |              CAST(2*(idx % 16) + 2 AS INTEGER), 1)) - 1) AS v
+        |  FROM spx)
+        |SELECT b.doc_id AS asset_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height,
+        |  CAST(s.rs AS BIGINT) AS resized_sum
+        |FROM box b JOIN (SELECT doc_id, sum(v) AS rs FROM vals GROUP BY 1) s
+        |  USING (doc_id)""".stripMargin,
 
     "mm2_frame_samples" ->
       """WITH b AS (
@@ -3507,17 +3527,31 @@ object Oracles {
         |  CAST(floor((5000 + b3*512) / 1000) + 1 AS BIGINT) AS n_frames
         |FROM b""".stripMargin,
 
-    // media → features → ANN, fully re-derived: the stub features are a
-    // 16-bin byte histogram (bin = high hex nibble of each UTF-8 byte),
-    // L2-normalised at FLOAT precision — each cast below mirrors a float
-    // step of the Scala kernel, so the vectors (and hence the exact IVF
-    // ranking at nprobe=nlist) are bit-identical across engines
+    // media → features → ANN, fully re-derived over REAL pixels: the
+    // image payloads are genuine PNGs whose grayscale raster carries the
+    // DigestPixels formula stream (pixel i of a doc = byte i%16 of
+    // md5(text:'i//16')), so the oracle predicts each decoded pixel's
+    // 16-bin bucket (= the byte's HIGH nibble) analytically; histograms
+    // are L2-normalised at FLOAT precision — each cast below mirrors a
+    // float step of the Scala kernel, so the vectors (and hence the
+    // exact IVF ranking at nprobe=nlist) are bit-identical across
+    // engines. Agreement proves the ImageIO decode recovered exactly
+    // the encoded raster plus the whole downstream recipe.
     "mm4_feature_knn" ->
-      """WITH bytes AS (
+      """WITH dims AS (
+        |  SELECT doc_id, text,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
+        |  FROM documents),
+        |bytes AS (
         |  SELECT doc_id,
-        |         strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*g.i - 1, 1)) - 1 AS bin
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(range(1, octet_length(encode(text)) + 1)) AS i) AS g
+        |         strpos('0123456789abcdef',
+        |           substr(md5(text || ':' || CAST(g.i // 16 AS VARCHAR)),
+        |                  CAST(2*(g.i % 16) + 1 AS INTEGER), 1)) - 1 AS bin
+        |  FROM dims,
+        |       LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) AS g
         |),
         |hist AS (
         |  SELECT d.doc_id, b.bin, coalesce(h.cnt, 0) AS cnt
@@ -3564,6 +3598,35 @@ object Oracles {
         |  CAST((raw // block_align * block_align) * 1000
         |       // (sample_rate * block_align) AS BIGINT) AS duration_ms
         |FROM p""".stripMargin,
+
+    // REAL audio sample decode: the WAV data chunk is the text's UTF-8
+    // bytes truncated to whole frames, read as signed 16-bit LE PCM —
+    // the oracle re-derives every sample from the byte pairs (hex()
+    // is uppercase in DuckDB) and predicts the exact integer level
+    // stats the JDK decoder produces on the Spark side
+    "mm8_audio_levels" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // ((doc_id % 2 + 1) * 2)
+        |      * ((doc_id % 2 + 1) * 2) AS nbytes
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i + 1 AS INTEGER), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i + 2 AS INTEGER), 1)) - 1)
+        |    + ((strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i + 3 AS INTEGER), 1)) - 1) * 16
+        |     + (strpos('0123456789ABCDEF', substr(hx, CAST(4*g.i + 4 AS INTEGER), 1)) - 1)) * 256
+        |      AS u
+        |  FROM p, LATERAL (SELECT unnest(range(0, nbytes // 2)) AS i) g),
+        |sv AS (SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n, max(abs(v)) AS pk, sum(v*v) AS sq
+        |  FROM sv GROUP BY 1)
+        |SELECT p.doc_id AS asset_id,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_samples,
+        |  CAST(coalesce(a.pk, 0) AS BIGINT) AS peak_abs,
+        |  CAST(coalesce(a.sq, 0) AS BIGINT) AS sum_sq
+        |FROM p LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // C4-style segment dedup: the keeper per segment fingerprint is the
     // min (doc_id, idx) — the window keeps the same row the Spark
@@ -3762,20 +3825,31 @@ object Oracles {
         |       user_id, src, eid AS latest_event_id, value AS latest_value
         |FROM ranked WHERE rn = 1""".stripMargin,
 
-    // perceptual-hash near-dup: every aHash bit re-derived from the
-    // byte histogram by integer arithmetic; the pair set brute-forced
-    // (the Spark side's pigeonhole banding must find exactly these)
+    // perceptual-hash near-dup over REAL pixels: every aHash bit
+    // re-derived from the formula pixels' 16-bucket histogram by integer
+    // arithmetic (the Spark side computes it from ImageIO-decoded
+    // grayscale values); the pair set brute-forced (the pigeonhole
+    // banding must find exactly these)
     "mm6_image_neardup" ->
-      """WITH nib AS (
-        |  SELECT doc_id,
-        |         strpos('0123456789abcdef', substr(md5(text), g.i, 1)) - 1 AS bin
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(range(1, 33)) AS i) AS g
-        |  WHERE doc_id % 3 = 0),
-        |hist AS (SELECT doc_id, bin, count(*) AS cnt FROM nib GROUP BY 1, 2),
+      """WITH dims AS (
+        |  SELECT doc_id, text,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
+        |  FROM documents),
+        |nib AS (
+        |  SELECT doc_id, w*h AS npix,
+        |         strpos('0123456789abcdef',
+        |           substr(md5(text || ':' || CAST(g.i // 16 AS VARCHAR)),
+        |                  CAST(2*(g.i % 16) + 1 AS INTEGER), 1)) - 1 AS bin
+        |  FROM dims,
+        |       LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) AS g),
+        |hist AS (SELECT doc_id, any_value(npix) AS npix, bin, count(*) AS cnt
+        |         FROM nib GROUP BY doc_id, bin),
         |ph AS (
         |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN cnt * 16 > 32
+        |    CAST(sum(CASE WHEN cnt * 16 > npix
         |                  THEN (CAST(1 AS BIGINT) << bin) ELSE 0 END) AS BIGINT) AS phash
         |  FROM hist GROUP BY 1)
         |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
@@ -4480,27 +4554,39 @@ object Oracles {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
 
-    // scene changes: every histogram bin and L1 distance re-derived
-    // from the same md5(asset:frame) stub-decode recipe (mm2's video
-    // set and duration formula)
+    // scene changes over REAL decoded frames: every per-frame histogram
+    // bin and L1 distance re-derived from the frame-scoped DigestPixels
+    // formula (pixel i of frame f = byte i%16 of md5(text:'f'f:'i//16'),
+    // bucket = its high nibble) that the genuine PNG frames were encoded
+    // with — the Spark side reads the same values back with ImageIO
     "mm7_scene_changes" ->
       """WITH v AS (
-        |  SELECT doc_id AS asset_id,
-        |    5000 + ((strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16
-        |          + (strpos('0123456789abcdef', substr(md5(text),8,1))-1))*512 AS dur
+        |  SELECT doc_id AS asset_id, text,
+        |    4 + ((strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16
+        |       + (strpos('0123456789abcdef', substr(md5(text),8,1))-1)) % 5 AS nf
         |  FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT asset_id, unnest(range(0, dur+1, 1000)) AS frame_ms FROM v),
-        |d AS (SELECT asset_id, frame_ms, md5(asset_id||':'||frame_ms) AS dg FROM f),
-        |b AS (SELECT asset_id, frame_ms, i AS bin,
-        |        32 - length(replace(dg, substr('0123456789abcdef', i+1, 1), '')) AS h
-        |      FROM d, LATERAL (SELECT unnest(range(0,16)) AS i) g(i)),
-        |p AS (SELECT a.asset_id, a.frame_ms, sum(abs(a.h - c.h)) AS l1
+        |f AS (SELECT asset_id, text, unnest(range(0, nf)) AS fi FROM v),
+        |px AS (
+        |  SELECT asset_id, fi,
+        |         strpos('0123456789abcdef',
+        |           substr(md5(text || ':f' || CAST(fi AS VARCHAR)
+        |                       || ':' || CAST(g.i // 16 AS VARCHAR)),
+        |                  CAST(2*(g.i % 16) + 1 AS INTEGER), 1)) - 1 AS bin
+        |  FROM f, LATERAL (SELECT unnest(range(0, 256)) AS i) g),
+        |b AS (
+        |  SELECT f.asset_id, f.fi, bb.bin, coalesce(h.cnt, 0) AS h
+        |  FROM f
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bb
+        |  LEFT JOIN (SELECT asset_id, fi, bin, count(*) AS cnt
+        |             FROM px GROUP BY 1, 2, 3) h
+        |    ON h.asset_id = f.asset_id AND h.fi = f.fi AND h.bin = bb.bin),
+        |p AS (SELECT a.asset_id, a.fi, sum(abs(a.h - c.h)) AS l1
         |      FROM b a JOIN b c ON a.asset_id = c.asset_id AND a.bin = c.bin
-        |                       AND c.frame_ms = a.frame_ms - 1000
+        |                       AND c.fi = a.fi - 1
         |      GROUP BY 1, 2)
         |SELECT asset_id,
         |       CAST(count(*) AS BIGINT) AS n_transitions,
-        |       CAST(sum(CASE WHEN l1 > 26 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(sum(CASE WHEN l1 > 72 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
         |       CAST(max(l1) AS BIGINT) AS max_l1
         |FROM p GROUP BY 1""".stripMargin,
 

@@ -97,12 +97,85 @@ object Graph {
     * Returns one row: (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame,
-                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val (norm, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
-    norm.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+                    srcCol: String = "src", dstCol: String = "dst",
+                    driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
+    walkedTriangles(edges, srcCol, dstCol, driverWalkMaxEdges) match {
+      case Some((nEdges, degs, tris)) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        Seq((degs.size.toLong, nEdges, tris.size.toLong))
+          .toDF("n_nodes", "n_edges", "n_triangles")
+      case None =>
+        val (norm, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
+        norm.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+          .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+          .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    }
+  }
+
+  /** Guarded driver walk for the triangle core (the kHop/RobustStats
+    * chooser): a fixture-scale graph pays seconds of scheduled-stage
+    * overhead in the distributed wedge join (measured: g2 5.2s / g5
+    * 3.4s at sf0.1 for a ~3k-edge affinity graph), so ONE bounded
+    * `head` probe sizes the edge list and, when it fits, the identical
+    * degree-oriented wedge algorithm runs in memory. Returns
+    * (n_edges, degree map, triangle list) over generic node values —
+    * `None` sends callers to the distributed plan. The walk IS the
+    * same algorithm (normalise u<v distinct → degree → orient by
+    * (deg, id) → wedge + close), asserted spec-identical to the
+    * distributed fallback on a seeded graph.
+    */
+  private def walkedTriangles(edges: DataFrame, srcCol: String, dstCol: String,
+                              driverWalkMaxEdges: Long)
+      : Option[(Long, Map[Any, Long], Seq[(Any, Any, Any)])] = {
+    if (driverWalkMaxEdges <= 0) return None
+    val bound = math.min(driverWalkMaxEdges, Int.MaxValue - 2L).toInt
+    val probe = edges.select(col(srcCol), col(dstCol)).head(bound + 1)
+    if (probe.length > driverWalkMaxEdges) return None
+    // node values compare by an (class-name, value-string) key so mixed
+    // numeric widths order deterministically without assuming a type
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Number, y: Number) => x.doubleValue < y.doubleValue ||
+        (x.doubleValue == y.doubleValue && x.toString < y.toString)
+      case (x, y)                 => x.toString < y.toString
+    }
+    val norm = probe.iterator
+      .map(r => (r.get(0), r.get(1)))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => if (lt(u, v)) (u, v) else (v, u) }
+      .toSet
+    val deg = scala.collection.mutable.HashMap.empty[Any, Long]
+    norm.foreach { case (u, v) =>
+      deg(u) = deg.getOrElse(u, 0L) + 1
+      deg(v) = deg.getOrElse(v, 0L) + 1
+    }
+    def orientLt(a: Any, b: Any): Boolean = {
+      val da = deg(a); val db = deg(b)
+      da < db || (da == db && lt(a, b))
+    }
+    val out = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    norm.foreach { case (u, v) =>
+      val (s, d) = if (orientLt(u, v)) (u, v) else (v, u)
+      out.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+    }
+    val oriented = out.iterator.flatMap { case (s, ds) => ds.map(d => (s, d)) }.toSet
+    val tris = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Any)]
+    out.foreach { case (apex, ds) =>
+      val sorted = ds.sortWith(orientLt).toIndexedSeq
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) {
+          if (oriented.contains((sorted(i), sorted(j)))) tris += ((apex, sorted(i), sorted(j)))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    Some((norm.size.toLong, deg.toMap, tris.toSeq))
   }
 
   /** Shared core of [[triangleCount]] / [[clusteringCoefficient]]:
@@ -157,17 +230,45 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame,
                             srcCol: String = "src",
-                            dstCol: String = "dst"): DataFrame = {
-    val (_, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
-    val perNode = triangles
-      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("tri"))
-    deg.join(perNode, Seq("n"), "left")
-      .select(col("n").as("node"), col("deg").as("degree"),
-        coalesce(col("tri"), lit(0L)).as("n_triangles"))
-      .withColumn("coeff_pm",
-        when(col("degree") >= 2,
-          expr("(n_triangles * 2000) DIV (degree * (degree - 1))")))
+                            dstCol: String = "dst",
+                            driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
+    walkedTriangles(edges, srcCol, dstCol, driverWalkMaxEdges) match {
+      case Some((_, degs, tris)) =>
+        val spark = edges.sparkSession
+        val triPerNode = scala.collection.mutable.HashMap.empty[Any, Long]
+        tris.foreach { case (a, b, c) =>
+          Seq(a, b, c).foreach(n => triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1) }
+        // mirror the distributed schema exactly: node is
+        // least(src, dst), so its nullability is src OR dst nullable
+        val srcF = edges.select(col(srcCol)).schema.head
+        val dstF = edges.select(col(dstCol)).schema.head
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", srcF.dataType,
+            nullable = srcF.nullable || dstF.nullable),
+          org.apache.spark.sql.types.StructField("degree",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_triangles",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("coeff_pm",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        val rows = degs.toSeq.map { case (n, d) =>
+          val t = triPerNode.getOrElse(n, 0L)
+          val coeff: Any = if (d >= 2) Long.box(t * 2000 / (d * (d - 1))) else null
+          org.apache.spark.sql.Row(n, d, t, coeff)
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      case None =>
+        val (_, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
+        val perNode = triangles
+          .select(explode(array(col("apex"), col("lo"), col("hi"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("tri"))
+        deg.join(perNode, Seq("n"), "left")
+          .select(col("n").as("node"), col("deg").as("degree"),
+            coalesce(col("tri"), lit(0L)).as("n_triangles"))
+          .withColumn("coeff_pm",
+            when(col("degree") >= 2,
+              expr("(n_triangles * 2000) DIV (degree * (degree - 1))")))
+    }
   }
 
   /** Multi-source BFS reachability: the minimum hop count from the

@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and run decode / feature-extract
   * / resize / frame-sample as batched per-partition transforms.
   *
-  * The Spark-side shape is real and tested — schema, partitioning, batch
-  * iteration, output contract. The actual media codecs are NOT available
-  * in this environment, so the decode kernel is a clearly-marked
-  * deterministic STUB (`StubCodec`): it derives plausible metadata from
-  * the payload bytes alone. Swapping in a real codec changes only the
-  * kernel body, not the pipeline.
+  * Decode boundaries, honestly labelled:
+  *   - IMAGE pixels are REAL: payloads are genuine PNGs
+  *     ([[imageAssetsFromDocuments]]) and every pixel kernel
+  *     ([[imageFeatures]], [[imagePerceptualHash]], [[resizeImages]],
+  *     [[videoFrameHists]]) reads them back with `javax.imageio`.
+  *   - AUDIO samples are REAL: payloads are genuine PCM WAVs and
+  *     [[decodeAudioLevels]] decodes them with `javax.sound.sampled`;
+  *     the container walk ([[WavHeaders]]) is an independent pure-JVM
+  *     parser checked against the JDK decoder.
+  *   - VIDEO is real PER FRAME (length-prefixed PNG frames in a trivial
+  *     `GVID` container) — a real video CODEC (H.264 …) has no pure-JVM
+  *     decoder, so container-level video metadata in [[StubCodec]] is
+  *     the one remaining deterministic stub.
   *
   * Scale notes: decode is a narrow per-partition map (no shuffle); batch
   * size is bounded so peak memory is `batchSize × payload` regardless of
@@ -205,19 +212,22 @@ object Multimodal {
       }.toDF()
   }
 
-  /** STUB decode kernel — deterministic fake in place of the real
-    * pixel/audio/video codec (media libs not present in this container).
-    * Image WIDTH/HEIGHT are real when the payload carries a recognised
-    * container header (`ImageHeaders` — PNG/GIF/JPEG/BMP); everything
-    * else (pixel decode, audio/video duration) is derived from the
-    * payload's own bytes so the pipeline is fully testable end-to-end.
+  /** STUB metadata kernel for the mm1/mm2 opaque-payload path (text
+    * bytes posing as media): image WIDTH/HEIGHT are real when the
+    * payload carries a recognised container header (`ImageHeaders` —
+    * PNG/GIF/JPEG/BMP); the rest (duration for a codec-less payload) is
+    * derived deterministically from the payload's own bytes so the
+    * pipeline is fully testable end-to-end. The PIXEL/SAMPLE decode
+    * stubs this object used to stand in for are retired — see the
+    * real-decode kernels above ([[imageFeatures]] et al.); what remains
+    * stubbed is real-codec VIDEO metadata only.
     */
   object StubCodec {
     def decode(a: Asset): AssetMeta = {
       val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
       def b(i: Int): Int = md(i) & 0xff
-      // ??? real pixel/audio codec goes here; header-only dims are real,
-      // the rest is faked from the digest:
+      // ??? a real VIDEO codec would decode duration/dims here; image
+      // header dims are real, the rest is faked from the digest:
       val (w, h, dur) = a.media_type match {
         case "image" => ImageHeaders.parse(a.payload) match {
           case Some((_, rw, rh)) => (rw, rh, 0L)
@@ -258,39 +268,183 @@ object Multimodal {
     }.toDF()
   }
 
-  /** STUB feature extraction — an L2-normalised byte histogram in place
-    * of a real image/audio embedding model (same shape contract:
-    * `(vec_id, embedding: Array[Float])`, unit norm). Output plugs
-    * directly into `Similarity.bruteForceTopK` / `lshTopK` / `ivfTopK`,
-    * which is the point: the media → features → ANN pipeline is the
-    * composition a training-data pipeline runs, and its Spark plumbing
-    * is identical with a real model behind the kernel.
+  /** Deterministic pixel/sample stream shared with the SQL oracle: byte
+    * `i` of the stream for `key` is byte `i mod 16` of
+    * `md5(key ++ ":" ++ (i div 16))`. Both engines re-derive it exactly
+    * (DuckDB: `md5(text || ':' || b)` + hex-nibble arithmetic), which is
+    * what lets synthesised media carry KNOWN pixel values through a real
+    * codec round-trip: the Spark side reads pixels back out of genuine
+    * PNG bytes with `javax.imageio`, the oracle predicts them from the
+    * formula, and agreement proves decode(encode(px)) == px plus the
+    * whole downstream recipe.
     */
-  def extractFeatures(assets: DataFrame, bins: Int = 16): DataFrame = {
-    val spark = assets.sparkSession
-    import spark.implicits._
-    assets.as[Asset].mapPartitions { it =>
-      it.map { a =>
-        val h = new Array[Float](bins)
-        a.payload.foreach(b => h(((b & 0xff) * bins) / 256) += 1f)
-        val norm = math.sqrt(h.map(x => x.toDouble * x).sum)
-        val n = if (norm < 1e-9) 1f else norm.toFloat
-        (a.asset_id, h.map(_ / n))
+  object DigestPixels {
+    def bytes(key: String, n: Int): Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Int](n)
+      var block = 0
+      var i = 0
+      while (i < n) {
+        val d = md.digest(s"$key:$block".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 16 && i < n) { out(i) = d(j) & 0xff; i += 1; j += 1 }
+        block += 1
       }
-    }.toDF("vec_id", "embedding")
+      out
+    }
+    /** First bytes of md5(key) — used for per-asset shape parameters. */
+    def params(key: String): Array[Int] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(_ & 0xff)
   }
 
-  /** Resize spec transform: pure metadata math (target box, preserve
-    * aspect ratio) — the part of an image pipeline that IS plain columns.
+  /** Synthesise REAL grayscale PNG payloads from the documents fixture —
+    * the image twin of [[audioAssetsFromDocuments]]: per-doc dimensions
+    * (16–32 × 16–28) and every pixel value derive from the
+    * [[DigestPixels]] stream over the text, then the raster is encoded
+    * with `javax.imageio` into genuine PNG bytes. PNG is lossless, so
+    * the downstream kernels' real ImageIO decode recovers exactly the
+    * formula pixels the oracle predicts. Narrow per-partition map.
     */
-  def withResizeSpec(meta: DataFrame, maxSide: Int): DataFrame = {
-    val scale = least(
-      lit(maxSide).cast("double") / greatest(col("width"), lit(1)),
-      lit(maxSide).cast("double") / greatest(col("height"), lit(1)),
-      lit(1.0))
-    meta
-      .withColumn("out_width", floor(col("width") * scale).cast("int"))
-      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  def imageAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val p = DigestPixels.params(text)
+          val w = 16 + p(0) % 17
+          val h = 16 + p(1) % 13
+          (id, grayPng(w, h, DigestPixels.bytes(text, w * h)))
+        }
+      }.toDF("asset_id", "payload")
+  }
+
+  private def grayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(i)); i += 1; x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL grayscale decode: `javax.imageio` reads the payload and the
+    * raster samples come back out — the retired-stub boundary. Returns
+    * null on an undecodable payload (callers drop those rows, the
+    * reject-sink posture of [[decodeAudioMeta]]).
+    */
+  private[graft] def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(i) = raster.getSample(x, y, 0); i += 1; x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Image features from REAL decoded pixels: a 16-bin histogram of the
+    * ImageIO-decoded grayscale values (bin = pixel >> 4), L2-normalised
+    * at FLOAT precision — same shape contract as an embedding model
+    * (`(vec_id, embedding)`, unit norm), so the output plugs directly
+    * into `Similarity.bruteForceTopK` / `ivfTopK`. The media → features
+    * → ANN composition is exactly what a training-data pipeline runs;
+    * a learned encoder swaps in behind the same kernel signature.
+    * Narrow per-partition map, payloads never shuffle.
+    */
+  def imageFeatures(assets: DataFrame, bins: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Option(decodeGray(payload)).map { case (_, _, px) =>
+            val h = new Array[Float](bins)
+            px.foreach(v => h((v * bins) / 256) += 1f)
+            val norm = math.sqrt(h.map(x => x.toDouble * x).sum)
+            val n = if (norm < 1e-9) 1f else norm.toFloat
+            (id, h.map(_ / n))
+          }
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** REAL nearest-neighbour image resize: decode the pixels with
+    * ImageIO, compute the aspect-preserving output box in exact integer
+    * arithmetic (`out = max(1, side·maxSide div longSide)`), sample
+    * `src = (out_coord · in_side) div out_side`, and summarise the
+    * resized raster as an exact integer checksum (`resized_sum`) the
+    * oracle re-derives pixel by pixel. The part of the pipeline that is
+    * plain metadata math (the output box) stays SQL-shaped; the pixel
+    * sampling is the per-partition kernel a real thumbnailer runs.
+    */
+  def resizeImages(assets: DataFrame, maxSide: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Option(decodeGray(payload)).map { case (w, h, px) =>
+            val side = math.max(w, h)
+            val ow = math.max(1, w * maxSide / side)
+            val oh = math.max(1, h * maxSide / side)
+            var sum = 0L
+            var oy = 0
+            while (oy < oh) {
+              val sy = oy * h / oh
+              var ox = 0
+              while (ox < ow) { sum += px(sy * w + ox * w / ow); ox += 1 }
+              oy += 1
+            }
+            (id, w, h, ow, oh, sum)
+          }
+        }
+      }.toDF("asset_id", "width", "height", "out_width", "out_height", "resized_sum")
+  }
+
+  /** Perceptual hash over REAL decoded pixels — the aHash recipe
+    * (average hash, the simplest of the pHash family): histogram the
+    * ImageIO-decoded grayscale values into 16 buckets (bucket =
+    * pixel >> 4), set bit i iff bucket i is STRICTLY above the mean.
+    * The mean test is integer cross-multiplied (`h_i · 16 > n_pixels`),
+    * so the hash is exact integer arithmetic end to end and the SQL
+    * twin reproduces every bit from the formula pixels. Narrow
+    * per-partition kernel, no shuffle.
+    */
+  def imagePerceptualHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Option(decodeGray(payload)).map { case (_, _, px) =>
+            val h = new Array[Long](16)
+            px.foreach(v => h(v >> 4) += 1L)
+            val total = px.length.toLong
+            var sig = 0
+            var i = 0
+            while (i < 16) {
+              if (h(i) * 16L > total) sig |= (1 << i)
+              i += 1
+            }
+            (id, sig)
+          }
+        }
+      }.toDF("asset_id", "phash")
   }
 
   /** Frame-sample spec for video rows: every `everyMs` up to duration —
@@ -301,39 +455,88 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ms"))
 
-  /** Scene-change detection over sampled video frames: per-frame
-    * 16-bin "pixel" histograms, L1 distance between consecutive
-    * frames, a cut wherever the distance exceeds `threshold` — the
-    * standard histogram-difference shot-boundary detector, integer-
-    * exact end to end so a SQL twin reproduces every distance.
-    *
-    * Frame pixels come from the StubCodec boundary (a real decoder
-    * slots in where the digest is computed): each sampled frame's
-    * "pixels" are the 32 hex nibbles of `md5(asset_id:frame_ms)`, the
-    * per-frame analogue of [[perceptualHash]]'s per-asset digest.
-    * The histogram is 16 codegen'd character counts — no UDF.
-    *
-    * Scale shape: frames explode from metadata (duration), so the
-    * relation is frames-not-bytes; the lag window partitions by asset
-    * (state = one row's histogram, O(1) per partition stream); the
-    * summary is a mergeable per-asset aggregate. One shuffle total.
+  /** Synthesise REAL multi-frame video payloads from the documents
+    * fixture (doc_id ≡ 2 mod 3 — the same third [[assetsFromDocuments]]
+    * assigns to video): 4–8 frames per asset, each frame a genuine
+    * 16×16 grayscale PNG whose pixels come from the frame-scoped
+    * [[DigestPixels]] stream `text:f<frame>`, packed into a trivial
+    * length-prefixed container (`GVID` magic, BE frame count, BE
+    * length + PNG bytes per frame). The CONTAINER is ours — a real
+    * video codec (H.264 et al.) has no pure-JVM decoder and stays the
+    * one stubbed boundary — but every FRAME is real PNG bytes, so the
+    * per-frame pixel decode downstream is the real ImageIO path.
     */
-  def sceneChanges(meta: DataFrame, everyMs: Long = 1000L,
-                   threshold: Long = 26L): DataFrame = {
-    val hexDigits = "0123456789abcdef"
-    val withDigest = frameSamples(meta, everyMs)
-      .withColumn("_dg", md5(concat(col("asset_id").cast("string"),
-        lit(":"), col("frame_ms").cast("string"))))
-    val hist = array(hexDigits.map(c =>
-      (lit(32L) - length(replace(col("_dg"), lit(c.toString), lit(""))))
-        .cast("long")): _*)
+  def videoAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val nFrames = 4 + DigestPixels.params(text)(3) % 5
+          val frames = (0 until nFrames).map(f =>
+            grayPng(16, 16, DigestPixels.bytes(s"$text:f$f", 256)))
+          val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+          bb.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+          frames.foreach(fr => bb.putInt(fr.length).put(fr))
+          (id, bb.array())
+        }
+      }.toDF("asset_id", "payload")
+  }
+
+  /** Per-frame 16-bin histograms from REAL decoded frame pixels: walk
+    * the GVID container, ImageIO-decode each PNG frame, bucket the
+    * grayscale values (bin = pixel >> 4). Narrow per-partition map —
+    * payloads never shuffle; the emitted relation is frames-not-bytes
+    * (asset_id, frame_idx, 16 longs).
+    */
+  def videoFrameHists(videos: DataFrame): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          if (new String(magic, "US-ASCII") != "GVID") Iterator.empty
+          else {
+            val n = bb.getInt
+            (0 until n).iterator.flatMap { f =>
+              val len = bb.getInt
+              val png = new Array[Byte](len)
+              bb.get(png)
+              Option(decodeGray(png)).map { case (_, _, px) =>
+                val h = new Array[Long](16)
+                px.foreach(v => h(v >> 4) += 1L)
+                (id, f, h)
+              }
+            }
+          }
+        }
+      }.toDF("asset_id", "frame_idx", "hist")
+  }
+
+  /** Scene-change detection over REAL decoded video frames: per-frame
+    * 16-bin pixel histograms ([[videoFrameHists]] — the retired-stub
+    * boundary), L1 distance between consecutive frames, a cut wherever
+    * the distance exceeds `threshold` — the standard histogram-
+    * difference shot-boundary detector, integer-exact end to end so
+    * the SQL twin reproduces every distance from the formula pixels.
+    *
+    * Scale shape: the decode is a narrow map (payloads never shuffle);
+    * the lag window partitions by asset (state = one row's histogram,
+    * O(1) per partition stream); the summary is a mergeable per-asset
+    * aggregate. One shuffle total.
+    */
+  def sceneChanges(videos: DataFrame, threshold: Long = 72L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("asset_id").orderBy("frame_ms")
-    withDigest.withColumn("_h", hist)
-      .withColumn("_prev", lag(col("_h"), 1).over(w))
+      .partitionBy("asset_id").orderBy("frame_idx")
+    videoFrameHists(videos)
+      .withColumn("_prev", lag(col("hist"), 1).over(w))
       .filter(col("_prev").isNotNull)
       .withColumn("l1", aggregate(
-        zip_with(col("_h"), col("_prev"), (x, y) => abs(x - y)),
+        zip_with(col("hist"), col("_prev"), (x, y) => abs(x - y)),
         lit(0L), (acc, x) => acc + x))
       .groupBy("asset_id")
       .agg(count(lit(1)).as("n_transitions"),
@@ -341,55 +544,59 @@ object Multimodal {
         max(col("l1")).as("max_l1"))
   }
 
-  /** Perceptual hash of an asset — the aHash recipe (average hash, the
-    * simplest of the pHash family): histogram the decoded pixels into
-    * 16 buckets, set bit i iff bucket i is STRICTLY above the mean.
-    * The mean test is integer cross-multiplied (`h_i · 16 > total`),
-    * so the hash is exact integer arithmetic end to end and a SQL twin
-    * reproduces every bit.
-    *
-    * The PIXELS come from the stub decode (the StubCodec boundary):
-    * the asset's md5 digest read as 32 hex nibbles, one "pixel" value
-    * 0–15 per nibble. A real image pipeline feeds downsampled
-    * grayscale pixels through the IDENTICAL bit recipe — only the
-    * pixel source changes. (Hashing the raw payload bytes instead is a
-    * trap worth documenting: for text-backed fixtures every byte
-    * histogram is dominated by ASCII letter frequencies, all hashes
-    * collide, and the near-dup pair set degenerates to quadratic —
-    * measured, not hypothetical.) Narrow per-partition kernel, no
-    * shuffle.
+  /** Decode REAL audio samples with `javax.sound.sampled` and report
+    * exact integer level stats — the retired-stub boundary for audio:
+    * the WAV payloads from [[audioAssetsFromDocuments]] open through
+    * `AudioSystem.getAudioInputStream` (the JDK's actual WAV decoder,
+    * not our header walk), the 16-bit little-endian PCM frames decode
+    * to signed samples, and each asset reports sample count, peak
+    * absolute amplitude and energy (sum of squares) — all exact
+    * integers the oracle re-derives from the construction bytes.
+    * Narrow per-partition map; unreadable payloads drop (reject-sink
+    * posture).
     */
-  def perceptualHash(assets: DataFrame): DataFrame = {
+  def decodeAudioLevels(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.as[Asset].mapPartitions { it =>
-      it.map { a =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(a.payload).map("%02x".format(_)).mkString
-        val h = new Array[Long](16)
-        hex.foreach { c =>
-          val v = if (c <= '9') c - '0' else c - 'a' + 10
-          h(v) += 1L
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+                s"unexpected fixture format: $fmt")
+              val data = ais.readAllBytes()
+              val nSamples = data.length / 2
+              var peak = 0L
+              var sumSq = 0L
+              var i = 0
+              while (i + 1 < data.length) {
+                val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toLong
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                sumSq += s * s
+                i += 2
+              }
+              Some((id, nSamples.toLong, peak, sumSq))
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
         }
-        val total = hex.length.toLong
-        var sig = 0
-        var i = 0
-        while (i < 16) {
-          if (h(i) * 16L > total) sig |= (1 << i)
-          i += 1
-        }
-        (a.asset_id, a.media_type, sig)
-      }
-    }.toDF("asset_id", "media_type", "phash")
+      }.toDF("asset_id", "n_samples", "peak_abs", "sum_sq")
   }
 
   /** Near-duplicate IMAGE pairs within `maxDist` hamming distance of
-    * their perceptual hashes — the d3 pigeonhole recipe on media: split
-    * the `bins`-bit hash into `maxDist + 1` bands; two hashes within
-    * `maxDist` must agree EXACTLY on at least one band (pigeonhole), so
-    * candidates come from band-equality joins and only candidates pay
-    * the hamming check. Output is exact for the hash metric: every pair
-    * at distance ≤ maxDist appears once (`asset_a < asset_b`).
+    * their REAL-pixel perceptual hashes ([[imagePerceptualHash]]) — the
+    * d3 pigeonhole recipe on media: split the `bins`-bit hash into
+    * `maxDist + 1` bands; two hashes within `maxDist` must agree
+    * EXACTLY on at least one band (pigeonhole), so candidates come from
+    * band-equality joins and only candidates pay the hamming check.
+    * Output is exact for the hash metric: every pair at distance
+    * ≤ maxDist appears once (`asset_a < asset_b`).
     *
     * Scale shape: never all-pairs — the corpus shuffles once per band
     * on the band value (bounded by maxDist+1 passes over the hash
@@ -401,7 +608,7 @@ object Multimodal {
     val bins = 16
     val ph = OpCaches.persist(
       Partitioning.ensureParallelism(
-        perceptualHash(assets).filter(col("media_type") === "image")
+        imagePerceptualHash(assets)
           .select(col("asset_id"), col("phash"))))
     val nBands = maxDist + 1
     val bandCols = (0 until nBands).map { b =>

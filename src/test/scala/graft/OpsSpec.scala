@@ -520,12 +520,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       (50L, 0.0, true)))
   }
 
-  test("multimodal resize preserves aspect ratio bound") {
-    val meta = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs))
-    val resized = Multimodal.withResizeSpec(meta, maxSide = 256)
-      .filter(col("media_type") === "image")
-    assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() == 0)
+  test("multimodal resize: real decode, box bounds, checksum matches the formula pixels") {
+    import spark.implicits._
+    val some = docs.filter(col("doc_id") < 20)
+    val resized = Multimodal.resizeImages(
+      Multimodal.imageAssetsFromDocuments(some), maxSide = 16)
+    assert(resized.count() == some.count(), "every PNG payload must decode")
+    assert(resized.filter(col("out_width") > 16 || col("out_height") > 16).count() == 0)
     assert(resized.filter(col("out_width") <= 0 || col("out_height") <= 0).count() == 0)
+    // independent re-derivation: the resized checksum recomputed from the
+    // DigestPixels formula directly (never touching a PNG) must equal the
+    // kernel's ImageIO-decoded result — encode→decode is lossless AND the
+    // nearest-neighbour sampling is the documented integer recipe
+    val texts = some.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = resized.select("asset_id", "width", "height", "out_width", "out_height", "resized_sum")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    for ((id, w, h, ow, oh, sum) <- got) {
+      val p = Multimodal.DigestPixels.params(texts(id))
+      assert(w == 16 + p(0) % 17 && h == 16 + p(1) % 13, s"dims drifted for $id")
+      val px = Multimodal.DigestPixels.bytes(texts(id), w * h)
+      val side = math.max(w, h)
+      assert(ow == math.max(1, w * 16 / side) && oh == math.max(1, h * 16 / side))
+      var want = 0L
+      for (oy <- 0 until oh; ox <- 0 until ow)
+        want += px((oy * h / oh) * w + ox * w / ow)
+      assert(sum == want, s"checksum drifted for $id")
+    }
   }
 
   test("range join keeps duplicate left rows as distinct outputs") {
@@ -968,9 +988,8 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val planted = docs.unionByName(
       docs.filter(col("doc_id") < 10)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    val assets = planted.select(col("doc_id").as("asset_id"),
-      lit("image").as("media_type"), encode(col("text"), "UTF-8").as("payload"))
-    val feats = Multimodal.extractFeatures(assets)
+    val feats = Multimodal.imageFeatures(
+      Multimodal.imageAssetsFromDocuments(planted))
     val dupPairs = Dedup.exact(planted, "doc_id", "text")
       .filter(col("dup_count") > 1)
       .join(planted.withColumn("fp",
@@ -1825,24 +1844,64 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(res.exists(_ % 5 == 0), "appended vectors should be findable")
   }
 
-  test("imageNearDups: pigeonhole banding == brute-force hamming; non-images excluded") {
+  test("imageNearDups: pigeonhole banding == brute-force hamming over real-pixel hashes") {
     import spark.implicits._
-    val assets = Multimodal.assetsFromDocuments(docs)
+    val assets = Multimodal.imageAssetsFromDocuments(docs)
     val got = Multimodal.imageNearDups(assets, maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // brute force over the hashes (fixture-scale only)
-    val ph = Multimodal.perceptualHash(assets)
-      .filter(col("media_type") === "image")
+    val ph = Multimodal.imagePerceptualHash(assets)
       .select("asset_id", "phash").as[(Long, Int)].collect()
+    assert(ph.length == docs.count(), "every PNG payload must decode")
     val want = (for {
       (a, pa) <- ph; (b, pb) <- ph if a < b
       d = Integer.bitCount(pa ^ pb) if d <= 2
     } yield (a, b, d)).toSet
     assert(got == want)
     assert(want.nonEmpty, "fixture should produce some near-dup pairs")
-    // only image assets participate
-    val imgIds = ph.map(_._1).toSet
-    assert(got.forall { case (a, b, _) => imgIds(a) && imgIds(b) })
+    // the hashes must actually discriminate (the documented trap: a
+    // degenerate pixel source collapses every hash and the pair set
+    // goes quadratic)
+    assert(ph.map(_._2).distinct.length > 50, "real-pixel hashes should spread")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("image assets: ImageIO decode recovers exactly the DigestPixels raster") {
+    import spark.implicits._
+    val some = docs.filter(col("doc_id") < 8)
+    val payloads = Multimodal.imageAssetsFromDocuments(some)
+      .as[(Long, Array[Byte])].collect().toMap
+    val texts = some.select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, bytes) <- payloads) {
+      // genuine PNG container (the real-media contract mm1 relies on)
+      assert(Multimodal.ImageHeaders.parse(bytes).exists(_._1 == "png"))
+      val (w, h, px) = Multimodal.decodeGray(bytes)
+      val p = Multimodal.DigestPixels.params(texts(id))
+      assert(w == 16 + p(0) % 17 && h == 16 + p(1) % 13)
+      assert(px.toSeq == Multimodal.DigestPixels.bytes(texts(id), w * h).toSeq,
+        s"PNG round-trip not lossless for doc $id")
+    }
+    // undecodable payloads return null → kernels drop them
+    assert(Multimodal.decodeGray("not a png".getBytes) == null)
+  }
+
+  test("decodeAudioLevels: JDK decoder stats match hand-computed samples") {
+    import spark.implicits._
+    // two known samples: 0x0201 = 513, 0xFF80 = -128 (LE byte order)
+    val data = Array[Byte](0x01, 0x02, 0x80.toByte, 0xff.toByte)
+    val wav = Multimodal.WavHeaders.build(1, 8000, 16, data)
+    val got = Multimodal.decodeAudioLevels(
+      Seq((1L, wav)).toDF("asset_id", "payload"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 513L, 513L * 513L + 128L * 128L)))
+    // fixture-wide: javax.sound must open every synthesised WAV and the
+    // sample count must match the header's own data accounting
+    val assets = Multimodal.audioAssetsFromDocuments(docs.filter(col("doc_id") < 50))
+    val levels = Multimodal.decodeAudioLevels(assets)
+    val meta = Multimodal.decodeAudioMeta(assets)
+    assert(levels.count() == assets.count(), "every WAV must decode")
+    assert(levels.join(meta, "asset_id")
+      .filter(col("n_samples") * 2 =!= col("data_bytes")).count() == 0)
     graft.ops.OpCaches.releaseAll()
   }
 
@@ -1949,6 +2008,13 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       } yield 1).size
       assert(got.getLong(2) == want.toLong, s"trial=$trial")
       assert(got.getLong(1) == base.size.toLong, s"trial=$trial edges")
+      // the guarded driver walk (default) must equal the distributed
+      // wedge join (forced with driverWalkMaxEdges = 0), schema and all
+      val dist = graft.ops.Graph.triangleCount(
+        rnd.shuffle(noisy).toDF("src", "dst"), driverWalkMaxEdges = 0L)
+      assert(dist.collect().head == got, s"trial=$trial walk != distributed")
+      assert(dist.schema == graft.ops.Graph.triangleCount(
+        rnd.shuffle(noisy).toDF("src", "dst")).schema)
       graft.ops.OpCaches.releaseAll()
     }
   }
@@ -2076,21 +2142,33 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       gi.as[(Int, Long, Long, Long, Long)].collect().toSet)
   }
 
-  test("sceneChanges: transition counts and threshold edges; layout-invariant") {
+  test("sceneChanges: real frame decode, transition counts, threshold edges; layout-invariant") {
+    import spark.implicits._
     import graft.ops.Multimodal
-    val meta = Multimodal.decodeMeta(
-      Multimodal.assetsFromDocuments(docs))
-    val everyCut = Multimodal.sceneChanges(meta, threshold = -1L)
-    val noCut = Multimodal.sceneChanges(meta, threshold = 64L)
-    // n_transitions = n_frames - 1, and thresholds bracket the cuts
-    val frames = Multimodal.frameSamples(meta, 1000L)
-      .groupBy("asset_id").agg(count(lit(1)).as("nf"))
-    val joined = everyCut.join(frames, "asset_id")
-    assert(joined.filter(col("n_transitions") =!= col("nf") - 1).count() == 0)
+    val some = docs.filter(col("doc_id") < 60)
+    val vids = Multimodal.videoAssetsFromDocuments(some)
+    val everyCut = Multimodal.sceneChanges(vids, threshold = -1L)
+    val noCut = Multimodal.sceneChanges(vids, threshold = 512L)
+    // n_transitions = n_frames - 1 with n_frames from the construction
+    val texts = some.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val trans = everyCut.select("asset_id", "n_transitions")
+      .as[(Long, Long)].collect().toMap
+    assert(trans.keySet == texts.keySet, "one row per video asset")
+    for ((id, n) <- trans)
+      assert(n == 3 + Multimodal.DigestPixels.params(texts(id))(3) % 5)
     assert(everyCut.filter(col("n_cuts") =!= col("n_transitions")).count() == 0)
     assert(noCut.filter(col("n_cuts") =!= 0).count() == 0)
-    // max L1 ≤ 64 (two disjoint 32-nibble histograms)
-    assert(everyCut.filter(col("max_l1") > 64).count() == 0)
+    // max L1 ≤ 512 (two disjoint 256-pixel histograms), and the real
+    // frame hists must differ frame-to-frame (decode not degenerate)
+    assert(everyCut.filter(col("max_l1") > 512).count() == 0)
+    assert(everyCut.filter(col("max_l1") > 0).count() == trans.size)
+    // layout-invariant
+    val re = Multimodal.sceneChanges(
+      Multimodal.videoAssetsFromDocuments(some.repartition(7)), threshold = 72L)
+    assert(re.orderBy("asset_id").collect().toSeq ==
+      Multimodal.sceneChanges(vids, threshold = 72L).orderBy("asset_id").collect().toSeq)
+    graft.ops.OpCaches.releaseAll()
   }
 
   test("cdcChunkStats: boundaries shift-resilient — a prefix insertion still shares tail chunks") {
@@ -2549,6 +2627,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(3L) == ((2L, 1L, Some(1000L))))
     assert(got(4L) == ((2L, 1L, Some(1000L))))
     assert(got(5L) == ((1L, 0L, None)) && got(6L) == ((1L, 0L, None)))
+    // walk == distributed, row-for-row and schema-for-schema
+    val dist = Graph.clusteringCoefficient(edges, driverWalkMaxEdges = 0L)
+    assert(dist.collect().sortBy(_.getLong(0)).toSeq ==
+      Graph.clusteringCoefficient(edges).collect().sortBy(_.getLong(0)).toSeq)
+    assert(dist.schema == Graph.clusteringCoefficient(edges).schema)
     graft.ops.OpCaches.releaseAll()
   }
 
