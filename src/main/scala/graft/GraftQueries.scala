@@ -1552,7 +1552,7 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.35).as("recall_ok"))
   }
 
   /** IVF ANN run at nprobe = nlist: exhaustive probing makes it exact
@@ -1570,8 +1570,8 @@ object GraftQueries {
     * directories are scanned (plan-asserted). nprobe=8 of nlist=64:
     * the probed cells are ⅛ of the partitions (spec-asserted via the
     * scan's numFiles metric — the pruning ratio is REAL, not just a
-    * filter in the plan), and the recall verdict stays clear of s4's
-    * 0.2 floor at all fixture SFs.
+    * filter in the plan), and the recall verdict clears the 0.25
+    * floor at all fixture SFs (measured min 0.30, RecallProbe).
     */
   def s8KnnPersisted(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
@@ -1586,14 +1586,15 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.25).as("recall_ok"))
   }
 
   /** Product-quantization ANN with the s2-style oracle contract: PQ
     * codes (16 B/vector, 16× compression) + asymmetric-distance top-k,
     * verdict row = recall@10 vs the exact in-query brute force clears
-    * the 0.2 floor (measured min 0.3 at both SFs; deterministic
-    * codebooks → stable verdict).
+    * the 0.25 floor (measured min 0.30 across sf0.001/0.01/0.1,
+    * RecallProbe — MEASUREMENTS.md round 9; deterministic codebooks →
+    * stable verdict).
     */
   def s4KnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
@@ -1606,14 +1607,15 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.25).as("recall_ok"))
   }
 
   /** S9 [EXT] — two-stage ANN: s4's PQ ADC stage nominates a 50-deep
     * shortlist, the shortlist's raw vectors are re-scored with exact
     * cosine, final top-10 is the exact order (the production "refine"
-    * pass). Verdict contract like s4, but the floor is HIGHER (0.5 vs
-    * s4's 0.2) — re-ranking must demonstrably buy recall, not just run.
+    * pass). Verdict contract like s4, but the floor is HIGHER (0.65 vs
+    * s4's 0.25; measured min 0.70) — re-ranking must demonstrably buy
+    * recall, not just run.
     */
   def s9KnnRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
@@ -1627,7 +1629,7 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.5).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.65).as("recall_ok"))
   }
 
   /** S10 [EXT] — diversity sampling: cluster-balanced subset via
@@ -1669,8 +1671,8 @@ object GraftQueries {
   /** S12 [EXT] — scalar-quantised (int8) ANN: per-dimension byte
     * quantisation from one mergeable min/max aggregate, asymmetric
     * scoring over the 4×-smaller encoded scan; recall verdict floor
-    * 0.7 — SQ8 must demonstrably out-recall the 8-byte PQ codes
-    * (s4's floor is 0.2).
+    * 0.85 (measured min 0.90) — SQ8 must demonstrably out-recall the
+    * 8-byte PQ codes (s4's floor is 0.25).
     */
   def s12KnnSq8(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
@@ -1683,7 +1685,7 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.7).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.85).as("recall_ok"))
   }
 
   /** S13 [EXT] — filtered vector search: exact top-k among label-0
@@ -1732,7 +1734,9 @@ object GraftQueries {
     * billion-vector configuration. Probes 4 of 8 cells, so unlike s3
     * this is genuinely approximate on BOTH axes (routing and codes);
     * verdict contract like s2/s4: recall@10 vs the exact in-query brute
-    * force clears the 0.2 floor (deterministic quantizers → stable).
+    * force clears the 0.2 floor — MEASURED-TIGHT, min recall is exactly
+    * 0.2 at sf0.1 (RecallProbe), not a slack bound (deterministic
+    * quantizers → stable).
     */
   def s7KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")

@@ -2635,7 +2635,8 @@ object Oracles {
 
     // s2 emits a deterministic per-query recall verdict (fixed
     // hyperplanes, tie-broken ranking) — the checkable contract is that
-    // every query clears the documented floor
+    // every query clears the measured floor (0.35; min recall 0.40
+    // across all fixture SFs, RecallProbe / MEASUREMENTS.md round 9)
     "s2_knn_lsh" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
@@ -2660,7 +2661,7 @@ object Oracles {
     "s11_ivf_append" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
-    // SQ8: recall-verdict contract, floor 0.7 (must beat PQ's 0.2)
+    // SQ8: recall-verdict contract, floor 0.85 measured (must beat PQ's 0.25)
     "s12_knn_sq8" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10",
 
