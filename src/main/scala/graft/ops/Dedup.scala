@@ -107,7 +107,7 @@ object Dedup {
     * narrow chain runs on a single core. At real scale the source has
     * many splits and this is a cheap no-op-sized shuffle of raw text.
     */
-  private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) = {
+  private[graft] def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // hash-partition by id (not round-robin): downstream per-doc
     // aggregations (minhash mins, simhash bit sums) then combine entirely
