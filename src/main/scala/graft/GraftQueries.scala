@@ -1760,8 +1760,11 @@ object GraftQueries {
     * the formula pixels) feeding IVF top-k run exact (nprobe = nlist).
     */
   def mm4FeatureKnn(s: SparkSession, dir: String): DataFrame = {
-    val feats = Multimodal.imageFeatures(
-      Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents")))
+    // persist: the feature relation feeds the IVF corpus AND the query
+    // side — without it every consumer re-runs the PNG decode kernel
+    // over the whole asset table
+    val feats = graft.ops.OpCaches.persist(Multimodal.imageFeatures(
+      Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents"))))
     Similarity.ivfTopK(feats, feats.filter(col("vec_id") < 10), k = 10, nlist = 8, nprobe = 8)
   }
 
@@ -2920,7 +2923,11 @@ object GraftQueries {
       col("doc_id"), col("source"), col("n_tok"), col("logit_micro"),
       TextAnalysis.fingerprint(col("text")).as("__fp"))
     val canon = Dedup.exactCanonicalRows(slim, "doc_id", col("__fp")).drop("__fp")
-    val capped = Sampling.domainCap(canon, "doc_id", "source", k = 40)
+    // `capped` is consumed twice (the token-budget prefix sum AND the
+    // final join) — persist or the whole gate→classifier→dedup→cap
+    // chain runs twice
+    val capped = graft.ops.OpCaches.persist(
+      Sampling.domainCap(canon, "doc_id", "source", k = 40))
     val chosen = Sampling.tokenBudgetPrefix(
       capped.select(col("doc_id"), col("logit_micro"), col("n_tok")),
       "doc_id", "logit_micro", "n_tok", budget = 20000L)

@@ -178,7 +178,8 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = Array(8000, 16000, 22050, 44100)
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Partitioning.ensureParallelism(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, raw) =>
@@ -310,7 +311,11 @@ object Multimodal {
   def imageAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // the fixture parquet is a single row group = ONE input partition;
+    // without this the encode kernel runs on one core (measured: the
+    // whole mm3/mm6/mm7 family 3-5x slower at sf0.1)
+    Partitioning.ensureParallelism(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val p = DigestPixels.params(text)
@@ -321,7 +326,16 @@ object Multimodal {
       }.toDF("asset_id", "payload")
   }
 
+  /** ImageIO defaults to DISK-cached image streams — every write/read
+    * creates a temp FILE in java.io.tmpdir. At 10k+ codec calls per
+    * query that is filesystem churn and run-to-run variance (measured
+    * 4-8s swings on the mm7 frame kernel); in-memory streams are
+    * strictly better for byte-array payloads.
+    */
+  private lazy val imageIoMemInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   private def grayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    imageIoMemInit
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -342,6 +356,7 @@ object Multimodal {
     * reject-sink posture of [[decodeAudioMeta]]).
     */
   private[graft] def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    imageIoMemInit
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     if (img == null) return null
     val w = img.getWidth
@@ -469,8 +484,10 @@ object Multimodal {
   def videoAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    Partitioning.ensureParallelism(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val nFrames = 4 + DigestPixels.params(text)(3) % 5
@@ -532,12 +549,18 @@ object Multimodal {
   def sceneChanges(videos: DataFrame, threshold: Long = 72L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("asset_id").orderBy("frame_idx")
+    // L1 as 16 explicit codegen'd element diffs: the HOF form
+    // (aggregate over zip_with) is a nested higher-order function —
+    // interpreted, outer-expression re-evaluated per element (the
+    // documented 100× trap); measured here 2-6s of pure expression
+    // overhead on a 10k-row frame relation vs milliseconds codegen'd
+    val l1 = (0 until 16).map(i =>
+        abs(element_at(col("hist"), i + 1) - element_at(col("_prev"), i + 1)))
+      .reduce(_ + _)
     videoFrameHists(videos)
       .withColumn("_prev", lag(col("hist"), 1).over(w))
       .filter(col("_prev").isNotNull)
-      .withColumn("l1", aggregate(
-        zip_with(col("hist"), col("_prev"), (x, y) => abs(x - y)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("l1", l1)
       .groupBy("asset_id")
       .agg(count(lit(1)).as("n_transitions"),
         sum(when(col("l1") > threshold, 1L).otherwise(0L)).as("n_cuts"),
