@@ -35,9 +35,10 @@ object Multimodal {
   /** REAL pure-JVM image header parser: width/height decoded from the
     * container header bytes alone — PNG IHDR, GIF87a/89a logical screen
     * descriptor, JPEG SOF0/1/2 frame header (walking the marker
-    * segments), BMP BITMAPINFOHEADER. No pixel decode, no native libs:
-    * this is the slice of the codec boundary that CAN be genuinely real
-    * in this container. Pixel-level decode stays behind `StubCodec`.
+    * segments), BMP BITMAPINFOHEADER. No native libs — pure byte
+    * arithmetic, independent of (and spec-checked against) the
+    * `javax.imageio` decoder that the pixel kernels use. Serves the
+    * mm1 metadata path, where a payload need not be decodable media.
     */
   object ImageHeaders {
     def parse(bytes: Array[Byte]): Option[(String, Int, Int)] = {
