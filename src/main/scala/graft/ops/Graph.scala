@@ -133,8 +133,10 @@ object Graph {
     val bound = math.min(driverWalkMaxEdges, Int.MaxValue - 2L).toInt
     val probe = edges.select(col(srcCol), col(dstCol)).head(bound + 1)
     if (probe.length > driverWalkMaxEdges) return None
-    // node values compare by an (class-name, value-string) key so mixed
-    // numeric widths order deterministically without assuming a type
+    // generic node ordering without assuming a column type: longs
+    // directly, other numerics by value (string tiebreak), everything
+    // else by its string form — matching Spark's ordering on the
+    // fixture node types (integral/string)
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long)     => x < y
       case (x: Number, y: Number) => x.doubleValue < y.doubleValue ||
@@ -143,7 +145,9 @@ object Graph {
     }
     val norm = probe.iterator
       .map(r => (r.get(0), r.get(1)))
-      .filter { case (u, v) => u != v }
+      // drop self-loops AND null endpoints — the distributed plan's
+      // least/greatest skip nulls, collapsing such edges to u == v
+      .filter { case (u, v) => u != null && v != null && u != v }
       .map { case (u, v) => if (lt(u, v)) (u, v) else (v, u) }
       .toSet
     val deg = scala.collection.mutable.HashMap.empty[Any, Long]

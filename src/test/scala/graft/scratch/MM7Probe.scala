@@ -2,6 +2,13 @@ package graft.scratch
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
+
+/** Scratch probe behind the round-9 ImageIO finding (MEASUREMENTS.md):
+  * cold-path times for the mm7 scene-change chain and mm6 near-dup
+  * pairs. With ImageIO's default disk-cached streams these swung 4-8s
+  * per run (one temp FILE per encode/decode); with in-memory streams
+  * (`Multimodal.imageIoMemInit`) they settle at ~0.7s / ~0.6s warm.
+  */
 object MM7Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
