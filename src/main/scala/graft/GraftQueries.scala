@@ -2757,11 +2757,16 @@ object GraftQueries {
   }
 
   /** D18 [EXT] — asymmetric containment pairs at 0.8: the doc-quoted-
-    * inside-doc signal symmetric Jaccard structurally misses
-    * (`Dedup.ngramContainmentPairs`); both directions reported.
+    * inside-doc signal symmetric Jaccard structurally misses; both
+    * directions reported. Cost-based chooser (`Dedup
+    * .ngramContainmentPairsAuto`): exact count-join while the measured
+    * candidate volume stays within budget (this fixture: ~28/doc at
+    * sf0.01, ~253/doc at sf0.1 — both exact, so the oracle compares
+    * hash-exact), MinHash band screen + exact verify past it
+    * (engages at the sf1 rehearsal's ~2.8k/doc — `D18AutoProbe`).
     */
   def d18Containment(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramContainmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+    Dedup.ngramContainmentPairsAuto(tbl(s, dir, "documents"), "doc_id", "text",
       threshold = 0.8)
 
   /** T19 [EXT] — PMI collocation mining: top-50 bigrams by pointwise
@@ -4062,11 +4067,23 @@ object GraftQueries {
     }.reduce(_.unionAll(_)).orderBy("table_name", "column_name")
   }
 
-  /** Multimodal plumbing: binary payload + batched decode (stub kernel). */
+  /** MM1 [EXT] — REAL container metadata over genuine mixed-media
+    * payloads (BMP / PCM WAV / ISO-BMFF MP4, `Multimodal
+    * .assetsFromDocuments`): every output field is parsed back OUT of
+    * the container bytes — image dims from the BMP header, audio
+    * duration from the RIFF fmt/data chunks, video duration/dims from
+    * the mvhd/tkhd box walk (90 kHz timescale conversion included).
+    * The oracle predicts each field analytically from the construction
+    * parameters, so agreement proves the parsers read back exactly
+    * what the writers encoded — including `n_bytes`, the closed-form
+    * container size (BMP `1078+h·ceil4(w)`, WAV `44+data`, MP4
+    * `244+mdat`). The payload-byte md5 checksum is computed but not
+    * compared (no SQL engine can re-encode the containers).
+    */
   def mm1DecodeMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromDocuments(tbl(s, dir, "documents")))
       .select("asset_id", "media_type", "n_bytes", "width", "height",
-        "duration_ms", "checksum")
+        "duration_ms")
 
   /** MM3 [EXT] — REAL aspect-preserving resize (`Multimodal
     * .resizeImages`): ImageIO pixel decode, exact-integer output box,

@@ -138,6 +138,27 @@ object Oracles {
       |         sum(dw.cnt * enc.toks) AS n_bpe_tokens
       |  FROM dw JOIN enc USING (w0) GROUP BY 1)""".stripMargin
 
+  /** Byte `j` of the DigestPixels stream over `text` (byte j = byte
+    * j mod 16 of md5(text ++ ":" ++ (j div 16))), as a DuckDB
+    * expression — the shared primitive behind every image-fixture
+    * oracle. `j` must be a SQL expression of BIGINT kind.
+    */
+  private def digestByteSql(j: String): String = {
+    val md = s"md5(text || ':' || CAST(($j) // 16 AS VARCHAR))"
+    s"((strpos('0123456789abcdef', substr($md, CAST(2*(($j) % 16) + 1 AS INTEGER), 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substr($md, CAST(2*(($j) % 16) + 2 AS INTEGER), 1)) - 1))"
+  }
+
+  /** Decoded-luma value of pixel `i` for a document: even doc_ids are
+    * single-channel (stream byte i verbatim), odd doc_ids are RGB
+    * (3 stream bytes per pixel, integer BT.601 collapse — the same
+    * `Multimodal.lumaBt601` formula, exact integer arithmetic).
+    */
+  private def pixelLumaSql(i: String): String =
+    s"""CASE WHEN doc_id % 2 = 0 THEN ${digestByteSql(i)}
+       | ELSE (77*${digestByteSql(s"3*($i)")} + 150*${digestByteSql(s"3*($i)+1")}
+       |     + 29*${digestByteSql(s"3*($i)+2")} + 128) // 256 END""".stripMargin
+
   private def piiCountSql(expr: String): String =
     graft.ops.TextAnalysis.piiPatterns
       .map { case (_, p, _) => s"len(regexp_extract_all($expr, '$p'))" }
@@ -3459,24 +3480,34 @@ object Oracles {
         |)
         |SELECT DISTINCT doc_id, minh AS fp FROM win WHERE pos <= greatest(nsh - 3, 1)""".stripMargin,
 
-    // the stub codec's metadata is pure md5-byte arithmetic, so DuckDB
-    // reproduces it exactly: byte i of the digest from the hex string
+    // the containers are REAL (BMP / WAV / MP4) but their construction
+    // parameters derive from md5(text) and doc_id, and each format's
+    // byte length is closed-form (BMP 1078 + h*ceil4(w); WAV 44 + data
+    // truncated to a whole frame; MP4 244 fixed boxes + mdat payload) —
+    // so DuckDB predicts every parsed-back field analytically.
+    // Agreement proves the box/chunk/header walks read back exactly
+    // what the writers encoded.
     "mm1_decode_meta" ->
       """WITH b AS (
-        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt, md5(text) AS m,
-        |    octet_length(encode(text)) AS nb,
+        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
+        |    octet_length(encode(text)) AS tb,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) * 2 AS ba,
+        |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
         |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS b0,
         |    (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS b1,
-        |    (strpos('0123456789abcdef', substr(md5(text),5,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),6,1))-1) AS b2,
         |    (strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),8,1))-1) AS b3
         |  FROM documents)
         |SELECT doc_id AS asset_id,
         |  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(nb AS BIGINT) AS n_bytes,
-        |  CAST(CASE mt WHEN 0 THEN 64 + b0*8 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
-        |  CAST(CASE mt WHEN 0 THEN 64 + b1*8 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height,
-        |  CAST(CASE mt WHEN 0 THEN 0 WHEN 1 THEN 1000 + b2*256 ELSE 5000 + b3*512 END AS BIGINT) AS duration_ms,
-        |  m AS checksum
+        |  CAST(CASE mt
+        |    WHEN 0 THEN 1078 + (16 + b1 % 48) * (((16 + b0 % 48) + 3) // 4 * 4)
+        |    WHEN 1 THEN 44 + tb // ba * ba
+        |    ELSE 244 + tb END AS BIGINT) AS n_bytes,
+        |  CAST(CASE mt WHEN 0 THEN 16 + b0 % 48 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
+        |  CAST(CASE mt WHEN 0 THEN 16 + b1 % 48 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height,
+        |  CAST(CASE mt WHEN 0 THEN 0
+        |    WHEN 1 THEN (tb // ba * ba) * 1000 // (rate * ba)
+        |    ELSE 5000 + b3*512 END AS BIGINT) AS duration_ms
         |FROM b""".stripMargin,
 
     // REAL nearest-neighbour resize: output box in exact integer
@@ -3485,7 +3516,7 @@ object Oracles {
     // summed into the checksum the Spark kernel computes from the
     // ImageIO-decoded raster
     "mm3_resize_spec" ->
-      """WITH dims AS (
+      s"""WITH dims AS (
         |  SELECT doc_id, text,
         |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
         |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
@@ -3505,12 +3536,7 @@ object Oracles {
         |    LATERAL (SELECT unnest(range(0, CAST(ow AS BIGINT))) AS x) ox),
         |vals AS (
         |  SELECT doc_id,
-        |    (strpos('0123456789abcdef',
-        |       substr(md5(text || ':' || CAST(idx // 16 AS VARCHAR)),
-        |              CAST(2*(idx % 16) + 1 AS INTEGER), 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef',
-        |       substr(md5(text || ':' || CAST(idx // 16 AS VARCHAR)),
-        |              CAST(2*(idx % 16) + 2 AS INTEGER), 1)) - 1) AS v
+        |    ${pixelLumaSql("idx")} AS v
         |  FROM spx)
         |SELECT b.doc_id AS asset_id,
         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -3539,7 +3565,7 @@ object Oracles {
     // engines. Agreement proves the ImageIO decode recovered exactly
     // the encoded raster plus the whole downstream recipe.
     "mm4_feature_knn" ->
-      """WITH dims AS (
+      s"""WITH dims AS (
         |  SELECT doc_id, text,
         |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
         |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
@@ -3548,9 +3574,7 @@ object Oracles {
         |  FROM documents),
         |bytes AS (
         |  SELECT doc_id,
-        |         strpos('0123456789abcdef',
-        |           substr(md5(text || ':' || CAST(g.i // 16 AS VARCHAR)),
-        |                  CAST(2*(g.i % 16) + 1 AS INTEGER), 1)) - 1 AS bin
+        |         (${pixelLumaSql("g.i")}) // 16 AS bin
         |  FROM dims,
         |       LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) AS g
         |),
@@ -3832,7 +3856,7 @@ object Oracles {
     // grayscale values); the pair set brute-forced (the pigeonhole
     // banding must find exactly these)
     "mm6_image_neardup" ->
-      """WITH dims AS (
+      s"""WITH dims AS (
         |  SELECT doc_id, text,
         |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
         |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
@@ -3841,9 +3865,7 @@ object Oracles {
         |  FROM documents),
         |nib AS (
         |  SELECT doc_id, w*h AS npix,
-        |         strpos('0123456789abcdef',
-        |           substr(md5(text || ':' || CAST(g.i // 16 AS VARCHAR)),
-        |                  CAST(2*(g.i % 16) + 1 AS INTEGER), 1)) - 1 AS bin
+        |         (${pixelLumaSql("g.i")}) // 16 AS bin
         |  FROM dims,
         |       LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) AS g),
         |hist AS (SELECT doc_id, any_value(npix) AS npix, bin, count(*) AS cnt

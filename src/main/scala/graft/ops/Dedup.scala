@@ -569,8 +569,11 @@ object Dedup {
     * corpus is long-tailed.
     */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-                            threshold: Double = 0.9, n: Int = 3): DataFrame = {
-    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
+                            threshold: Double = 0.9, n: Int = 3): DataFrame =
+    containmentOnShingles(OpCaches.persist(withShingles(df, idCol, textCol, n)),
+      threshold)
+
+  private def containmentOnShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -584,6 +587,81 @@ object Dedup {
       .withColumn("c_ba", col("i").cast("double") / col("nb").cast("double"))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
+  /** EXACT containment verify over candidate pairs only: join back to
+    * the shingle arrays, |∩| via `array_intersect`, both directional
+    * ratios as the same IEEE divisions as the count-join plan — so the
+    * two containment paths agree bit-for-bit on any pair both emit.
+    */
+  private def verifyByContainment(cands: DataFrame, sh: DataFrame,
+                                  threshold: Double): DataFrame =
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("c_ab", col("i").cast("double") / size(col("sh_a")).cast("double"))
+      .withColumn("c_ba", col("i").cast("double") / size(col("sh_b")).cast("double"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+
+  /** Containment pairs with a candidate-budget chooser — the d4
+    * (`ngramJaccardPairsAuto`) treatment applied to the asymmetric
+    * metric. The count-join plan's candidate volume is EXACTLY
+    * Σ_s df(s)·(df(s)−1)/2; the chooser measures it from the shingle
+    * frequency aggregate (one narrow pre-pass, the same AQE-style cost
+    * probe d4 pays) and keeps the exact plan while it stays within
+    * `candidateBudgetPerDoc` per document.
+    *
+    * Past the budget it routes through a MinHash band SCREEN first
+    * (the d2 recipe: band-bucket collisions propose candidates, exact
+    * containment verifies them — [[verifyByContainment]]), with wide
+    * banding (32 bands × 2 rows at the k=64 default) so the S-curve
+    * catches pairs down to J ≈ 0.3 with ~95% probability. This is the
+    * documented long-tail trade, stated honestly: containment's prefix
+    * bound only covers the CONTAINED side (no PPJoin symmetry — see
+    * [[ngramContainmentPairs]]), so the only sub-quadratic screen is
+    * probabilistic, and a short-in-long pair whose symmetric Jaccard
+    * falls far below the band curve can be missed. Exactness is traded
+    * only when the exact plan's candidate volume has already exploded
+    * past the budget — never silently: the routing is deterministic in
+    * the corpus statistics, and `D18AutoProbe` demonstrates both
+    * branches on the committed fixtures.
+    */
+  def ngramContainmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                                threshold: Double = 0.9, n: Int = 3,
+                                candidateBudgetPerDoc: Long = 1024,
+                                k: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
+    // double arithmetic: Σ df² on a web-scale corpus overflows LONG
+    val candRow = sh.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df_s"))
+      .agg(sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0)
+        .as("c"))
+      .first()
+    val candidates = if (candRow.isNullAt(0)) 0.0 else candRow.getDouble(0)
+    val nDocs = math.max(1L, sh.count())
+    if (candidates <= candidateBudgetPerDoc.toDouble * nDocs)
+      containmentOnShingles(sh, threshold)
+    else
+      verifyByContainment(minhashCandidates(sh, k, rowsPerBand), sh, threshold)
+  }
+
+  /** Package-private chooser predicate — lets the scale probe assert
+    * WHICH branch [[ngramContainmentPairsAuto]] takes without
+    * duplicating the budget arithmetic.
+    */
+  private[graft] def containmentExceedsBudget(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      candidateBudgetPerDoc: Long): Boolean = {
+    val sh = withShingles(df, idCol, textCol, n)
+    val candRow = sh.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df_s"))
+      .agg(sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0)
+        .as("c"))
+      .first()
+    val candidates = if (candRow.isNullAt(0)) 0.0 else candRow.getDouble(0)
+    candidates > candidateBudgetPerDoc.toDouble * math.max(1L, sh.count())
   }
 
   /** Benchmark-contamination check — the decontamination pass every

@@ -40,8 +40,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",
-               wCol: String = "w"): DataFrame = {
+               wCol: String = "w",
+               driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
     require(iters >= 1 && iters <= 20, "pageRank: iters must be in 1..20")
+    walkedPageRank(edges, iters, srcCol, dstCol, wCol, driverWalkMaxEdges) match {
+      case Some(done) => return done
+      case None       => ()
+    }
     // `e` feeds the out-weight aggregate, the ew join AND the node set —
     // without a persist each consumer re-derives the caller's whole edge
     // construction (for g1: the fact join + pair aggregate, twice per use
@@ -75,6 +80,60 @@ object Graph {
     // not planning depth). An unbounded-iteration loop would need the
     // per-round checkpoint discipline Dedup.clusters already implements.
     rank
+  }
+
+  /** Guarded driver walk for pageRank — the g2/g5 chooser applied to
+    * the superstep loop: a fixture-scale graph pays ~0.25s of scheduled
+    * stage/codegen overhead PER SUPERSTEP in the unrolled join plan
+    * (g1: 5.3s at sf0.1 for a ~3k-edge graph), so one bounded `head`
+    * probe sizes the edge list and, when it fits, the identical integer
+    * recursion runs in memory: contributions `(rank·w) DIV wsum`,
+    * update `150000 + (85·Σ) DIV 100` — Long truncating division and
+    * exact (throwing) multiply/add, matching Spark's ANSI semantics
+    * bit-for-bit, spec-asserted walk == distributed. Declines (`None` →
+    * distributed plan) on: more than `maxEdges` edges, null endpoints
+    * or weights (the distributed plan's join/agg null-dropping is
+    * subtle — not worth mirroring), and non-integral/non-string node
+    * ids (HashMap equality vs Spark grouping equality can diverge on
+    * -0.0 doubles and differently-scaled decimals).
+    */
+  private def walkedPageRank(edges: DataFrame, iters: Int,
+                             srcCol: String, dstCol: String, wCol: String,
+                             maxEdges: Long): Option[DataFrame] = {
+    if (maxEdges <= 0) return None
+    val spark = edges.sparkSession
+    val bound = math.min(maxEdges, Int.MaxValue - 2L).toInt
+    val sel = edges.select(col(srcCol), col(dstCol), col(wCol).cast("long"))
+    val probe = sel.head(bound + 1)
+    if (probe.length > maxEdges) return None
+    def ok(a: Any): Boolean = a.isInstanceOf[Long] || a.isInstanceOf[Int] ||
+      a.isInstanceOf[Short] || a.isInstanceOf[Byte] || a.isInstanceOf[String]
+    if (!probe.forall(r => ok(r.get(0)) && ok(r.get(1)) && !r.isNullAt(2)))
+      return None
+    val es = probe.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val wsum = scala.collection.mutable.HashMap.empty[Any, Long]
+    es.foreach { case (s, _, w) =>
+      wsum(s) = Math.addExact(wsum.getOrElse(s, 0L), w)
+    }
+    val nodes: Seq[Any] = es.iterator.map(_._1).toSeq.distinct
+    var rank: collection.Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (s, d, w) =>
+        val c = Math.multiplyExact(rank(s), w) / wsum(s)
+        inflow(d) = Math.addExact(inflow.getOrElse(d, 0L), c)
+      }
+      rank = nodes.iterator.map(n =>
+        n -> (150000L + Math.multiplyExact(85L, inflow.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    val nodeType = sel.schema.fields(0).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField("rank_micro",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    nodes.foreach(n => rows.add(org.apache.spark.sql.Row(n, rank(n))))
+    Some(spark.createDataFrame(rows, schema))
   }
 
   /** Exact triangle count with DEGREE ORIENTATION (Suri &
@@ -133,16 +192,20 @@ object Graph {
     val bound = math.min(driverWalkMaxEdges, Int.MaxValue - 2L).toInt
     val probe = edges.select(col(srcCol), col(dstCol)).head(bound + 1)
     if (probe.length > driverWalkMaxEdges) return None
-    // generic node ordering without assuming a column type: longs
-    // directly, other numerics by value (string tiebreak), everything
-    // else by its string form — matching Spark's ordering on the
-    // fixture node types (integral/string)
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long)     => x < y
-      case (x: Number, y: Number) => x.doubleValue < y.doubleValue ||
-        (x.doubleValue == y.doubleValue && x.toString < y.toString)
-      case (x, y)                 => x.toString < y.toString
-    }
+    // TYPE GUARD: the walk only trusts its own node ordering for
+    // integral and string ids, where it provably matches Spark's
+    // least/greatest. Anything else — decimals (BigDecimal vs its
+    // string form), floats (NaN ordering), dates, binary — routes to
+    // the distributed plan rather than risk a divergent orientation.
+    def isIntegral(a: Any): Boolean = a.isInstanceOf[Long] || a.isInstanceOf[Int] ||
+      a.isInstanceOf[Short] || a.isInstanceOf[Byte]
+    val nodes = probe.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+      .filter(_ != null).toSeq
+    val allIntegral = nodes.forall(isIntegral)
+    if (!allIntegral && !nodes.forall(_.isInstanceOf[String])) return None
+    def lt(a: Any, b: Any): Boolean =
+      if (allIntegral) a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+      else a.asInstanceOf[String] < b.asInstanceOf[String]
     val norm = probe.iterator
       .map(r => (r.get(0), r.get(1)))
       // drop self-loops AND null endpoints — the distributed plan's

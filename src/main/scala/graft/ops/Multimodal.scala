@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   *     [[decodeAudioLevels]] decodes them with `javax.sound.sampled`;
   *     the container walk ([[WavHeaders]]) is an independent pure-JVM
   *     parser checked against the JDK decoder.
-  *   - VIDEO is real PER FRAME (length-prefixed PNG frames in a trivial
-  *     `GVID` container) — a real video CODEC (H.264 …) has no pure-JVM
-  *     decoder, so container-level video metadata in [[StubCodec]] is
-  *     the one remaining deterministic stub.
+  *   - VIDEO container metadata is REAL: payloads are genuine ISO-BMFF
+  *     MP4 files ([[Mp4Boxes.build]] — ftyp/moov/mvhd/tkhd/mdat) and
+  *     [[decodeMeta]] walks the box tree to read duration (mvhd
+  *     timescale conversion) and track dimensions (tkhd 16.16 fixed
+  *     point) back out of the bytes. Frame PIXELS are real too
+  *     (length-prefixed PNG frames in the `GVID` kernels below) — the
+  *     only thing still absent is an H.264-class CODEC, which has no
+  *     pure-JVM decoder; the mdat payload stays opaque codec data,
+  *     exactly as a demuxer (ffprobe-style metadata pass) treats it.
   *
   * Scale notes: decode is a narrow per-partition map (no shuffle); batch
   * size is bounded so peak memory is `batchSize × payload` regardless of
@@ -164,6 +169,165 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM ISO-BMFF (MP4) container walk — the video twin of
+    * [[WavHeaders]]: presentation duration from the `moov/mvhd` box
+    * (duration in media units ÷ timescale, both read from the bytes)
+    * and track dimensions from `moov/trak/tkhd`'s 16.16 fixed-point
+    * width/height. This is the metadata pass a demuxer runs (ffprobe
+    * without `-show_frames`): the box tree is fully parsed, the `mdat`
+    * codec payload stays opaque — decoding H.264-class bitstreams needs
+    * a native codec and is out of scope by design.
+    *
+    * The walk honours the spec's framing rules so foreign muxers parse,
+    * not just our own writer: boxes are (BE32 size, 4CC type, payload);
+    * `size == 1` switches to a 64-bit largesize; `size == 0` means
+    * to-end-of-enclosure; unknown boxes skip; mvhd/tkhd version 1
+    * (64-bit timestamps) shift the field offsets and are handled.
+    */
+  object Mp4Boxes {
+    final case class Mp4Meta(width: Int, height: Int, durationMs: Long)
+
+    def parse(bytes: Array[Byte]): Option[Mp4Meta] = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def be32(i: Int): Long =
+        ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+      // walk one box level: invoke f(type, bodyStart, bodyEnd) per child
+      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val size0 = be32(i)
+          val tpe = tag(i + 4)
+          val (body, end) =
+            if (size0 == 1L && i + 16 <= to) (i + 16, i + be64(i + 8))
+            else if (size0 == 0L) (i + 8, to.toLong)
+            else (i + 8, i + size0)
+          if (end < body || end > to) return // corrupt size: stop, don't loop
+          f(tpe, body, end.toInt)
+          i = end.toInt
+        }
+      }
+
+      if (bytes.length < 8) return None
+      // ISO 14496-12 requires ftyp first (well-formedness gate)
+      if (tag(4) != "ftyp") return None
+      var timescale = 0L; var durUnits = -1L; var w = -1; var h = -1
+      walk(0, bytes.length) { (t, b, e) =>
+        if (t == "moov") walk(b, e) { (t2, b2, e2) =>
+          if (t2 == "mvhd" && e2 - b2 >= 20) {
+            val v = u8(b2)
+            if (v == 1 && e2 - b2 >= 28) { timescale = be32(b2 + 20); durUnits = be64(b2 + 24) }
+            else { timescale = be32(b2 + 12); durUnits = be32(b2 + 16) }
+          } else if (t2 == "trak") walk(b2, e2) { (t3, b3, e3) =>
+            if (t3 == "tkhd" && w < 0) {
+              val v = u8(b3)
+              val off = if (v == 1) 88 else 76 // …+matrix → width(16.16), height(16.16)
+              if (e3 - b3 >= off + 8) {
+                w = (be32(b3 + off) >>> 16).toInt
+                h = (be32(b3 + off + 4) >>> 16).toInt
+              }
+            }
+          }
+        }
+      }
+      if (timescale > 0 && durUnits >= 0 && w >= 0)
+        Some(Mp4Meta(w, h, durUnits * 1000L / timescale))
+      else None
+    }
+
+    /** Minimal genuine MP4 writer: ftyp + moov(mvhd + trak(tkhd)) +
+      * mdat. Duration is stored in 90 kHz media units (the MPEG
+      * convention) so the parser's timescale division is exercised for
+      * real, not round-tripped through equal units. Byte layout is
+      * fully deterministic: total size = 244 + codecData.length — the
+      * property that lets the SQL oracle predict `n_bytes` exactly.
+      */
+    def build(widthPx: Int, heightPx: Int, durationMs: Long,
+              codecData: Array[Byte]): Array[Byte] = {
+      val timescale = 90000
+      val durUnits = durationMs * 90L
+      val bb = java.nio.ByteBuffer.allocate(244 + codecData.length) // BIG_ENDIAN default
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      // ftyp (20)
+      bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0x200); fourcc("isom")
+      // moov (216) = 8 + mvhd(108) + trak(100)
+      bb.putInt(216); fourcc("moov")
+      bb.putInt(108); fourcc("mvhd")
+      bb.putInt(0)                       // version 0 + flags
+      bb.putInt(0).putInt(0)             // creation, modification
+      bb.putInt(timescale).putInt(durUnits.toInt)
+      bb.putInt(0x00010000)              // rate 1.0
+      bb.putShort(0x0100.toShort)        // volume 1.0
+      bb.putShort(0); bb.putLong(0)      // reserved
+      putUnityMatrix(bb)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2)                       // next_track_ID
+      bb.putInt(100); fourcc("trak")
+      bb.putInt(92); fourcc("tkhd")
+      bb.putInt(0x000007)                // version 0, flags: enabled|in-movie|in-preview
+      bb.putInt(0).putInt(0)             // creation, modification
+      bb.putInt(1)                       // track_ID
+      bb.putInt(0)                       // reserved
+      bb.putInt(durUnits.toInt)          // duration (movie timescale)
+      bb.putLong(0)                      // reserved
+      bb.putShort(0).putShort(0)         // layer, alternate_group
+      bb.putShort(0).putShort(0)         // volume (0 for video), reserved
+      putUnityMatrix(bb)
+      bb.putInt(widthPx << 16).putInt(heightPx << 16) // 16.16 fixed
+      // mdat: the opaque codec payload
+      bb.putInt(8 + codecData.length); fourcc("mdat"); bb.put(codecData)
+      bb.array()
+    }
+
+    private def putUnityMatrix(bb: java.nio.ByteBuffer): Unit = {
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+    }
+  }
+
+  /** Minimal genuine 8-bit grayscale BMP writer (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + 256-entry gray palette + bottom-up rows padded
+    * to 4 bytes). BMP is uncompressed, so — unlike PNG, whose zlib
+    * stream is encoder-dependent — the byte length is a closed-form
+    * function of the dimensions (`1078 + h·ceil4(w)`), which lets the
+    * SQL oracle predict `n_bytes` exactly. `javax.imageio` decodes the
+    * output (spec-checked), and [[ImageHeaders]] reads the dims back
+    * from the header bytes alone.
+    */
+  object BmpGray {
+    def headerBytes: Int = 14 + 40 + 256 * 4 // file header + DIB + palette
+    def rowSize(w: Int): Int = (w + 3) / 4 * 4
+
+    def build(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val stride = rowSize(w)
+      val total = headerBytes + h * stride
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(total)
+        .putShort(0).putShort(0).putInt(headerBytes)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
+        .putInt(0).putInt(h * stride).putInt(2835).putInt(2835)
+        .putInt(256).putInt(0)
+      var i = 0
+      while (i < 256) { // grayscale palette: (B,G,R,0)
+        bb.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+      }
+      var y = h - 1 // bottom-up row order
+      while (y >= 0) {
+        var x = 0
+        while (x < stride) {
+          bb.put(if (x < w) px(y * w + x).toByte else 0.toByte); x += 1
+        }
+        y -= 1
+      }
+      bb.array()
+    }
+  }
+
   final case class AudioMeta(
       asset_id: Long, channels: Int, sample_rate: Int, bits_per_sample: Int,
       data_bytes: Long, duration_ms: Long)
@@ -214,58 +378,75 @@ object Multimodal {
       }.toDF()
   }
 
-  /** STUB metadata kernel for the mm1/mm2 opaque-payload path (text
-    * bytes posing as media): image WIDTH/HEIGHT are real when the
-    * payload carries a recognised container header (`ImageHeaders` —
-    * PNG/GIF/JPEG/BMP); the rest (duration for a codec-less payload) is
-    * derived deterministically from the payload's own bytes so the
-    * pipeline is fully testable end-to-end. The PIXEL/SAMPLE decode
-    * stubs this object used to stand in for are retired — see the
-    * real-decode kernels above ([[imageFeatures]] et al.); what remains
-    * stubbed is real-codec VIDEO metadata only.
+  /** Build a REAL mixed-media asset table from the documents fixture —
+    * every payload is a genuine container a stock tool would open:
+    * round-robin by doc_id, images are 8-bit grayscale BMPs
+    * ([[BmpGray]] — dims and fill derived from md5(text) so the oracle
+    * predicts them), audio is 16-bit PCM WAV ([[WavHeaders.build]] —
+    * the text bytes as samples), video is ISO-BMFF MP4
+    * ([[Mp4Boxes.build]] — mvhd duration / tkhd dims from md5(text),
+    * the text bytes as opaque mdat codec data). Narrow per-partition
+    * map; every metadata field [[decodeMeta]] later reports is parsed
+    * back OUT of these bytes, never carried alongside.
     */
-  object StubCodec {
-    def decode(a: Asset): AssetMeta = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
-      def b(i: Int): Int = md(i) & 0xff
-      // ??? a real VIDEO codec would decode duration/dims here; image
-      // header dims are real, the rest is faked from the digest:
-      val (w, h, dur) = a.media_type match {
-        case "image" => ImageHeaders.parse(a.payload) match {
-          case Some((_, rw, rh)) => (rw, rh, 0L)
-          case None              => (64 + b(0) * 8, 64 + b(1) * 8, 0L)
+  def assetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    Partitioning.ensureParallelism(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val p = DigestPixels.params(text)
+          (id % 3) match {
+            case 0 =>
+              val w = 16 + p(0) % 48
+              val h = 16 + p(1) % 48
+              (id, "image", BmpGray.build(w, h, Array.fill(w * h)(p(2))))
+            case 1 =>
+              val channels = (id % 2).toInt + 1
+              val blockAlign = channels * 2
+              val nData = raw.length / blockAlign * blockAlign
+              (id, "audio", WavHeaders.build(channels, rates((id % 4).toInt), 16,
+                java.util.Arrays.copyOf(raw, nData)))
+            case _ =>
+              (id, "video", Mp4Boxes.build(320 + p(0) * 4, 180 + p(1) * 4,
+                5000L + p(3) * 512L, raw))
+          }
         }
-        case "audio" => (0, 0, 1000L + b(2) * 256L)
-        case "video" => (320 + b(0) * 4, 180 + b(1) * 4, 5000L + b(3) * 512L)
-        case _       => (0, 0, 0L)
-      }
-      AssetMeta(a.asset_id, a.media_type, a.payload.length.toLong, w, h, dur,
-        md.map("%02x".format(_)).mkString)
-    }
+      }.toDF("asset_id", "media_type", "payload")
   }
 
-  /** Build an asset table from the documents fixture: payload = UTF-8
-    * bytes of the text (an opaque stand-in for real media bytes),
-    * media_type assigned round-robin.
-    */
-  def assetsFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  /** Batched per-partition decode: iterate each partition in bounded
-    * batches (the `mapInPandas` batch shape, Scala-side), apply the
-    * kernel, emit typed metadata rows.
+  /** Batched per-partition metadata decode — REAL parsing end to end:
+    * image dims from the container header bytes ([[ImageHeaders]] —
+    * PNG/GIF/JPEG/BMP), audio duration from the RIFF structure
+    * ([[WavHeaders]]), video duration/dims from the ISO-BMFF box tree
+    * ([[Mp4Boxes]]). Iterates each partition in bounded batches (the
+    * `mapInPandas` batch shape, Scala-side); unparseable payloads drop
+    * (reject-sink posture, same as [[decodeAudioMeta]]). The checksum
+    * is md5 over the actual payload bytes.
     */
   def decodeMeta(assets: DataFrame, batchSize: Int = 128): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a vectorised codec would process a chunk
-        batch.iterator.map(StubCodec.decode)
+        batch.iterator.flatMap { a =>
+          val parsed: Option[(Int, Int, Long)] = a.media_type match {
+            case "image" => ImageHeaders.parse(a.payload).map { case (_, w, h) => (w, h, 0L) }
+            case "audio" => WavHeaders.parse(a.payload).map(m => (0, 0, m.durationMs))
+            case "video" => Mp4Boxes.parse(a.payload).map(m => (m.width, m.height, m.durationMs))
+            case _       => None
+          }
+          parsed.map { case (w, h, dur) =>
+            md5.reset()
+            AssetMeta(a.asset_id, a.media_type, a.payload.length.toLong, w, h, dur,
+              md5.digest(a.payload).map("%02x".format(_)).mkString)
+          }
+        }
       }
     }.toDF()
   }
@@ -301,13 +482,28 @@ object Multimodal {
         .map(_ & 0xff)
   }
 
-  /** Synthesise REAL grayscale PNG payloads from the documents fixture —
-    * the image twin of [[audioAssetsFromDocuments]]: per-doc dimensions
+  /** Integer BT.601 luma — the one formula both the decode kernels and
+    * the SQL oracle use for colour rasters: (77R + 150G + 29B + 128) »
+    * 8 (coefficients sum to 256, so white maps to 255 exactly). Exact
+    * integer arithmetic end to end — no float rounding to diverge
+    * between engines.
+    */
+  @inline private[graft] def lumaBt601(r: Int, g: Int, b: Int): Int =
+    (77 * r + 150 * g + 29 * b + 128) >> 8
+
+  /** Synthesise REAL PNG payloads from the documents fixture — the
+    * image twin of [[audioAssetsFromDocuments]]: per-doc dimensions
     * (16–32 × 16–28) and every pixel value derive from the
     * [[DigestPixels]] stream over the text, then the raster is encoded
-    * with `javax.imageio` into genuine PNG bytes. PNG is lossless, so
-    * the downstream kernels' real ImageIO decode recovers exactly the
-    * formula pixels the oracle predicts. Narrow per-partition map.
+    * with `javax.imageio` into genuine PNG bytes. Even doc_ids encode
+    * single-channel grayscale; odd doc_ids encode THREE-channel RGB
+    * (3 stream bytes per pixel), which the decode kernels collapse
+    * with the integer [[lumaBt601]] the oracle re-derives. PNG is
+    * lossless, so the kernels' real ImageIO decode recovers exactly
+    * the formula pixels — the lossy-codec path (JPEG) is pinned by a
+    * committed golden pixel table in the spec instead (`OpsSpec`
+    * "jpeg decode"), since lossy bytes aren't SQL-derivable. Narrow
+    * per-partition map.
     */
   def imageAssetsFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -322,7 +518,10 @@ object Multimodal {
           val p = DigestPixels.params(text)
           val w = 16 + p(0) % 17
           val h = 16 + p(1) % 13
-          (id, grayPng(w, h, DigestPixels.bytes(text, w * h)))
+          val png =
+            if (id % 2 == 0) grayPng(w, h, DigestPixels.bytes(text, w * h))
+            else rgbPng(w, h, DigestPixels.bytes(text, 3 * w * h))
+          (id, png)
         }
       }.toDF("asset_id", "payload")
   }
@@ -351,10 +550,43 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL grayscale decode: `javax.imageio` reads the payload and the
-    * raster samples come back out — the retired-stub boundary. Returns
-    * null on an undecodable payload (callers drop those rows, the
-    * reject-sink posture of [[decodeAudioMeta]]).
+  /** Genuine 3-channel RGB encode via ImageIO; `px` is the interleaved
+    * [R,G,B] stream, 3 values per pixel. `format` is "png" (lossless —
+    * the oracle-predictable fixture) or "jpg" (the lossy path the spec
+    * pins with a committed golden).
+    */
+  private[graft] def rgbPng(w: Int, h: Int, px: Array[Int],
+                            format: String = "png"): Array[Byte] = {
+    imageIoMemInit
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // raster band indices are logical (0=R, 1=G, 2=B) regardless of
+        // the BGR storage order
+        raster.setSample(x, y, 0, px(i))
+        raster.setSample(x, y, 1, px(i + 1))
+        raster.setSample(x, y, 2, px(i + 2))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** REAL luma decode: `javax.imageio` reads the payload and the
+    * raster samples come back out — the retired-stub boundary.
+    * Single-band rasters return their samples directly; colour rasters
+    * (≥3 bands) collapse to integer BT.601 luma ([[lumaBt601]] — the
+    * same closed formula the SQL oracle computes from the construction
+    * bytes, so RGB fixtures stay hash-exact). Returns null on an
+    * undecodable payload (callers drop those rows, the reject-sink
+    * posture of [[decodeAudioMeta]]).
     */
   private[graft] def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     imageIoMemInit
@@ -364,10 +596,17 @@ object Multimodal {
     val h = img.getHeight
     val px = new Array[Int](w * h)
     val raster = img.getRaster
+    val colour = raster.getNumBands >= 3
     var y = 0; var i = 0
     while (y < h) {
       var x = 0
-      while (x < w) { px(i) = raster.getSample(x, y, 0); i += 1; x += 1 }
+      while (x < w) {
+        px(i) =
+          if (colour) lumaBt601(raster.getSample(x, y, 0),
+            raster.getSample(x, y, 1), raster.getSample(x, y, 2))
+          else raster.getSample(x, y, 0)
+        i += 1; x += 1
+      }
       y += 1
     }
     (w, h, px)

@@ -179,11 +179,13 @@ object SqlDumpSource {
     base match {
       case "BOOLEAN" | "BOOL"                   => BooleanType
       case "TINYINT"                            => ByteType
-      case "SMALLINT"                           => ShortType
-      case "INTEGER" | "INT" | "MEDIUMINT"      => IntegerType
-      case "BIGINT"                             => LongType
-      case "REAL" | "FLOAT"                     => FloatType
-      case "DOUBLE"                             => DoubleType // DOUBLE [PRECISION]
+      // postgres internal spellings (int2/4/8, float4/8) and the SERIAL
+      // pseudo-types appear verbatim in real pg_dump output
+      case "SMALLINT" | "INT2" | "SMALLSERIAL"  => ShortType
+      case "INTEGER" | "INT" | "MEDIUMINT" | "INT4" | "SERIAL" => IntegerType
+      case "BIGINT" | "INT8" | "BIGSERIAL"      => LongType
+      case "REAL" | "FLOAT" | "FLOAT4"          => FloatType
+      case "DOUBLE" | "FLOAT8"                  => DoubleType // DOUBLE [PRECISION]
       case "DECIMAL" | "NUMERIC" =>
         val ps = t.dropWhile(_ != '(').stripPrefix("(").takeWhile(_ != ')')
         val parts = ps.split(',').map(_.trim)
@@ -193,7 +195,8 @@ object SqlDumpSource {
           DecimalType(parts(0).toInt, 0)
         else DecimalType.SYSTEM_DEFAULT
       case "TEXT" | "VARCHAR" | "CHAR" | "CHARACTER" | "CLOB"
-         | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT"  => StringType
+         | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT"
+         | "NVARCHAR" | "NCHAR" | "BPCHAR"       => StringType
       case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" => BinaryType
       case "DATE"                               => DateType
       // the dump format renders wall-clock text with no zone, so the

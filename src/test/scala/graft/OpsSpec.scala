@@ -191,16 +191,81 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       port.filter(col("id") === 3).count())
   }
 
-  test("multimodal decode: deterministic stub metadata, batch-shaped") {
+  test("multimodal decode: real container metadata, batch-shaped") {
     val meta1 = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs), batchSize = 7)
     val meta2 = Multimodal.decodeMeta(Multimodal.assetsFromDocuments(docs), batchSize = 128)
     assert(meta1.exceptAll(meta2).count() == 0) // batch size never changes results
+    // every synthesised container parses — nothing hits the reject sink
+    assert(meta1.count() == docs.count())
     val byType = meta1.groupBy("media_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType.keySet == Set("image", "audio", "video"))
-    // image dims in the stub's documented range
+    // image dims in the builder's documented range (16 + md5byte % 48)
     val img = meta1.filter(col("media_type") === "image")
-    assert(img.filter(col("width") < 64 || col("width") > 64 + 255 * 8).count() == 0)
+    assert(img.filter(col("width") < 16 || col("width") > 63 ||
+      col("height") < 16 || col("height") > 63).count() == 0)
+    // the BMP payloads are genuine images: javax.imageio decodes them
+    // and agrees with the header-parsed dims and the flat fill value
+    val asset = Multimodal.assetsFromDocuments(docs)
+      .filter(col("media_type") === "image").select("payload", "asset_id")
+      .head()
+    val bytes = asset.getAs[Array[Byte]](0)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(decoded != null, "ImageIO must decode the BMP payload")
+    assert(Multimodal.ImageHeaders.parse(bytes)
+      .map(p => (p._2, p._3)) == Some((decoded.getWidth, decoded.getHeight)))
+    val fill = decoded.getRaster.getSample(0, 0, 0)
+    assert((0 until decoded.getHeight).forall(y => (0 until decoded.getWidth)
+      .forall(x => decoded.getRaster.getSample(x, y, 0) == fill)))
+  }
+
+  test("mp4 boxes: spec-offset golden bytes, v1 boxes, largesize, round-trip") {
+    import Multimodal.Mp4Boxes
+    // round-trip: parse reads back exactly what build encoded,
+    // including the 90 kHz -> ms timescale conversion
+    for ((w, h, ms) <- Seq((320, 180, 5000L), (1340, 1200, 135560L), (1, 1, 0L))) {
+      val bytes = Mp4Boxes.build(w, h, ms, Array.fill(13)(0x42.toByte))
+      assert(bytes.length == 244 + 13) // closed-form size contract
+      assert(Mp4Boxes.parse(bytes) == Some(Mp4Boxes.Mp4Meta(w, h, ms)),
+        s"round-trip failed for ${w}x$h $ms ms")
+    }
+    // independent golden: boxes hand-assembled from ISO 14496-12 field
+    // offsets (not via build), with an unknown box between ftyp and
+    // moov, VERSION 1 mvhd/tkhd (64-bit timestamps), and an unusual
+    // timescale — the parser must honour the spec, not our writer
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val ftyp = be32(16) ++ cc("ftyp") ++ cc("mp42") ++ be32(0)
+    val free = be32(12) ++ cc("free") ++ cc("pad!")
+    // mvhd v1: ver/flags, creation(8), modification(8), timescale=600,
+    // duration=1501 units -> 1501*1000/600 = 2501 ms (integer division)
+    val mvhdBody = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(1501) ++ be32(0x00010000) ++ Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ Array.fill(36)(0.toByte) ++ Array.fill(24)(0.toByte) ++ be32(2)
+    val mvhd = be32(8 + mvhdBody.length) ++ cc("mvhd") ++ mvhdBody
+    // tkhd v1: ver/flags, creation(8), modification(8), track(4),
+    // reserved(4), duration(8), reserved(8), layer/alt/vol/res (8),
+    // matrix(36), width/height 16.16
+    val tkhdBody = Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+      be32(1) ++ be32(0) ++ be64(1501) ++ be64(0) ++ Array.fill(8)(0.toByte) ++
+      Array.fill(36)(0.toByte) ++ be32(640L << 16) ++ be32(360L << 16)
+    val tkhd = be32(8 + tkhdBody.length) ++ cc("tkhd") ++ tkhdBody
+    val trak = be32(8 + tkhd.length) ++ cc("trak") ++ tkhd
+    val moovChildren = mvhd ++ trak
+    // moov uses size==1 LARGESIZE framing (64-bit), legal per spec
+    val moov = be32(1) ++ cc("moov") ++ be64(16 + moovChildren.length) ++ moovChildren
+    val golden = ftyp ++ free ++ moov
+    assert(Mp4Boxes.parse(golden) == Some(Mp4Boxes.Mp4Meta(640, 360, 2501L)),
+      s"golden parse got ${Mp4Boxes.parse(golden)}")
+    // malformed inputs refuse to parse rather than loop or throw
+    assert(Mp4Boxes.parse(Array[Byte]()).isEmpty)
+    assert(Mp4Boxes.parse("not an mp4 at all".getBytes).isEmpty)
+    assert(Mp4Boxes.parse(golden.take(40)).isEmpty) // truncated moov
+    val corrupt = golden.clone(); corrupt(0) = 0x7f // ftyp size overruns buffer
+    assert(Mp4Boxes.parse(corrupt).isEmpty)
   }
 
   test("image headers: real PNG/JPEG/GIF/BMP bytes parse to exact dims") {
@@ -229,21 +294,22 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       assert(parsed.map(p => (p._2, p._3)) == Some((w, h)),
         s"$fmt ${w}x$h parsed as $parsed")
     }
-    // garbage and truncated payloads refuse to parse (stub fallback path)
+    // garbage and truncated payloads refuse to parse
     assert(Multimodal.ImageHeaders.parse("not an image".getBytes).isEmpty)
     assert(Multimodal.ImageHeaders.parse(encoded("png", 8, 8).take(12)).isEmpty)
     assert(Multimodal.ImageHeaders.parse(Array[Byte]()).isEmpty)
-    // and the Spark decode path surfaces the REAL dims for image assets
+    // and the Spark decode path surfaces the REAL dims for image assets;
+    // an unparseable payload drops (reject-sink posture)
     val assets = Seq(
       (1L, "image", encoded("png", 311, 47)),
       (2L, "image", encoded("jpg", 123, 456)),
-      (3L, "image", "plain text payload".getBytes("UTF-8"))) // stub fallback
+      (3L, "image", "plain text payload".getBytes("UTF-8"))) // rejected
       .toDF("asset_id", "media_type", "payload")
     val out = Multimodal.decodeMeta(assets)
       .select("asset_id", "width", "height").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(out(1L) == ((311, 47)) && out(2L) == ((123, 456)))
-    assert(out(3L)._1 >= 64, "non-image payload keeps the documented stub range")
+    assert(!out.contains(3L), "non-container payload must drop, not fabricate dims")
   }
 
   test("wav headers: JDK-encoded and hand-chunked RIFF bytes parse exactly") {
@@ -538,7 +604,7 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     for ((id, w, h, ow, oh, sum) <- got) {
       val p = Multimodal.DigestPixels.params(texts(id))
       assert(w == 16 + p(0) % 17 && h == 16 + p(1) % 13, s"dims drifted for $id")
-      val px = Multimodal.DigestPixels.bytes(texts(id), w * h)
+      val px = expectedLumaRaster(id, texts(id), w, h)
       val side = math.max(w, h)
       assert(ow == math.max(1, w * 16 / side) && oh == math.max(1, h * 16 / side))
       var want = 0L
@@ -547,6 +613,16 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       assert(sum == want, s"checksum drifted for $id")
     }
   }
+
+  /** The fixture's expected decoded-luma raster: even doc_ids are
+    * single-channel (the DigestPixels stream verbatim), odd doc_ids are
+    * RGB (3 stream bytes per pixel, integer BT.601 collapse) — the same
+    * formula the SQL oracle computes.
+    */
+  private def expectedLumaRaster(id: Long, text: String, w: Int, h: Int): Seq[Int] =
+    if (id % 2 == 0) Multimodal.DigestPixels.bytes(text, w * h).toSeq
+    else Multimodal.DigestPixels.bytes(text, 3 * w * h).grouped(3)
+      .map(c => (77 * c(0) + 150 * c(1) + 29 * c(2) + 128) >> 8).toSeq
 
   test("range join keeps duplicate left rows as distinct outputs") {
     import spark.implicits._
@@ -1811,6 +1887,45 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("containment auto: exact within budget, screened path verified-subset past it") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // high-overlap corpus: duplicated template docs (J = 1 pairs), the
+    // case both plans must agree on bit-for-bit
+    val tpl = (1 to 40).map(i => s"word$i").mkString(" ")
+    val dups = Seq((1L, tpl), (2L, tpl), (3L, tpl + " tail extra tokens"),
+      (4L, "completely different content entirely unrelated"))
+      .toDF("doc_id", "text")
+    val exact = rows(Dedup.ngramContainmentPairs(dups, "doc_id", "text", 0.9))
+    assert(exact.nonEmpty)
+    // generous budget -> the chooser takes the exact plan: identical set
+    assert(rows(Dedup.ngramContainmentPairsAuto(dups, "doc_id", "text", 0.9,
+      candidateBudgetPerDoc = 1L << 40)) == exact)
+    // zero budget forces the MinHash screen: high-J pairs all survive
+    // the 32x2 band curve (collision prob 1 - (1-J^2)^32 ~= 1 here) and
+    // the verify stage recomputes the SAME IEEE ratios -> identical set
+    assert(rows(Dedup.ngramContainmentPairsAuto(dups, "doc_id", "text", 0.9,
+      candidateBudgetPerDoc = 0)) == exact)
+    // the screen is a candidate SUBSET by construction: on the
+    // short-quoted-in-long corpus (J tiny, containment 1.0) the screened
+    // result never invents pairs the exact plan lacks
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val quoted = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val exactQ = rows(Dedup.ngramContainmentPairs(quoted, "doc_id", "text", 0.9))
+    val screenedQ = rows(Dedup.ngramContainmentPairsAuto(quoted, "doc_id", "text", 0.9,
+      candidateBudgetPerDoc = 0))
+    assert(screenedQ.subsetOf(exactQ),
+      s"screen must never invent pairs: $screenedQ vs $exactQ")
+    // budget predicate arithmetic: the fixture documents sit within the
+    // shipped 1024/doc budget at sf0.01 (measured ~28/doc), so d18 runs
+    // the EXACT plan under the correctness gate
+    assert(!Dedup.containmentExceedsBudget(docs, "doc_id", "text", 3, 1024))
+    assert(Dedup.containmentExceedsBudget(dups, "doc_id", "text", 3, 0))
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("appendIvf: cell contents after append == from-scratch assignment; layout intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx_inc").toString
@@ -1872,17 +1987,58 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val payloads = Multimodal.imageAssetsFromDocuments(some)
       .as[(Long, Array[Byte])].collect().toMap
     val texts = some.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(payloads.keySet.exists(_ % 2 == 0) && payloads.keySet.exists(_ % 2 == 1),
+      "fixture must cover both the gray and the RGB encode paths")
     for ((id, bytes) <- payloads) {
       // genuine PNG container (the real-media contract mm1 relies on)
       assert(Multimodal.ImageHeaders.parse(bytes).exists(_._1 == "png"))
       val (w, h, px) = Multimodal.decodeGray(bytes)
       val p = Multimodal.DigestPixels.params(texts(id))
       assert(w == 16 + p(0) % 17 && h == 16 + p(1) % 13)
-      assert(px.toSeq == Multimodal.DigestPixels.bytes(texts(id), w * h).toSeq,
+      // even ids: the stream verbatim; odd ids: the 3-channel stream
+      // collapsed by the integer BT.601 luma — lossless either way
+      assert(px.toSeq == expectedLumaRaster(id, texts(id), w, h),
         s"PNG round-trip not lossless for doc $id")
     }
     // undecodable payloads return null → kernels drop them
     assert(Multimodal.decodeGray("not a png".getBytes) == null)
+  }
+
+  test("jpeg decode: committed golden pixel table pins the lossy round-trip") {
+    // JPEG bytes aren't SQL-derivable (lossy DCT), so the catalog
+    // fixtures stay PNG; the JPEG path of the SAME kernels is pinned
+    // here by a committed golden instead (the t18 pattern): a
+    // deterministic RGB raster (DigestPixels over a fixed key) is
+    // ImageIO-JPEG-encoded, decoded back through decodeGray's BT.601
+    // collapse, and the resulting lumas must equal the committed table
+    // byte for byte. Regenerate (after a deliberate codec change) with
+    // the commented one-liner below.
+    val key = "graft-jpeg-golden-v1"
+    val (w, h) = (24, 16)
+    val rgb = Multimodal.DigestPixels.bytes(key, 3 * w * h)
+    val jpeg = Multimodal.rgbPng(w, h, rgb, format = "jpg")
+    // the container really is JPEG (SOI/SOF markers parse)
+    assert(Multimodal.ImageHeaders.parse(jpeg).contains(("jpeg", w, h)))
+    val (dw, dh, px) = Multimodal.decodeGray(jpeg)
+    assert((dw, dh) == ((w, h)))
+    val goldenPath = getClass.getResource("/golden/jpeg_luma_24x16.txt")
+    assert(goldenPath != null, "golden missing — regenerate: " +
+      "println(px.mkString(\",\")) and commit to src/test/resources/golden/")
+    val want = scala.io.Source.fromFile(goldenPath.getPath, "UTF-8")
+      .mkString.trim.split(",").map(_.toInt).toSeq
+    assert(px.toSeq == want, "JPEG decode drifted from the committed golden")
+    // lossy, but close: decoded luma within a tight band of the source
+    // raster's own BT.601 collapse (sanity that the codec didn't mangle)
+    val src = rgb.grouped(3).map(c => (77 * c(0) + 150 * c(1) + 29 * c(2) + 128) >> 8).toSeq
+    val maxErr = px.toSeq.zip(src).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 48, s"JPEG error band blew out: $maxErr")
+    // and the downstream feature kernel runs on JPEG payloads unchanged
+    import spark.implicits._
+    val feats = Multimodal.imageFeatures(Seq((1L, jpeg)).toDF("asset_id", "payload"))
+      .as[(Long, Array[Float])].collect()
+    assert(feats.length == 1)
+    val norm = math.sqrt(feats.head._2.map(v => v.toDouble * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
   }
 
   test("decodeAudioLevels: JDK decoder stats match hand-computed samples") {
@@ -2019,6 +2175,35 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("triangleCount: exotic id types decline the driver walk yet agree with it") {
+    import spark.implicits._
+    // a 4-clique (4 triangles) with DECIMAL ids whose string forms sort
+    // DIFFERENTLY from their numeric order (2.50 vs 10.00 as strings):
+    // the old doubleValue/string-tiebreak walk ordering could diverge
+    // from Spark's on such keys, so the type guard must route decimals
+    // to the distributed plan — and the answer must match the walk
+    // running on the same graph relabelled with integral ids.
+    val dec = Seq("2.50", "10.00", "7.25", "0.75").map(new java.math.BigDecimal(_))
+    val edges = for {
+      i <- dec.indices; j <- i + 1 until dec.size
+    } yield (dec(i), dec(j))
+    val decDf = edges.toDF("src", "dst")
+      .select(col("src").cast("decimal(10,2)").as("src"),
+        col("dst").cast("decimal(10,2)").as("dst"))
+    val got = graft.ops.Graph.triangleCount(decDf).collect().head
+    assert(got.getLong(0) == 4L && got.getLong(1) == 6L && got.getLong(2) == 4L)
+    // distributed-forced run agrees exactly (the guard really took it)
+    assert(graft.ops.Graph.triangleCount(decDf, driverWalkMaxEdges = 0L)
+      .collect().head == got)
+    // integral and string ids still take the walk and agree with the
+    // distributed plan (regression anchor for the guard's accept side)
+    val intDf = (for { i <- 0 until 4; j <- i + 1 until 4 } yield (i.toLong, j.toLong))
+      .toDF("src", "dst")
+    assert(graft.ops.Graph.triangleCount(intDf).collect().head ==
+      graft.ops.Graph.triangleCount(intDf, driverWalkMaxEdges = 0L).collect().head)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("pageRank: integer supersteps equal a driver reference; partitioning-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -2048,6 +2233,20 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val re = graft.ops.Graph.pageRank(df.repartition(5), iters = 3)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(re == rank)
+    // the guarded driver walk (default at this size) must equal the
+    // distributed superstep plan (forced with driverWalkMaxEdges = 0),
+    // values, column names and types alike
+    val dist = graft.ops.Graph.pageRank(df, iters = 3, driverWalkMaxEdges = 0L)
+    assert(dist.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == rank)
+    val walkDf = graft.ops.Graph.pageRank(df, iters = 3)
+    assert(walkDf.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      dist.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // null endpoints decline the walk: both paths still agree
+    val withNull = sym.toDF("src", "dst", "w")
+      .unionByName(Seq((null.asInstanceOf[String], "n1", 1L)).toDF("src", "dst", "w"))
+    assert(graft.ops.Graph.pageRank(withNull, iters = 2).collect().length ==
+      graft.ops.Graph.pageRank(withNull, iters = 2, driverWalkMaxEdges = 0L)
+        .collect().length)
   }
 
   test("cleanText: tags stripped, control chars squashed, runs collapsed, edges trimmed") {
