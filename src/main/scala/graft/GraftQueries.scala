@@ -1657,7 +1657,10 @@ object GraftQueries {
         s, o, emb.filter(pmod(col("vec_id"), lit(5)) === 0))
     }
     val q = emb.filter(col("vec_id") < 10)
-    val ann = graft.ops.VectorIndex.queryIvf(s, out, q, k = 10, nprobe = 8)
+    // nprobe 16 of 64 (round-10 retune from 8: RecallProbe min recall
+    // 0.60/0.50/0.40 across SFs vs 0.30/0.30/0.20 — the floor rises to
+    // 0.35 for double the probed cells, still 1/4 of the inverted file)
+    val ann = graft.ops.VectorIndex.queryIvf(s, out, q, k = 10, nprobe = 16)
     val exact = Similarity.bruteForceTopK(emb, q, k = 10)
     val hits = ann.select("query_id", "neighbor_id")
       .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
@@ -1665,7 +1668,7 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.35).as("recall_ok"))
   }
 
   /** S12 [EXT] — scalar-quantised (int8) ANN: per-dimension byte
@@ -1731,18 +1734,20 @@ object GraftQueries {
 
   /** IVF-PQ ANN (IVFADC): s3's coarse-cell routing composed with s4's
     * residual PQ compression + asymmetric-distance scoring — the
-    * billion-vector configuration. Probes 4 of 8 cells, so unlike s3
-    * this is genuinely approximate on BOTH axes (routing and codes);
-    * verdict contract like s2/s4: recall@10 vs the exact in-query brute
-    * force clears the 0.2 floor — MEASURED-TIGHT, min recall is exactly
-    * 0.2 at sf0.1 (RecallProbe), not a slack bound (deterministic
-    * quantizers → stable).
+    * billion-vector configuration. Probes 6 of 8 cells with 8x256
+    * codebooks (round-10 retune: the old 4-probe/16x64 point sat at a
+    * measured-tight 0.2 min recall; RecallProbe showed +2 probes and
+    * coarser-but-deeper codebooks buy min 0.50/0.40/0.30 across the
+    * three SFs for ~no extra candidate volume), so unlike s3 this is
+    * genuinely approximate on BOTH axes (routing and codes); verdict
+    * contract like s2/s4: recall@10 vs the exact in-query brute force
+    * clears the 0.25 floor (measured-min 0.30 minus margin).
     */
   def s7KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
-    val ann = Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 4,
-      m = 16, codebookBits = 6)
+    val ann = Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 6,
+      m = 8, codebookBits = 8)
     val exact = Similarity.bruteForceTopK(emb, q, k = 10)
     val hits = ann.select("query_id", "neighbor_id")
       .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
@@ -1750,7 +1755,7 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2).as("recall_ok"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.25).as("recall_ok"))
   }
 
   /** The media → features → ANN composition a training-data pipeline
@@ -3256,7 +3261,10 @@ object GraftQueries {
     */
   def s17KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
-    val graph = Similarity.knnGraph(emb, k = 10, bits = 3, tables = 3)
+    // 4 hyperplane tables (round-10 retune from 3: RecallProbe min
+    // recall 0.40/0.40/0.50 across SFs vs 0.30/0.20/0.40 — one more
+    // table buys the floor up to 0.35 for +1/3 bucket-join volume)
+    val graph = Similarity.knnGraph(emb, k = 10, bits = 3, tables = 4)
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, k = 10)
     val hits = graph.select(col("src").as("query_id"),
@@ -3267,7 +3275,7 @@ object GraftQueries {
     q.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.2)
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0 >= 0.35)
           .as("recall_ok"))
   }
 

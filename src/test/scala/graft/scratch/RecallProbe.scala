@@ -44,6 +44,17 @@ object RecallProbe {
         .select("query_id", "neighbor_id"), exact, q)
       recalls("s7_ivfpq", Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 4,
         m = 16, codebookBits = 6).select("query_id", "neighbor_id"), exact, q)
+      // round-10 headroom candidates (advice item 5): +nprobe / +table
+      recalls("s7_ivfpq_p6", Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 6,
+        m = 16, codebookBits = 6).select("query_id", "neighbor_id"), exact, q)
+      recalls("s7_ivfpq_p7", Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 7,
+        m = 16, codebookBits = 6).select("query_id", "neighbor_id"), exact, q)
+      recalls("s7_ivfpq_m8", Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 6,
+        m = 8, codebookBits = 8).select("query_id", "neighbor_id"), exact, q)
+      recalls("s7_ivfpq_p7m8", Similarity.ivfPqTopK(emb, q, k = 10, nlist = 8, nprobe = 7,
+        m = 8, codebookBits = 8).select("query_id", "neighbor_id"), exact, q)
+      recalls("s17_graph_t4", Similarity.knnGraph(emb, k = 10, bits = 3, tables = 4)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id")), exact, q)
       recalls("s9_rerank", Similarity.pqRerankTopK(emb, q, k = 10, shortlist = 50,
         m = 16, codebookBits = 6).select("query_id", "neighbor_id"), exact, q)
       recalls("s12_sq8", Similarity.sq8TopK(emb, q, k = 10)
@@ -61,6 +72,8 @@ object RecallProbe {
       graft.ops.VectorIndex.appendIvf(
         spark, idx2, emb.filter(pmod(col("vec_id"), lit(5)) === 0))
       recalls("s11_append", graft.ops.VectorIndex.queryIvf(spark, idx2, q, k = 10, nprobe = 8)
+        .select("query_id", "neighbor_id"), exact, q)
+      recalls("s11_append_p16", graft.ops.VectorIndex.queryIvf(spark, idx2, q, k = 10, nprobe = 16)
         .select("query_id", "neighbor_id"), exact, q)
     }
     spark.stop()
