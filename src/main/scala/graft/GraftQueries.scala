@@ -1710,7 +1710,15 @@ object GraftQueries {
     * engines ([[graft.ops.Graph.pageRank]]); the edge relation
     * shuffles once and every superstep reuses its cached layout.
     */
-  def g1SupplierRank(s: SparkSession, dir: String): DataFrame = {
+  def g1SupplierRank(s: SparkSession, dir: String): DataFrame =
+    g1SupplierRankImpl(s, dir, driverWalkMaxEdges = 1L << 17)
+
+  /** Package-private so `PlanSpec` can assert the DISTRIBUTED superstep
+    * plan's cache-reuse property with the fixture-scale driver walk
+    * disabled (the catalog default takes the walk at this size).
+    */
+  private[graft] def g1SupplierRankImpl(s: SparkSession, dir: String,
+                                        driverWalkMaxEdges: Long): DataFrame = {
     val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     // integer node ids (customer 2k, supplier 2k+1) keep every shuffle,
@@ -1724,7 +1732,8 @@ object GraftQueries {
         .agg(count(lit(1)).as("w")))
     val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    graft.ops.Graph.pageRank(edges, iters = 3)
+    graft.ops.Graph.pageRank(edges, iters = 3,
+        driverWalkMaxEdges = driverWalkMaxEdges)
       .filter(pmod(col("node"), lit(2)) === 1)
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(10)

@@ -650,7 +650,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("g1 pagerank: cached edges read every superstep, never re-shuffled") {
-    val df = GraftQueries.all("g1_supplier_rank")(spark, sfDir)
+    // force the DISTRIBUTED superstep plan: the catalog default takes
+    // the guarded driver walk at fixture scale (round 10), which has
+    // no cached-edge plan to assert
+    val df = GraftQueries.g1SupplierRankImpl(spark, sfDir, driverWalkMaxEdges = 0L)
     df.collect()
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, AQEShuffleReadExec}
