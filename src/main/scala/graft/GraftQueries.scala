@@ -1711,7 +1711,12 @@ object GraftQueries {
     * shuffles once and every superstep reuses its cached layout.
     */
   def g1SupplierRank(s: SparkSession, dir: String): DataFrame =
-    g1SupplierRankImpl(s, dir, driverWalkMaxEdges = 1L << 17)
+    // 2^21-edge walk bound (vs the 2^17 default): g1's co-purchase
+    // graph is 97k edges at sf0.01 but 1.17M at sf0.1, and the
+    // distributed superstep loop pays ~6s of per-stage scheduling at
+    // fixture scale — a 2M-edge probe is ~60MB of driver transfer,
+    // bounded regardless of corpus size (declines past it)
+    g1SupplierRankImpl(s, dir, driverWalkMaxEdges = 1L << 21)
 
   /** Package-private so `PlanSpec` can assert the DISTRIBUTED superstep
     * plan's cache-reuse property with the fixture-scale driver walk
