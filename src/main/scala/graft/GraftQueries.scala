@@ -4151,6 +4151,19 @@ object GraftQueries {
     Multimodal.imageNearDups(
       Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents")))
 
+  /** MM9 [EXT] — demuxer sample-table metadata over real ISO-BMFF
+    * bytes: the video assets carry genuine stts/stsz/mdhd tables
+    * (`Multimodal.videoSampleAssetsFromDocuments`) and every output
+    * field — frame count, constant frame delta, media timescale and
+    * duration, exact integer fps (timescale·1000 div delta), sample
+    * size distribution, closed-form container byte length — is parsed
+    * back out of the box tree (`Mp4Boxes.parseSamples`). The oracle
+    * predicts all of them analytically from the construction params.
+    */
+  def mm9VideoSamples(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoSamples(
+      Multimodal.videoSampleAssetsFromDocuments(tbl(s, dir, "documents")))
+
   /** MM8 [EXT] — REAL audio sample decode (`Multimodal
     * .decodeAudioLevels`): the synthesised PCM WAVs open through the
     * JDK's own `javax.sound.sampled` decoder and each asset reports
@@ -4787,6 +4800,7 @@ object GraftQueries {
     "mm5_audio_meta"     -> (mm5AudioMeta _),
     "mm6_image_neardup"  -> (mm6ImageNearDups _),
     "mm8_audio_levels"   -> (mm8AudioLevels _),
+    "mm9_video_samples"  -> (mm9VideoSamples _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "d18_containment"    -> (d18Containment _),

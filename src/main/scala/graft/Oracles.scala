@@ -143,8 +143,8 @@ object Oracles {
     * expression — the shared primitive behind every image-fixture
     * oracle. `j` must be a SQL expression of BIGINT kind.
     */
-  private def digestByteSql(j: String): String = {
-    val md = s"md5(text || ':' || CAST(($j) // 16 AS VARCHAR))"
+  private def digestByteSql(j: String, key: String = "text"): String = {
+    val md = s"md5($key || ':' || CAST(($j) // 16 AS VARCHAR))"
     s"((strpos('0123456789abcdef', substr($md, CAST(2*(($j) % 16) + 1 AS INTEGER), 1)) - 1) * 16" +
       s" + (strpos('0123456789abcdef', substr($md, CAST(2*(($j) % 16) + 2 AS INTEGER), 1)) - 1))"
   }
@@ -3629,6 +3629,35 @@ object Oracles {
     // the oracle re-derives every sample from the byte pairs (hex()
     // is uppercase in DuckDB) and predicts the exact integer level
     // stats the JDK decoder produces on the Spark side
+    // demuxer metadata over real sample tables: every field parsed
+    // back from stts/stsz/mdhd is predicted analytically — n from
+    // md5-byte 9, delta from byte 10, per-sample sizes from the
+    // digest stream over text#s, and the container byte length is
+    // closed-form (377 + 4n + sum(sizes))
+    "mm9_video_samples" -> {
+      val b9 = "((strpos('0123456789abcdef', substr(md5(text),19,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),20,1))-1))"
+      val b10 = "((strpos('0123456789abcdef', substr(md5(text),21,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),22,1))-1))"
+      s"""WITH p AS (
+        |  SELECT doc_id, text,
+        |    4 + $b9 % 5 AS n,
+        |    512 * (1 + $b10 % 4) AS delta
+        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+        |sz AS (
+        |  SELECT doc_id, 64 + ${digestByteSql("f.i", "text || '#s'")} AS s
+        |  FROM p, LATERAL (SELECT unnest(range(0, CAST(n AS BIGINT))) AS i) f),
+        |agg AS (SELECT doc_id, sum(s) AS total, max(s) AS mx FROM sz GROUP BY 1)
+        |SELECT p.doc_id AS asset_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(delta AS BIGINT) AS delta,
+        |  CAST(12800 AS BIGINT) AS media_timescale,
+        |  CAST(n * delta AS BIGINT) AS media_duration,
+        |  CAST(12800 * 1000 // delta AS BIGINT) AS fps_milli,
+        |  CAST(total AS BIGINT) AS total_sample_bytes,
+        |  CAST(mx AS BIGINT) AS max_sample_bytes,
+        |  CAST(377 + 4 * n + total AS BIGINT) AS n_bytes
+        |FROM p JOIN agg USING (doc_id)""".stripMargin
+    },
+
     "mm8_audio_levels" ->
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

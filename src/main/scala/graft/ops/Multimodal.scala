@@ -287,6 +287,151 @@ object Multimodal {
       bb.putInt(0).putInt(0x00010000).putInt(0)
       bb.putInt(0).putInt(0).putInt(0x40000000)
     }
+
+    /** Per-track sample metadata parsed from the `stbl` tables — what a
+      * demuxer reads before touching a single codec byte: media
+      * timescale + duration from `mdhd`, sample count and (constant)
+      * per-sample delta from `stts`, and the size distribution from
+      * `stsz` (both the fixed-size and per-sample-table forms).
+      * `delta` is -1 when `stts` carries mixed deltas (variable frame
+      * rate) — fps is only defined for the constant case.
+      */
+    final case class SampleMeta(mediaTimescale: Long, mediaDuration: Long,
+                                nSamples: Long, delta: Long,
+                                totalSampleBytes: Long, maxSampleBytes: Long)
+
+    def parseSamples(bytes: Array[Byte]): Option[SampleMeta] = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def be32(i: Int): Long =
+        ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      def tag(i: Int): String =
+        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val size0 = be32(i)
+          val (body, end) =
+            if (size0 == 1L && i + 16 <= to) (i + 16, i + be64(i + 8))
+            else if (size0 == 0L) (i + 8, to.toLong)
+            else (i + 8, i + size0)
+          if (end < body || end > to) return
+          f(tag(i + 4), body, end.toInt)
+          i = end.toInt
+        }
+      }
+      if (bytes.length < 8 || tag(4) != "ftyp") return None
+      var ts = 0L; var mdur = -1L
+      var n = -1L; var delta = -1L
+      var total = -1L; var maxSz = -1L
+      walk(0, bytes.length) { (t, b, e) =>
+        if (t == "moov") walk(b, e) { (t2, b2, e2) =>
+          if (t2 == "trak") walk(b2, e2) { (t3, b3, e3) =>
+            if (t3 == "mdia") walk(b3, e3) { (t4, b4, e4) =>
+              if (t4 == "mdhd" && e4 - b4 >= 20) {
+                val v = u8(b4)
+                if (v == 1 && e4 - b4 >= 28) { ts = be32(b4 + 20); mdur = be64(b4 + 24) }
+                else { ts = be32(b4 + 12); mdur = be32(b4 + 16) }
+              } else if (t4 == "minf") walk(b4, e4) { (t5, b5, e5) =>
+                if (t5 == "stbl") walk(b5, e5) { (t6, b6, e6) =>
+                  if (t6 == "stts" && e6 - b6 >= 8) {
+                    val entries = be32(b6 + 4)
+                    var i = 0L; var cnt = 0L; var d = -2L
+                    while (i < entries && b6 + 8 + i * 8 + 8 <= e6) {
+                      val c = be32(b6 + 8 + (i * 8).toInt)
+                      val dd = be32(b6 + 12 + (i * 8).toInt)
+                      cnt += c
+                      if (d == -2L) d = dd else if (d != dd) d = -1L // VFR
+                      i += 1
+                    }
+                    n = cnt; delta = if (d == -2L) -1L else d
+                  } else if (t6 == "stsz" && e6 - b6 >= 12) {
+                    val fixed = be32(b6 + 4)
+                    val cnt = be32(b6 + 8)
+                    if (fixed > 0) { total = fixed * cnt; maxSz = fixed }
+                    else {
+                      var i = 0L; var s = 0L; var mx = 0L
+                      while (i < cnt && b6 + 12 + i * 4 + 4 <= e6) {
+                        val v = be32(b6 + 12 + (i * 4).toInt)
+                        s += v; if (v > mx) mx = v
+                        i += 1
+                      }
+                      total = s; maxSz = mx
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      if (ts > 0 && n >= 0 && total >= 0)
+        Some(SampleMeta(ts, mdur, n, delta, total, maxSz))
+      else None
+    }
+
+    /** Genuine MP4 with a full sample-table hierarchy —
+      * trak{tkhd, mdia{mdhd, hdlr, minf{stbl{stts, stsz}}}} — so the
+      * metadata a demuxer needs (frame count, frame rate, sample size
+      * distribution) is parsed from REAL box bytes, not carried
+      * alongside. The mdat payload is Σ sizes bytes of opaque codec
+      * data. Byte layout stays closed-form:
+      * `total = 377 + 4·n + Σ sizes` (ftyp 20, mvhd 108, tkhd 92,
+      * mdhd 32, hdlr 33, stts 24, stsz 20+4n, plus the 8-byte headers
+      * of moov/trak/mdia/minf/stbl/mdat) — the oracle predicts it.
+      */
+    def buildWithSamples(widthPx: Int, heightPx: Int, durationMs: Long,
+                         mediaTimescale: Int, delta: Int,
+                         sizes: Array[Int]): Array[Byte] = {
+      val n = sizes.length
+      val payload = sizes.sum
+      val stszLen = 20 + 4 * n
+      val stblLen = 8 + 24 + stszLen
+      val minfLen = 8 + stblLen
+      val mdiaLen = 8 + 32 + 33 + minfLen
+      val trakLen = 8 + 92 + mdiaLen
+      val moovLen = 8 + 108 + trakLen
+      val durUnits = durationMs * 90L
+      val bb = java.nio.ByteBuffer.allocate(20 + moovLen + 8 + payload)
+      def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0x200); fourcc("isom")
+      bb.putInt(moovLen); fourcc("moov")
+      bb.putInt(108); fourcc("mvhd")
+      bb.putInt(0); bb.putInt(0).putInt(0)
+      bb.putInt(90000).putInt(durUnits.toInt)
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0); bb.putLong(0)
+      putUnityMatrix(bb)
+      (0 until 6).foreach(_ => bb.putInt(0))
+      bb.putInt(2)
+      bb.putInt(trakLen); fourcc("trak")
+      bb.putInt(92); fourcc("tkhd")
+      bb.putInt(0x000007); bb.putInt(0).putInt(0)
+      bb.putInt(1); bb.putInt(0); bb.putInt(durUnits.toInt); bb.putLong(0)
+      bb.putShort(0).putShort(0); bb.putShort(0).putShort(0)
+      putUnityMatrix(bb)
+      bb.putInt(widthPx << 16).putInt(heightPx << 16)
+      bb.putInt(mdiaLen); fourcc("mdia")
+      bb.putInt(32); fourcc("mdhd")
+      bb.putInt(0); bb.putInt(0).putInt(0)
+      bb.putInt(mediaTimescale).putInt(n * delta) // media duration = n·delta
+      bb.putShort(0x55c4.toShort); bb.putShort(0)  // language 'und', pre_defined
+      bb.putInt(33); fourcc("hdlr")
+      bb.putInt(0); bb.putInt(0); fourcc("vide")
+      bb.putInt(0).putInt(0).putInt(0)             // reserved
+      bb.put(0.toByte)                             // empty NUL name
+      bb.putInt(minfLen); fourcc("minf")
+      bb.putInt(stblLen); fourcc("stbl")
+      bb.putInt(24); fourcc("stts")
+      bb.putInt(0); bb.putInt(1)                   // one run of samples
+      bb.putInt(n).putInt(delta)
+      bb.putInt(stszLen); fourcc("stsz")
+      bb.putInt(0); bb.putInt(0)                   // per-sample sizes follow
+      bb.putInt(n)
+      sizes.foreach(bb.putInt)
+      bb.putInt(8 + payload); fourcc("mdat")
+      bb.position(bb.position() + payload)         // opaque zero codec data
+      bb.array()
+    }
   }
 
   /** Minimal genuine 8-bit grayscale BMP writer (BITMAPFILEHEADER +
@@ -739,6 +884,58 @@ object Multimodal {
           (id, bb.array())
         }
       }.toDF("asset_id", "payload")
+  }
+
+  /** Synthesise MP4 payloads WITH genuine sample tables from the video
+    * third of the documents fixture ([[Mp4Boxes.buildWithSamples]]):
+    * frame count, constant frame delta (media timescale 12800) and
+    * every per-sample byte size derive from md5(text) / the
+    * [[DigestPixels]] stream over `text#s`, so the SQL oracle predicts
+    * each field [[decodeVideoSamples]] later parses back out of the
+    * stts/stsz/mdhd bytes. Narrow per-partition map.
+    */
+  def videoSampleAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Partitioning.ensureParallelism(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val p = DigestPixels.params(text)
+          val n = 4 + p(9) % 5
+          val delta = 512 * (1 + p(10) % 4)
+          val sizes = DigestPixels.bytes(text + "#s", n).map(64 + _)
+          (id, Mp4Boxes.buildWithSamples(320 + p(0) * 4, 180 + p(1) * 4,
+            5000L + p(3) * 512L, mediaTimescale = 12800, delta = delta,
+            sizes = sizes))
+        }
+      }.toDF("asset_id", "payload")
+  }
+
+  /** Batched per-partition SAMPLE-TABLE decode — the demuxer metadata
+    * pass over real ISO-BMFF bytes ([[Mp4Boxes.parseSamples]]): frame
+    * count + constant delta from `stts`, media timescale/duration from
+    * `mdhd`, size distribution from `stsz`. `fps_milli` is the exact
+    * integer `timescale·1000 div delta`. Narrow map; unparseable
+    * payloads drop (reject-sink posture).
+    */
+  def decodeVideoSamples(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Mp4Boxes.parseSamples(payload).map { m =>
+            (id, m.nSamples, m.delta, m.mediaTimescale, m.mediaDuration,
+              if (m.delta > 0) m.mediaTimescale * 1000L / m.delta else -1L,
+              m.totalSampleBytes, m.maxSampleBytes, payload.length.toLong)
+          }
+        }
+      }.toDF("asset_id", "n_samples", "delta", "media_timescale",
+        "media_duration", "fps_milli", "total_sample_bytes",
+        "max_sample_bytes", "n_bytes")
   }
 
   /** Per-frame 16-bin histograms from REAL decoded frame pixels: walk

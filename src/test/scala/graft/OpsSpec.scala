@@ -268,6 +268,41 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(Mp4Boxes.parse(corrupt).isEmpty)
   }
 
+  test("mp4 sample tables: stts/stsz/mdhd round-trip, fixed-size and VFR forms") {
+    import Multimodal.Mp4Boxes
+    val sizes = Array(100, 64, 319, 200, 64)
+    val b = Mp4Boxes.buildWithSamples(320, 180, 5000L,
+      mediaTimescale = 12800, delta = 512, sizes = sizes)
+    assert(b.length == 377 + 4 * sizes.length + sizes.sum) // closed form
+    assert(Mp4Boxes.parseSamples(b) == Some(Mp4Boxes.SampleMeta(
+      12800L, sizes.length * 512L, sizes.length.toLong, 512L,
+      sizes.sum.toLong, 319L)))
+    // the movie-level parse still reads the same container's mvhd/tkhd
+    assert(Mp4Boxes.parse(b) == Some(Mp4Boxes.Mp4Meta(320, 180, 5000L)))
+    // mm1's sample-table-less build has no stbl: parseSamples declines
+    assert(Mp4Boxes.parseSamples(
+      Mp4Boxes.build(320, 180, 5000L, Array[Byte](1, 2, 3))).isEmpty)
+    // hand-assembled stbl variants the writer never emits: a FIXED
+    // sample size (stsz sample_size > 0) and a VFR stts (two runs with
+    // different deltas -> delta reported as -1)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ cc(t) ++ body
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(7000) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val stts = box("stts", be32(0) ++ be32(2) ++
+      be32(3) ++ be32(100) ++ be32(4) ++ be32(50)) // two runs: VFR
+    val stsz = box("stsz", be32(0) ++ be32(99) ++ be32(7)) // fixed 99 x 7
+    val stbl = box("stbl", stts ++ stsz)
+    val vfr = box("ftyp", cc("mp42") ++ be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd ++ box("minf", stbl))))
+    assert(Mp4Boxes.parseSamples(vfr) == Some(Mp4Boxes.SampleMeta(
+      1000L, 7000L, 7L, -1L, 693L, 99L)))
+  }
+
   test("image headers: real PNG/JPEG/GIF/BMP bytes parse to exact dims") {
     import spark.implicits._
     // real encoder output (javax.imageio is pure-JVM, headless-safe) —
