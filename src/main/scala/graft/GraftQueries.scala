@@ -4151,6 +4151,16 @@ object GraftQueries {
     Multimodal.imageNearDups(
       Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents")))
 
+  /** ST22 [EXT] — streaming multimodal ingest summary: the mm1
+    * real-container decode as a continuous feed (`streaming
+    * .AssetsStream` — stateless narrow decode, payloads never shuffle,
+    * stream == batch spec-asserted), gated here through its batch twin:
+    * per-media-type counts, byte volume and dimension/duration maxima,
+    * every input field analytically predicted by the oracle.
+    */
+  def st22MediaSummary(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.AssetsStream.mediaSummaryBatch(tbl(s, dir, "documents"))
+
   /** MM9 [EXT] — demuxer sample-table metadata over real ISO-BMFF
     * bytes: the video assets carry genuine stts/stsz/mdhd tables
     * (`Multimodal.videoSampleAssetsFromDocuments`) and every output
@@ -4801,6 +4811,7 @@ object GraftQueries {
     "mm6_image_neardup"  -> (mm6ImageNearDups _),
     "mm8_audio_levels"   -> (mm8AudioLevels _),
     "mm9_video_samples"  -> (mm9VideoSamples _),
+    "st22_media_summary" -> (st22MediaSummary _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "d18_containment"    -> (d18Containment _),

@@ -159,6 +159,35 @@ object Oracles {
        | ELSE (77*${digestByteSql(s"3*($i)")} + 150*${digestByteSql(s"3*($i)+1")}
        |     + 29*${digestByteSql(s"3*($i)+2")} + 128) // 256 END""".stripMargin
 
+  /** The mm1 prediction relation — every field of the real-container
+    * metadata decode derived analytically from the construction
+    * parameters. Shared verbatim by `mm1_decode_meta` and the
+    * streaming-ingest summary `st22_media_summary` (the scrubSql
+    * no-drift convention).
+    */
+  private val mm1MetaSql: String =
+    """WITH b AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
+        |    octet_length(encode(text)) AS tb,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) * 2 AS ba,
+        |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS b0,
+        |    (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS b1,
+        |    (strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),8,1))-1) AS b3
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(CASE mt
+        |    WHEN 0 THEN 1078 + (16 + b1 % 48) * (((16 + b0 % 48) + 3) // 4 * 4)
+        |    WHEN 1 THEN 44 + tb // ba * ba
+        |    ELSE 244 + tb END AS BIGINT) AS n_bytes,
+        |  CAST(CASE mt WHEN 0 THEN 16 + b0 % 48 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
+        |  CAST(CASE mt WHEN 0 THEN 16 + b1 % 48 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height,
+        |  CAST(CASE mt WHEN 0 THEN 0
+        |    WHEN 1 THEN (tb // ba * ba) * 1000 // (rate * ba)
+        |    ELSE 5000 + b3*512 END AS BIGINT) AS duration_ms
+        |FROM b""".stripMargin
+
   private def piiCountSql(expr: String): String =
     graft.ops.TextAnalysis.piiPatterns
       .map { case (_, p, _) => s"len(regexp_extract_all($expr, '$p'))" }
@@ -3488,27 +3517,20 @@ object Oracles {
     // Agreement proves the box/chunk/header walks read back exactly
     // what the writers encoded.
     "mm1_decode_meta" ->
-      """WITH b AS (
-        |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS mt,
-        |    octet_length(encode(text)) AS tb,
-        |    CAST(doc_id % 2 + 1 AS INTEGER) * 2 AS ba,
-        |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
-        |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) AS b0,
-        |    (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS b1,
-        |    (strpos('0123456789abcdef', substr(md5(text),7,1))-1)*16 + (strpos('0123456789abcdef', substr(md5(text),8,1))-1) AS b3
-        |  FROM documents)
-        |SELECT doc_id AS asset_id,
-        |  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(CASE mt
-        |    WHEN 0 THEN 1078 + (16 + b1 % 48) * (((16 + b0 % 48) + 3) // 4 * 4)
-        |    WHEN 1 THEN 44 + tb // ba * ba
-        |    ELSE 244 + tb END AS BIGINT) AS n_bytes,
-        |  CAST(CASE mt WHEN 0 THEN 16 + b0 % 48 WHEN 1 THEN 0 ELSE 320 + b0*4 END AS INTEGER) AS width,
-        |  CAST(CASE mt WHEN 0 THEN 16 + b1 % 48 WHEN 1 THEN 0 ELSE 180 + b1*4 END AS INTEGER) AS height,
-        |  CAST(CASE mt WHEN 0 THEN 0
-        |    WHEN 1 THEN (tb // ba * ba) * 1000 // (rate * ba)
-        |    ELSE 5000 + b3*512 END AS BIGINT) AS duration_ms
-        |FROM b""".stripMargin,
+      mm1MetaSql,
+
+    // streaming-ingest summary: the SAME prediction relation as mm1,
+    // aggregated per media type (batch twin of AssetsStream.metaStream;
+    // stream == batch is spec-asserted, this gate pins the totals)
+    "st22_media_summary" ->
+      s"""WITH meta AS ($mm1MetaSql)
+        |SELECT media_type,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(max(duration_ms) AS BIGINT) AS max_duration_ms,
+        |  CAST(max(width) AS INTEGER) AS max_width,
+        |  CAST(max(height) AS INTEGER) AS max_height
+        |FROM meta GROUP BY 1""".stripMargin,
 
     // REAL nearest-neighbour resize: output box in exact integer
     // arithmetic, every sampled source pixel re-derived from the

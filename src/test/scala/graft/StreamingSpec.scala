@@ -158,6 +158,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("asset meta stream: stateless real-container decode — streaming == batch") {
+    import graft.streaming.AssetsStream
+    import graft.ops.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // synthesise the mixed-media assets once in batch, persist them as
+    // the stream's source (a real ingest would receive these bytes)
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_assets_stream").toString
+    assets.write.parquet(s"$dir/assets")
+    val src = spark.read.parquet(s"$dir/assets")
+    val streamed = EventsStream.runOnceOnParquet(
+      spark, s"$dir/assets", src.schema,
+      df => AssetsStream.metaStream(df),
+      queryName = "asset_meta_stream_test")
+    val batch = Multimodal.decodeMeta(src)
+    // every synthesised container decodes; the stream emits the exact
+    // same rows (stateless narrow map — structural, but assert it)
+    assert(batch.count() == docs.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // and the continuous pipeline lands on the same per-type totals as
+    // the oracle-gated batch summary
+    val sumStream = AssetsStream.mediaSummary(streamed)
+    val sumBatch = AssetsStream.mediaSummary(batch)
+    assert(sumStream.exceptAll(sumBatch).count() == 0 &&
+      sumBatch.exceptAll(sumStream).count() == 0)
+  }
+
   test("watermark screen stream: stateless — streaming == batch; only flagged docs emitted") {
     import graft.streaming.DocsStream
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
