@@ -201,6 +201,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 round-trip: build → parse / buildWithSamples → parseSamples are identities") {
+    import graft.ops.Multimodal.Mp4Boxes
+    val dimsGen = for {
+      w <- Gen.chooseNum(1, 8191) // 16.16 fixed point is exact to 2^15-1
+      h <- Gen.chooseNum(1, 8191)
+      ms <- Gen.chooseNum(0L, 47721858L) // durUnits = ms*90 must fit u31
+      nData <- Gen.chooseNum(0, 64)
+    } yield (w, h, ms, nData)
+    for ((w, h, ms, nData) <- samples(dimsGen, 200)) {
+      val bytes = Mp4Boxes.build(w, h, ms, Array.fill(nData)(0x5a.toByte))
+      assert(bytes.length == 244 + nData)
+      assert(Mp4Boxes.parse(bytes) == Some(Mp4Boxes.Mp4Meta(w, h, ms)),
+        s"movie parse drifted for ${w}x$h $ms")
+    }
+    val sampleGen = for {
+      w <- Gen.chooseNum(1, 4096)
+      h <- Gen.chooseNum(1, 4096)
+      ms <- Gen.chooseNum(0L, 1000000L)
+      ts <- Gen.chooseNum(1, 1000000)
+      delta <- Gen.chooseNum(1, 100000)
+      sizes <- Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 5000)).map(_.toArray))
+    } yield (w, h, ms, ts, delta, sizes)
+    for ((w, h, ms, ts, delta, sizes) <- samples(sampleGen, 200)) {
+      val bytes = Mp4Boxes.buildWithSamples(w, h, ms, ts, delta, sizes)
+      assert(bytes.length == 377 + 4 * sizes.length + sizes.sum)
+      val got = Mp4Boxes.parseSamples(bytes)
+      val wantDelta = if (sizes.isEmpty) delta.toLong else delta.toLong
+      assert(got == Some(Mp4Boxes.SampleMeta(ts.toLong, sizes.length.toLong * delta,
+        sizes.length.toLong, wantDelta,
+        sizes.map(_.toLong).sum, if (sizes.isEmpty) 0L else sizes.max.toLong)),
+        s"sample parse drifted: $got for n=${sizes.length} delta=$delta ts=$ts")
+      assert(Mp4Boxes.parse(bytes) == Some(Mp4Boxes.Mp4Meta(w, h, ms)))
+    }
+  }
+
   test("dump timestamp round-trip: formatInstant → parseTimestampMicros is exact micros") {
     val microsGen = Gen.chooseNum(-62135596800000000L, 253402300799999999L) // years 1..9999
     for (micros <- samples(microsGen, 500)) {
