@@ -9,9 +9,11 @@ Exit 1 iff a digest-UNCHANGED query slowed by more than THRESHOLD
 beyond the epoch drift (the control-normalised ratio): plan changes are
 reported but never gate (they are intentional edits to review), and
 host-epoch inflation is divided out using the median ratio of unchanged
-queries, so only per-query anomalies fire.
+queries, so only per-query anomalies fire. Slowdowns whose cause lives
+where the digest cannot see it (closure-internal kernels, pre-pass
+jobs) are gated unless root-caused in regression_allowlist.json.
 """
-import json, statistics, sys
+import json, os, statistics, sys
 
 THRESHOLD = 1.5      # control-normalised slowdown that fails the gate
 MIN_SECONDS = 0.3    # ignore sub-300ms trivia (pure jitter at that size)
@@ -37,11 +39,22 @@ def main(plans_old, plans_new, bench_old, bench_new):
     epoch = statistics.median(bn[q] / bo[q] for q in sized)
     print(f"epoch drift (median over {len(sized)} unchanged queries ≥ "
           f"{MIN_SECONDS}s): {epoch:.3f}x")
+    # committed root-cause notes for slowdowns the plan digest cannot
+    # see (kernel-internal changes, chooser pre-pass jobs): allowlisted
+    # queries report but never gate — the note IS the review artifact,
+    # same contract as tools/scaling_allowlist.json
+    allow_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "regression_allowlist.json")
+    allow = json.load(open(allow_path)) if os.path.exists(allow_path) else {}
     bad = []
     for q in sized:
         norm = (bn[q] / bo[q]) / epoch
         if norm > THRESHOLD:
-            bad.append((norm, q, bo[q], bn[q]))
+            if q in allow:
+                print(f"  slowed but ALLOWED (root-caused): {q} "
+                      f"{bo[q]:.2f}s -> {bn[q]:.2f}s — {allow[q]}")
+            else:
+                bad.append((norm, q, bo[q], bn[q]))
     for q in changed:
         print(f"  plan-changed (review, not gated): {q} "
               f"{bo[q]:.2f}s -> {bn[q]:.2f}s")
