@@ -4151,6 +4151,18 @@ object GraftQueries {
     Multimodal.imageNearDups(
       Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents")))
 
+  /** MM10 [EXT] — the REAL 64-bit average hash over decoded pixels
+    * (`Multimodal.imageAHash64`): exact-integer 8×8 downsample + the
+    * cross-multiplied mean test, every bit SQL-re-derived from the
+    * formula pixels. This is the perceptual-hash family's SCALE path —
+    * the 16-bin histogram hash (mm6) saturates its 2^16 code space
+    * past ~10^4 images (measured 20x at the sf1 step, true-output
+    * growth), a 64-bit code holds discrimination to ~10^9.
+    */
+  def mm10Ahash64(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash64(
+      Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents")))
+
   /** ST22 [EXT] — streaming multimodal ingest summary: the mm1
     * real-container decode as a continuous feed (`streaming
     * .AssetsStream` — stateless narrow decode, payloads never shuffle,
@@ -4812,6 +4824,7 @@ object GraftQueries {
     "mm8_audio_levels"   -> (mm8AudioLevels _),
     "mm9_video_samples"  -> (mm9VideoSamples _),
     "st22_media_summary" -> (st22MediaSummary _),
+    "mm10_ahash64"       -> (mm10Ahash64 _),
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "d18_containment"    -> (d18Containment _),

@@ -3680,6 +3680,30 @@ object Oracles {
         |FROM p JOIN agg USING (doc_id)""".stripMargin
     },
 
+    // the genuine 64-bit aHash: 8x8 nearest-neighbour downsample via
+    // the mm3 integer sampling recipe, bit i iff px*64 > sum (strict),
+    // bit 63 contributed as -2^63 (DuckDB 1<<63 overflows BIGINT)
+    "mm10_ahash64" ->
+      s"""WITH dims AS (
+        |  SELECT doc_id, text,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
+        |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+        |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
+        |  FROM documents),
+        |cell AS (
+        |  SELECT doc_id, g.i AS i,
+        |    ${pixelLumaSql("((g.i // 8) * h // 8) * w + ((g.i % 8) * w // 8)")} AS v
+        |  FROM dims, LATERAL (SELECT unnest(range(0, 64)) AS i) g),
+        |tot AS (SELECT doc_id, sum(v) AS s FROM cell GROUP BY 1)
+        |SELECT c.doc_id AS asset_id,
+        |  CAST(sum(CASE WHEN c.v * 64 > t.s THEN
+        |    CASE WHEN c.i = 63 THEN -9223372036854775808
+        |         ELSE CAST(1 AS BIGINT) << CAST(c.i AS INTEGER) END
+        |    ELSE 0 END) AS BIGINT) AS ahash64
+        |FROM cell c JOIN tot t USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
     "mm8_audio_levels" ->
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

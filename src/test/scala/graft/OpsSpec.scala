@@ -2016,6 +2016,64 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("imageAHash64: duplicates collide, corpus spreads, off-grid edits are invisible") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val assets = Multimodal.imageAssetsFromDocuments(docs)
+    val hashes = Multimodal.imageAHash64(assets)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.size == docs.count(), "every payload must decode")
+    // 64-bit codes must actually discriminate — near-total spread at
+    // 500 docs (the 16-bin hash's saturation is exactly what this
+    // kernel exists to fix)
+    assert(hashes.values.toSeq.distinct.size >= hashes.size * 95 / 100,
+      s"64-bit hashes should be near-unique at fixture scale")
+    // identical payloads under new ids hash identically (parity kept)
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val ph = Multimodal.imageAHash64(Multimodal.imageAssetsFromDocuments(planted))
+      .as[(Long, Long)].collect().toMap
+    for (id <- 0L until 10L if ph.contains(id))
+      assert(ph(id) == ph(id + 1000000L), s"duplicate $id must collide")
+    // aHash is a downsample: edits OFF the 8x8 sample grid are
+    // invisible; an edit ON a sampled cell moves few bits
+    val (w, h) = (17, 19)
+    val base = Multimodal.DigestPixels.bytes("ahash-spec", w * h)
+    def hashOf(px: Array[Int]): Long = {
+      val df = Seq((1L, pngBytes(w, h, px))).toDF("asset_id", "payload")
+      Multimodal.imageAHash64(df).as[(Long, Long)].collect().head._2
+    }
+    val h0 = hashOf(base)
+    // find a coordinate that is NOT any of the 64 sample points
+    val sampled = (for (i <- 0 until 64) yield ((i / 8) * h / 8) * w + (i % 8) * w / 8).toSet
+    val off = (0 until w * h).find(!sampled.contains(_)).get
+    val offEdit = base.clone(); offEdit(off) = 255 - offEdit(off)
+    assert(hashOf(offEdit) == h0, "off-grid pixel edits must not move the hash")
+    val on = sampled.head
+    val onEdit = base.clone(); onEdit(on) = if (base(on) < 128) 255 else 0
+    val d = java.lang.Long.bitCount(hashOf(onEdit) ^ h0)
+    assert(d >= 1 && d <= 8, s"one sampled-cell edit moved $d bits")
+  }
+
+  /** Encode a grayscale raster as PNG via the production path (the
+    * BufferedImage recipe `grayPng` uses, duplicated here because the
+    * builder is private — keep in sync).
+    */
+  private def pngBytes(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, px(i)); i += 1; x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   test("image assets: ImageIO decode recovers exactly the DigestPixels raster") {
     import spark.implicits._
     val some = docs.filter(col("doc_id") < 8)
