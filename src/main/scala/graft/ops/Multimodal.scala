@@ -892,6 +892,48 @@ object Multimodal {
       }.toDF("asset_id", "ahash64")
   }
 
+  /** Near-duplicate image pairs on the 64-bit aHash — the scale form
+    * of [[imageNearDups]]: split the 64-bit code into `maxDist + 1`
+    * bands (pigeonhole: any pair within `maxDist` agrees exactly on
+    * one band), candidates from band-equality joins, only candidates
+    * pay the popcount check. Exact for the hash metric. Unlike the
+    * 16-bit form, the code space (2⁶⁴) cannot saturate at any
+    * realistic corpus size, so the true pair set — and with it the
+    * join output — stays proportional to genuine near-duplicates
+    * (measured linear on the sf1 rehearsal, `MM6ScaleProbe`).
+    */
+  def imageNearDups64(assets: DataFrame, maxDist: Int = 2): DataFrame = {
+    val ah = OpCaches.persist(
+      Partitioning.ensureParallelism(imageAHash64(assets)))
+    val nBands = maxDist + 1
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      // mask via unsigned shifts: (hash >>> lo) & ((1 << width) - 1);
+      // at maxDist = 0 the single band IS the whole hash (width 64,
+      // where 1L << 64 would wrap — mask with -1 instead)
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("ahash64"), lo)
+          .bitwiseAND(lit(mask)).as("band_val"))
+    }
+    val bands = ah.select(col("asset_id"), col("ahash64"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("asset_id"), col("ahash64"),
+        col("bd.band").as("band"), col("bd.band_val").as("band_val"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("x.ahash64").as("ha"),
+        col("y.asset_id").as("asset_b"), col("y.ahash64").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
+
   /** Frame-sample spec for video rows: every `everyMs` up to duration —
     * a lazy `sequence`, exploded only where needed.
     */

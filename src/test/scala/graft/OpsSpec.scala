@@ -2054,6 +2054,26 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     val onEdit = base.clone(); onEdit(on) = if (base(on) < 128) 255 else 0
     val d = java.lang.Long.bitCount(hashOf(onEdit) ^ h0)
     assert(d >= 1 && d <= 8, s"one sampled-cell edit moved $d bits")
+    // the 64-bit pair join: pigeonhole banding == brute force, and the
+    // planted exact duplicates surface at distance 0
+    val got64 = Multimodal.imageNearDups64(
+        Multimodal.imageAssetsFromDocuments(planted), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want64 = (for {
+      (a, pa) <- ph.toSeq; (b, pb) <- ph.toSeq if a < b
+      d = java.lang.Long.bitCount(pa ^ pb) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got64 == want64)
+    for (id <- 0L until 10L if ph.contains(id))
+      assert(got64.contains((id, id + 1000000L, 0)),
+        s"planted duplicate $id must pair at distance 0")
+    // maxDist = 0: the single 64-bit band (the wrap-guard case) finds
+    // exactly the hash-equal pairs
+    val got0 = Multimodal.imageNearDups64(
+        Multimodal.imageAssetsFromDocuments(planted), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got0 == want64.filter(_._3 == 0).map(t => (t._1, t._2)))
+    graft.ops.OpCaches.releaseAll()
   }
 
   /** Encode a grayscale raster as PNG via the production path (the
