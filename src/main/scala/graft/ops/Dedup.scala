@@ -633,28 +633,20 @@ object Dedup {
                                 candidateBudgetPerDoc: Long = 1024,
                                 k: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val sh = OpCaches.persist(withShingles(df, idCol, textCol, n))
-    // double arithmetic: Σ df² on a web-scale corpus overflows LONG
-    val candRow = sh.select(explode(col("sh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("df_s"))
-      .agg(sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0)
-        .as("c"))
-      .first()
-    val candidates = if (candRow.isNullAt(0)) 0.0 else candRow.getDouble(0)
-    val nDocs = math.max(1L, sh.count())
-    if (candidates <= candidateBudgetPerDoc.toDouble * nDocs)
+    if (!exceedsCandidateBudget(sh, candidateBudgetPerDoc))
       containmentOnShingles(sh, threshold)
     else
       verifyByContainment(minhashCandidates(sh, k, rowsPerBand), sh, threshold)
   }
 
-  /** Package-private chooser predicate — lets the scale probe assert
-    * WHICH branch [[ngramContainmentPairsAuto]] takes without
-    * duplicating the budget arithmetic.
+  /** The count-join plan's EXACT candidate volume Σ df·(df−1)/2 against
+    * a per-doc budget — one arithmetic for the production chooser AND
+    * the probe predicate below, so the probe can never assert a branch
+    * the chooser no longer takes.
     */
-  private[graft] def containmentExceedsBudget(
-      df: DataFrame, idCol: String, textCol: String, n: Int,
-      candidateBudgetPerDoc: Long): Boolean = {
-    val sh = withShingles(df, idCol, textCol, n)
+  private def exceedsCandidateBudget(sh: DataFrame,
+                                     candidateBudgetPerDoc: Long): Boolean = {
+    // double arithmetic: Σ df² on a web-scale corpus overflows LONG
     val candRow = sh.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df_s"))
       .agg(sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0)
@@ -663,6 +655,16 @@ object Dedup {
     val candidates = if (candRow.isNullAt(0)) 0.0 else candRow.getDouble(0)
     candidates > candidateBudgetPerDoc.toDouble * math.max(1L, sh.count())
   }
+
+  /** Package-private chooser predicate — lets the scale probe assert
+    * WHICH branch [[ngramContainmentPairsAuto]] takes; delegates to the
+    * same arithmetic the production chooser runs.
+    */
+  private[graft] def containmentExceedsBudget(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      candidateBudgetPerDoc: Long): Boolean =
+    exceedsCandidateBudget(withShingles(df, idCol, textCol, n),
+      candidateBudgetPerDoc)
 
   /** Benchmark-contamination check — the decontamination pass every
     * training-data pipeline runs before a model ships: for each document

@@ -43,17 +43,20 @@ object Graph {
                wCol: String = "w",
                driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
     require(iters >= 1 && iters <= 20, "pageRank: iters must be in 1..20")
-    walkedPageRank(edges, iters, srcCol, dstCol, wCol, driverWalkMaxEdges) match {
-      case Some(done) => return done
-      case None       => ()
-    }
-    // `e` feeds the out-weight aggregate, the ew join AND the node set —
-    // without a persist each consumer re-derives the caller's whole edge
-    // construction (for g1: the fact join + pair aggregate, twice per use
-    // through the symmetrising union — measured 32s → 5s at sf0.1)
+    // `e` feeds the walk PROBE, the out-weight aggregate, the ew join
+    // AND the node set — without a persist each consumer re-derives the
+    // caller's whole edge construction (for g1: the fact join + pair
+    // aggregate, twice per use through the symmetrising union —
+    // measured 32s → 5s at sf0.1). Persisting BEFORE the probe also
+    // means a declined walk costs no second construction pass: the
+    // probe's head() warms the same cache the distributed plan reads.
     val e = OpCaches.persist(Partitioning.ensureParallelism(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))))
+    walkedPageRank(e, iters, driverWalkMaxEdges) match {
+      case Some(done) => return done
+      case None       => ()
+    }
     // `wsum`, not `W`: Spark resolution is case-insensitive by default,
     // so `w`/`W` in one relation would be an ambiguous reference
     val outw = e.groupBy("src").agg(sum("w").as("wsum"))
@@ -95,16 +98,20 @@ object Graph {
     * or weights (the distributed plan's join/agg null-dropping is
     * subtle — not worth mirroring), and non-integral/non-string node
     * ids (HashMap equality vs Spark grouping equality can diverge on
-    * -0.0 doubles and differently-scaled decimals).
+    * -0.0 doubles and differently-scaled decimals), and zero
+    * out-weight sums (division semantics stay the distributed plan's).
+    *
+    * `e` must be the normalised (src, dst, w:long) relation — pageRank
+    * persists it before probing, so a declined walk has already warmed
+    * the cache the distributed plan reads (no second construction
+    * pass of the caller's edge derivation).
     */
-  private def walkedPageRank(edges: DataFrame, iters: Int,
-                             srcCol: String, dstCol: String, wCol: String,
+  private def walkedPageRank(e: DataFrame, iters: Int,
                              maxEdges: Long): Option[DataFrame] = {
     if (maxEdges <= 0) return None
-    val spark = edges.sparkSession
+    val spark = e.sparkSession
     val bound = math.min(maxEdges, Int.MaxValue - 2L).toInt
-    val sel = edges.select(col(srcCol), col(dstCol), col(wCol).cast("long"))
-    val probe = sel.head(bound + 1)
+    val probe = e.head(bound + 1)
     if (probe.length > maxEdges) return None
     def ok(a: Any): Boolean = a.isInstanceOf[Long] || a.isInstanceOf[Int] ||
       a.isInstanceOf[Short] || a.isInstanceOf[Byte] || a.isInstanceOf[String]
@@ -115,6 +122,10 @@ object Graph {
     es.foreach { case (s, _, w) =>
       wsum(s) = Math.addExact(wsum.getOrElse(s, 0L), w)
     }
+    // a zero out-weight sum divides by zero in the contribution step —
+    // decline and let the distributed plan apply ITS division
+    // semantics rather than mirror them speculatively
+    if (wsum.valuesIterator.exists(_ == 0L)) return None
     val nodes: Seq[Any] = es.iterator.map(_._1).toSeq.distinct
     var rank: collection.Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
     for (_ <- 1 to iters) {
@@ -126,7 +137,7 @@ object Graph {
       rank = nodes.iterator.map(n =>
         n -> (150000L + Math.multiplyExact(85L, inflow.getOrElse(n, 0L)) / 100L)).toMap
     }
-    val nodeType = sel.schema.fields(0).dataType
+    val nodeType = e.schema.fields(0).dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
       org.apache.spark.sql.types.StructField("rank_micro",

@@ -187,14 +187,33 @@ object Multimodal {
   object Mp4Boxes {
     final case class Mp4Meta(width: Int, height: Int, durationMs: Long)
 
-    def parse(bytes: Array[Byte]): Option[Mp4Meta] = {
+    /** Shared byte-level primitives + the box walk, used by BOTH
+      * [[parse]] and [[parseSamples]] — one copy of the framing rules
+      * (largesize, size==0, corrupt-size stop) so a fix lands in every
+      * walk at once.
+      */
+    private final class BoxReader(bytes: Array[Byte]) {
+      def length: Int = bytes.length
       def u8(i: Int): Int = bytes(i) & 0xff
       def be32(i: Int): Long =
         ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
       def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
       def tag(i: Int): String =
         new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-
+      // ISO 14496-12 requires ftyp first (well-formedness gate)
+      def hasFtyp: Boolean = bytes.length >= 8 && tag(4) == "ftyp"
+      /** Timescale + duration of a FullBox time header (mvhd/mdhd):
+        * version 0 = 32-bit times (body ≥ 20), version 1 = 64-bit
+        * (body ≥ 32 — duration sits at +24..31). A version whose body
+        * is too short DECLINES rather than misreading creation-time
+        * bytes through the wrong offsets.
+        */
+      def timeHeader(b: Int, e: Int): Option[(Long, Long)] = {
+        val v = if (e - b >= 1) u8(b) else -1
+        if (v == 0 && e - b >= 20) Some((be32(b + 12), be32(b + 16)))
+        else if (v == 1 && e - b >= 32) Some((be32(b + 20), be64(b + 24)))
+        else None
+      }
       // walk one box level: invoke f(type, bodyStart, bodyEnd) per child
       def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
         var i = from
@@ -210,24 +229,23 @@ object Multimodal {
           i = end.toInt
         }
       }
+    }
 
-      if (bytes.length < 8) return None
-      // ISO 14496-12 requires ftyp first (well-formedness gate)
-      if (tag(4) != "ftyp") return None
+    def parse(bytes: Array[Byte]): Option[Mp4Meta] = {
+      val r = new BoxReader(bytes)
+      if (!r.hasFtyp) return None
       var timescale = 0L; var durUnits = -1L; var w = -1; var h = -1
-      walk(0, bytes.length) { (t, b, e) =>
-        if (t == "moov") walk(b, e) { (t2, b2, e2) =>
-          if (t2 == "mvhd" && e2 - b2 >= 20) {
-            val v = u8(b2)
-            if (v == 1 && e2 - b2 >= 28) { timescale = be32(b2 + 20); durUnits = be64(b2 + 24) }
-            else { timescale = be32(b2 + 12); durUnits = be32(b2 + 16) }
-          } else if (t2 == "trak") walk(b2, e2) { (t3, b3, e3) =>
+      r.walk(0, r.length) { (t, b, e) =>
+        if (t == "moov") r.walk(b, e) { (t2, b2, e2) =>
+          if (t2 == "mvhd") r.timeHeader(b2, e2).foreach { case (ts, d) =>
+            timescale = ts; durUnits = d
+          } else if (t2 == "trak") r.walk(b2, e2) { (t3, b3, e3) =>
             if (t3 == "tkhd" && w < 0) {
-              val v = u8(b3)
+              val v = if (e3 - b3 >= 1) r.u8(b3) else -1
               val off = if (v == 1) 88 else 76 // …+matrix → width(16.16), height(16.16)
-              if (e3 - b3 >= off + 8) {
-                w = (be32(b3 + off) >>> 16).toInt
-                h = (be32(b3 + off + 4) >>> 16).toInt
+              if (v >= 0 && e3 - b3 >= off + 8) {
+                w = (r.be32(b3 + off) >>> 16).toInt
+                h = (r.be32(b3 + off + 4) >>> 16).toInt
               }
             }
           }
@@ -301,58 +319,38 @@ object Multimodal {
                                 totalSampleBytes: Long, maxSampleBytes: Long)
 
     def parseSamples(bytes: Array[Byte]): Option[SampleMeta] = {
-      def u8(i: Int): Int = bytes(i) & 0xff
-      def be32(i: Int): Long =
-        ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
-      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
-      def tag(i: Int): String =
-        new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
-        var i = from
-        while (i + 8 <= to) {
-          val size0 = be32(i)
-          val (body, end) =
-            if (size0 == 1L && i + 16 <= to) (i + 16, i + be64(i + 8))
-            else if (size0 == 0L) (i + 8, to.toLong)
-            else (i + 8, i + size0)
-          if (end < body || end > to) return
-          f(tag(i + 4), body, end.toInt)
-          i = end.toInt
-        }
-      }
-      if (bytes.length < 8 || tag(4) != "ftyp") return None
+      val r = new BoxReader(bytes)
+      if (!r.hasFtyp) return None
       var ts = 0L; var mdur = -1L
       var n = -1L; var delta = -1L
       var total = -1L; var maxSz = -1L
-      walk(0, bytes.length) { (t, b, e) =>
-        if (t == "moov") walk(b, e) { (t2, b2, e2) =>
-          if (t2 == "trak") walk(b2, e2) { (t3, b3, e3) =>
-            if (t3 == "mdia") walk(b3, e3) { (t4, b4, e4) =>
-              if (t4 == "mdhd" && e4 - b4 >= 20) {
-                val v = u8(b4)
-                if (v == 1 && e4 - b4 >= 28) { ts = be32(b4 + 20); mdur = be64(b4 + 24) }
-                else { ts = be32(b4 + 12); mdur = be32(b4 + 16) }
-              } else if (t4 == "minf") walk(b4, e4) { (t5, b5, e5) =>
-                if (t5 == "stbl") walk(b5, e5) { (t6, b6, e6) =>
+      r.walk(0, r.length) { (t, b, e) =>
+        if (t == "moov") r.walk(b, e) { (t2, b2, e2) =>
+          if (t2 == "trak") r.walk(b2, e2) { (t3, b3, e3) =>
+            if (t3 == "mdia") r.walk(b3, e3) { (t4, b4, e4) =>
+              if (t4 == "mdhd") r.timeHeader(b4, e4).foreach { case (t0, d0) =>
+                ts = t0; mdur = d0
+              } else if (t4 == "minf") r.walk(b4, e4) { (t5, b5, e5) =>
+                if (t5 == "stbl") r.walk(b5, e5) { (t6, b6, e6) =>
                   if (t6 == "stts" && e6 - b6 >= 8) {
-                    val entries = be32(b6 + 4)
+                    val entries = r.be32(b6 + 4)
                     var i = 0L; var cnt = 0L; var d = -2L
                     while (i < entries && b6 + 8 + i * 8 + 8 <= e6) {
-                      val c = be32(b6 + 8 + (i * 8).toInt)
-                      val dd = be32(b6 + 12 + (i * 8).toInt)
+                      val c = r.be32(b6 + 8 + (i * 8).toInt)
+                      val dd = r.be32(b6 + 12 + (i * 8).toInt)
                       cnt += c
                       if (d == -2L) d = dd else if (d != dd) d = -1L // VFR
                       i += 1
                     }
                     n = cnt; delta = if (d == -2L) -1L else d
                   } else if (t6 == "stsz" && e6 - b6 >= 12) {
-                    val fixed = be32(b6 + 4)
-                    val cnt = be32(b6 + 8)
+                    val fixed = r.be32(b6 + 4)
+                    val cnt = r.be32(b6 + 8)
                     if (fixed > 0) { total = fixed * cnt; maxSz = fixed }
                     else {
                       var i = 0L; var s = 0L; var mx = 0L
                       while (i < cnt && b6 + 12 + i * 4 + 4 <= e6) {
-                        val v = be32(b6 + 12 + (i * 4).toInt)
+                        val v = r.be32(b6 + 12 + (i * 4).toInt)
                         s += v; if (v > mx) mx = v
                         i += 1
                       }

@@ -266,6 +266,17 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(Mp4Boxes.parse(golden.take(40)).isEmpty) // truncated moov
     val corrupt = golden.clone(); corrupt(0) = 0x7f // ftyp size overruns buffer
     assert(Mp4Boxes.parse(corrupt).isEmpty)
+    // REGRESSION (review round 10): a v1 mvhd whose body is 28..31
+    // bytes used to pass a >= 28 guard and read the 64-bit duration
+    // past the box (AIOOBE at buffer end). Must decline, not throw.
+    for (bodyLen <- 20 to 34) {
+      val shortMvhd = be32(8 + bodyLen) ++ cc("mvhd") ++
+        (Array[Byte](1, 0, 0, 0) ++ Array.fill(63)(0x11.toByte)).take(bodyLen)
+      val doc = ftyp ++ (be32(8 + 8 + bodyLen) ++ cc("moov") ++ shortMvhd)
+      val got = try Right(Mp4Boxes.parse(doc)) catch { case e: Throwable => Left(e) }
+      assert(got.isRight, s"v1 mvhd body=$bodyLen threw: $got")
+      if (bodyLen < 32) assert(got == Right(None), s"short v1 mvhd body=$bodyLen")
+    }
   }
 
   test("mp4 sample tables: stts/stsz/mdhd round-trip, fixed-size and VFR forms") {

@@ -26,12 +26,19 @@ object MM6ScaleProbe {
       val pairs16 = Multimodal.imageNearDups(assets, maxDist = 2).count()
       val h64 = Multimodal.imageAHash64(assets).persist()
       val codes64 = h64.select("ahash64").distinct().count()
-      // exact hamming-<=2 pairs on the 64-bit hash via 3-band pigeonhole
+      // exact hamming-<=2 pairs on the 64-bit hash via 3-band
+      // pigeonhole — DISJOINT bands (21/21/22 bits at shifts 0/21/42,
+      // same as production imageNearDups64): overlapping bands would
+      // let a pair differing exactly at a shared bit corrupt all three
+      // bands and slip the count
       val bands = h64.select(col("asset_id"), col("ahash64"),
-        explode(array((0 until 3).map(b =>
+        explode(array((0 until 3).map { b =>
+          val lo = b * 64 / 3
+          val hi = (b + 1) * 64 / 3
           struct(lit(b).as("band"),
-            shiftright(col("ahash64"), b * 21)
-              .bitwiseAND(lit((1L << 22) - 1)).as("bv"))): _*)).as("bd"))
+            shiftrightunsigned(col("ahash64"), lo)
+              .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bv"))
+        }: _*)).as("bd"))
         .select(col("asset_id"), col("ahash64"),
           col("bd.band").as("band"), col("bd.bv").as("bv"))
       val pairs64 = bands.as("x").join(bands.as("y"),

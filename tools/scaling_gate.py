@@ -42,8 +42,10 @@ def main(small_path, big_path):
         print(f"FAIL: {len(missing)} queries in the sf0.1 sweep are missing "
               f"from sf1: {sorted(missing)[:10]}")
         rc = 1
-    rows = [(qb[q] / qs[q], q) for q in qs
-            if q in qb and qs[q] >= MIN_SECONDS and qb[q] > 0]
+    # floor on EITHER side: a query that is sub-floor at sf0.1 but
+    # explodes at sf1 is exactly what the gate exists to catch
+    rows = [(qb[q] / max(qs[q], 1e-3), q) for q in qs
+            if q in qb and (qs[q] >= MIN_SECONDS or qb[q] >= MIN_SECONDS)]
     if not rows:
         print("FAIL: no queries above the size floor — empty sweep?")
         return 1
@@ -61,7 +63,8 @@ def main(small_path, big_path):
                   f"in tools/scaling_allowlist.json")
             rc = 1
     stale = [q for q in allow if q in qs and q in qb
-             and qs[q] >= MIN_SECONDS and qb[q] / qs[q] <= THRESHOLD]
+             and (qs[q] >= MIN_SECONDS or qb[q] >= MIN_SECONDS)
+             and qb[q] / max(qs[q], 1e-3) <= THRESHOLD]
     for q in stale:
         print(f"  note: allowlisted {q} now scales fine "
               f"({qb[q] / qs[q]:.1f}x) — entry can be retired")
