@@ -238,6 +238,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 parse never throws on corrupt bytes (truncations, mutations, noise)") {
+    import graft.ops.Multimodal.Mp4Boxes
+    val rnd = new scala.util.Random(41)
+    val valid = Mp4Boxes.buildWithSamples(320, 180, 5000L, 12800, 512,
+      Array(100, 200, 64))
+    // every truncation of a valid file — both parsers must decline or
+    // succeed, never throw (the review-found v1 guard bug was exactly
+    // a truncation crash)
+    for (len <- 0 to valid.length) {
+      Mp4Boxes.parse(valid.take(len))
+      Mp4Boxes.parseSamples(valid.take(len))
+    }
+    // point mutations, including size fields (overflow, negative-as-
+    // unsigned, largesize switches, no-progress walks)
+    for (_ <- 0 until 3000) {
+      val b = valid.clone()
+      val k = 1 + rnd.nextInt(4)
+      for (_ <- 0 until k) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mp4Boxes.parse(b); Mp4Boxes.parseSamples(b)
+    }
+    // pure noise behind a valid ftyp prefix to force the walk
+    for (_ <- 0 until 1000) {
+      val b = new Array[Byte](8 + rnd.nextInt(128))
+      rnd.nextBytes(b)
+      System.arraycopy(Array[Byte](0, 0, 0, 16), 0, b, 0, math.min(4, b.length))
+      if (b.length >= 8) System.arraycopy("ftyp".getBytes, 0, b, 4, 4)
+      Mp4Boxes.parse(b); Mp4Boxes.parseSamples(b)
+    }
+  }
+
   test("dump timestamp round-trip: formatInstant → parseTimestampMicros is exact micros") {
     val microsGen = Gen.chooseNum(-62135596800000000L, 253402300799999999L) // years 1..9999
     for (micros <- samples(microsGen, 500)) {
