@@ -1381,6 +1381,15 @@ object GraftQueries {
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsAuto(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
 
+  /** D4's FORCED-PREFIX branch as its own gated key: the chooser picks
+    * the count join at both fixture SFs (the corpus is templated), so
+    * without this the PPJoin plan would only ever be spec-tested —
+    * here it runs against the SAME exact oracle at every gated SF.
+    */
+  def d4JaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(tbl(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5)
+
   /** Incremental dedup: near-dup pairs touching the "new batch"
     * (doc_id ≡ 0 mod 5 as the batch marker) — banding buckets anchored
     * on new members, never corpus×corpus.
@@ -1503,6 +1512,17 @@ object GraftQueries {
     */
   def d5EmbeddingDups(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsAuto(tbl(s, dir, "embeddings"), threshold = 0.45)
+      .select("id_a", "id_b")
+
+  /** D5's FORCED-BLOCKED branch (broadcast budget 0): the IVF-cell
+    * block-pair join — the 100 TB path the chooser only takes past the
+    * broadcast budget — hash-gated against the same exact oracle at
+    * every fixture SF instead of only when the corpus outgrows the
+    * broadcast plan.
+    */
+  def d5EmbeddingBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsAuto(tbl(s, dir, "embeddings"), threshold = 0.45,
+        broadcastMaxRows = 0)
       .select("id_a", "id_b")
 
   /** Brute-force exact cosine top-k for a broadcast query set. */
@@ -1711,12 +1731,17 @@ object GraftQueries {
     * shuffles once and every superstep reuses its cached layout.
     */
   def g1SupplierRank(s: SparkSession, dir: String): DataFrame =
-    // 2^21-edge walk bound (vs the 2^17 default): g1's co-purchase
+    // 2^21-edge walk cap (vs the 2^17 default): g1's co-purchase
     // graph is 97k edges at sf0.01 but 1.17M at sf0.1, and the
     // distributed superstep loop pays ~6s of per-stage scheduling at
-    // fixture scale — a 2M-edge probe is ~60MB of driver transfer,
-    // bounded regardless of corpus size (declines past it)
-    g1SupplierRankImpl(s, dir, driverWalkMaxEdges = 1L << 21)
+    // fixture scale. The real driver cost of a 2M-edge walk is the
+    // BOXED form — ~2M GenericRows plus the walk's per-iteration
+    // HashMaps, several hundred MB of transient heap, not the ~60MB
+    // serialized transfer — so the cap is heap-derived downward on
+    // small drivers (DriverBudget: needs ≥ 2^21·288B·16 ≈ 9.7GB of
+    // driver heap for the full cap) and declines past it either way
+    g1SupplierRankImpl(s, dir,
+      driverWalkMaxEdges = graft.ops.DriverBudget.graphWalkEdges(1L << 21))
 
   /** Package-private so `PlanSpec` can assert the DISTRIBUTED superstep
     * plan's cache-reuse property with the fixture-scale driver walk
@@ -2787,6 +2812,17 @@ object GraftQueries {
   def d18Containment(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainmentPairsAuto(tbl(s, dir, "documents"), "doc_id", "text",
       threshold = 0.8)
+
+  /** D18's FORCED-SCREEN branch (candidate budget 0): MinHash band
+    * candidates + exact containment verify — the branch the chooser
+    * only takes past the budget (sf1's ~2.8k candidates/doc), gated
+    * here against the EXACT containment oracle at the fixture SFs.
+    * Green is the recall statement itself: the screen recovered every
+    * true pair, hash-recorded in CORRECTNESS instead of probe-asserted.
+    */
+  def d18ContainmentScreen(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairsAuto(tbl(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, candidateBudgetPerDoc = 0)
 
   /** T19 [EXT] — PMI collocation mining: top-50 bigrams by pointwise
     * mutual information at count ≥ 5, integer-exact via the t15/t9
@@ -4141,15 +4177,35 @@ object GraftQueries {
       .select("asset_id", "channels", "sample_rate", "bits_per_sample",
         "data_bytes", "duration_ms")
 
-  /** MM6 [EXT] — perceptual-hash image near-dup over REAL pixels:
-    * integer-exact aHash over ImageIO-decoded grayscale values, pairs
-    * within hamming ≤ 2 via the d3 pigeonhole banding (never
-    * all-pairs); the oracle re-derives every hash bit from the formula
-    * pixels and brute-forces the pair set.
+  /** MM6 [EXT] — perceptual-hash image near-dup over REAL pixels,
+    * re-pointed (round 11) at the 64-BIT aHash contract
+    * (`Multimodal.imageNearDups` → `imageNearDups64`): the previous
+    * 16-bin hash saturated its 2^16 code space past ~10^4 images and
+    * the TRUE hamming-≤2 pair set went quadratic (measured 101× pairs
+    * for 10× data, `MM6ScaleProbe`) — a contract-level scale bug, now
+    * retired from the catalog along with its `scaling_allowlist`
+    * entry. The fixture has no organic 64-bit near-dups (honest:
+    * every image is genuinely distinct), so the gate plants
+    * deterministic companions — every 16th asset's REAL decoded hash
+    * re-enters under a shifted id with one bit flipped — making the
+    * banding + hamming machinery non-vacuous at every SF while output
+    * stays linear in the corpus. The oracle re-derives every hash bit
+    * from the formula pixels, replays the plant, and brute-forces the
+    * pair set the pigeonhole banding must find exactly.
     */
-  def mm6ImageNearDups(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageNearDups(
+  def mm6ImageNearDups(s: SparkSession, dir: String): DataFrame = {
+    val ah = Multimodal.imageAHash64(
       Multimodal.imageAssetsFromDocuments(tbl(s, dir, "documents")))
+    // flipped bit = (asset_id DIV 16) mod 64 — consecutive planted ids
+    // walk the whole 64-bit range, so the shift's sign-bit case
+    // (bit 63 → Long.MinValue) is exercised at any non-trivial SF
+    val companions = ah.filter(pmod(col("asset_id"), lit(16)) === 0)
+      .select((col("asset_id") + lit(1L << 40)).as("asset_id"),
+        col("ahash64").bitwiseXOR(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(asset_id DIV 16, 64) AS INT))"))
+          .as("ahash64"))
+    Multimodal.nearDupsFromHashes64(ah.unionByName(companions), maxDist = 2)
+  }
 
   /** MM10 [EXT] — the REAL 64-bit average hash over decoded pixels
     * (`Multimodal.imageAHash64`): exact-integer 8×8 downsample + the
@@ -4750,7 +4806,9 @@ object GraftQueries {
     "d2_minhash_lsh"     -> (d2MinhashLsh _),
     "d3_simhash"         -> (d3Simhash _),
     "d4_ngram_jaccard"   -> (d4NgramJaccard _),
+    "d4_jaccard_prefix"  -> (d4JaccardPrefix _),
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
+    "d5_embedding_blocked" -> (d5EmbeddingBlocked _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
     "d7_dup_clusters"    -> (d7DupClusters _),
     "d8_contamination"   -> (d8Contamination _),
@@ -4828,6 +4886,7 @@ object GraftQueries {
     "d16_segment_dedup"  -> (d16SegmentDedup _),
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "d18_containment"    -> (d18Containment _),
+    "d18_containment_screen" -> (d18ContainmentScreen _),
     "st10_neardup_screen" -> (st10NearDupScreen _),
     "st11_table_diff"    -> (st11TableDiff _),
     "st12_window_topk"   -> (st12WindowTopk _),

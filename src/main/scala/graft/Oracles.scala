@@ -149,6 +149,62 @@ object Oracles {
       s" + (strpos('0123456789abcdef', substr($md, CAST(2*(($j) % 16) + 2 AS INTEGER), 1)) - 1))"
   }
 
+  /** The exact asymmetric-containment twin (threshold 0.8) — shared
+    * VERBATIM by `d18_containment` (the chooser's exact branch at the
+    * fixture SFs) and `d18_containment_screen` (the forced MinHash
+    * screen + exact-verify branch): the screen is probabilistic by
+    * design, so gating it against the EXACT pair set is the recall
+    * assertion itself.
+    */
+  private lazy val containmentSql: String =
+    s"""$shingleCtes
+       |SELECT ia AS id_a, ib AS id_b,
+       |       CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+       |       CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+       |FROM inter
+       |JOIN sizes sa ON inter.ia = sa.doc_id
+       |JOIN sizes sb ON inter.ib = sb.doc_id
+       |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE),
+       |               CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8""".stripMargin
+
+  /** The exact cosine-threshold pair twin (0.45) — shared by
+    * `d5_embedding_dups` and its forced-blocked branch.
+    */
+  private lazy val cosineDupsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+
+  /** The 64-bit aHash derivation as a complete WITH prefix ending in
+    * an `ah(asset_id, ahash64)` CTE — every bit re-derived from the
+    * formula pixels (8×8 integer downsample, strict cross-multiplied
+    * mean test, bit 63 as the −2⁶³ literal since DuckDB's BIGINT
+    * `1 << 63` overflows). Shared VERBATIM by `mm10_ahash64` (hash
+    * values) and `mm6_image_neardup` (the pair join over them) — the
+    * scrubSql no-drift convention.
+    */
+  private lazy val ahash64CteSql: String =
+    s"""WITH dims AS (
+      |  SELECT doc_id, text,
+      |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
+      |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
+      |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+      |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
+      |  FROM documents),
+      |cell AS (
+      |  SELECT doc_id, g.i AS i,
+      |    ${pixelLumaSql("((g.i // 8) * h // 8) * w + ((g.i % 8) * w // 8)")} AS v
+      |  FROM dims, LATERAL (SELECT unnest(range(0, 64)) AS i) g),
+      |tot AS (SELECT doc_id, sum(v) AS s FROM cell GROUP BY 1),
+      |ah AS (
+      |  SELECT c.doc_id AS asset_id,
+      |    CAST(sum(CASE WHEN c.v * 64 > t.s THEN
+      |      CASE WHEN c.i = 63 THEN -9223372036854775808
+      |           ELSE CAST(1 AS BIGINT) << CAST(c.i AS INTEGER) END
+      |      ELSE 0 END) AS BIGINT) AS ahash64
+      |  FROM cell c JOIN tot t USING (doc_id)
+      |  GROUP BY 1)""".stripMargin
+
   /** Decoded-luma value of pixel `i` for a document: even doc_ids are
     * single-channel (stream byte i verbatim), odd doc_ids are RGB
     * (3 stream bytes per pixel, integer BT.601 collapse — the same
@@ -1117,6 +1173,11 @@ object Oracles {
 
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
 
+    // d4's FORCED-PREFIX branch (PPJoin): exact by construction, so the
+    // chooser's other plan shares the count-join plan's oracle verbatim
+    // — green means both branches are hash-checked at the gated SFs
+    "d4_jaccard_prefix" -> jaccardPairsSql(0.5),
+
     // incremental ingest pipeline: d11 exact screen + t12 gates + t7
     // scrub + per-lang summary, stitched into one SQL twin
     "p3_ingest_pipeline" ->
@@ -1153,16 +1214,14 @@ object Oracles {
          |FROM k GROUP BY 1""".stripMargin,
 
     // asymmetric containment: same shingle CTEs, per-direction division
-    "d18_containment" ->
-      s"""$shingleCtes
-         |SELECT ia AS id_a, ib AS id_b,
-         |       CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
-         |       CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
-         |FROM inter
-         |JOIN sizes sa ON inter.ia = sa.doc_id
-         |JOIN sizes sb ON inter.ib = sb.doc_id
-         |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE),
-         |               CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8""".stripMargin,
+    "d18_containment" -> containmentSql,
+
+    // d18's FORCED-SCREEN branch (candidate budget 0): the MinHash band
+    // screen + exact-verify path, hash-gated against the SAME exact
+    // oracle — green means the screen recovered every true pair at
+    // this SF, the recall claim D18AutoProbe makes at sf1, now
+    // oracle-recorded at the gated SFs
+    "d18_containment_screen" -> containmentSql,
 
     // winnowing (MOSS) near-dup join: fingerprint sets from the t5
     // winnowing pass (portable md5 hash, k=5, window=4), pair score =
@@ -1401,10 +1460,13 @@ object Oracles {
          |${jaccardPairsSql(0.8)}
          |) WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin,
 
-    "d5_embedding_dups" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    "d5_embedding_dups" -> cosineDupsSql,
+
+    // d5's FORCED-BLOCKED branch (broadcast budget 0): the IVF-cell
+    // block-pair join is exact (triangle-inequality pruning only skips
+    // provably-unqualifying cells), so it shares the broadcast plan's
+    // oracle verbatim — both chooser branches hash-checked
+    "d5_embedding_blocked" -> cosineDupsSql,
 
     // JL projection: the oracle re-derives the +-1 sign matrix from md5
     // itself (same top-60-bits bucket recipe as Sampling.bucket), so the
@@ -3684,25 +3746,8 @@ object Oracles {
     // the mm3 integer sampling recipe, bit i iff px*64 > sum (strict),
     // bit 63 contributed as -2^63 (DuckDB 1<<63 overflows BIGINT)
     "mm10_ahash64" ->
-      s"""WITH dims AS (
-        |  SELECT doc_id, text,
-        |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
-        |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
-        |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
-        |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
-        |  FROM documents),
-        |cell AS (
-        |  SELECT doc_id, g.i AS i,
-        |    ${pixelLumaSql("((g.i // 8) * h // 8) * w + ((g.i % 8) * w // 8)")} AS v
-        |  FROM dims, LATERAL (SELECT unnest(range(0, 64)) AS i) g),
-        |tot AS (SELECT doc_id, sum(v) AS s FROM cell GROUP BY 1)
-        |SELECT c.doc_id AS asset_id,
-        |  CAST(sum(CASE WHEN c.v * 64 > t.s THEN
-        |    CASE WHEN c.i = 63 THEN -9223372036854775808
-        |         ELSE CAST(1 AS BIGINT) << CAST(c.i AS INTEGER) END
-        |    ELSE 0 END) AS BIGINT) AS ahash64
-        |FROM cell c JOIN tot t USING (doc_id)
-        |GROUP BY 1""".stripMargin,
+      s"""$ahash64CteSql
+        |SELECT asset_id, ahash64 FROM ah""".stripMargin,
 
     "mm8_audio_levels" ->
       """WITH p AS (
@@ -3925,35 +3970,27 @@ object Oracles {
         |       user_id, src, eid AS latest_event_id, value AS latest_value
         |FROM ranked WHERE rn = 1""".stripMargin,
 
-    // perceptual-hash near-dup over REAL pixels: every aHash bit
-    // re-derived from the formula pixels' 16-bucket histogram by integer
-    // arithmetic (the Spark side computes it from ImageIO-decoded
-    // grayscale values); the pair set brute-forced (the pigeonhole
-    // banding must find exactly these)
+    // perceptual-hash near-dup over REAL pixels, the 64-BIT contract
+    // (round 11 — the 16-bin form's saturating code space is retired):
+    // every aHash bit re-derived from the formula pixels via the
+    // SHARED ahash64 CTE, the planted perturbed companions replayed
+    // (every 16th asset's hash under id + 2^40 with bit
+    // (asset_id DIV 16) mod 64 flipped), and the pair set brute-forced
+    // — the pigeonhole banding must find exactly these
     "mm6_image_neardup" ->
-      s"""WITH dims AS (
-        |  SELECT doc_id, text,
-        |    16 + ((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
-        |        + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)) % 17 AS w,
-        |    16 + ((strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
-        |        + (strpos('0123456789abcdef', substr(md5(text),4,1))-1)) % 13 AS h
-        |  FROM documents),
-        |nib AS (
-        |  SELECT doc_id, w*h AS npix,
-        |         (${pixelLumaSql("g.i")}) // 16 AS bin
-        |  FROM dims,
-        |       LATERAL (SELECT unnest(range(0, CAST(w*h AS BIGINT))) AS i) AS g),
-        |hist AS (SELECT doc_id, any_value(npix) AS npix, bin, count(*) AS cnt
-        |         FROM nib GROUP BY doc_id, bin),
-        |ph AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN cnt * 16 > npix
-        |                  THEN (CAST(1 AS BIGINT) << bin) ELSE 0 END) AS BIGINT) AS phash
-        |  FROM hist GROUP BY 1)
-        |SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
-        |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin,
+      s"""$ahash64CteSql,
+        |all_h AS (
+        |  SELECT asset_id, ahash64 FROM ah
+        |  UNION ALL
+        |  SELECT asset_id + 1099511627776,
+        |    xor(ahash64,
+        |      CASE WHEN (asset_id // 16) % 64 = 63 THEN -9223372036854775808
+        |           ELSE CAST(1 AS BIGINT) << CAST((asset_id // 16) % 64 AS INTEGER) END)
+        |  FROM ah WHERE asset_id % 16 = 0)
+        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |       CAST(bit_count(xor(a.ahash64, b.ahash64)) AS INTEGER) AS hamming
+        |FROM all_h a JOIN all_h b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.ahash64, b.ahash64)) <= 2""".stripMargin,
 
     // continuous anonymised replication: consistent md5 pseudonyms +
     // the t7 scrub chain over the JSON payload

@@ -36,9 +36,11 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
 object Generalise {
 
   /** Census sizes up to this walk on the driver; the same order of
-    * magnitude the mapping broadcast tolerates.
+    * magnitude the mapping broadcast tolerates. The 2²⁰ cap is
+    * heap-derived downward on small drivers
+    * ([[graft.ops.DriverBudget]]).
     */
-  val DriverWalkMaxClasses: Long = 1L << 20
+  def DriverWalkMaxClasses: Long = graft.ops.DriverBudget.bins(1L << 20)
 
   /** Rewrite `df`'s quasi-identifier to the finest ladder level that
     * satisfies k-anonymity.

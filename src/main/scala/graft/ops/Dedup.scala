@@ -241,9 +241,10 @@ object Dedup {
     * dwarfs a small graph's actual work. At or below the budget the
     * symmetrized edge list is collected and solved with union-find on
     * the driver — O(E α(E)), exact same labels (component min). Driver
-    * footprint at the default 1M-edge budget: tuple array + boxed
-    * HashMap ≈ 150-250 MB transient — sized for a real driver heap,
-    * lower the budget for a small one. Above it, the O(log d)-round
+    * footprint at the full 1M-edge cap: tuple array + boxed
+    * HashMap ≈ 150-250 MB transient — the default budget is the cap
+    * heap-derived downward on small drivers ([[DriverBudget]]), so a
+    * 1 GB driver walks ~300k edges, never OOMs. Above it, the O(log d)-round
     * distributed fixpoint runs unchanged — the 100 TB path. The count
     * that decides is free at fixpoint time: the edge list is persisted
     * either way, and the count materialises the cache the first round
@@ -255,7 +256,7 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 25, checkpointDir: Option[String] = None,
-               driverMaxEdges: Long = 1L << 20): DataFrame = {
+               driverMaxEdges: Long = DriverBudget.clusterEdges(1L << 20)): DataFrame = {
     val spark = pairs.sparkSession
     val ckBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
       .map(d => s"$d/graft_clusters_${java.util.UUID.randomUUID().toString.take(12)}")

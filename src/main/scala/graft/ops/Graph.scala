@@ -41,7 +41,7 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int,
                srcCol: String = "src", dstCol: String = "dst",
                wCol: String = "w",
-               driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
+               driverWalkMaxEdges: Long = DriverBudget.graphWalkEdges(1L << 17)): DataFrame = {
     require(iters >= 1 && iters <= 20, "pageRank: iters must be in 1..20")
     // `e` feeds the walk PROBE, the out-weight aggregate, the ew join
     // AND the node set — without a persist each consumer re-derives the
@@ -92,14 +92,19 @@ object Graph {
     * probe sizes the edge list and, when it fits, the identical integer
     * recursion runs in memory: contributions `(rank·w) DIV wsum`,
     * update `150000 + (85·Σ) DIV 100` — Long truncating division and
-    * exact (throwing) multiply/add, matching Spark's ANSI semantics
-    * bit-for-bit, spec-asserted walk == distributed. Declines (`None` →
-    * distributed plan) on: more than `maxEdges` edges, null endpoints
-    * or weights (the distributed plan's join/agg null-dropping is
-    * subtle — not worth mirroring), and non-integral/non-string node
-    * ids (HashMap equality vs Spark grouping equality can diverge on
-    * -0.0 doubles and differently-scaled decimals), and zero
-    * out-weight sums (division semantics stay the distributed plan's).
+    * exact multiply/add, spec-asserted walk == distributed. Declines
+    * (`None` → distributed plan) on: more than `maxEdges` edges, null
+    * endpoints or weights (the distributed plan's join/agg
+    * null-dropping is subtle — not worth mirroring), non-integral/
+    * non-string node ids (HashMap equality vs Spark grouping equality
+    * can diverge on -0.0 doubles and differently-scaled decimals),
+    * zero out-weight sums (division semantics stay the distributed
+    * plan's), and Long OVERFLOW anywhere in the recursion: the session
+    * may run ANSI (Spark 4 default — the distributed plan throws the
+    * same way) or non-ANSI (where `rank_micro * w` silently wraps);
+    * either way the walk must not introduce a THIRD behaviour, so any
+    * ArithmeticException declines and the distributed plan's own
+    * overflow semantics — whatever the session configured — apply.
     *
     * `e` must be the normalised (src, dst, w:long) relation — pageRank
     * persists it before probing, so a declined walk has already warmed
@@ -119,23 +124,30 @@ object Graph {
       return None
     val es = probe.map(r => (r.get(0), r.get(1), r.getLong(2)))
     val wsum = scala.collection.mutable.HashMap.empty[Any, Long]
-    es.foreach { case (s, _, w) =>
-      wsum(s) = Math.addExact(wsum.getOrElse(s, 0L), w)
-    }
-    // a zero out-weight sum divides by zero in the contribution step —
-    // decline and let the distributed plan apply ITS division
-    // semantics rather than mirror them speculatively
-    if (wsum.valuesIterator.exists(_ == 0L)) return None
     val nodes: Seq[Any] = es.iterator.map(_._1).toSeq.distinct
     var rank: collection.Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
-    for (_ <- 1 to iters) {
-      val inflow = scala.collection.mutable.HashMap.empty[Any, Long]
-      es.foreach { case (s, d, w) =>
-        val c = Math.multiplyExact(rank(s), w) / wsum(s)
-        inflow(d) = Math.addExact(inflow.getOrElse(d, 0L), c)
+    try {
+      es.foreach { case (s, _, w) =>
+        wsum(s) = Math.addExact(wsum.getOrElse(s, 0L), w)
       }
-      rank = nodes.iterator.map(n =>
-        n -> (150000L + Math.multiplyExact(85L, inflow.getOrElse(n, 0L)) / 100L)).toMap
+      // a zero out-weight sum divides by zero in the contribution step —
+      // decline and let the distributed plan apply ITS division
+      // semantics rather than mirror them speculatively
+      if (wsum.valuesIterator.exists(_ == 0L)) return None
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.HashMap.empty[Any, Long]
+        es.foreach { case (s, d, w) =>
+          val c = Math.multiplyExact(rank(s), w) / wsum(s)
+          inflow(d) = Math.addExact(inflow.getOrElse(d, 0L), c)
+        }
+        rank = nodes.iterator.map(n =>
+          n -> (150000L + Math.multiplyExact(85L, inflow.getOrElse(n, 0L)) / 100L)).toMap
+      }
+    } catch {
+      // Long overflow in rank·w / Σw / Σ inflow: decline rather than
+      // pick a wrap-vs-throw behaviour — the distributed plan applies
+      // the session's own (ANSI or not) overflow semantics
+      case _: ArithmeticException => return None
     }
     val nodeType = e.schema.fields(0).dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -168,7 +180,7 @@ object Graph {
     */
   def triangleCount(edges: DataFrame,
                     srcCol: String = "src", dstCol: String = "dst",
-                    driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
+                    driverWalkMaxEdges: Long = DriverBudget.graphWalkEdges(1L << 17)): DataFrame = {
     walkedTriangles(edges, srcCol, dstCol, driverWalkMaxEdges) match {
       case Some((nEdges, degs, tris)) =>
         val spark = edges.sparkSession
@@ -309,7 +321,7 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame,
                             srcCol: String = "src",
                             dstCol: String = "dst",
-                            driverWalkMaxEdges: Long = 1L << 17): DataFrame = {
+                            driverWalkMaxEdges: Long = DriverBudget.graphWalkEdges(1L << 17)): DataFrame = {
     walkedTriangles(edges, srcCol, dstCol, driverWalkMaxEdges) match {
       case Some((_, degs, tris)) =>
         val spark = edges.sparkSession
@@ -369,7 +381,7 @@ object Graph {
   def kHop(edges: DataFrame, seeds: DataFrame, maxHops: Int,
            srcCol: String = "src", dstCol: String = "dst",
            seedCol: String = "node",
-           driverWalkMaxEdges: Long = 1L << 20): DataFrame = {
+           driverWalkMaxEdges: Long = DriverBudget.graphWalkEdges(1L << 20)): DataFrame = {
     require(maxHops >= 1 && maxHops <= 20, "kHop: maxHops must be in 1..20")
     val spark = edges.sparkSession
     val eProj = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -321,12 +321,19 @@ object Multimodal {
     def parseSamples(bytes: Array[Byte]): Option[SampleMeta] = {
       val r = new BoxReader(bytes)
       if (!r.hasFtyp) return None
-      var ts = 0L; var mdur = -1L
-      var n = -1L; var delta = -1L
-      var total = -1L; var maxSz = -1L
+      // first-complete-trak latch (the `parse` discipline): on a foreign
+      // multi-track file (audio + video) every field set is scoped to
+      // ITS trak — mixing one trak's mdhd with another's stbl, or
+      // letting a later trak overwrite an earlier one field-by-field,
+      // would fabricate a SampleMeta no track actually has
+      var found: Option[SampleMeta] = None
       r.walk(0, r.length) { (t, b, e) =>
         if (t == "moov") r.walk(b, e) { (t2, b2, e2) =>
-          if (t2 == "trak") r.walk(b2, e2) { (t3, b3, e3) =>
+          if (t2 == "trak" && found.isEmpty) {
+            var ts = 0L; var mdur = -1L
+            var n = -1L; var delta = -1L
+            var total = -1L; var maxSz = -1L
+            r.walk(b2, e2) { (t3, b3, e3) =>
             if (t3 == "mdia") r.walk(b3, e3) { (t4, b4, e4) =>
               if (t4 == "mdhd") r.timeHeader(b4, e4).foreach { case (t0, d0) =>
                 ts = t0; mdur = d0
@@ -346,8 +353,14 @@ object Multimodal {
                   } else if (t6 == "stsz" && e6 - b6 >= 12) {
                     val fixed = r.be32(b6 + 4)
                     val cnt = r.be32(b6 + 8)
-                    if (fixed > 0) { total = fixed * cnt; maxSz = fixed }
-                    else {
+                    if (fixed > 0) {
+                      // two unsigned-32s multiply past Long range on
+                      // adversarial input (≤ ~1.8e19 > 2^63−1): decline
+                      // the trak instead of wrapping to a negative total
+                      if (cnt <= Long.MaxValue / fixed) {
+                        total = fixed * cnt; maxSz = fixed
+                      }
+                    } else {
                       var i = 0L; var s = 0L; var mx = 0L
                       while (i < cnt && b6 + 12 + i * 4 + 4 <= e6) {
                         val v = r.be32(b6 + 12 + (i * 4).toInt)
@@ -360,12 +373,13 @@ object Multimodal {
                 }
               }
             }
+            }
+            if (ts > 0 && n >= 0 && total >= 0)
+              found = Some(SampleMeta(ts, mdur, n, delta, total, maxSz))
           }
         }
       }
-      if (ts > 0 && n >= 0 && total >= 0)
-        Some(SampleMeta(ts, mdur, n, delta, total, maxSz))
-      else None
+      found
     }
 
     /** Genuine MP4 with a full sample-table hierarchy —
@@ -900,9 +914,18 @@ object Multimodal {
     * join output — stays proportional to genuine near-duplicates
     * (measured linear on the sf1 rehearsal, `MM6ScaleProbe`).
     */
-  def imageNearDups64(assets: DataFrame, maxDist: Int = 2): DataFrame = {
+  def imageNearDups64(assets: DataFrame, maxDist: Int = 2): DataFrame =
+    nearDupsFromHashes64(imageAHash64(assets), maxDist)
+
+  /** The banding half of [[imageNearDups64]] over an already-computed
+    * `(asset_id, ahash64)` relation — split out so callers that
+    * augment the hash table (planted spec fixtures, pre-persisted hash
+    * stores) reuse the identical pair machinery.
+    */
+  def nearDupsFromHashes64(hashes: DataFrame, maxDist: Int = 2): DataFrame = {
     val ah = OpCaches.persist(
-      Partitioning.ensureParallelism(imageAHash64(assets)))
+      Partitioning.ensureParallelism(
+        hashes.select(col("asset_id"), col("ahash64"))))
     val nBands = maxDist + 1
     val bandCols = (0 until nBands).map { b =>
       val lo = b * 64 / nBands
@@ -1134,22 +1157,38 @@ object Multimodal {
       }.toDF("asset_id", "n_samples", "peak_abs", "sum_sq")
   }
 
-  /** Near-duplicate IMAGE pairs within `maxDist` hamming distance of
-    * their REAL-pixel perceptual hashes ([[imagePerceptualHash]]) — the
-    * d3 pigeonhole recipe on media: split the `bins`-bit hash into
-    * `maxDist + 1` bands; two hashes within `maxDist` must agree
-    * EXACTLY on at least one band (pigeonhole), so candidates come from
-    * band-equality joins and only candidates pay the hamming check.
-    * Output is exact for the hash metric: every pair at distance
-    * ≤ maxDist appears once (`asset_a < asset_b`).
-    *
-    * Scale shape: never all-pairs — the corpus shuffles once per band
-    * on the band value (bounded by maxDist+1 passes over the hash
-    * table, which is id+int rows, not payloads). A degenerate corpus
-    * (all hashes equal) degrades to the true pair set, which IS
-    * quadratic in that case — same posture as d3.
+  /** Near-duplicate IMAGE pairs within `maxDist` hamming distance —
+    * the public default, routed through the 64-bit aHash
+    * ([[imageNearDups64]]). Until round 11 this defaulted to the
+    * 16-bin histogram hash, whose 2¹⁶ code space SATURATES past ~10⁴
+    * images: the true hamming-≤2 pair set — the operator's own output
+    * — then grows quadratically (measured 101× pairs for 10× data on
+    * the sf1 rehearsal, `MM6ScaleProbe`). No plan shape beats its own
+    * output size, so the saturating hash cannot be the default; the
+    * 64-bit code holds discrimination to ~10⁹ images and the measured
+    * pair growth is linear. The 16-bin form survives as the explicit
+    * fixture-scale legacy [[imageNearDups16]].
     */
-  def imageNearDups(assets: DataFrame, maxDist: Int = 2): DataFrame = {
+  def imageNearDups(assets: DataFrame, maxDist: Int = 2): DataFrame =
+    imageNearDups64(assets, maxDist)
+
+  /** LEGACY fixture-scale form — near-dup pairs on the 16-BIN histogram
+    * hash ([[imagePerceptualHash]]), the d3 pigeonhole recipe on media:
+    * split the `bins`-bit hash into `maxDist + 1` bands; two hashes
+    * within `maxDist` must agree EXACTLY on at least one band
+    * (pigeonhole), so candidates come from band-equality joins and only
+    * candidates pay the hamming check. Output is exact for the hash
+    * metric: every pair at distance ≤ maxDist appears once
+    * (`asset_a < asset_b`).
+    *
+    * DO NOT run this past ~10⁴ images: the 2¹⁶ code space saturates
+    * and the TRUE pair set goes quadratic (measured, `SCALING.md`) —
+    * that is a property of the 16-bit contract itself, not of the
+    * plan, which is why [[imageNearDups]] now defaults to the 64-bit
+    * hash. Kept for histogram-similarity use cases at bounded scale
+    * (the 16-bin hash matches on global tone, not layout).
+    */
+  def imageNearDups16(assets: DataFrame, maxDist: Int = 2): DataFrame = {
     val bins = 16
     val ph = OpCaches.persist(
       Partitioning.ensureParallelism(

@@ -32,8 +32,10 @@ object RobustStats {
   /** Histograms up to this many bins walk on the driver (the
     * `Generalise.kAnonymize` chooser idiom) — the histogram is
     * broadcast-scale by design, so driver residence adds no new limit.
+    * The 2²⁰ cap is heap-derived downward on small drivers
+    * ([[DriverBudget]]).
     */
-  val DriverWalkMaxBins: Long = 1L << 20
+  def DriverWalkMaxBins: Long = DriverBudget.bins(1L << 20)
 
   /** Per-group doubled median of a count histogram `(seg, v, cnt)`:
     * returns `(seg, m2, n)` with `m2 = v(low-mid) + v(high-mid)`.

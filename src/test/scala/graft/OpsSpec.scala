@@ -312,6 +312,41 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       box("moov", box("trak", box("mdia", mdhd ++ box("minf", stbl))))
     assert(Mp4Boxes.parseSamples(vfr) == Some(Mp4Boxes.SampleMeta(
       1000L, 7000L, 7L, -1L, 693L, 99L)))
+
+    // MULTI-TRACK files (audio + video — what a foreign muxer emits):
+    // fields must scope per trak, the FIRST complete trak wins, and an
+    // incomplete leading trak (mdhd but no stbl — mm1's shape) must not
+    // donate its timescale to a later trak's sample tables.
+    def mdhdBox(ts: Long, dur: Long): Array[Byte] =
+      box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(ts) ++ be32(dur) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    def stblBox(delta: Long, n: Long, fixed: Long): Array[Byte] =
+      box("stbl",
+        box("stts", be32(0) ++ be32(1) ++ be32(n) ++ be32(delta)) ++
+        box("stsz", be32(0) ++ be32(fixed) ++ be32(n)))
+    def trak(mdia: Array[Byte]): Array[Byte] = box("trak", box("mdia", mdia))
+    val ftypHdr = box("ftyp", cc("mp42") ++ be32(0))
+    val trakAudio = trak(mdhdBox(48000, 96000) ++
+      box("minf", stblBox(delta = 1024, n = 94, fixed = 4)))
+    val trakVideo = trak(mdhdBox(12800, 25600) ++
+      box("minf", stblBox(delta = 512, n = 50, fixed = 777)))
+    // two complete traks: the first (audio) wins, with ITS fields only
+    assert(Mp4Boxes.parseSamples(ftypHdr ++ box("moov", trakAudio ++ trakVideo))
+      == Some(Mp4Boxes.SampleMeta(48000L, 96000L, 94L, 1024L, 376L, 4L)))
+    // incomplete leading trak (mdhd, no stbl): skipped whole — the
+    // result is the SECOND trak's complete meta, not a cross-trak mix
+    val trakNoStbl = trak(mdhdBox(90000, 450000))
+    assert(Mp4Boxes.parseSamples(ftypHdr ++
+      box("moov", trakNoStbl ++ trakVideo)) ==
+      Some(Mp4Boxes.SampleMeta(12800L, 25600L, 50L, 512L, 38850L, 777L)))
+    // adversarial stsz: fixed and count both near 2^32 — fixed*cnt
+    // would wrap Long to a negative total; the trak must decline
+    val hugeStbl = box("stbl",
+      box("stts", be32(0) ++ be32(1) ++ be32(0xffffffffL) ++ be32(1)) ++
+      box("stsz", be32(0) ++ be32(0xffffffffL) ++ be32(0xffffffffL)))
+    val hugeDoc = ftypHdr ++ box("moov",
+      trak(mdhdBox(1000, 1000) ++ box("minf", hugeStbl)))
+    assert(Mp4Boxes.parseSamples(hugeDoc).isEmpty)
   }
 
   test("image headers: real PNG/JPEG/GIF/BMP bytes parse to exact dims") {
@@ -2005,10 +2040,10 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(res.exists(_ % 5 == 0), "appended vectors should be findable")
   }
 
-  test("imageNearDups: pigeonhole banding == brute-force hamming over real-pixel hashes") {
+  test("imageNearDups16: pigeonhole banding == brute-force hamming over real-pixel hashes") {
     import spark.implicits._
     val assets = Multimodal.imageAssetsFromDocuments(docs)
-    val got = Multimodal.imageNearDups(assets, maxDist = 2)
+    val got = Multimodal.imageNearDups16(assets, maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // brute force over the hashes (fixture-scale only)
     val ph = Multimodal.imagePerceptualHash(assets)
@@ -2024,6 +2059,11 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     // degenerate pixel source collapses every hash and the pair set
     // goes quadratic)
     assert(ph.map(_._2).distinct.length > 50, "real-pixel hashes should spread")
+    // the PUBLIC default is the 64-bit scale path (round 11 — the
+    // 16-bin code space saturates past ~10^4 images): imageNearDups
+    // must be row-identical to imageNearDups64, never the 16-bin form
+    assert(Multimodal.imageNearDups(assets, maxDist = 2).collect().toSeq.sortBy(_.toString)
+      == Multimodal.imageNearDups64(assets, maxDist = 2).collect().toSeq.sortBy(_.toString))
     graft.ops.OpCaches.releaseAll()
   }
 
@@ -2371,6 +2411,41 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(graft.ops.Graph.pageRank(withNull, iters = 2).collect().length ==
       graft.ops.Graph.pageRank(withNull, iters = 2, driverWalkMaxEdges = 0L)
         .collect().length)
+    // Long-overflow edges (rank·w past 2^63) must DECLINE the walk —
+    // never throw — and route to the distributed plan, which applies
+    // the session's own overflow semantics (here: Spark 4 ANSI throws,
+    // so both paths surface the same session-level behaviour; under a
+    // non-ANSI session the distributed plan would wrap instead, which
+    // is exactly why the walk must not pick its own)
+    val huge = Seq(("a", "b", Long.MaxValue / 2), ("b", "a", Long.MaxValue / 2),
+      ("a", "c", Long.MaxValue / 2)).toDF("src", "dst", "w")
+    val viaDefault = try Right(graft.ops.Graph.pageRank(huge, iters = 3).collect())
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+    val viaDist = try Right(graft.ops.Graph.pageRank(huge, iters = 3,
+        driverWalkMaxEdges = 0L).collect())
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+    assert(viaDefault.map(_.map(_.toString).sorted.toSeq) ==
+      viaDist.map(_.map(_.toString).sorted.toSeq),
+      s"walk chooser changed overflow behaviour: $viaDefault vs $viaDist")
+    // a budget below the edge count declines the walk; the distributed
+    // plan returns the identical ranks (the small-driver path)
+    assert(graft.ops.Graph.pageRank(df, iters = 3, driverWalkMaxEdges = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == rank)
+  }
+
+  test("DriverBudget: heap term lowers the measured cap, never raises; clamps to floor") {
+    import graft.ops.DriverBudget
+    // big heap: the measured cap holds exactly (heap term exceeds it)
+    assert(DriverBudget.derived(1L << 20, 256L, maxHeapBytes = 32L << 30) == (1L << 20))
+    // 1 GB heap: budget = 1 GB / 16 / 256 B = 262144 < cap
+    assert(DriverBudget.derived(1L << 20, 256L, maxHeapBytes = 1L << 30) == 262144L)
+    // tiny synthetic heap: clamped to the 2^12 floor, not zero — a
+    // fixture-scale walk stays available on any JVM that starts
+    assert(DriverBudget.derived(1L << 20, 256L, maxHeapBytes = 1L << 20) == (1L << 12))
+    // the shipped site budgets respect their caps on this host
+    assert(DriverBudget.graphWalkEdges(1L << 17) <= (1L << 17))
+    assert(DriverBudget.clusterEdges(1L << 20) <= (1L << 20))
+    assert(DriverBudget.bins(1L << 20) <= (1L << 20))
   }
 
   test("cleanText: tags stripped, control chars squashed, runs collapsed, edges trimmed") {

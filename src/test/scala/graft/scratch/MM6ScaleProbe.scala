@@ -23,7 +23,7 @@ object MM6ScaleProbe {
       val n = docs.count()
       val ph16 = Multimodal.imagePerceptualHash(assets).persist()
       val codes16 = ph16.select("phash").distinct().count()
-      val pairs16 = Multimodal.imageNearDups(assets, maxDist = 2).count()
+      val pairs16 = Multimodal.imageNearDups16(assets, maxDist = 2).count()
       val h64 = Multimodal.imageAHash64(assets).persist()
       val codes64 = h64.select("ahash64").distinct().count()
       // exact hamming-<=2 pairs on the 64-bit hash via 3-band

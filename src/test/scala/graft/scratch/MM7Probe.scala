@@ -26,7 +26,7 @@ object MM7Probe {
     }
     t("scenes ")(Multimodal.sceneChanges(
       Multimodal.videoAssetsFromDocuments(docs), 72L).count())
-    t("mm6    ")(Multimodal.imageNearDups(
+    t("mm6    ")(Multimodal.imageNearDups16(
       Multimodal.imageAssetsFromDocuments(docs)).count())
     spark.stop()
   }
