@@ -1390,6 +1390,18 @@ object GraftQueries {
     Dedup.ngramJaccardPairsPrefix(tbl(s, dir, "documents"), "doc_id", "text",
       threshold = 0.5)
 
+  /** D4's OUTPUT-BUDGET contract (`Dedup.capPairsPerDoc`): every doc
+    * keeps its single best match (budget 1 — BINDING at both gated
+    * SFs: max pair degree is 2 at sf0.01, 3 at sf0.1, so pairs are
+    * genuinely dropped and the tie-break path runs). This is the
+    * shipped answer to true-output quadratic growth on a hot template
+    * corpus — output ≤ k·n rows by contract; the oracle replays the
+    * two-sided top-k exactly.
+    */
+  def d4JaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsAuto(tbl(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, maxPairsPerDoc = Some(1))
+
   /** Incremental dedup: near-dup pairs touching the "new batch"
     * (doc_id ≡ 0 mod 5 as the batch marker) — banding buckets anchored
     * on new members, never corpus×corpus.
@@ -2823,6 +2835,14 @@ object GraftQueries {
   def d18ContainmentScreen(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainmentPairsAuto(tbl(s, dir, "documents"), "doc_id", "text",
       threshold = 0.8, candidateBudgetPerDoc = 0)
+
+  /** D18's OUTPUT-BUDGET contract — the d4 cap applied to the
+    * asymmetric metric, ranked by the dominant direction
+    * greatest(c_ab, c_ba); budget 1, binding at both gated SFs.
+    */
+  def d18ContainmentCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairsAuto(tbl(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, maxPairsPerDoc = Some(1))
 
   /** T19 [EXT] — PMI collocation mining: top-50 bigrams by pointwise
     * mutual information at count ≥ 5, integer-exact via the t15/t9
@@ -4807,6 +4827,7 @@ object GraftQueries {
     "d3_simhash"         -> (d3Simhash _),
     "d4_ngram_jaccard"   -> (d4NgramJaccard _),
     "d4_jaccard_prefix"  -> (d4JaccardPrefix _),
+    "d4_jaccard_capped"  -> (d4JaccardCapped _),
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
     "d5_embedding_blocked" -> (d5EmbeddingBlocked _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
@@ -4887,6 +4908,7 @@ object GraftQueries {
     "d17_bloom_persisted" -> (d17BloomPersisted _),
     "d18_containment"    -> (d18Containment _),
     "d18_containment_screen" -> (d18ContainmentScreen _),
+    "d18_containment_capped" -> (d18ContainmentCapped _),
     "st10_neardup_screen" -> (st10NearDupScreen _),
     "st11_table_diff"    -> (st11TableDiff _),
     "st12_window_topk"   -> (st12WindowTopk _),

@@ -1178,6 +1178,32 @@ object Oracles {
     // — green means both branches are hash-checked at the gated SFs
     "d4_jaccard_prefix" -> jaccardPairsSql(0.5),
 
+    // d4's OUTPUT-BUDGET contract (capPairsPerDoc, budget 1): a pair
+    // survives iff it is some endpoint's best match under
+    // (jaccard DESC, id_a, id_b) — the two-sided top-k replayed with a
+    // per-doc window; budget 1 is BINDING at both gated SFs
+    "d4_jaccard_capped" ->
+      s"""$shingleCtes,
+         |pairs AS (
+         |  SELECT ia AS id_a, ib AS id_b,
+         |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id
+         |  JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+         |sides AS (
+         |  SELECT id_a AS doc, id_a, id_b, jaccard FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a, id_b, jaccard FROM pairs),
+         |kept AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT doc, id_a, id_b,
+         |      row_number() OVER (PARTITION BY doc
+         |        ORDER BY jaccard DESC, id_a, id_b) AS rn
+         |    FROM sides) WHERE rn <= 1)
+         |SELECT p.id_a, p.id_b, p.jaccard
+         |FROM pairs p JOIN kept USING (id_a, id_b)""".stripMargin,
+
     // incremental ingest pipeline: d11 exact screen + t12 gates + t7
     // scrub + per-lang summary, stitched into one SQL twin
     "p3_ingest_pipeline" ->
@@ -1222,6 +1248,32 @@ object Oracles {
     // this SF, the recall claim D18AutoProbe makes at sf1, now
     // oracle-recorded at the gated SFs
     "d18_containment_screen" -> containmentSql,
+
+    // d18's OUTPUT-BUDGET contract: the d4 cap ranked by the dominant
+    // direction greatest(c_ab, c_ba); budget 1, binding at both SFs
+    "d18_containment_capped" ->
+      s"""$shingleCtes,
+         |pairs AS (
+         |  SELECT ia AS id_a, ib AS id_b,
+         |         CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+         |         CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+         |  FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id
+         |  JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE),
+         |                 CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8),
+         |sides AS (
+         |  SELECT id_a AS doc, id_a, id_b, greatest(c_ab, c_ba) AS s FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a, id_b, greatest(c_ab, c_ba) FROM pairs),
+         |kept AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT doc, id_a, id_b,
+         |      row_number() OVER (PARTITION BY doc
+         |        ORDER BY s DESC, id_a, id_b) AS rn
+         |    FROM sides) WHERE rn <= 1)
+         |SELECT p.id_a, p.id_b, p.c_ab, p.c_ba
+         |FROM pairs p JOIN kept USING (id_a, id_b)""".stripMargin,
 
     // winnowing (MOSS) near-dup join: fingerprint sets from the t5
     // winnowing pass (portable md5 hash, k=5, window=4), pair score =

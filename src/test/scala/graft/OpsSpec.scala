@@ -2433,6 +2433,36 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == rank)
   }
 
+  test("capPairsPerDoc: salted two-phase == driver reference; binding budgets drop pairs") {
+    import spark.implicits._
+    // a hot hub (doc 0 pairs with everyone) plus a chain — degrees 1..N
+    val rnd = new scala.util.Random(11)
+    val pairs = ((1 to 40).map(i => (0L, i.toLong, 0.5 + rnd.nextInt(40) / 100.0)) ++
+      (1 to 39).map(i => (i.toLong, (i + 1).toLong, 0.5 + rnd.nextInt(40) / 100.0)))
+      .distinct
+    val df = pairs.toDF("id_a", "id_b", "jaccard")
+    def reference(k: Int): Set[(Long, Long)] = {
+      val sides = pairs.flatMap { case (a, b, s) => Seq((a, (a, b, s)), (b, (a, b, s))) }
+      sides.groupBy(_._1).values.flatMap { g =>
+        g.map(_._2).sortBy { case (a, b, s) => (-s, a, b) }.take(k).map(t => (t._1, t._2))
+      }.toSet
+    }
+    for (k <- Seq(1, 2, 5); salts <- Seq(1, 4, 32)) {
+      val got = graft.ops.Dedup.capPairsPerDoc(df, col("jaccard"), k, saltBuckets = salts)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == reference(k), s"k=$k salts=$salts")
+    }
+    // binding at k=1: the hub keeps one pair, most hub pairs drop
+    assert(reference(1).size < pairs.size)
+    // a budget past every degree is the identity
+    val all = graft.ops.Dedup.capPairsPerDoc(df, col("jaccard"), 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all == pairs.map(t => (t._1, t._2)).toSet)
+    // the capped output carries the original score columns through
+    val cols = graft.ops.Dedup.capPairsPerDoc(df, col("jaccard"), 2).columns.toSeq
+    assert(cols == Seq("id_a", "id_b", "jaccard"))
+  }
+
   test("DriverBudget: heap term lowers the measured cap, never raises; clamps to floor") {
     import graft.ops.DriverBudget
     // big heap: the measured cap holds exactly (heap term exceeds it)
