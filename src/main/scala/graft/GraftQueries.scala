@@ -1767,7 +1767,10 @@ object GraftQueries {
     // sort and aggregate in the rank loop off strings; the pair
     // aggregate persists so the symmetrising union reads it once
     // instead of re-running the fact join per branch. The readable
-    // label comes back in the final 10-row projection.
+    // label comes back in the final 10-row projection. (An
+    // explode-before-one-aggregate symmetrisation was measured SLOWER
+    // — 3.2s vs 1.6s cold — the doubled aggregate input costs more
+    // than the second cache read saves.)
     val e0 = graft.ops.OpCaches.persist(
       li.join(ords, col("l_orderkey") === col("o_orderkey"))
         .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))

@@ -49,7 +49,8 @@ object Graph {
     // aggregate, twice per use through the symmetrising union —
     // measured 32s → 5s at sf0.1). Persisting BEFORE the probe also
     // means a declined walk costs no second construction pass: the
-    // probe's head() warms the same cache the distributed plan reads.
+    // probe's counting pass materialises the same cache the
+    // distributed plan reads.
     val e = OpCaches.persist(Partitioning.ensureParallelism(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))))
@@ -115,33 +116,126 @@ object Graph {
                              maxEdges: Long): Option[DataFrame] = {
     if (maxEdges <= 0) return None
     val spark = e.sparkSession
-    val bound = math.min(maxEdges, Int.MaxValue - 2L).toInt
-    val probe = e.head(bound + 1)
-    if (probe.length > maxEdges) return None
-    def ok(a: Any): Boolean = a.isInstanceOf[Long] || a.isInstanceOf[Int] ||
-      a.isInstanceOf[Short] || a.isInstanceOf[Byte] || a.isInstanceOf[String]
-    if (!probe.forall(r => ok(r.get(0)) && ok(r.get(1)) && !r.isNullAt(2)))
+    import org.apache.spark.sql.types._
+    val fields = e.schema.fields
+    val nodeType = fields(0).dataType
+    // TYPE GUARD, now on the SCHEMA (one column = one runtime class, so
+    // the per-value inspection the old walk paid was redundant): the
+    // walk only trusts its own node identity for integral and string
+    // ids, where HashMap/array equality provably matches Spark grouping
+    // equality. Decimals (scale-sensitive equality), floats (-0.0/NaN),
+    // dates, binary — decline to the distributed plan.
+    def integral(dt: DataType): Boolean = dt == LongType ||
+      dt == IntegerType || dt == ShortType || dt == ByteType
+    val nodesIntegral = integral(nodeType) && integral(fields(1).dataType)
+    if (!nodesIntegral &&
+        !(nodeType == StringType && fields(1).dataType == StringType))
       return None
-    val es = probe.map(r => (r.get(0), r.get(1), r.getLong(2)))
-    val wsum = scala.collection.mutable.HashMap.empty[Any, Long]
-    val nodes: Seq[Any] = es.iterator.map(_._1).toSeq.distinct
-    var rank: collection.Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
+    // ONE cache-building aggregate answers edge count AND null
+    // presence (count(col) skips nulls — a mismatch vs count(*) means
+    // some endpoint/weight is null, which declines: the distributed
+    // plan's join/agg null-dropping is subtle, not worth mirroring).
+    // Not head(bound+1): executeTake grows its partition set in waves
+    // (1, 4, 16, …) — sequential job launches — while this is one
+    // fully-parallel pass that also materialises the whole cache, so a
+    // DECLINED walk hands the distributed plan a fully-warm cache.
+    val c0 = col(fields(0).name); val c1 = col(fields(1).name)
+    val cw = col(fields(2).name)
+    val cnts = e.agg(count(lit(1)), count(c0), count(c1), count(cw)).head()
+    val n = cnts.getLong(0)
+    if (n > maxEdges || n > Int.MaxValue - 2L) return None
+    if (cnts.getLong(1) != n || cnts.getLong(2) != n || cnts.getLong(3) != n)
+      return None
+    // INDEXED-ARRAY recursion (round 11): the original HashMap[Any,_]
+    // form spent most of g1's wall time boxing through
+    // iters × |edges| map lookups (measured ~1.5s of the 2.4s at
+    // sf0.1's 2.34M edges). Nodes are interned once into a dense int
+    // index (src AND dst — inflow must accumulate for non-source
+    // destinations exactly like the HashMap did, so an overflow there
+    // still declines identically), then every superstep is three flat
+    // array passes. Semantics are bit-identical: same exact
+    // (throwing) multiply/add, same truncating divisions, same
+    // source-only output. Integral ids take a typed (Long) collect —
+    // cheaper rows, primitive index — and the output column casts back
+    // to the declared node type (values originated there, so the cast
+    // is exact); strings keep the generic Row path.
+    val m = n.toInt
+    val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+    val w = new Array[Long](m)
+    var total = 0
+    val nodeVals: IndexedSeq[Any] = if (nodesIntegral) {
+      import spark.implicits._
+      val tup = e.select(c0.cast("long"), c1.cast("long"), cw)
+        .as[(Long, Long, Long)].collect()
+      val index = new scala.collection.mutable.LongMap[Int](m * 2)
+      val vals = new scala.collection.mutable.ArrayBuffer[Long]
+      def idxOf(a: Long): Int = index.getOrElse(a, {
+        val i = vals.length; index.update(a, i); vals += a; i
+      })
+      var p = 0
+      while (p < m) {
+        val t = tup(p)
+        srcI(p) = idxOf(t._1); dstI(p) = idxOf(t._2); w(p) = t._3
+        p += 1
+      }
+      total = vals.length
+      vals.toIndexedSeq
+    } else {
+      val probe = e.collect()
+      val index = new java.util.HashMap[Any, Integer](m * 2)
+      val vals = new scala.collection.mutable.ArrayBuffer[Any]
+      def idxOf(a: Any): Int = {
+        val got = index.get(a)
+        if (got != null) got.intValue
+        else { val i = vals.length; index.put(a, i); vals += a; i }
+      }
+      var p = 0
+      while (p < m) {
+        val r = probe(p)
+        srcI(p) = idxOf(r.get(0)); dstI(p) = idxOf(r.get(1)); w(p) = r.getLong(2)
+        p += 1
+      }
+      total = vals.length
+      vals.toIndexedSeq
+    }
+    val isSrc = new Array[Boolean](total)
+    val wsum = new Array[Long](total)
+    var rank = new Array[Long](total)
     try {
-      es.foreach { case (s, _, w) =>
-        wsum(s) = Math.addExact(wsum.getOrElse(s, 0L), w)
+      var i = 0
+      while (i < m) {
+        wsum(srcI(i)) = Math.addExact(wsum(srcI(i)), w(i))
+        isSrc(srcI(i)) = true
+        i += 1
       }
       // a zero out-weight sum divides by zero in the contribution step —
       // decline and let the distributed plan apply ITS division
       // semantics rather than mirror them speculatively
-      if (wsum.valuesIterator.exists(_ == 0L)) return None
+      i = 0
+      while (i < total) {
+        if (isSrc(i) && wsum(i) == 0L) return None
+        rank(i) = 1000000L
+        i += 1
+      }
       for (_ <- 1 to iters) {
-        val inflow = scala.collection.mutable.HashMap.empty[Any, Long]
-        es.foreach { case (s, d, w) =>
-          val c = Math.multiplyExact(rank(s), w) / wsum(s)
-          inflow(d) = Math.addExact(inflow.getOrElse(d, 0L), c)
+        val inflow = new Array[Long](total)
+        var j = 0
+        while (j < m) {
+          val c = Math.multiplyExact(rank(srcI(j)), w(j)) / wsum(srcI(j))
+          inflow(dstI(j)) = Math.addExact(inflow(dstI(j)), c)
+          j += 1
         }
-        rank = nodes.iterator.map(n =>
-          n -> (150000L + Math.multiplyExact(85L, inflow.getOrElse(n, 0L)) / 100L)).toMap
+        val next = new Array[Long](total)
+        var k = 0
+        while (k < total) {
+          // update only SOURCE nodes (they are the output and the only
+          // rank reads); a non-source 85·inflow product must not add an
+          // overflow the HashMap form never computed
+          if (isSrc(k))
+            next(k) = 150000L + Math.multiplyExact(85L, inflow(k)) / 100L
+          k += 1
+        }
+        rank = next
       }
     } catch {
       // Long overflow in rank·w / Σw / Σ inflow: decline rather than
@@ -149,14 +243,21 @@ object Graph {
       // the session's own (ANSI or not) overflow semantics
       case _: ArithmeticException => return None
     }
-    val nodeType = e.schema.fields(0).dataType
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node", nodeType, nullable = true),
-      org.apache.spark.sql.types.StructField("rank_micro",
-        org.apache.spark.sql.types.LongType, nullable = true)))
-    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
-    nodes.foreach(n => rows.add(org.apache.spark.sql.Row(n, rank(n))))
-    Some(spark.createDataFrame(rows, schema))
+    // integral ids were interned as Long — emit LongType and cast back
+    // to the declared node type (exact: the values originated there)
+    val builtType = if (nodesIntegral) LongType else nodeType
+    val schema = StructType(Seq(
+      StructField("node", builtType, nullable = true),
+      StructField("rank_micro", LongType, nullable = true)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList(total)
+    var o = 0
+    while (o < total) {
+      if (isSrc(o)) rows.add(org.apache.spark.sql.Row(nodeVals(o), rank(o)))
+      o += 1
+    }
+    val built = spark.createDataFrame(rows, schema)
+    Some(if (builtType == nodeType) built
+         else built.select(col("node").cast(nodeType).as("node"), col("rank_micro")))
   }
 
   /** Exact triangle count with DEGREE ORIENTATION (Suri &
