@@ -97,6 +97,12 @@ object Bench {
     // codegen cache — both numbers are real; they answer different
     // questions (see MEASUREMENTS.md).
     val consecutive = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("consecutive")
+    // SPARK_GRAFT_BENCH_PASSES=N (default 3): timed passes after the
+    // untimed warm-up pass. The sf10 rehearsal runs multi-minute
+    // queries where 3 passes would push the sweep past the session —
+    // both sides of a ratio must use the SAME pass count.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    require(passes >= 1 && passes <= 10, "SPARK_GRAFT_BENCH_PASSES must be 1..10")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -172,9 +178,9 @@ object Bench {
       System.err.println(f"[bench] pass=$pass $name $t%.3fs codecache=${ccUsed}m")
     }
     if (consecutive)
-      suite.foreach(name => (0 to 3).foreach(pass => sample(pass, name)))
+      suite.foreach(name => (0 to passes).foreach(pass => sample(pass, name)))
     else
-      for (pass <- 0 to 3) suite.foreach(name => sample(pass, name))
+      for (pass <- 0 to passes) suite.foreach(name => sample(pass, name))
     val results = suite.map(name => name -> best(name))
     // a failed query's elapsed-to-failure is NOT a benchmark time: report
     // it as -1 and list it in "errors" so a fast failure can never be

@@ -31,10 +31,22 @@ object Sf10Gen {
     spark.sparkContext.setLogLevel("WARN")
     val OFF = 1000000000L
 
-    def replicate(name: String, keyCols: Seq[String], saltText: Boolean = false): Unit = {
+    def replicate(name: String, keyCols: Seq[String], saltText: Boolean = false,
+                  perturbVec: Boolean = false): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val all = (0 until copies).map { i =>
-        val shifted = keyCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+        val shifted0 = keyCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+        // per-copy embedding perturbation (round 11): byte-identical
+        // copies give every vector 99 EXACT duplicates at 100×, so any
+        // pair/bucket query times the duplication artifact, not the
+        // scaling case (cosine is scale-invariant — a multiplicative
+        // nudge would change nothing, hence the per-(copy, dim)
+        // additive shift)
+        val shifted = if (perturbVec && i > 0)
+          shifted0.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              x + ((lit(i * 37) + j * 11) % 19 - lit(9)).cast("float") * lit(2e-4f)))
+        else shifted0
         if (saltText && i > 0)
           shifted.withColumn("text", concat(lit(s"r$i "), col("text")))
             .withColumn("n_chars", length(col("text")).cast("long"))
@@ -56,7 +68,7 @@ object Sf10Gen {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), saltText = true)
-    replicate("embeddings", Seq("vec_id"))
+    replicate("embeddings", Seq("vec_id"), perturbVec = true)
     spark.stop()
   }
 }

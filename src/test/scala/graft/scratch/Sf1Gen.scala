@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * recomputed n_chars) so the replicas are DISTINCT documents — exact
   * replication would hand the dedup family a 10×-duplicated corpus and
   * time the pathological case instead of the scaling case. Embedding
-  * vectors are left byte-identical across copies (noted in SCALING.md:
-  * identical vectors make ANN buckets denser than a real 10× corpus).
+  * copies get a small per-(copy, dim) additive perturbation (round 11):
+  * byte-identical copies hand every vector (copies−1) exact duplicates,
+  * which would time the duplication artifact, not the scaling case.
   *
   * Output is scratch-only (target/sf1), never committed; seed recipe
   * per TESTDATA.md — the source fixture is read-only and untouched.
@@ -31,10 +32,21 @@ object Sf1Gen {
     spark.sparkContext.setLogLevel("WARN")
     val OFF = 1000000000L
 
-    def replicate(name: String, keyCols: Seq[String], saltText: Boolean = false): Unit = {
+    def replicate(name: String, keyCols: Seq[String], saltText: Boolean = false,
+                  perturbVec: Boolean = false): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val copies = (0 until 10).map { i =>
-        val shifted = keyCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+        val shifted0 = keyCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+        // per-copy embedding perturbation (round 11, matching Sf10Gen):
+        // byte-identical copies hand every vector (copies-1) EXACT
+        // duplicates, so pair/bucket queries time the duplication
+        // artifact; the additive per-(copy, dim) shift keeps copies
+        // distinct (cosine is scale-invariant, multiplicative won't do)
+        val shifted = if (perturbVec && i > 0)
+          shifted0.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              x + ((lit(i * 37) + j * 11) % 19 - lit(9)).cast("float") * lit(2e-4f)))
+        else shifted0
         if (saltText && i > 0)
           shifted.withColumn("text", concat(lit(s"r$i "), col("text")))
             .withColumn("n_chars", length(col("text")).cast("long"))
@@ -56,7 +68,7 @@ object Sf1Gen {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), saltText = true)
-    replicate("embeddings", Seq("vec_id"))
+    replicate("embeddings", Seq("vec_id"), perturbVec = true)
     spark.stop()
   }
 }
