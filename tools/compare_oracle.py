@@ -29,13 +29,14 @@ def eq(a, b):
         return a == b
     return a == b
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     passed, failed, skipped = [], [], []
+    report = {}  # per-query record, driver CORRECTNESS_r{N}.json shape
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -50,6 +51,9 @@ def main(sf_dir, out_dir):
             wrows, wcols = want.fetchall(), [d[0] for d in want.description]
         except Exception as e:
             failed.append((name, f"EXEC: {e}"))
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"EXEC: {e}"}
             continue
         # The driver's hash harness renders DuckDB HUGEINT differently
         # from Spark's BIGINT even when values agree (round-6 lesson:
@@ -66,6 +70,10 @@ def main(sf_dir, out_dir):
             pass
         g, gc = canon(grows, gcols)
         w, wc = canon(wrows, wcols)
+        rec = {"rows_match": len(g) == len(w), "schema_match": gc == wc,
+               "hash_match": False, "spark_rows": len(g),
+               "oracle_rows": len(w), "err": None}
+        report[name] = rec
         if gc != wc:
             failed.append((name, f"COLS: got {gc} want {wc}"))
             continue
@@ -80,7 +88,13 @@ def main(sf_dir, out_dir):
         if bad:
             failed.append((name, f"VAL@{bad[0]}: got {bad[1][:6]} want {bad[2][:6]}"))
         else:
+            rec["hash_match"] = True
             passed.append(name)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+            f.write("\n")
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"PASS {len(passed)}: {' '.join(passed)}")
     if skipped:
         print(f"SKIP (no oracle) {len(skipped)}: {' '.join(skipped)}")
@@ -91,4 +105,7 @@ def main(sf_dir, out_dir):
         sys.exit(1)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    jout = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--json=")), None)
+    main(args[0], args[1], jout)
