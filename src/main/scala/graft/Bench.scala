@@ -109,6 +109,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE pick the POST-shuffle partition count from measured
+      // map output instead of pinning it to the core count: with
+      // shuffle.partitions=32 a 100x-bigger shuffle (the sf10
+      // rehearsal's shingle joins) packs ~30x more rows per hash
+      // aggregate partition and spills — measured 17x for 10x data on
+      // d4 until this. 8x cores of initial partitions coalesce back
+      // to a handful on small inputs (AQE), so sf0.01 numbers don't
+      // pay for the headroom. On a real cluster this is exactly how
+      // the knob is sized: initialPartitionNum >> cores, AQE shrinks.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -175,7 +186,13 @@ object Bench {
       val ccUsed = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
         .stream().filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
         .mapToLong(_.getUsage.getUsed).sum() >> 20
-      System.err.println(f"[bench] pass=$pass $name $t%.3fs codecache=${ccUsed}m")
+      // 1-min system load: this host has EXTERNAL contention episodes
+      // lasting minutes (measured 12x on the same query back-to-back);
+      // load >> the bench's own 32 threads marks a poisoned sample, so
+      // a flagged min can be re-measured instead of committed
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      System.err.println(f"[bench] pass=$pass $name $t%.3fs codecache=${ccUsed}m load=$load%.0f")
     }
     if (consecutive)
       suite.foreach(name => (0 to passes).foreach(pass => sample(pass, name)))

@@ -270,26 +270,55 @@ object Dedup {
       import spark.implicits._
       val e = edges.as[(Long, Long)].collect()
       edges.unpersist()
-      // union-find, union-by-min: the larger root always points at the
-      // smaller, so every component's root IS its min id — identical
-      // label semantics to the fixpoint. Path compression keeps finds
-      // near-constant at this size.
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      // Indexed-array union-find (the walkedPageRank discipline): ids
+      // interned once into dense ints, union by SIZE for balanced trees
+      // (union-by-min-value builds unbalanced chains: every union of a
+      // sorted-ish edge stream points the new root at the global min,
+      // and boxed HashMap lookups pay ~10× per find on top — measured
+      // minutes at the 10× rehearsal's ~600k-edge graphs), then one
+      // labelling pass takes each component's MIN id — bit-identical
+      // output to the old union-by-min form and the distributed
+      // fixpoint, O(E α(E)) with primitive arrays.
+      val m = e.length
+      val index = new scala.collection.mutable.LongMap[Int](m * 2)
+      val vals = new scala.collection.mutable.ArrayBuffer[Long]
+      def idxOf(a: Long): Int = index.getOrElse(a, {
+        val i = vals.length; index.update(a, i); vals += a; i
+      })
+      val ea = new Array[Int](m); val eb = new Array[Int](m)
+      var p = 0
+      while (p < m) { ea(p) = idxOf(e(p)._1); eb(p) = idxOf(e(p)._2); p += 1 }
+      val n = vals.length
+      val parent = Array.tabulate(n)(identity)
+      val rank = new Array[Int](n)
+      def find(x: Int): Int = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      for ((a, b) <- e) {
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      var i = 0
+      while (i < m) {
+        val ra = find(ea(i)); val rb = find(eb(i))
+        if (ra != rb) {
+          if (rank(ra) < rank(rb)) parent(ra) = rb
+          else if (rank(rb) < rank(ra)) parent(rb) = ra
+          else { parent(rb) = ra; rank(ra) += 1 }
+        }
+        i += 1
+      }
+      val minOf = Array.fill(n)(Long.MaxValue)
+      var k = 0
+      while (k < n) {
+        val r = find(k)
+        if (vals(k) < minOf(r)) minOf(r) = vals(k)
+        k += 1
       }
       lastClusterStats = Some(ClusterStats(0, Seq.empty)) // 0 = driver path
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val order = Array.range(0, n)
+      val sorted = order.sortBy(vals(_))
+      return sorted.toSeq.map(ix => (vals(ix), minOf(find(ix))))
         .toDF("doc_id", "cluster_id")
     }
     // eager materialisation, NOT persist: each round's plan embeds the
@@ -434,8 +463,30 @@ object Dedup {
     */
   private def jaccardFromExploded(ex: DataFrame, sizes: DataFrame,
                                   tokenCol: String, threshold: Double,
-                                  outCol: String): DataFrame = {
-    val inter = ex.as("a").join(ex.as("b"),
+                                  outCol: String,
+                                  expectedCandidates: Double = -1.0): DataFrame = {
+    // Candidate-volume-aware join partitioning. A token self-join is
+    // EXPLOSIVE — output Σ df(df−1)/2 candidates, unbounded relative to
+    // its input — but AQE sizes the join's task count from the PRE-join
+    // shuffle bytes, so at 100× fixture scale each task partial-
+    // aggregates ~15M candidate rows, blows the hash budget and falls
+    // back to sort+spill (measured: 10× candidates cost 47× until
+    // this). When the caller knows the exact candidate volume (the d4
+    // chooser computes it to pick its plan), partition the join FOR
+    // that volume: an explicit numPartitions repartition that AQE
+    // never coalesces, sized so each task's candidate slice keeps the
+    // downstream partial aggregate in memory. The self-join's two
+    // sides share one exchange (ReusedExchange), so the extra shuffle
+    // is paid once, on the (linear) input, to keep the (quadratic)
+    // output off the spill path.
+    val exJ = if (expectedCandidates > 0) {
+      val perTask = 1.5e6
+      val np = math.min(4096.0, math.max(
+        ex.sparkSession.sparkContext.defaultParallelism.toDouble,
+        math.ceil(expectedCandidates / perTask))).toInt
+      ex.repartition(np, col(tokenCol))
+    } else ex
+    val inter = exJ.as("a").join(exJ.as("b"),
         col(s"a.$tokenCol") === col(s"b.$tokenCol") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("i"))
@@ -448,11 +499,12 @@ object Dedup {
       .select("id_a", "id_b", outCol)
   }
 
-  private def ngramJaccardPairsOnShingles(sh: DataFrame, threshold: Double): DataFrame =
+  private def ngramJaccardPairsOnShingles(sh: DataFrame, threshold: Double,
+                                          expectedCandidates: Double = -1.0): DataFrame =
     jaccardFromExploded(
       sh.select(col("id"), explode(col("sh")).as("s")),
       sh.select(col("id"), size(col("sh")).as("n")),
-      "s", threshold, "jaccard")
+      "s", threshold, "jaccard", expectedCandidates)
 
   /** Exact n-gram Jaccard with PPJoin-style prefix filtering (Bayardo,
     * Ma, Srikant: "Scaling Up All Pairs Similarity Search", WWW 2007):
@@ -547,7 +599,7 @@ object Dedup {
     val nDocs = math.max(1L, sh.count())
     val out = if (candidates <= candidateBudgetPerDoc.toDouble * nDocs) {
       freq.unpersist()
-      ngramJaccardPairsOnShingles(sh, threshold)
+      ngramJaccardPairsOnShingles(sh, threshold, expectedCandidates = candidates)
     } else
       ngramJaccardPairsPrefixOnShingles(sh, freq, threshold)
     maxPairsPerDoc.fold(out)(k => capPairsPerDoc(out, col("jaccard"), k))

@@ -72,6 +72,24 @@ object ScaleGen {
     new String(a)
   }
 
+  /** Per-copy word tag pattern: every word EXCEPT the language-marker
+    * stopwords (`TextAnalysis.langMarkers`) gets the copy tag appended.
+    * Markers must survive verbatim — language-ID, the Gopher stopword
+    * gate and the quality score count exactly those words — while the
+    * content vocabulary (the fixture's short template words included:
+    * "row", "big", "agg", … carry the head of the shingle-df
+    * distribution) must be copy-distinct, or cross-copy shingle
+    * collisions grow the pair families' candidate volume quadratically
+    * (measured: the top-100 shared shingles carried 33% of d4's sf10
+    * candidates under a ≥4-letter-only tag).
+    */
+  private val TAG_PATTERN = {
+    val markers = graft.ops.TextAnalysis.langMarkers.collect {
+      case (l, p) if l != "zh" => p.stripPrefix("\\b(").stripSuffix(")\\b")
+    }.mkString("|")
+    s"\\b(?!(?:$markers)\\b)([A-Za-z]+)\\b"
+  }
+
   /** Two lowercase letters, distinct per copy for copies 0..675. */
   def copyTag(copy: Int): String = {
     require(copy >= 1 && copy < 26 * 26)
@@ -103,7 +121,7 @@ object ScaleGen {
         if (distinctText && i > 0)
           d = d.withColumn("text",
               concat(lit(s"r$i "),
-                regexp_replace(col("text"), "([A-Za-z]{4,})", "$1" + copyTag(i))))
+                regexp_replace(col("text"), TAG_PATTERN, "$1" + copyTag(i))))
             .withColumn("n_chars", length(col("text")).cast("long"))
         if (distinctVec && i > 0) {
           val rnd = new java.util.Random(i.toLong * 0x5DEECE66DL + 0xB0B1234L)
