@@ -1537,6 +1537,24 @@ object GraftQueries {
         broadcastMaxRows = 0)
       .select("id_a", "id_b")
 
+  /** D5's OUTPUT-BUDGET contract: `Dedup.capPairsPerDoc` over the exact
+    * cosine pair relation — the d4/d18 cap proven to compose across
+    * pair FAMILIES (embedding pairs, not shingle pairs). τ = 0.35 so
+    * budget 1 is BINDING at both gated SFs (max pair degree 6 at
+    * sf0.01, 11 at sf0.1 — pairs are genuinely dropped and the
+    * tie-break path runs); ranking by the kernel's cosine is
+    * cross-engine exact (same left-to-right double fold as DuckDB's
+    * `list_cosine_similarity` — the s1/s16 precedent). This is the
+    * shipped answer to d5's probed ~n² true-pair growth at the sf10
+    * decade (103× pairs for 10× data, `D5Sf10Probe`, SCALING.md):
+    * output ≤ k·n rows by contract however dense the cosine graph.
+    */
+  def d5EmbeddingCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.capPairsPerDoc(
+        Similarity.cosineNearDupPairsAuto(tbl(s, dir, "embeddings"), threshold = 0.35),
+        col("sim"), k = 1)
+      .select("id_a", "id_b")
+
   /** Brute-force exact cosine top-k for a broadcast query set. */
   def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
@@ -4833,6 +4851,7 @@ object GraftQueries {
     "d4_jaccard_capped"  -> (d4JaccardCapped _),
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
     "d5_embedding_blocked" -> (d5EmbeddingBlocked _),
+    "d5_embedding_capped" -> (d5EmbeddingCapped _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
     "d7_dup_clusters"    -> (d7DupClusters _),
     "d8_contamination"   -> (d8Contamination _),

@@ -1520,6 +1520,30 @@ object Oracles {
     // oracle verbatim — both chooser branches hash-checked
     "d5_embedding_blocked" -> cosineDupsSql,
 
+    // d5's OUTPUT-BUDGET contract (capPairsPerDoc, budget 1, τ=0.35 so
+    // the cap BINDS at both gated SFs): the two-sided top-k replayed
+    // over the cosine pair relation, ranked (sim DESC, id_a, id_b) —
+    // list_cosine_similarity is bit-identical to the engine's fold
+    // (the s1/s16 precedent), so the kept set matches hash-exactly
+    "d5_embedding_capped" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35),
+        |sides AS (
+        |  SELECT id_a AS doc, id_a, id_b, sim FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a, id_b, sim FROM pairs),
+        |kept AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT doc, id_a, id_b,
+        |      row_number() OVER (PARTITION BY doc
+        |        ORDER BY sim DESC, id_a, id_b) AS rn
+        |    FROM sides) WHERE rn <= 1)
+        |SELECT p.id_a, p.id_b
+        |FROM pairs p JOIN kept USING (id_a, id_b)""".stripMargin,
+
     // JL projection: the oracle re-derives the +-1 sign matrix from md5
     // itself (same top-60-bits bucket recipe as Sampling.bucket), so the
     // check covers both the arithmetic AND the sign recipe; terms are

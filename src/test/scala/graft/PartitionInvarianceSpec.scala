@@ -79,7 +79,11 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     "q_forecast_revenue", "q_custdist", "q_top_supplier",
     "q_dominant_supplier", "q_kappa", "q_group_split", "q_pack_waste",
     "d20_mirror_matrix", "o43_fk_orphans",
-    "q_disjunctive", "q_shipmode_priority", "q_promo_revenue")
+    "q_disjunctive", "q_shipmode_priority", "q_promo_revenue",
+    // round-11 addition: the cross-family output-budget contract (the
+    // salted two-phase top-k over the cosine pair relation — exactly
+    // the shape where a partition-local row_number would leak)
+    "d5_embedding_capped")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
