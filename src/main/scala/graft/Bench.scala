@@ -118,8 +118,11 @@ object Bench {
       // to a handful on small inputs (AQE), so sf0.01 numbers don't
       // pay for the headroom. On a real cluster this is exactly how
       // the knob is sized: initialPartitionNum >> cores, AQE shrinks.
+      // SPARK_GRAFT_BENCH_INITPARTS overrides for A/B attribution of
+      // AQE-headroom effects (e.g. the d12 fixpoint regression probe)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_INITPARTS",
+          (cpus.toInt * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
