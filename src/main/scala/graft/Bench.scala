@@ -105,29 +105,59 @@ object Bench {
     require(passes >= 1 && passes <= 10, "SPARK_GRAFT_BENCH_PASSES must be 1..10")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Let AQE pick the POST-shuffle partition count from measured
+    // map output instead of pinning it to the core count: with
+    // shuffle.partitions=32 a 100x-bigger shuffle (the sf10
+    // rehearsal's shingle joins) packs ~30x more rows per hash
+    // aggregate partition and spills — measured 17x for 10x data on
+    // d4 until this. But a flat 8x-cores headroom taxes the
+    // iterative-fixpoint family at SMALL inputs: every superstep of a
+    // label-propagation/prefix-sum loop pays 256-task scheduling on a
+    // tiny shuffle AQE can't fully coalesce away (measured round 11:
+    // t17/t22/g4 1.5-2x at sf0.1). So size the knob from the input,
+    // exactly as on a real cluster: ~8 MiB of input per initial
+    // partition (the shingle families fan input out ~30x, so that is
+    // ~0.25 GiB of worst-case shuffle per partition), clamped to
+    // [1x, 8x] cores. sf0.1 (17 MB) keeps 1x cores; sf10 (1.8 GB)
+    // gets ~7x cores and stays linear.
+    // SPARK_GRAFT_BENCH_INITPARTS overrides for A/B attribution of
+    // AQE-headroom effects (e.g. the d12 fixpoint regression probe).
+    def inputBytes(dir: String): Long = {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val initParts: Int = sys.env.get("SPARK_GRAFT_BENCH_INITPARTS") match {
+      case Some(v) =>
+        // fail at the knob, not with an opaque session-build error
+        val n = try v.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"SPARK_GRAFT_BENCH_INITPARTS must be an integer, got: $v")
+        }
+        require(n >= 1, s"SPARK_GRAFT_BENCH_INITPARTS must be >= 1, got: $n")
+        n
+      case None =>
+        val c = cpus.toInt
+        val derived = inputBytes(sfDir) / (8L << 20)
+        math.max(c, math.min(8L * c, derived)).toInt
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Let AQE pick the POST-shuffle partition count from measured
-      // map output instead of pinning it to the core count: with
-      // shuffle.partitions=32 a 100x-bigger shuffle (the sf10
-      // rehearsal's shingle joins) packs ~30x more rows per hash
-      // aggregate partition and spills — measured 17x for 10x data on
-      // d4 until this. 8x cores of initial partitions coalesce back
-      // to a handful on small inputs (AQE), so sf0.01 numbers don't
-      // pay for the headroom. On a real cluster this is exactly how
-      // the knob is sized: initialPartitionNum >> cores, AQE shrinks.
-      // SPARK_GRAFT_BENCH_INITPARTS overrides for A/B attribution of
-      // AQE-headroom effects (e.g. the d12 fixpoint regression probe)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_INITPARTS",
-          (cpus.toInt * 8).toString))
+        initParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[bench] initialPartitionNum=$initParts sfDir=$sfDir")
 
     // warm-up: session, codegen, parquet footer reads
     GraftQueries.q1PricingSummary(spark, sfDir).count()

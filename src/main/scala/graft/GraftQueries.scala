@@ -1555,6 +1555,60 @@ object GraftQueries {
         col("sim"), k = 1)
       .select("id_a", "id_b")
 
+  /** D5's FORCED-BLOCKED + CAPPED composition (broadcast budget 0):
+    * the IVF-cell block-pair join feeding `capPairsPerDoc` — at the
+    * fixture SFs the chooser always takes the broadcast branch, so
+    * without this key the blocked half of the capped query would never
+    * be hash-gated (the `d5_embedding_blocked` pattern applied to the
+    * cap). Shares `d5_embedding_capped`'s oracle verbatim — the
+    * blocked join is exact, so both branches must match it.
+    */
+  def d5EmbeddingCappedBlocked(s: SparkSession, dir: String): DataFrame =
+    Dedup.capPairsPerDoc(
+        Similarity.cosineNearDupPairsAuto(tbl(s, dir, "embeddings"), threshold = 0.35,
+          broadcastMaxRows = 0),
+        col("sim"), k = 1)
+      .select("id_a", "id_b")
+
+  /** D5's SUB-QUADRATIC scale path — LSH-candidate + exact-verify
+    * embedding pairs (`Similarity.cosineNearDupPairsAnn`: size-derived
+    * bits hold bucket load ~constant, so candidate volume is ~n·L·T
+    * where the exact family's true-pair volume is probed ~n²), composed
+    * with the d4/d18/d5 output cap, and gated by the s2/s17-style
+    * recall contract: exact pairs touching the 50 probe docs come from
+    * a broadcast range search (O(probes·n) — linear, never the n² pair
+    * relation), and the POOLED recall of the ANN relation over them
+    * must clear 0.70 (measured 0.911 at sf0.01, 0.877 at sf0.1 with
+    * bits = 3, tables = 8 — two hits of margin; the fixture's τ = 0.35
+    * regime is sign-LSH-adversarial, see the operator's Scaladoc).
+    * Everything is deterministic (splitmix64 hyperplanes, exact
+    * verify), so the verdict row is stable and DuckDB re-derives
+    * n_exact; `cap_ok` asserts the cap's output contract held
+    * end-to-end on the ANN relation (≤ k·n rows after
+    * `capPairsPerDoc` — a kept pair is charged to at least one
+    * endpoint's top-k, so per-doc degree may exceed k but the total
+    * cannot exceed k·n).
+    */
+  def d5EmbeddingAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val ann = graft.ops.OpCaches.persist(
+      Similarity.cosineNearDupPairsAnn(emb, threshold = 0.35))
+    val capped = Dedup.capPairsPerDoc(ann, col("sim"), k = 1)
+    val probes = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.rangeSearch(emb, probes, threshold = 0.35)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+      .distinct()
+    val found = exact.join(ann.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped"))))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_docs"))))
+      .select(col("n_exact"),
+        (col("n_found") * 1000 >= col("n_exact") * 700).as("recall_ok"),
+        (col("n_capped") <= col("n_docs")).as("cap_ok"))
+  }
+
   /** Brute-force exact cosine top-k for a broadcast query set. */
   def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
@@ -2443,8 +2497,12 @@ object GraftQueries {
       col("c_nationkey").as("d_nation"))
   }
 
-  /** The feed and registry with their block-key columns attached. */
-  private def er1Keyed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The feed and registry with their block-key columns attached.
+    * `private[graft]` so the scaling probes (`scratch.Sf30Probe`)
+    * measure candidate volume with the query's OWN key recipes rather
+    * than a re-derivation that can drift from them.
+    */
+  private[graft] def er1Keyed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val c = er1Registry(s, dir)
     val dirty = er1Feed(c)
       .withColumn("d_blk_phone", concat(col("d_nation").cast("string"),
@@ -4852,6 +4910,8 @@ object GraftQueries {
     "d5_embedding_dups"  -> (d5EmbeddingDups _),
     "d5_embedding_blocked" -> (d5EmbeddingBlocked _),
     "d5_embedding_capped" -> (d5EmbeddingCapped _),
+    "d5_embedding_capped_blocked" -> (d5EmbeddingCappedBlocked _),
+    "d5_embedding_ann"   -> (d5EmbeddingAnn _),
     "d6_incremental_dedup" -> (d6IncrementalDedup _),
     "d7_dup_clusters"    -> (d7DupClusters _),
     "d8_contamination"   -> (d8Contamination _),

@@ -175,6 +175,33 @@ object Oracles {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
 
+  /** The output-budget twin (capPairsPerDoc, budget 1, τ = 0.35 so the
+    * cap BINDS at both gated SFs): the two-sided top-k replayed over
+    * the cosine pair relation, ranked (sim DESC, id_a, id_b) —
+    * list_cosine_similarity is bit-identical to the engine's fold (the
+    * s1/s16 precedent), so the kept set matches hash-exactly. Shared
+    * VERBATIM by `d5_embedding_capped` (broadcast branch) and
+    * `d5_embedding_capped_blocked` (forced IVF block-join branch).
+    */
+  private lazy val cosineCappedSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35),
+      |sides AS (
+      |  SELECT id_a AS doc, id_a, id_b, sim FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a, id_b, sim FROM pairs),
+      |kept AS (
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT doc, id_a, id_b,
+      |      row_number() OVER (PARTITION BY doc
+      |        ORDER BY sim DESC, id_a, id_b) AS rn
+      |    FROM sides) WHERE rn <= 1)
+      |SELECT p.id_a, p.id_b
+      |FROM pairs p JOIN kept USING (id_a, id_b)""".stripMargin
+
   /** The 64-bit aHash derivation as a complete WITH prefix ending in
     * an `ah(asset_id, ahash64)` CTE — every bit re-derived from the
     * formula pixels (8×8 integer downsample, strict cross-multiplied
@@ -1525,24 +1552,27 @@ object Oracles {
     // over the cosine pair relation, ranked (sim DESC, id_a, id_b) —
     // list_cosine_similarity is bit-identical to the engine's fold
     // (the s1/s16 precedent), so the kept set matches hash-exactly
-    "d5_embedding_capped" ->
-      """WITH pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35),
-        |sides AS (
-        |  SELECT id_a AS doc, id_a, id_b, sim FROM pairs
-        |  UNION ALL
-        |  SELECT id_b, id_a, id_b, sim FROM pairs),
-        |kept AS (
-        |  SELECT DISTINCT id_a, id_b FROM (
-        |    SELECT doc, id_a, id_b,
-        |      row_number() OVER (PARTITION BY doc
-        |        ORDER BY sim DESC, id_a, id_b) AS rn
-        |    FROM sides) WHERE rn <= 1)
-        |SELECT p.id_a, p.id_b
-        |FROM pairs p JOIN kept USING (id_a, id_b)""".stripMargin,
+    // d5's SUB-QUADRATIC LSH-candidate path: the screen is
+    // probabilistic by design, so the contract is the s2/s17-style
+    // measured verdict — DuckDB re-derives the exact probe-pair count
+    // (pairs touching vec_id < 50 at τ=0.35, the linear-cost exact
+    // side the engine computed via broadcast range search) and the
+    // recall/cap verdicts must come back true (pooled recall ≥ 0.70;
+    // measured 0.911 / 0.877 at the two gated SFs)
+    "d5_embedding_ann" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok, true AS cap_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE (a.vec_id < 50 OR b.vec_id < 50)
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+
+    "d5_embedding_capped" -> cosineCappedSql,
+
+    // the forced-blocked capped composition shares the broadcast-branch
+    // capped oracle VERBATIM — the blocked join is exact, so both
+    // chooser branches of the capped query must match it (the
+    // d5_embedding_blocked convention applied to the cap)
+    "d5_embedding_capped_blocked" -> cosineCappedSql,
 
     // JL projection: the oracle re-derives the +-1 sign matrix from md5
     // itself (same top-60-bits bucket recipe as Sampling.bucket), so the

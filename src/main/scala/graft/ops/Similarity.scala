@@ -1044,34 +1044,128 @@ object Similarity {
       .select(col("_1"), col("mb").as("_2"), col("same").as("_3"))
       .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])], Boolean)]
     paired.flatMap { case (ma, mb, same) =>
-      val a = ma.toArray.sortBy(_._1)
-      val b = if (same) a else mb.toArray.sortBy(_._1)
-      def norms(m: Array[(Long, Array[Float])]): Array[Double] = m.map { case (_, v) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(s)
-      }
-      val na = norms(a); val nb = if (same) na else norms(b)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var i = 0
-      while (i < a.length) {
-        val (ida, va) = a(i)
-        var j = if (same) i + 1 else 0
-        while (j < b.length) {
-          val (idb, vb) = b(j)
-          var dot = 0.0
-          var d = 0
-          val n = math.min(va.length, vb.length)
-          while (d < n) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
-          val sim = dot / (na(i) * nb(j))
-          if (sim >= threshold && ida != idb)
-            out += (if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
-          j += 1
-        }
-        i += 1
-      }
-      out
+      scoreBlockPair(ma, mb, same, threshold)
     }.toDF("id_a", "id_b", "sim")
+  }
+
+  /** Tight all-pairs cosine kernel over one block pair (`same` = both
+    * sides are the one block, score the upper triangle only): norms
+    * precomputed once per block, zero allocation per scored pair,
+    * left-to-right double fold (the oracle's evaluation order). Shared
+    * by the IVF-cell block join ([[cosineNearDupPairs]]) and the LSH
+    * bucket block join ([[cosineNearDupPairsAnn]]).
+    */
+  private def scoreBlockPair(ma: Seq[(Long, Array[Float])],
+                             mb: Seq[(Long, Array[Float])],
+                             same: Boolean, threshold: Double): Seq[(Long, Long, Double)] = {
+    val a = ma.toArray.sortBy(_._1)
+    val b = if (same) a else mb.toArray.sortBy(_._1)
+    def norms(m: Array[(Long, Array[Float])]): Array[Double] = m.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val na = norms(a); val nb = if (same) na else norms(b)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < a.length) {
+      val (ida, va) = a(i)
+      var j = if (same) i + 1 else 0
+      while (j < b.length) {
+        val (idb, vb) = b(j)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(va.length, vb.length)
+        while (d < n) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+        val sim = dot / (na(i) * nb(j))
+        if (sim >= threshold && ida != idb)
+          out += (if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** APPROXIMATE cosine near-dup pairs — the sub-quadratic scale path
+    * next to the exact [[cosineNearDupPairs]]: candidates come from
+    * sign-LSH bucket self-joins (`tables` independent hyperplane
+    * tables, the s17 `knnGraph` recipe), every candidate is verified
+    * with the exact kernel, so output pairs are TRUE pairs — the
+    * approximation is recall only (a qualifying pair bucketed apart in
+    * every table is missed).
+    *
+    * Scale shape: `bits` is derived from the corpus count so the
+    * expected bucket load stays ~`targetBucket` regardless of n —
+    * candidate volume is Σ_table Σ_b |bucket|² ≈ n·targetBucket·tables,
+    * LINEAR in n where the exact family's true-pair volume is ~n²
+    * (probed 103× pairs for 10× data at the sf10 decade, `D5Sf10Probe`).
+    * No driver-side metadata: per-bucket counts come from a count
+    * window, oversized buckets split into ≤`maxBlock` chunks by hashed
+    * id (task memory bounded by 2·maxBlock vectors however degenerate
+    * a bucket gets), blocks pair within their bucket only, and each
+    * vector moves through the shuffle `tables` times — never once per
+    * candidate. Pairs found by several tables dedup by a mergeable
+    * (id_a, id_b) max aggregate, as in `knnGraph`.
+    *
+    * Recall honesty (Charikar 2002: P[bit agrees] = 1 − θ/π): holding
+    * recall CONSTANT while n grows requires tables ~ n^ρ — with fixed
+    * `tables`, per-pair recall decays as bits grow, fastest for
+    * low-cosine pairs (θ → π/2 is the regime where no sub-quadratic
+    * method helps). Production near-dup thresholds (θ small) keep
+    * per-table collision high and recall flat; the catalog key gates a
+    * measured pooled recall floor at the oracle SFs and the knob
+    * trade-off is documented in MEASUREMENTS.md rather than promised.
+    */
+  def cosineNearDupPairsAnn(df: DataFrame, threshold: Double,
+                            tables: Int = 8, targetBucket: Int = 256,
+                            maxBlock: Int = 4096, dim: Int = 64,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tables >= 1 && targetBucket >= 1 && maxBlock >= 1,
+      "cosineNearDupPairsAnn: bad knobs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // size bits so E[bucket load] ~ targetBucket: the vectorized-reader
+    // count is row-group-metadata cheap on a parquet scan, and the
+    // DECISION (like the d5 chooser's) is exact, never sampled
+    val n = df.count()
+    val bits = math.max(3, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val allPlanes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables)(t => hyperplanes(bits, dim, t.toLong))
+    val sigsUdf = udf((v: Array[Float]) => allPlanes.map(signatureKernel(_)(v)))
+    val rows = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), col("v"), posexplode(sigsUdf(col("v"))))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    // per-bucket counts distributedly (a count window, no order — no
+    // sort), oversized buckets chunk by hashed id: expected chunk size
+    // ≤ maxBlock since ids are distinct and xxhash64 spreads them
+    val w = Window.partitionBy(col("t"), col("bucket"))
+    val chunked = rows
+      .withColumn("nc", ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int"))
+      .withColumn("chunk", pmod(xxhash64(col("id")), col("nc")).cast("int"))
+    val groups = chunked.groupBy(col("t"), col("bucket"), col("chunk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("members"),
+        first(col("nc")).as("nc"))
+    // unordered chunk pairs within a bucket, each in exactly one task;
+    // the right side comes out of its groupBy already hash-partitioned
+    // on the join key — only the (narrow) exploded left re-shuffles
+    val left = groups.select(col("t"), col("bucket"), col("chunk"), col("members"),
+      explode(sequence(col("chunk"), col("nc") - 1)).as("chunk_b"))
+    val paired = left.join(
+        groups.select(col("t").as("t2"), col("bucket").as("b2"),
+          col("chunk").as("c2"), col("members").as("mb")),
+        col("t") === col("t2") && col("bucket") === col("b2") && col("chunk_b") === col("c2"))
+      .select(col("members").as("_1"), col("mb").as("_2"),
+        (col("chunk") === col("chunk_b")).as("_3"))
+      .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])], Boolean)]
+    val cand = paired.flatMap { case (ma, mb, same) =>
+      scoreBlockPair(ma, mb, same, threshold)
+    }.toDF("id_a", "id_b", "sim")
+    // a pair verified in several tables has the SAME sim — max is dedup
+    cand.groupBy("id_a", "id_b").agg(max("sim").as("sim"))
   }
 
   /** Exact cosine near-dup pairs with a cost-based plan choice — the

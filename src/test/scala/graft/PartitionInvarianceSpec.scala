@@ -83,7 +83,11 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     // round-11 addition: the cross-family output-budget contract (the
     // salted two-phase top-k over the cosine pair relation — exactly
     // the shape where a partition-local row_number would leak)
-    "d5_embedding_capped")
+    "d5_embedding_capped",
+    // round-12 additions: the LSH-candidate ANN pair path (bucket
+    // self-joins + window-chunked blocks — exactly the shape where a
+    // partition-local artifact would leak) and the forced-blocked cap
+    "d5_embedding_ann", "d5_embedding_capped_blocked")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString

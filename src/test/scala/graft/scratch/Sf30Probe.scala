@@ -26,20 +26,21 @@ object Sf30Probe {
     val er1 = graft.GraftQueries.all("er1_record_linkage")(spark, dir).count()
     // er1's TRUE candidate volume per blocking pass (dirty×clean rows
     // sharing the block key — the join's output before survivorship),
-    // with the exact key recipes the query uses: phones are injective
-    // per custkey, but the NAME block (nation : name digits 13..18)
-    // collides across ScaleGen's per-copy digit permutations — Σ cnt²
-    // over the shared key space measures that growth
-    val cust = spark.read.parquet(s"$dir/customer.parquet")
-    def sumSq(keyed: org.apache.spark.sql.DataFrame): Double =
-      keyed.groupBy("k").count()
-        .agg(sum(col("count") * col("count")).cast("double")).head().getDouble(0)
-    val nameCand = sumSq(cust.select(concat(col("c_nationkey").cast("string"),
-      lit(":"), substring(col("c_name"), 13, 6)).as("k")))
-    val digits = lpad((col("c_custkey") * 7919L % 10000000000L).cast("string"), 10, "0")
-    val phoneCand = sumSq(cust.select(concat(col("c_nationkey").cast("string"),
-      lit(":"), substring(digits, 1, 3), lit("-"), substring(digits, 4, 3),
-      lit("-"), substring(digits, 7, 2)).as("k")))
+    // measured on the query's OWN keyed relations (`er1Keyed` — so the
+    // dirty feed's 9→0 phone typos and 5→S name typos shape the key
+    // space exactly as the join sees it) as Σ_k cnt_dirty(k)·cnt_clean(k)
+    val (dirty, clean) = graft.GraftQueries.er1Keyed(spark, dir)
+    def candVol(dk: String, ck: String): Double = {
+      val d = dirty.groupBy(col(dk).as("k"))
+        .agg(count(lit(1)).as("nd"))
+      val c = clean.groupBy(col(ck).as("k"))
+        .agg(count(lit(1)).as("nc"))
+      d.join(c, "k")
+        .agg(coalesce(sum(col("nd") * col("nc")), lit(0L)).cast("double"))
+        .head().getDouble(0)
+    }
+    val phoneCand = candVol("d_blk_phone", "c_blk_phone")
+    val nameCand = candVol("d_blk_name", "c_blk_name")
     println(f"[sf30probe] dir=$dir d2_pairs=$d2 er1_rows=$er1 " +
       f"er1_name_cands=$nameCand%.0f er1_phone_cands=$phoneCand%.0f")
     spark.stop()
