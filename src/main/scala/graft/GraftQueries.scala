@@ -1836,21 +1836,57 @@ object GraftQueries {
     val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     // integer node ids (customer 2k, supplier 2k+1) keep every shuffle,
-    // sort and aggregate in the rank loop off strings; the pair
-    // aggregate persists so the symmetrising union reads it once
-    // instead of re-running the fact join per branch. The readable
-    // label comes back in the final 10-row projection. (An
-    // explode-before-one-aggregate symmetrisation was measured SLOWER
-    // — 3.2s vs 1.6s cold — the doubled aggregate input costs more
-    // than the second cache read saves.)
-    val e0 = graft.ops.OpCaches.persist(
-      li.join(ords, col("l_orderkey") === col("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .agg(count(lit(1)).as("w")))
-    val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    graft.ops.Graph.pageRank(edges, iters = 3,
+    // sort and aggregate in the rank loop off strings; the readable
+    // label comes back in the final 10-row projection.
+    val kv = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    // Driver-FIRST shortcut (round 12): when the heap budget admits the
+    // walk anyway, hand it the RAW fact rows — one bounded executeTake
+    // instead of [pair-aggregate shuffle + probe aggregate + collect of
+    // the symmetrised, 2x-bigger edge relation]. The (a,b) → count
+    // aggregation is a driver hash map producing exactly the multiset
+    // `groupBy(a,b).count()` would (integer counts — no order
+    // sensitivity), both directions then feed the SAME indexed
+    // recursion (`Graph.walkLongEdges`). Decline — budget exceeded,
+    // null endpoint, overflow inside the walk — falls through to the
+    // unchanged distributed construction, which pageRank's own
+    // (generic) walk chooser still fronts. Measured at sf0.1: the
+    // front end drops from ~1.1s (agg 0.7 + probe 0.15 + collect 0.26)
+    // to the 0.25s raw collect + ~0.1s driver fold.
+    val maxRaw = driverWalkMaxEdges / 2 // each raw row yields 2 walk edges
+    val walked: Option[DataFrame] =
+      if (maxRaw <= 0 || maxRaw > Int.MaxValue - 2L) None
+      else {
+        val rows = kv.head(maxRaw.toInt + 1)
+        if (rows.length > maxRaw ||
+            rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val agg = new scala.collection.mutable.HashMap[(Long, Long), Long]
+          rows.foreach { r =>
+            val k = (r.getLong(0), r.getLong(1))
+            agg.update(k, agg.getOrElse(k, 0L) + 1L)
+          }
+          val tup = new Array[(Long, Long, Long)](agg.size * 2)
+          var i = 0
+          agg.foreach { case ((a, b), w) =>
+            tup(i) = (a, b, w); tup(i + 1) = (b, a, w); i += 2
+          }
+          graft.ops.Graph.walkLongEdges(s, tup, iters = 3)
+        }
+      }
+    // distributed construction: the pair aggregate persists so the
+    // symmetrising union reads it once instead of re-running the fact
+    // join per branch. (An explode-before-one-aggregate symmetrisation
+    // was measured SLOWER — 3.2s vs 1.6s cold — the doubled aggregate
+    // input costs more than the second cache read saves.)
+    walked.getOrElse {
+      val e0 = graft.ops.OpCaches.persist(
+        kv.groupBy("a", "b").agg(count(lit(1)).as("w")))
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.ops.Graph.pageRank(edges, iters = 3,
         driverWalkMaxEdges = driverWalkMaxEdges)
+    }
       .filter(pmod(col("node"), lit(2)) === 1)
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(10)
@@ -4080,8 +4116,15 @@ object GraftQueries {
     * scale offset broadcast), never a single-task global window.
     */
   def t14TokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    // persist the NARROW (id, score, tokens) projection: without it the
+    // quality-feature tokenisation map — the query's dominant cost —
+    // runs THREE times (the budget sum, runningTotal's range-partition
+    // SAMPLING pass, and the ranked-cache build). Cached it runs once;
+    // the cache is 3 slim columns, never the text (round-12 cost
+    // account, MEASUREMENTS.md).
+    val q = graft.ops.OpCaches.persist(
+      TextAnalysis.withQualityFeatures(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"), col("n_tokens")))
     val budget = q.agg(sum("n_tokens")).head().getLong(0) * 3 / 10
     Sampling.tokenBudgetPrefix(q, "doc_id", "quality_score", "n_tokens", budget)
       .select(col("id").as("doc_id"), col("rank").as("quality_score"),

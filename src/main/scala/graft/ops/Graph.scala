@@ -160,28 +160,15 @@ object Graph {
     // to the declared node type (values originated there, so the cast
     // is exact); strings keep the generic Row path.
     val m = n.toInt
-    val srcI = new Array[Int](m); val dstI = new Array[Int](m)
-    val w = new Array[Long](m)
-    var total = 0
-    val nodeVals: IndexedSeq[Any] = if (nodesIntegral) {
+    if (nodesIntegral) {
       import spark.implicits._
       val tup = e.select(c0.cast("long"), c1.cast("long"), cw)
         .as[(Long, Long, Long)].collect()
-      val index = new scala.collection.mutable.LongMap[Int](m * 2)
-      val vals = new scala.collection.mutable.ArrayBuffer[Long]
-      def idxOf(a: Long): Int = index.getOrElse(a, {
-        val i = vals.length; index.update(a, i); vals += a; i
-      })
-      var p = 0
-      while (p < m) {
-        val t = tup(p)
-        srcI(p) = idxOf(t._1); dstI(p) = idxOf(t._2); w(p) = t._3
-        p += 1
-      }
-      total = vals.length
-      vals.toIndexedSeq
+      walkLongEdges(spark, tup, iters, nodeType)
     } else {
       val probe = e.collect()
+      val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+      val w = new Array[Long](m)
       val index = new java.util.HashMap[Any, Integer](m * 2)
       val vals = new scala.collection.mutable.ArrayBuffer[Any]
       def idxOf(a: Any): Int = {
@@ -195,9 +182,56 @@ object Graph {
         srcI(p) = idxOf(r.get(0)); dstI(p) = idxOf(r.get(1)); w(p) = r.getLong(2)
         p += 1
       }
-      total = vals.length
-      vals.toIndexedSeq
+      runWalk(spark, srcI, dstI, w, vals.toIndexedSeq, nodeType, nodeType, iters)
     }
+  }
+
+  /** The indexed-array walk over an ALREADY-COLLECTED Long edge list —
+    * package-private so a caller that can hand the driver its edges
+    * more cheaply than the generic probe + collect reuses the exact
+    * recursion (g1: the raw fact-join rows are HALF the symmetrised
+    * edge relation the generic path would collect, and the pair
+    * aggregate collapses to a driver hash map). Same decline contract
+    * as the generic walk: None on zero out-weight sums or Long
+    * overflow — the caller falls back to the distributed plan and ITS
+    * (session-configured) semantics.
+    */
+  private[graft] def walkLongEdges(spark: org.apache.spark.sql.SparkSession,
+                                   tup: Array[(Long, Long, Long)], iters: Int,
+                                   declaredType: org.apache.spark.sql.types.DataType =
+                                     org.apache.spark.sql.types.LongType): Option[DataFrame] = {
+    val m = tup.length
+    val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+    val w = new Array[Long](m)
+    val index = new scala.collection.mutable.LongMap[Int](m * 2)
+    val vals = new scala.collection.mutable.ArrayBuffer[Long]
+    def idxOf(a: Long): Int = index.getOrElse(a, {
+      val i = vals.length; index.update(a, i); vals += a; i
+    })
+    var p = 0
+    while (p < m) {
+      val t = tup(p)
+      srcI(p) = idxOf(t._1); dstI(p) = idxOf(t._2); w(p) = t._3
+      p += 1
+    }
+    runWalk(spark, srcI, dstI, w, vals.toIndexedSeq,
+      org.apache.spark.sql.types.LongType, declaredType, iters)
+  }
+
+  /** The shared recursion + result build behind both walk entry points:
+    * interned edges in, `Some(node, rank_micro)` out, None on any
+    * ArithmeticException or zero out-weight sum (decline — never a
+    * third overflow behaviour next to ANSI-throw and non-ANSI-wrap).
+    */
+  private def runWalk(spark: org.apache.spark.sql.SparkSession,
+                      srcI: Array[Int], dstI: Array[Int], w: Array[Long],
+                      nodeVals: IndexedSeq[Any],
+                      builtType0: org.apache.spark.sql.types.DataType,
+                      nodeType: org.apache.spark.sql.types.DataType,
+                      iters: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val m = srcI.length
+    val total = nodeVals.length
     val isSrc = new Array[Boolean](total)
     val wsum = new Array[Long](total)
     var rank = new Array[Long](total)
@@ -245,7 +279,7 @@ object Graph {
     }
     // integral ids were interned as Long — emit LongType and cast back
     // to the declared node type (exact: the values originated there)
-    val builtType = if (nodesIntegral) LongType else nodeType
+    val builtType = builtType0
     val schema = StructType(Seq(
       StructField("node", builtType, nullable = true),
       StructField("rank_micro", LongType, nullable = true)))
