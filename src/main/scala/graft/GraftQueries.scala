@@ -42,7 +42,7 @@ object GraftQueries {
     val mtime =
       if (!ffs.exists(fixture)) 0L
       else ffs.listStatus(fixture).map(_.getModificationTime).foldLeft(0L)(math.max)
-    val out = s"/tmp/graft_$tag/p${ProcessHandle.current().pid()}_" +
+    val out = pidScopedPrefix(tag) +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_m$mtime"
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(conf)
@@ -53,6 +53,16 @@ object GraftQueries {
       fs.create(marker, true).close()
     }
     out
+  }
+
+  /** pid-scoped fixture-cache prefix under /tmp/graft_<tag> — reaps
+    * DEAD processes' sibling caches first (`OpCaches.reapDeadCaches`):
+    * repeated bench sessions at the big scratch SFs otherwise
+    * accumulate multi-GB dump caches until the disk fills.
+    */
+  private def pidScopedPrefix(tag: String): String = {
+    graft.ops.OpCaches.reapDeadCaches(s"/tmp/graft_$tag")
+    s"/tmp/graft_$tag/p${ProcessHandle.current().pid()}_"
   }
 
   /** sum(cast(x as decimal(18,2))) rendered back to double. */
@@ -264,7 +274,7 @@ object GraftQueries {
     * so repeated calls time the parallel READ.
     */
   def o23DumpRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val dumpDir = s"/tmp/graft_dumps/p${ProcessHandle.current().pid()}_" +
+    val dumpDir = pidScopedPrefix("dumps") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     val dumpFile = new java.io.File(s"$dumpDir/orders.sql")
     val marker = new java.io.File(s"$dumpDir/_SUCCESS")
@@ -301,7 +311,7 @@ object GraftQueries {
     * once per process behind the sink's own _SUCCESS marker.
     */
   def o24DumpParallel(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_dumps_par/p${ProcessHandle.current().pid()}_" +
+    val out = pidScopedPrefix("dumps_par") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       tbl(s, dir, "lineitem")
@@ -335,7 +345,7 @@ object GraftQueries {
     * once per process behind the text sink's `_SUCCESS` marker.
     */
   def o25JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_jsonl/p${ProcessHandle.current().pid()}_" +
+    val out = pidScopedPrefix("jsonl") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
@@ -377,7 +387,7 @@ object GraftQueries {
     * should drop `multiLine` and regain in-file splits.
     */
   def o26CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_csv/p${ProcessHandle.current().pid()}_" +
+    val out = pidScopedPrefix("csv") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       tbl(s, dir, "documents")
@@ -408,7 +418,7 @@ object GraftQueries {
     * timestamp columns (the classic cross-format loss sites).
     */
   def o27OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_orc/p${ProcessHandle.current().pid()}_" +
+    val out = pidScopedPrefix("orc") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       tbl(s, dir, "orders")
@@ -518,7 +528,7 @@ object GraftQueries {
     * from the original table by simulating the generation split.
     */
   def o30SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_evo/p${ProcessHandle.current().pid()}_" +
+    val out = pidScopedPrefix("evo") +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$out/_DONE").exists()) {
       val o = tbl(s, dir, "orders")
@@ -675,6 +685,7 @@ object GraftQueries {
     // crashed partial write is rewritten, never silently read
     val tag = s"p${ProcessHandle.current().pid()}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.ops.OpCaches.reapDeadCaches("/tmp/graft_bucketed")
     val base = s"/tmp/graft_bucketed/$tag"
     val ordersTbl = s"orders_bkt_$tag"
     val custTbl = s"customer_bkt_$tag"
@@ -709,7 +720,7 @@ object GraftQueries {
     // fixture dirs) can never race on Overwrite-vs-read; within one
     // process the layout is written once and reused, so repeated calls
     // (bench warm-up + samples) time the pruned READ, not the write
-    val path = s"/tmp/graft_partitioned/p${ProcessHandle.current().pid()}_" +
+    val path = pidScopedPrefix("partitioned") +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
     // gate reuse on the committer's _SUCCESS marker, not bare directory
     // existence: a crashed prior write leaves a partial layout that
@@ -1856,6 +1867,12 @@ object GraftQueries {
     val maxRaw = driverWalkMaxEdges / 2 // each raw row yields 2 walk edges
     val walked: Option[DataFrame] =
       if (maxRaw <= 0 || maxRaw > Int.MaxValue - 2L) None
+      // o_orderkey is unique, so the inner join emits at most one row
+      // per lineitem row — lineitem's metadata-only parquet count is an
+      // EXACT upper bound on the raw relation, making the over-budget
+      // decline free instead of paying a wasted 1M-row executeTake
+      // (measured 10.9s at sf1, where the walk always declines)
+      else if (li.count() > maxRaw) None
       else {
         val rows = kv.head(maxRaw.toInt + 1)
         if (rows.length > maxRaw ||

@@ -55,4 +55,40 @@ object OpCaches {
       df = registered.poll()
     }
   }
+
+  private val reaped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Reap pid-scoped cache dirs left by DEAD processes under `base`
+    * (every on-disk fixture cache is `base/p<pid>_…`, so an entry whose
+    * pid is no longer alive is garbage by construction — the process
+    * that could have reused it is gone). Without reaping, repeated
+    * bench sessions at the big scratch SFs accumulate multi-GB dump
+    * caches until the disk fills (measured: 29 GB of dead caches made
+    * d4_jaccard_prefix's sf10 sort spill abort with
+    * SPILL_OUT_OF_MEMORY/no-space-left). Runs once per (process, base);
+    * deletion races with another LIVE process are impossible (its pid
+    * is alive ⇒ skipped), and a pid-reuse collision merely rebuilds a
+    * cache. Never throws — reaping is best-effort hygiene.
+    */
+  def reapDeadCaches(base: String): Unit = {
+    if (!reaped.add(base)) return
+    try {
+      val dir = new java.io.File(base)
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      for (e <- entries if e.getName.startsWith("p")) {
+        val pid = e.getName.drop(1).takeWhile(_.isDigit)
+        val alive = pid.nonEmpty && {
+          val h = ProcessHandle.of(pid.toLong)
+          h.isPresent && h.get().isAlive
+        }
+        if (pid.nonEmpty && !alive) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(e)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 }

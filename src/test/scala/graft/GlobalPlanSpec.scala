@@ -110,6 +110,11 @@ class GlobalPlanSpec extends AnyFunSuite with SparkSuite {
     // recall-verdict's exact reference scan (broadcast sampled
     // queries) — the s1 shape
     "s17_knn_graph",
+    // d5_embedding_ann's PAIRS are bucket-keyed equi joins (the s17
+    // shape); its BNLJs are the recall-verdict's exact reference
+    // range search (50 broadcast probe docs against the corpus scan,
+    // the s5 shape — constant-bounded by design)
+    "d5_embedding_ann",
     // Mann–Kendall's S-statistic self-join: BOTH sides are the
     // calendar-bounded daily aggregate — n_days rows regardless of
     // event volume, the designed q_changepoint-style bound

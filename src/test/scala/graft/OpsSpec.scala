@@ -154,6 +154,37 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(bcast.count() > 0, "fixture should contain near-dup pairs at t=0.4")
   }
 
+  test("ANN near-dup pairs: subset of exact, verified sims, full recall on planted dups") {
+    import spark.implicits._
+    // the fixture regime (τ=0.4, near-orthogonal vectors) — ANN output
+    // must be a SUBSET of the exact pair set with bit-identical sims
+    // (candidates are LSH-proposed but every pair is exact-verified)
+    val ann = Similarity.cosineNearDupPairsAnn(emb, threshold = 0.4)
+      .select("id_a", "id_b", "sim")
+    val exact = Similarity.cosineNearDupPairsBroadcast(emb, threshold = 0.4)
+      .select("id_a", "id_b", "sim")
+    assert(ann.exceptAll(exact).count() == 0,
+      "ANN emitted a pair the exact join does not contain")
+    // the production regime LSH targets: planted HIGH-cosine near-dups
+    // (tiny perturbations of a base vector) must be found with recall 1
+    // even with the chunk-split path forced (maxBlock = 8)
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val planted = (0L until 40L).map { i =>
+      val v = base.clone()
+      v(i.toInt % 64) = v(i.toInt % 64) + 0.01f * (i % 5 + 1)
+      (i, v)
+    } ++ (40L until 120L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = planted.toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairsAnn(df, threshold = 0.95, maxBlock = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = Similarity.cosineNearDupPairsBroadcast(df, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "planted cluster should produce pairs at t=0.95")
+    assert(got == want,
+      s"high-cosine recall must be 1.0: missed ${(want -- got).size} of ${want.size}")
+  }
+
   test("language-id is deterministic and covers the marker languages") {
     val out1 = docs.withColumn("l", TextAnalysis.langId(col("text")))
       .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
