@@ -1589,9 +1589,10 @@ object GraftQueries {
     * recall contract: exact pairs touching the 50 probe docs come from
     * a broadcast range search (O(probes·n) — linear, never the n² pair
     * relation), and the POOLED recall of the ANN relation over them
-    * must clear 0.70 (measured 0.911 at sf0.01, 0.877 at sf0.1 with
-    * bits = 3, tables = 8 — two hits of margin; the fixture's τ = 0.35
-    * regime is sign-LSH-adversarial, see the operator's Scaladoc).
+    * must clear 0.70 (measured 1.000 at BOTH oracle SFs under the
+    * bits-derived multi-probe default — 0.911/0.877 in the pure-base
+    * form; the fixture's τ = 0.35 regime is sign-LSH-adversarial, see
+    * the operator's Scaladoc).
     * Everything is deterministic (splitmix64 hyperplanes, exact
     * verify), so the verdict row is stable and DuckDB re-derives
     * n_exact; `cap_ok` asserts the cap's output contract held

@@ -1057,10 +1057,23 @@ object Similarity {
     */
   private def scoreBlockPair(ma: Seq[(Long, Array[Float])],
                              mb: Seq[(Long, Array[Float])],
-                             same: Boolean, threshold: Double): Seq[(Long, Long, Double)] = {
+                             same: Boolean, threshold: Double): Seq[(Long, Long, Double)] =
+    scoreBlockPairFlagged(ma.map(m => (m._1, m._2, true)),
+      if (same) Nil else mb.map(m => (m._1, m._2, true)), same, threshold)
+
+  /** The flagged form of the kernel: each member carries a base/probe
+    * flag and probe–probe pairs are skipped (a multi-probe collision
+    * only counts when at least one side sits in its OWN bucket — the
+    * Lv et al. probing contract, which keeps candidate volume
+    * ~(1+2·probes)·load instead of (1+probes)²·load). All-base input
+    * (the IVF path via [[scoreBlockPair]]) scores every pair.
+    */
+  private def scoreBlockPairFlagged(ma: Seq[(Long, Array[Float], Boolean)],
+                                    mb: Seq[(Long, Array[Float], Boolean)],
+                                    same: Boolean, threshold: Double): Seq[(Long, Long, Double)] = {
     val a = ma.toArray.sortBy(_._1)
     val b = if (same) a else mb.toArray.sortBy(_._1)
-    def norms(m: Array[(Long, Array[Float])]): Array[Double] = m.map { case (_, v) =>
+    def norms(m: Array[(Long, Array[Float], Boolean)]): Array[Double] = m.map { case (_, v, _) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
@@ -1069,17 +1082,19 @@ object Similarity {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var i = 0
     while (i < a.length) {
-      val (ida, va) = a(i)
+      val (ida, va, basea) = a(i)
       var j = if (same) i + 1 else 0
       while (j < b.length) {
-        val (idb, vb) = b(j)
-        var dot = 0.0
-        var d = 0
-        val n = math.min(va.length, vb.length)
-        while (d < n) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
-        val sim = dot / (na(i) * nb(j))
-        if (sim >= threshold && ida != idb)
-          out += (if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
+        val (idb, vb, baseb) = b(j)
+        if (basea || baseb) {
+          var dot = 0.0
+          var d = 0
+          val n = math.min(va.length, vb.length)
+          while (d < n) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+          val sim = dot / (na(i) * nb(j))
+          if (sim >= threshold && ida != idb)
+            out += (if (ida < idb) (ida, idb, sim) else (idb, ida, sim))
+        }
         j += 1
       }
       i += 1
@@ -1097,7 +1112,7 @@ object Similarity {
     *
     * Scale shape: `bits` is derived from the corpus count so the
     * expected bucket load stays ~`targetBucket` regardless of n —
-    * candidate volume is Σ_table Σ_b |bucket|² ≈ n·targetBucket·tables,
+    * candidate volume is ≈ (1 + 2·probes)·n·targetBucket·tables,
     * LINEAR in n where the exact family's true-pair volume is ~n²
     * (probed 103× pairs for 10× data at the sf10 decade, `D5Sf10Probe`).
     * No driver-side metadata: per-bucket counts come from a count
@@ -1112,14 +1127,22 @@ object Similarity {
     * recall CONSTANT while n grows requires tables ~ n^ρ — with fixed
     * `tables`, per-pair recall decays as bits grow, fastest for
     * low-cosine pairs (θ → π/2 is the regime where no sub-quadratic
-    * method helps). Production near-dup thresholds (θ small) keep
-    * per-table collision high and recall flat; the catalog key gates a
-    * measured pooled recall floor at the oracle SFs and the knob
-    * trade-off is documented in MEASUREMENTS.md rather than promised.
+    * method helps). Symmetric multi-probing (`probes` low-margin flip
+    * buckets per vector per table, [[probeKernel]], scored only
+    * against BASE occupants) blunts the decay at fixed tables: a
+    * near-threshold pair that misses a bucket usually differs on
+    * exactly the low-margin bits each side probes, so 1-bit misses —
+    * the dominant miss mode once bits grow — are recovered at
+    * (1+2·probes)× candidate cost instead of the ~2^probes× of more
+    * tables. Production near-dup thresholds (θ small) keep per-table
+    * collision high and recall flat; the catalog key gates a measured
+    * pooled recall floor at the oracle SFs and the knob trade-off is
+    * documented in MEASUREMENTS.md rather than promised.
     */
   def cosineNearDupPairsAnn(df: DataFrame, threshold: Double,
                             tables: Int = 8, targetBucket: Int = 256,
                             maxBlock: Int = 4096, dim: Int = 64,
+                            probes: Int = -1,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tables >= 1 && targetBucket >= 1 && maxBlock >= 1,
@@ -1132,22 +1155,45 @@ object Similarity {
     val n = df.count()
     val bits = math.max(3, math.min(20,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    // probes < 0 ⇒ derive from bits (the expectedCandidates = -1
+    // convention): as bits grow, per-table collision decays and 1-bit
+    // misses dominate, so the probe budget should grow WITH bits —
+    // bits/2 floored at 2 measured 1.000/0.761/≈linear recall-vs-cost
+    // at bits 3/7/10 where the fixed pure-base form read 0.877/0.268
+    // (MEASUREMENTS.md round 12).
+    val nProbes = if (probes >= 0) probes else math.max(2, bits / 2)
     val allPlanes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t => hyperplanes(bits, dim, t.toLong))
-    val sigsUdf = udf((v: Array[Float]) => allPlanes.map(signatureKernel(_)(v)))
+    // per table: the vector's OWN bucket (base) plus its `probes`
+    // query-adaptive low-margin flip buckets ([[probeKernel]] — Lv et
+    // al., VLDB 2007). probes = 0 reproduces the pure base-bucket form.
+    val sigsUdf = udf { (v: Array[Float]) =>
+      val out = Array.newBuilder[(Int, Long, Boolean)]
+      var t = 0
+      while (t < allPlanes.length) {
+        val bks = probeKernel(allPlanes(t), nProbes)(v)
+        var i = 0
+        while (i < bks.length) { out += ((t, bks(i), i == 0)); i += 1 }
+        t += 1
+      }
+      out.result()
+    }
     val rows = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("id"), col("v"), posexplode(sigsUdf(col("v"))))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .select(col("id"), col("v"), explode(sigsUdf(col("v"))).as("tb"))
+      .select(col("id"), col("v"), col("tb._1").as("t"),
+        col("tb._2").as("bucket"), col("tb._3").as("base"))
     // per-bucket counts distributedly (a count window, no order — no
     // sort), oversized buckets chunk by hashed id: expected chunk size
     // ≤ maxBlock since ids are distinct and xxhash64 spreads them
+    // (probe rows count toward load too, so the bound survives probing)
     val w = Window.partitionBy(col("t"), col("bucket"))
     val chunked = rows
       .withColumn("nc", ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int"))
       .withColumn("chunk", pmod(xxhash64(col("id")), col("nc")).cast("int"))
     val groups = chunked.groupBy(col("t"), col("bucket"), col("chunk"))
-      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"))).as("members"),
+      .agg(collect_list(struct(col("id").as("_1"), col("v").as("_2"),
+        col("base").as("_3"))).as("members"),
         first(col("nc")).as("nc"))
     // unordered chunk pairs within a bucket, each in exactly one task;
     // the right side comes out of its groupBy already hash-partitioned
@@ -1160,9 +1206,9 @@ object Similarity {
         col("t") === col("t2") && col("bucket") === col("b2") && col("chunk_b") === col("c2"))
       .select(col("members").as("_1"), col("mb").as("_2"),
         (col("chunk") === col("chunk_b")).as("_3"))
-      .as[(Seq[(Long, Array[Float])], Seq[(Long, Array[Float])], Boolean)]
+      .as[(Seq[(Long, Array[Float], Boolean)], Seq[(Long, Array[Float], Boolean)], Boolean)]
     val cand = paired.flatMap { case (ma, mb, same) =>
-      scoreBlockPair(ma, mb, same, threshold)
+      scoreBlockPairFlagged(ma, mb, same, threshold)
     }.toDF("id_a", "id_b", "sim")
     // a pair verified in several tables has the SAME sim — max is dedup
     cand.groupBy("id_a", "id_b").agg(max("sim").as("sim"))

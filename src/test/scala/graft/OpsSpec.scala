@@ -185,6 +185,19 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       s"high-cosine recall must be 1.0: missed ${(want -- got).size} of ${want.size}")
   }
 
+  test("ANN near-dup pairs: multi-probe is monotone over the pure-base form") {
+    // every base-base collision survives probing (base rows are still
+    // emitted into the same buckets and all chunk pairs are scored), so
+    // probes > 0 can only ADD verified pairs — recall never regresses
+    val base0 = Similarity.cosineNearDupPairsAnn(emb, threshold = 0.4, probes = 0)
+      .select("id_a", "id_b", "sim")
+    val probed = Similarity.cosineNearDupPairsAnn(emb, threshold = 0.4, probes = 2)
+      .select("id_a", "id_b", "sim")
+    assert(base0.exceptAll(probed).count() == 0,
+      "multi-probe lost a pair the pure-base form finds")
+    assert(probed.count() >= base0.count())
+  }
+
   test("language-id is deterministic and covers the marker languages") {
     val out1 = docs.withColumn("l", TextAnalysis.langId(col("text")))
       .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
