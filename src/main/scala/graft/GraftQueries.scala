@@ -514,7 +514,13 @@ object GraftQueries {
     val kept = graft.export.Subset.closure(tables, fks, "orders",
       graft.ops.Sampling.bucket(col("o_orderkey"), 10) === 0)
     val orphans = graft.export.Subset.orphanCounts(kept, fks)
-    names.map(t => (t, kept(t).count(), orphans(t)))
+    // one action for all 8 kept counts (the o43/orphanCounts
+    // union-of-aggregates pattern), not a per-table .count() loop
+    val counts = names.map(t => kept(t).agg(count(lit(1)).as("__n"))
+        .select(lit(t).as("__t"), col("__n")))
+      .reduce(_ unionAll _).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.map(t => (t, counts(t), orphans(t)))
       .toDF("table_name", "n_rows", "n_orphans")
   }
 
@@ -2389,9 +2395,18 @@ object GraftQueries {
     val kept = graft.export.Subset.eraseCascade(tables, fks, "customer",
       graft.ops.Sampling.bucket(col("c_custkey"), 20) === 0)
     val orphans = graft.export.Subset.orphanCounts(kept, fks)
+    // all 16 before/after counts in ONE action (the o43/orphanCounts
+    // union-of-aggregates pattern) — a driver loop of per-table
+    // .count()s runs the cluster one count job at a time
+    val counts = names.map { t =>
+      tables(t).agg(count(lit(1)).as("__n"))
+        .select(lit(t).as("__t"), lit("b").as("__k"), col("__n"))
+        .unionAll(kept(t).agg(count(lit(1)).as("__n"))
+          .select(lit(t).as("__t"), lit("a").as("__k"), col("__n")))
+    }.reduce(_ unionAll _).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     names.map { t =>
-      val before = tables(t).count()
-      val after = kept(t).count()
+      val before = counts((t, "b")); val after = counts((t, "a"))
       (t, before, before - after, after, orphans(t))
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }

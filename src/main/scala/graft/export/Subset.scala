@@ -131,18 +131,27 @@ object Subset {
 
   /** Per-table dangling-FK row counts over a subset — the closure
     * proof: every count must be zero for the subset to restore under
-    * enabled constraints.
+    * enabled constraints. All per-edge anti-join counts are unioned
+    * into ONE action (the o43 pattern): independent subtrees of a
+    * single job run concurrently under Spark's scheduler, where a
+    * driver loop of per-edge `.count()`s would serialize the cluster
+    * one broadcast join at a time.
     */
   def orphanCounts(kept: Map[String, DataFrame],
-                   fks: Seq[ForeignKey]): Map[String, Long] =
-    kept.map { case (t, df) =>
-      val edges = fks.filter(f => f.table == t && kept.contains(f.referencedTable))
-      val orphans = edges.map { f =>
+                   fks: Seq[ForeignKey]): Map[String, Long] = {
+    val perEdge: Seq[DataFrame] = kept.toSeq.flatMap { case (t, df) =>
+      fks.filter(f => f.table == t && kept.contains(f.referencedTable)).map { f =>
         df.join(kept(f.referencedTable).select(col(f.referencedColumn).as("__pk")),
-          df(f.column) === col("__pk"), "left_anti").count()
-      }.sum
-      t -> orphans
+          df(f.column) === col("__pk"), "left_anti")
+          .agg(count(lit(1)).as("__n")).select(lit(t).as("__t"), col("__n"))
+      }
     }
+    val zero = kept.map { case (t, _) => t -> 0L }
+    if (perEdge.isEmpty) zero
+    else zero ++ perEdge.reduce(_ unionAll _)
+      .groupBy("__t").agg(sum("__n").as("__s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }
 
 /** A [[graft.sources.Source]] view restricted to a referentially-
