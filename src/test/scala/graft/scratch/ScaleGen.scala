@@ -52,7 +52,7 @@ object ScaleGen {
   def digitPerm(copy: Int): String = digitPerms(copy)
   private lazy val digitPerms: IndexedSeq[String] = {
     val seen = scala.collection.mutable.Set(DIGITS)
-    DIGITS +: (1 until 676).map { c =>
+    DIGITS +: (1 until 1024).map { c =>
       var seed = c.toLong
       var s = permute(DIGITS, seed)
       while (!seen.add(s)) { seed += 1000; s = permute(DIGITS, seed) }
@@ -90,13 +90,22 @@ object ScaleGen {
     s"\\b(?!(?:$markers)\\b)([A-Za-z]+)\\b"
   }
 
-  /** Two lowercase letters, distinct per copy for copies 0..675. */
-  def copyTag(copy: Int): String = {
-    require(copy >= 1 && copy < 26 * 26)
-    s"${('a' + copy / 26).toChar}${('a' + copy % 26).toChar}"
+  /** `tagLen` lowercase letters, distinct per copy. The length is
+    * FIXED per generator run: with uniform-length tags, wordX+tagI =
+    * wordY+tagJ forces wordX = wordY and tagI = tagJ (same copy), so
+    * cross-copy word distinctness holds by construction — mixing
+    * lengths would reopen suffix-aliasing collisions ("rowa"+"bc" =
+    * "row"+"abc"). sf1/sf10/sf30 use 2 letters (≤ 675 copies, their
+    * committed recipe); sf100's 1000 copies use 3 for every copy.
+    */
+  def copyTag(copy: Int, tagLen: Int = 2): String = {
+    require(copy >= 1 && copy < math.pow(26, tagLen).toInt)
+    (0 until tagLen).map { k =>
+      ('a' + (copy / math.pow(26, tagLen - 1 - k).toInt) % 26).toChar
+    }.mkString
   }
 
-  def run(out: String, copies: Int, outPartitions: Int): Unit = {
+  def run(out: String, copies: Int, outPartitions: Int, tagLen: Int = 2): Unit = {
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -121,7 +130,7 @@ object ScaleGen {
         if (distinctText && i > 0)
           d = d.withColumn("text",
               concat(lit(s"r$i "),
-                regexp_replace(col("text"), TAG_PATTERN, "$1" + copyTag(i))))
+                regexp_replace(col("text"), TAG_PATTERN, "$1" + copyTag(i, tagLen))))
             .withColumn("n_chars", length(col("text")).cast("long"))
         if (distinctVec && i > 0) {
           val rnd = new java.util.Random(i.toLong * 0x5DEECE66DL + 0xB0B1234L)
