@@ -2587,23 +2587,82 @@ object GraftQueries {
     (dirty, clean)
   }
 
+  /** The er1 Fellegi–Sunter agreement score, shared by every linkage
+    * key that scores er1-shaped candidates.
+    */
+  private def er1Score: Column =
+    graft.ops.Linkage.editWeight(col("d_name"), col("c_name"), 30L, 6L) +
+      when(col("d_phone") === col("c_phone"), lit(20L))
+        .otherwise(graft.ops.Linkage.editWeight(col("d_phone"), col("c_phone"), 20L, 4L)) +
+      when(col("d_nation") === col("c_nationkey"), lit(5L)).otherwise(lit(0L))
+
   /** Blocked + scored + selected matches, `(d_id, matched_id, score)`. */
   private def er1Matches(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Linkage
     val (dirty, clean) = er1Keyed(s, dir)
     val cand = Linkage.blockedCandidates(dirty, clean,
       Seq("d_blk_phone" -> "c_blk_phone", "d_blk_name" -> "c_blk_name"))
-    val scored = cand.withColumn("score",
-      Linkage.editWeight(col("d_name"), col("c_name"), 30L, 6L) +
-        when(col("d_phone") === col("c_phone"), lit(20L))
-          .otherwise(Linkage.editWeight(col("d_phone"), col("c_phone"), 20L, 4L)) +
-        when(col("d_nation") === col("c_nationkey"), lit(5L)).otherwise(lit(0L)))
-    Linkage.bestMatches(scored, "d_id", "c_custkey", "score", 35L)
+    Linkage.bestMatches(cand.withColumn("score", er1Score),
+        "d_id", "c_custkey", "score", 35L)
       .withColumnRenamed("c_custkey", "matched_id")
   }
 
   def er1RecordLinkage(s: SparkSession, dir: String): DataFrame =
     er1Matches(s, dir)
+
+  /** ER5 [EXT] — frequency-capped blocking
+    * (`Linkage.cappedBlockedCandidates`): er1's two informative passes
+    * plus a deliberately saturated third (nation-only — the
+    * everyone-named-SMITH block) under a 1000-pairs-per-key budget.
+    * The audit row per pass carries joinable-key count, capped-key
+    * count and KEPT candidate volume (Σ nd·nc over allowed keys — the
+    * join's exact output size); the union row adds the end-to-end
+    * outcome on the capped candidates (best matches ≥ 35, true-match
+    * count vs the known origin key). At the oracle SFs the cap BINDS:
+    * every nation block exceeds the budget and is skipped wholesale,
+    * while phone/name blocks (nd·nc ≤ 4) ride through — so the gate
+    * hash-checks the skip logic, not a vacuous pass-through. This is
+    * the linkage family's scale path: er1's sf100 block-key aliasing
+    * (probed 1.206 B phone candidates, SCALING.md) is exactly the
+    * volume this cap bounds to ≤ maxPairs·#keys.
+    */
+  def er5BlockCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 1000L
+    val (d0, c0) = er1Keyed(s, dir)
+    val dirty = graft.ops.OpCaches.persist(
+      d0.withColumn("d_blk_nation", col("d_nation").cast("string")))
+    val clean = graft.ops.OpCaches.persist(
+      c0.withColumn("c_blk_nation", col("c_nationkey").cast("string")))
+    val passes = Seq(("name", "d_blk_name", "c_blk_name"),
+      ("nation", "d_blk_nation", "c_blk_nation"),
+      ("phone", "d_blk_phone", "c_blk_phone"))
+    def keyStats(lk: String, rk: String): DataFrame =
+      dirty.groupBy(col(lk).as("__k")).agg(count(lit(1)).as("__nd"))
+        .join(clean.groupBy(col(rk).as("__k")).agg(count(lit(1)).as("__nc")), "__k")
+    val passRows = passes.map { case (nm, lk, rk) =>
+      keyStats(lk, rk).agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__nd") * col("__nc") > cap, 1L).otherwise(0L))
+          .as("n_keys_capped"),
+        coalesce(sum(when(col("__nd") * col("__nc") <= cap,
+          col("__nd") * col("__nc"))), lit(0L)).as("n_candidates"))
+        .select(lit(nm).as("pass"), col("n_keys"), col("n_keys_capped"),
+          col("n_candidates"), lit(0L).as("n_matches"), lit(0L).as("n_true"))
+    }.reduce(_ unionByName _)
+    val cand = graft.ops.Linkage.cappedBlockedCandidates(dirty, clean,
+      passes.map { case (_, lk, rk) => lk -> rk }, cap)
+    val matches = graft.ops.Linkage.bestMatches(
+      cand.withColumn("score", er1Score), "d_id", "c_custkey", "score", 35L)
+    val unionRow = passRows
+      .agg(sum("n_keys").as("n_keys"), sum("n_keys_capped").as("n_keys_capped"),
+        sum("n_candidates").as("n_candidates"))
+      .crossJoin(broadcast(matches.agg(count(lit(1)).as("n_matches"),
+        coalesce(sum(when(col("d_id") === col("c_custkey"), 1L).otherwise(0L)),
+          lit(0L)).as("n_true"))))
+      .select(lit("union").as("pass"), col("n_keys"), col("n_keys_capped"),
+        col("n_candidates"), col("n_matches"), col("n_true"))
+    passRows.unionByName(unionRow).orderBy("pass")
+  }
 
   /** ER3 [EXT] — BLOCKING-QUALITY audit, the evaluation every blocking
     * scheme needs before trusting a linkage: per pass and for the
@@ -5095,6 +5154,7 @@ object GraftQueries {
     "t24_bpe_encode"     -> (t24BpeEncode _),
     "o36_dp_counts"      -> (o36DpCounts _),
     "er1_record_linkage" -> (er1RecordLinkage _),
+    "er5_block_cap"      -> (er5BlockCap _),
     "g3_khop"            -> (g3KHop _),
     "er2_golden_record"  -> (er2GoldenRecord _),
     "q_seasonal_mad"     -> (qSeasonalMad _),

@@ -4593,6 +4593,90 @@ object Oracles {
          |SELECT d_id, c_custkey AS matched_id, CAST(score AS BIGINT) AS score
          |FROM best WHERE rn = 1""".stripMargin,
 
+    // frequency-capped blocking: er1's two passes plus the saturated
+    // nation-only pass under a 1000-pairs-per-key budget — the oracle
+    // replays the per-key nd*nc HAVING, the per-pass audit, and the
+    // end-to-end match outcome on the capped candidate union
+    "er5_block_cap" ->
+      s"""WITH $er1MatchCtes,
+         |ksp AS (SELECT ld.k, nd, nc FROM
+         |    (SELECT bp AS k, count(*) AS nd FROM dk GROUP BY 1) ld
+         |    JOIN (SELECT bp AS k, count(*) AS nc FROM ck GROUP BY 1) rc
+         |      ON ld.k = rc.k),
+         |ksn AS (SELECT ld.k, nd, nc FROM
+         |    (SELECT bn AS k, count(*) AS nd FROM dk GROUP BY 1) ld
+         |    JOIN (SELECT bn AS k, count(*) AS nc FROM ck GROUP BY 1) rc
+         |      ON ld.k = rc.k),
+         |kst AS (SELECT ld.k, nd, nc FROM
+         |    (SELECT CAST(d_nation AS VARCHAR) AS k, count(*) AS nd
+         |       FROM dk GROUP BY 1) ld
+         |    JOIN (SELECT CAST(c_nationkey AS VARCHAR) AS k, count(*) AS nc
+         |       FROM ck GROUP BY 1) rc ON ld.k = rc.k),
+         |pstats AS (
+         |  SELECT 'phone' AS pass, count(*) AS n_keys,
+         |    sum(CASE WHEN nd * nc > 1000 THEN 1 ELSE 0 END) AS n_keys_capped,
+         |    coalesce(sum(CASE WHEN nd * nc <= 1000 THEN nd * nc END), 0)
+         |      AS n_candidates
+         |  FROM ksp
+         |  UNION ALL
+         |  SELECT 'name', count(*),
+         |    sum(CASE WHEN nd * nc > 1000 THEN 1 ELSE 0 END),
+         |    coalesce(sum(CASE WHEN nd * nc <= 1000 THEN nd * nc END), 0)
+         |  FROM ksn
+         |  UNION ALL
+         |  SELECT 'nation', count(*),
+         |    sum(CASE WHEN nd * nc > 1000 THEN 1 ELSE 0 END),
+         |    coalesce(sum(CASE WHEN nd * nc <= 1000 THEN nd * nc END), 0)
+         |  FROM kst),
+         |candc AS (
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM dk JOIN ck ON dk.bp = ck.bp
+         |  WHERE dk.bp IN (SELECT k FROM ksp WHERE nd * nc <= 1000)
+         |  UNION ALL
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM dk JOIN ck ON dk.bn = ck.bn
+         |  WHERE dk.bn IN (SELECT k FROM ksn WHERE nd * nc <= 1000)
+         |  UNION ALL
+         |  SELECT d_id, d_name, d_phone, d_nation,
+         |         c_custkey, c_name, c_phone, c_nationkey
+         |  FROM dk JOIN ck ON CAST(dk.d_nation AS VARCHAR) =
+         |                     CAST(ck.c_nationkey AS VARCHAR)
+         |  WHERE CAST(dk.d_nation AS VARCHAR) IN
+         |    (SELECT k FROM kst WHERE nd * nc <= 1000)),
+         |scoredc AS (
+         |  SELECT d_id, c_custkey,
+         |    greatest(30 - 6 * levenshtein(d_name, c_name), 0)
+         |    + CASE WHEN d_phone = c_phone THEN 20
+         |           ELSE greatest(20 - 4 * levenshtein(d_phone, c_phone), 0) END
+         |    + CASE WHEN d_nation = c_nationkey THEN 5 ELSE 0 END AS score
+         |  FROM candc),
+         |bestc AS (
+         |  SELECT d_id, c_custkey, score, row_number() OVER (
+         |    PARTITION BY d_id ORDER BY score DESC, c_custkey) AS rn
+         |  FROM scoredc WHERE score >= 35),
+         |mrow AS (SELECT count(*) AS n_matches,
+         |    coalesce(sum(CASE WHEN d_id = c_custkey THEN 1 ELSE 0 END), 0)
+         |      AS n_true
+         |  FROM bestc WHERE rn = 1),
+         |allrows AS (
+         |  SELECT pass, n_keys, n_keys_capped, n_candidates,
+         |    0 AS n_matches, 0 AS n_true
+         |  FROM pstats
+         |  UNION ALL
+         |  SELECT 'union', (SELECT sum(n_keys) FROM pstats),
+         |    (SELECT sum(n_keys_capped) FROM pstats),
+         |    (SELECT sum(n_candidates) FROM pstats),
+         |    n_matches, n_true
+         |  FROM mrow)
+         |SELECT pass, CAST(n_keys AS BIGINT) AS n_keys,
+         |  CAST(n_keys_capped AS BIGINT) AS n_keys_capped,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_matches AS BIGINT) AS n_matches,
+         |  CAST(n_true AS BIGINT) AS n_true
+         |FROM allrows ORDER BY pass""".stripMargin,
+
     // blocking-quality audit: per-pass candidate volume, recall vs the
     // known origin key, reduction vs the cross product — er1's CTEs
     "er3_blocking_quality" ->

@@ -51,6 +51,39 @@ object Linkage {
       .reduce(_ unionByName _)
   }
 
+  /** [[blockedCandidates]] under a per-block-key candidate budget —
+    * the linkage family's scale guard (Christen's "Data Matching"
+    * §4.6.1, block-size filtering): a block key shared by `nd` dirty
+    * and `nc` clean records contributes nd·nc candidates, so one
+    * saturated key (everyone named "SMITH", a burned-in default phone,
+    * er1's replica-aliased 7-digit prefixes at the sf100 decade) makes
+    * the pass quadratic while adding near-zero linkage information —
+    * an uninformative key by definition matches everything. Keys with
+    * nd·nc > `maxPairs` are SKIPPED for that pass (the record still
+    * links through its other passes — the same reasoning multi-pass
+    * blocking already rests on); kept volume is ≤ maxPairs·#keys,
+    * linear in keys however degenerate the key distribution. The
+    * per-key counts are two mergeable aggregates at key scale and the
+    * allowed-key set applies as one semi join per pass — never a
+    * driver-side key list.
+    */
+  def cappedBlockedCandidates(left: DataFrame, right: DataFrame,
+                              passes: Seq[(String, String)],
+                              maxPairs: Long): DataFrame = {
+    require(passes.nonEmpty, "cappedBlockedCandidates: at least one blocking pass")
+    require(maxPairs >= 1, "cappedBlockedCandidates: maxPairs must be >= 1")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "cappedBlockedCandidates: left/right column names must be disjoint")
+    passes.map { case (lk, rk) =>
+      val allowed = left.groupBy(left(lk).as("__k")).agg(count(lit(1)).as("__nd"))
+        .join(right.groupBy(right(rk).as("__k")).agg(count(lit(1)).as("__nc")), "__k")
+        .filter(col("__nd") * col("__nc") <= maxPairs)
+        .select("__k")
+      val lf = left.join(allowed, left(lk) === col("__k"), "left_semi")
+      lf.join(right, lf(lk) === right(rk))
+    }.reduce(_ unionByName _)
+  }
+
   /** Best match per left record: keep pairs scoring ≥ `minScore`, then
     * argmax score per `idCol` with ties to the SMALLEST `matchCol`.
     * One mergeable aggregate; duplicate candidates from overlapping

@@ -3393,6 +3393,30 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(w == 0L)
   }
 
+  test("linkage: frequency-capped blocking skips exactly the over-budget keys per pass") {
+    import spark.implicits._
+    import graft.ops.Linkage
+    // block key "hot" holds 3×3 = 9 candidate pairs, "cold" 1×1;
+    // with maxPairs = 4 the hot key must be skipped in the capped
+    // pass while the uncapped form keeps both
+    val dirty = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "cold"))
+      .toDF("d_id", "d_blk")
+    val clean = Seq((10L, "hot"), (11L, "hot"), (12L, "hot"), (13L, "cold"))
+      .toDF("c_id", "c_blk")
+    val uncapped = Linkage.blockedCandidates(dirty, clean, Seq("d_blk" -> "c_blk"))
+      .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 10)
+    val capped = Linkage.cappedBlockedCandidates(dirty, clean,
+        Seq("d_blk" -> "c_blk"), maxPairs = 4L)
+      .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((4L, 13L)), s"expected only the cold block, got $capped")
+    // a budget admitting the hot key reproduces the uncapped relation
+    val roomy = Linkage.cappedBlockedCandidates(dirty, clean,
+        Seq("d_blk" -> "c_blk"), maxPairs = 9L)
+      .select("d_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(roomy == uncapped)
+  }
+
   test("blocking quality: union recovers every true match, each pass its half, blocking prunes the cross product") {
     import spark.implicits._
     val rows = GraftQueries.er3BlockingQuality(spark, sfDir)

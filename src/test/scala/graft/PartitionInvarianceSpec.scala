@@ -87,7 +87,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with SparkSuite {
     // round-12 additions: the LSH-candidate ANN pair path (bucket
     // self-joins + window-chunked blocks — exactly the shape where a
     // partition-local artifact would leak) and the forced-blocked cap
-    "d5_embedding_ann", "d5_embedding_capped_blocked")
+    "d5_embedding_ann", "d5_embedding_capped_blocked",
+    // frequency-capped blocking (per-key count aggregates + semi join)
+    "er5_block_cap")
 
   private lazy val splitDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_split_fixture").toString
