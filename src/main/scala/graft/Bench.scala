@@ -146,12 +146,23 @@ object Bench {
         val derived = inputBytes(sfDir) / (8L << 20)
         math.max(c, math.min(8L * c, derived)).toInt
     }
+    // Generated-class cache sized for the catalog: the default 100-entry
+    // codegen cache thrashes on a 268-query suite — every interleaved
+    // pass re-compiles (Janino + C2) every plan's generated classes, so
+    // the measured steady-state is really the re-JIT overhead. 4096
+    // entries lets a long-lived session (exactly what a production
+    // cluster running this catalog is) keep its generated classes warm;
+    // the cache holds weak class references, so this costs bounded
+    // metadata, not heap data. Scale-independent (per-plan, not
+    // per-row); override for A/B with SPARK_GRAFT_CODEGEN_CACHE.
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initParts.toString)
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

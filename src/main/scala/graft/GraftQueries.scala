@@ -3291,8 +3291,16 @@ object GraftQueries {
     import org.apache.spark.sql.expressions.Window
     val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ords = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(ords, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk")).distinct()
+    // persist the (customer, supplier) relation: BOTH self-join sides
+    // read it (unpersisted, each side re-runs the fact join + distinct
+    // and the pair join has to sort-merge two recomputed exchanges;
+    // persisted, AQE sees the cached relation's true size and
+    // broadcasts one side of the pair join — measured 3.6s → ~2.4s per
+    // graph query at sf0.1, and at scale the fact join runs once, not
+    // twice)
+    val cs = graft.ops.OpCaches.persist(
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk")).distinct())
     // the projection join is the op's real cost: compute each unordered
     // pair ONCE (u < v) and mirror the aggregate, instead of joining
     // both directions — halves the join volume and the aggregate state
