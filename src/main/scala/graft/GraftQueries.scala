@@ -513,14 +513,18 @@ object GraftQueries {
     val fks = graft.sources.ParquetSource.fixtureForeignKeys
     val kept = graft.export.Subset.closure(tables, fks, "orders",
       graft.ops.Sampling.bucket(col("o_orderkey"), 10) === 0)
-    val orphans = graft.export.Subset.orphanCounts(kept, fks)
-    // one action for all 8 kept counts (the o43/orphanCounts
-    // union-of-aggregates pattern), not a per-table .count() loop
-    val counts = names.map(t => kept(t).agg(count(lit(1)).as("__n"))
-        .select(lit(t).as("__t"), col("__n")))
-      .reduce(_ unionAll _).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    names.map(t => (t, counts(t), orphans(t)))
+    // kept counts AND orphan anti-join counts in ONE action (the
+    // o43/orphanCounts union-of-aggregates pattern over the whole
+    // audit): one job whose independent subtrees overlap, instead of
+    // two serial jobs over the same cached closure chain
+    val countFrames = names.map(t => kept(t).agg(count(lit(1)).as("__n"))
+      .select(lit(t).as("__t"), lit("c").as("__k"), col("__n")))
+    val orphanFrames = graft.export.Subset.orphanCountFrames(kept, fks)
+      .map(_.select(col("__t"), lit("o").as("__k"), col("__n")))
+    val rows = (countFrames ++ orphanFrames).reduce(_ unionAll _)
+      .groupBy("__t", "__k").agg(sum("__n").as("__s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    names.map(t => (t, rows((t, "c")), rows.getOrElse((t, "o"), 0L)))
       .toDF("table_name", "n_rows", "n_orphans")
   }
 
@@ -2394,20 +2398,26 @@ object GraftQueries {
     val fks = graft.sources.ParquetSource.fixtureForeignKeys
     val kept = graft.export.Subset.eraseCascade(tables, fks, "customer",
       graft.ops.Sampling.bucket(col("c_custkey"), 20) === 0)
-    val orphans = graft.export.Subset.orphanCounts(kept, fks)
-    // all 16 before/after counts in ONE action (the o43/orphanCounts
-    // union-of-aggregates pattern) — a driver loop of per-table
-    // .count()s runs the cluster one count job at a time
-    val counts = names.map { t =>
+    // ALL the audit numbers — 16 before/after counts AND the per-edge
+    // orphan anti-join counts — in ONE action (the o43/orphanCounts
+    // union-of-aggregates pattern, extended to the whole audit): the
+    // scheduler overlaps every independent subtree inside one job,
+    // where counts-then-orphans ran two serial jobs over the same
+    // cached closure chain
+    val countFrames = names.map { t =>
       tables(t).agg(count(lit(1)).as("__n"))
         .select(lit(t).as("__t"), lit("b").as("__k"), col("__n"))
         .unionAll(kept(t).agg(count(lit(1)).as("__n"))
           .select(lit(t).as("__t"), lit("a").as("__k"), col("__n")))
-    }.reduce(_ unionAll _).collect()
+    }
+    val orphanFrames = graft.export.Subset.orphanCountFrames(kept, fks)
+      .map(_.select(col("__t"), lit("o").as("__k"), col("__n")))
+    val rows = (countFrames ++ orphanFrames).reduce(_ unionAll _)
+      .groupBy("__t", "__k").agg(sum("__n").as("__s")).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     names.map { t =>
-      val before = counts((t, "b")); val after = counts((t, "a"))
-      (t, before, before - after, after, orphans(t))
+      val before = rows((t, "b")); val after = rows((t, "a"))
+      (t, before, before - after, after, rows.getOrElse((t, "o"), 0L))
     }.toDF("table_name", "n_before", "n_deleted", "n_after", "n_orphans")
   }
 
@@ -3890,8 +3900,12 @@ object GraftQueries {
     */
   def q_basketPairs(s: SparkSession, dir: String): DataFrame = {
     val minSupport = 3L
-    val items = tbl(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // persisted: the frequency census reads it once and the pair
+    // self-join reads it twice more — unpersisted, each consumer
+    // re-runs the lineitem scan + distinct (the q_basket_rules persist
+    // discipline applied here too)
+    val items = graft.ops.OpCaches.persist(tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
     val frequent = items.groupBy("p").agg(count(lit(1)).as("sup"))
       .filter(col("sup") * 2 >= minSupport)
     val filtered = items.join(broadcast(frequent.select("p")), "p")

@@ -139,19 +139,30 @@ object Subset {
     */
   def orphanCounts(kept: Map[String, DataFrame],
                    fks: Seq[ForeignKey]): Map[String, Long] = {
-    val perEdge: Seq[DataFrame] = kept.toSeq.flatMap { case (t, df) =>
-      fks.filter(f => f.table == t && kept.contains(f.referencedTable)).map { f =>
-        df.join(kept(f.referencedTable).select(col(f.referencedColumn).as("__pk")),
-          df(f.column) === col("__pk"), "left_anti")
-          .agg(count(lit(1)).as("__n")).select(lit(t).as("__t"), col("__n"))
-      }
-    }
+    val perEdge = orphanCountFrames(kept, fks)
     val zero = kept.map { case (t, _) => t -> 0L }
     if (perEdge.isEmpty) zero
     else zero ++ perEdge.reduce(_ unionAll _)
       .groupBy("__t").agg(sum("__n").as("__s"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
+
+  /** The un-collected form of [[orphanCounts]]: one `(__t, __n)`
+    * single-row aggregate per FK edge. Callers that also need row
+    * counts (o29/o34) union these with their count aggregates into ONE
+    * action, so the whole audit — closure chains, orphan anti-joins,
+    * per-table counts — runs as a single job whose independent
+    * subtrees the scheduler overlaps, instead of two serial jobs.
+    */
+  def orphanCountFrames(kept: Map[String, DataFrame],
+                        fks: Seq[ForeignKey]): Seq[DataFrame] =
+    kept.toSeq.flatMap { case (t, df) =>
+      fks.filter(f => f.table == t && kept.contains(f.referencedTable)).map { f =>
+        df.join(kept(f.referencedTable).select(col(f.referencedColumn).as("__pk")),
+          df(f.column) === col("__pk"), "left_anti")
+          .agg(count(lit(1)).as("__n")).select(lit(t).as("__t"), col("__n"))
+      }
+    }
 }
 
 /** A [[graft.sources.Source]] view restricted to a referentially-

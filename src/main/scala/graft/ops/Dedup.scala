@@ -254,72 +254,104 @@ object Dedup {
     * for other types); non-long ids always take the distributed path,
     * which is type-agnostic.
     */
+  /** Indexed-array union-find over an in-memory edge list (the
+    * walkedPageRank discipline): ids interned once into dense ints,
+    * union by SIZE for balanced trees (union-by-min-value builds
+    * unbalanced chains: every union of a sorted-ish edge stream points
+    * the new root at the global min, and boxed HashMap lookups pay
+    * ~10× per find on top — measured minutes at the 10× rehearsal's
+    * ~600k-edge graphs), then one labelling pass takes each
+    * component's MIN id — bit-identical output to the distributed
+    * fixpoint, O(E α(E)) with primitive arrays. Components are
+    * invariant to edge direction and multiplicity, so callers may pass
+    * the raw pair list or the symmetrized-distinct edge list — same
+    * labels either way.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              e: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val m = e.length
+    val index = new scala.collection.mutable.LongMap[Int](m * 2)
+    val vals = new scala.collection.mutable.ArrayBuffer[Long]
+    def idxOf(a: Long): Int = index.getOrElse(a, {
+      val i = vals.length; index.update(a, i); vals += a; i
+    })
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var p = 0
+    while (p < m) { ea(p) = idxOf(e(p)._1); eb(p) = idxOf(e(p)._2); p += 1 }
+    val n = vals.length
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Int](n)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var i = 0
+    while (i < m) {
+      val ra = find(ea(i)); val rb = find(eb(i))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+      i += 1
+    }
+    val minOf = Array.fill(n)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val r = find(k)
+      if (vals(k) < minOf(r)) minOf(r) = vals(k)
+      k += 1
+    }
+    lastClusterStats = Some(ClusterStats(0, Seq.empty)) // 0 = driver path
+    val order = Array.range(0, n)
+    val sorted = order.sortBy(vals(_))
+    sorted.toSeq.map(ix => (vals(ix), minOf(find(ix))))
+      .toDF("doc_id", "cluster_id")
+  }
+
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 25, checkpointDir: Option[String] = None,
                driverMaxEdges: Long = DriverBudget.clusterEdges(1L << 20)): DataFrame = {
     val spark = pairs.sparkSession
     val ckBase = checkpointDir.orElse(spark.sparkContext.getCheckpointDir)
       .map(d => s"$d/graft_clusters_${java.util.UUID.randomUUID().toString.take(12)}")
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // persist the pair projection BEFORE mirroring: the union reads
+    // `pairs` twice, and unpersisted that re-executes the caller's
+    // whole pair pipeline (near-dup join, affinity projection, …) once
+    // per direction — the mirror must be a cache flip, not a re-run
+    val pp = OpCaches.persist(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val idsAreLong = pp.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    // FAST driver path: union-find components are direction- and
+    // multiplicity-invariant, so the UF can run on the RAW pair
+    // projection — no mirror, no distinct exchange, no second persist.
+    // One bounded head sizes the pair list; 2·|pairs| bounds the
+    // symmetrized-distinct edge count, so `2·|pairs| ≤ budget` is a
+    // conservative subset of the original edge-count criterion (a
+    // duplicate-heavy pair list past it still reaches the original
+    // edges-count check below and may walk from there).
+    if (driverMaxEdges > 0 && idsAreLong) {
+      val bound = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+      val probe = pp.head(bound + 1)
+      if (probe.length * 2L <= driverMaxEdges &&
+          probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return driverUnionFind(spark,
+          probe.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    val edges = pp
+      .union(pp.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idsAreLong = edges.schema.fields.forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
     if (driverMaxEdges > 0 && idsAreLong && edges.count() <= driverMaxEdges) {
       import spark.implicits._
       val e = edges.as[(Long, Long)].collect()
       edges.unpersist()
-      // Indexed-array union-find (the walkedPageRank discipline): ids
-      // interned once into dense ints, union by SIZE for balanced trees
-      // (union-by-min-value builds unbalanced chains: every union of a
-      // sorted-ish edge stream points the new root at the global min,
-      // and boxed HashMap lookups pay ~10× per find on top — measured
-      // minutes at the 10× rehearsal's ~600k-edge graphs), then one
-      // labelling pass takes each component's MIN id — bit-identical
-      // output to the old union-by-min form and the distributed
-      // fixpoint, O(E α(E)) with primitive arrays.
-      val m = e.length
-      val index = new scala.collection.mutable.LongMap[Int](m * 2)
-      val vals = new scala.collection.mutable.ArrayBuffer[Long]
-      def idxOf(a: Long): Int = index.getOrElse(a, {
-        val i = vals.length; index.update(a, i); vals += a; i
-      })
-      val ea = new Array[Int](m); val eb = new Array[Int](m)
-      var p = 0
-      while (p < m) { ea(p) = idxOf(e(p)._1); eb(p) = idxOf(e(p)._2); p += 1 }
-      val n = vals.length
-      val parent = Array.tabulate(n)(identity)
-      val rank = new Array[Int](n)
-      def find(x: Int): Int = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      var i = 0
-      while (i < m) {
-        val ra = find(ea(i)); val rb = find(eb(i))
-        if (ra != rb) {
-          if (rank(ra) < rank(rb)) parent(ra) = rb
-          else if (rank(rb) < rank(ra)) parent(rb) = ra
-          else { parent(rb) = ra; rank(ra) += 1 }
-        }
-        i += 1
-      }
-      val minOf = Array.fill(n)(Long.MaxValue)
-      var k = 0
-      while (k < n) {
-        val r = find(k)
-        if (vals(k) < minOf(r)) minOf(r) = vals(k)
-        k += 1
-      }
-      lastClusterStats = Some(ClusterStats(0, Seq.empty)) // 0 = driver path
-      val order = Array.range(0, n)
-      val sorted = order.sortBy(vals(_))
-      return sorted.toSeq.map(ix => (vals(ix), minOf(find(ix))))
-        .toDF("doc_id", "cluster_id")
+      return driverUnionFind(spark, e)
     }
     // eager materialisation, NOT persist: each round's plan embeds the
     // previous round's tree ~4× (neighbor join + self-join + convergence
@@ -591,12 +623,16 @@ object Dedup {
     val freq = OpCaches.persist(
       sh.select(col("id"), explode(col("sh")).as("s"))
         .groupBy("s").agg(count(lit(1)).as("df_s")))
-    // double arithmetic: Σ df² on a web-scale corpus overflows LONG
+    // double arithmetic: Σ df² on a web-scale corpus overflows LONG.
+    // Candidate volume and doc count in ONE action (single-row
+    // aggregates cross-joined): the chooser pre-pass pays one job,
+    // not two serial ones, and both caches materialise concurrently.
     val candRow = freq.agg(
       sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0).as("c"))
+      .crossJoin(sh.agg(count(lit(1)).as("n")))
       .first()
     val candidates = if (candRow.isNullAt(0)) 0.0 else candRow.getDouble(0)
-    val nDocs = math.max(1L, sh.count())
+    val nDocs = math.max(1L, candRow.getLong(1))
     val out = if (candidates <= candidateBudgetPerDoc.toDouble * nDocs) {
       freq.unpersist()
       ngramJaccardPairsOnShingles(sh, threshold, expectedCandidates = candidates)
@@ -750,14 +786,17 @@ object Dedup {
     */
   private def exceedsCandidateBudget(sh: DataFrame,
                                      candidateBudgetPerDoc: Long): Boolean = {
-    // double arithmetic: Σ df² on a web-scale corpus overflows LONG
+    // double arithmetic: Σ df² on a web-scale corpus overflows LONG.
+    // Candidate volume and doc count in ONE action (the d4 chooser's
+    // fused pre-pass): one job instead of two serial ones.
     val candRow = sh.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df_s"))
       .agg(sum(col("df_s").cast("double") * (col("df_s") - 1).cast("double") / 2.0)
         .as("c"))
+      .crossJoin(sh.agg(count(lit(1)).as("n")))
       .first()
     val candidates = if (candRow.isNullAt(0)) 0.0 else candRow.getDouble(0)
-    candidates > candidateBudgetPerDoc.toDouble * math.max(1L, sh.count())
+    candidates > candidateBudgetPerDoc.toDouble * math.max(1L, candRow.getLong(1))
   }
 
   /** Package-private chooser predicate — lets the scale probe assert
