@@ -108,9 +108,15 @@ object GraftQueries {
 
   /** O5: COUNT(*) per table (parquet: metadata-only count). */
   def o5RowCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val src = ParquetSource(s, dir)
-    src.tables.map(t => (t, src.rowCount(t))).toDF("table_name", "n_rows")
+    // all 9 column-less counts in ONE action (the o43/o34 union-of-
+    // aggregates pattern): a per-table .count() loop runs nine serial
+    // one-task jobs; unioned, the scheduler overlaps them — each
+    // subtree is still the metadata-speed column-less parquet count
+    src.tables
+      .map(t => src.read(t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows")))
+      .reduce(_ unionAll _)
   }
 
   /** O6: scan + explicit projection. */

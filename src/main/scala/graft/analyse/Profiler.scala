@@ -27,19 +27,25 @@ object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: no columns given")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"__nn_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c"))) :+ count(lit(1)).as("__n")
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
-      .mkString(", ")
-    row.selectExpr("__n",
-        s"stack(${cols.size}, $stackArgs) AS (column, __nn, n_distinct, min_v, max_v)")
-      .select(col("column"), col("__n").as("n_rows"),
-        (col("__n") - col("__nn")).as("n_nulls"),
-        col("n_distinct"), col("min_v"), col("max_v"))
+    // one aggregate subtree PER COLUMN, unioned into one action —
+    // never the single multi-countDistinct aggregate: with k distinct
+    // columns RewriteDistinctAggregates plans an Expand that replays
+    // every row k+1 times through the shuffle (wide payload columns
+    // ride each copy), where the per-column form shuffles each
+    // column's own (pruned) values exactly once and the scheduler
+    // overlaps the independent subtrees. Output rows, values and
+    // column order are identical.
+    cols.map { c =>
+      df.select(col(c)).agg(
+          count(lit(1)).as("__n"),
+          count(col(c)).as("__nn"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col("__nn")).as("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_ unionAll _)
   }
 
   /** DATA-MINIMISATION audit — the MINIMISER's "why are we even
