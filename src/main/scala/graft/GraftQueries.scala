@@ -607,14 +607,22 @@ object GraftQueries {
   /** O21: dry-run planner — the compiled per-table plan. */
   def o21DryRun(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ExportPipeline.plan(ParquetSource(s, dir), exportConfig)
+    val src = ParquetSource(s, dir)
+    // the planner's row counts in ONE action (the o5 pattern) instead
+    // of one serial count job per table through meta.rowCount()
+    val counts = src.tables
+      .map(t => src.read(t).agg(count(lit(1)).as("n"))
+        .select(lit(t).as("t"), col("n")))
+      .reduce(_ unionAll _).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ExportPipeline.plan(src, exportConfig)
       .zipWithIndex.map { case (p, i) =>
         val action = p.action match {
           case a if a.startsWith("RETAIN-DATE")  => "RETAIN-DATE"
           case a if a.startsWith("RETAIN-COUNT") => "RETAIN-COUNT"
           case a                                 => a
         }
-        ((i + 1).toLong, p.meta.name, p.meta.rowCount, action,
+        ((i + 1).toLong, p.meta.name, counts(p.meta.name), action,
           p.anonymisedColumns.size.toLong)
       }
       .toDF("position", "table_name", "n_rows", "action", "n_anon_columns")

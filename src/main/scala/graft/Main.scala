@@ -132,7 +132,7 @@ object Main {
         for (p <- ExportPipeline.plan(source, cfg)) {
           val anon = if (p.anonymisedColumns.nonEmpty)
             s" anonymised=[${p.anonymisedColumns.mkString(",")}]" else ""
-          println(f"${p.meta.name}%-12s ${p.meta.rowCount}%8d rows  ${p.action}$anon")
+          println(f"${p.meta.name}%-12s ${p.meta.rowCount()}%8d rows  ${p.action}$anon")
         }
       } else {
         if (flags.out.isEmpty) { System.err.println("missing -o <out.sql>"); sys.exit(2) }

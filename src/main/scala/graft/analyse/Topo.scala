@@ -25,7 +25,10 @@ final case class TableMeta(
     name: String,
     createStmt: String,
     columns: Seq[ColumnInfo],
-    rowCount: Long)
+    // call-by-need: the count is a per-table Spark job, and most
+    // consumers (the dump writer, the topo sort) never read it — only
+    // the dry-run surfaces (o21, the CLI) pay for it, when they render
+    rowCount: () => Long)
 
 object Topo {
 

@@ -48,7 +48,7 @@ trait Source {
   }
 
   def tableMeta(table: String): TableMeta =
-    TableMeta(table, schemaDDL(table), columns(table), rowCount(table))
+    TableMeta(table, schemaDDL(table), columns(table), () => rowCount(table))
 }
 
 object Source {

@@ -29,7 +29,7 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
       val dw = new DumpWriter(w, dialect, batchSize = batchSize,
         timestamp = () => "1970-01-01T00:00:00Z")
       dw.writeHeader()
-      val meta = TableMeta(table, Source.ddlFor(table, df.schema), Seq.empty, 0L)
+      val meta = TableMeta(table, Source.ddlFor(table, df.schema), Seq.empty, () => 0L)
       dw.exportTable(meta, Some(df))
       dw.writeFooter()
     } finally w.close()
@@ -163,8 +163,8 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSuite {
       val dw = new DumpWriter(w, PostgresDialect, batchSize = 2,
         timestamp = () => "1970-01-01T00:00:00Z")
       dw.writeHeader()
-      dw.exportTable(TableMeta("ta", Source.ddlFor("ta", a.schema), Seq.empty, 0L), Some(a))
-      dw.exportTable(TableMeta("tb", Source.ddlFor("tb", b.schema), Seq.empty, 0L), Some(b))
+      dw.exportTable(TableMeta("ta", Source.ddlFor("ta", a.schema), Seq.empty, () => 0L), Some(a))
+      dw.exportTable(TableMeta("tb", Source.ddlFor("tb", b.schema), Seq.empty, () => 0L), Some(b))
       dw.writeFooter()
     } finally w.close()
     assert(rowSet(readBack(f.getPath, "ta")) == rowSet(a))
