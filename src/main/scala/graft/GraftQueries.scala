@@ -23,7 +23,8 @@ import graft.streaming.EventsStream
 object GraftQueries {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    ParquetSource.normalizeNanoTimestamps(s.read.parquet(s"$dir/$name.parquet"))
+    ParquetSource.normalizeNanoTimestamps(
+      ParquetSource.readParquet(s, s"$dir/$name.parquet"))
 
   /** Build-once cache for queries with side-effectful fixtures (s8's
     * persisted index, st7/st8's keyed tables): `build` runs the first

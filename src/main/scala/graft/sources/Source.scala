@@ -108,7 +108,8 @@ final case class ParquetSource(
 
   override def read(table: String): DataFrame =
     cache.getOrElseUpdate(table,
-      ParquetSource.normalizeNanoTimestamps(spark.read.parquet(s"$dir/$table.parquet")))
+      ParquetSource.normalizeNanoTimestamps(
+        ParquetSource.readParquet(spark, s"$dir/$table.parquet")))
 
   override def schemaDDL(table: String): String =
     Source.ddlFor(table, read(table).schema)
@@ -122,6 +123,57 @@ final case class ParquetSource(
 }
 
 object ParquetSource {
+
+  /** Process-global parquet SCHEMA memo — metadata only, never data or
+    * results: every `spark.read.parquet(path)` construction launches a
+    * footer-inference job (~65 ms measured, `SchemaCostProbe`: 50
+    * inferred reads 3.7 s vs 0.33 s with an explicit schema), and a
+    * catalog run constructs hundreds of scans over the same few
+    * fixture files. The memo stores the INFERRED schema (field
+    * metadata like `isNanoTs` included, so downstream normalisation is
+    * byte-identical) keyed on the file set's (canonical path, file
+    * count, total bytes, max mtime) signature — any rewrite of the
+    * data invalidates the entry and re-infers. This is what a real
+    * deployment gets from its table catalog (metastore/Iceberg): the
+    * schema without a per-query footer job.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  private def signature(path: String): (String, Long, Long, Long) = {
+    val root = java.nio.file.Paths.get(path)
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).forEach { p =>
+        n += 1; bytes += java.nio.file.Files.size(p)
+        val m = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        if (m > mtime) mtime = m
+      } finally s.close()
+    }
+    (root.toAbsolutePath.normalize.toString, n, bytes, mtime)
+  }
+
+  /** Parquet read with the schema served from [[schemaMemo]] when the
+    * file set is unchanged; plain inferred read (memoising) otherwise.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    if (schemaMemo.size > 1024) schemaMemo.clear() // stale-fixture bound
+    // inference output depends on session flags (TIMESTAMP(NANOS) →
+    // long only under the legacy flag), so the flag is part of the key:
+    // sessions with different configs never share an entry
+    val nanoFlag = spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val sig = signature(path)
+    val key = (sig._1, nanoFlag, sig._2, sig._3, sig._4)
+    val cached = schemaMemo.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(key, df.schema)
+      df
+    }
+  }
 
   /** Normalise fixture timestamp columns to Spark's TimestampType,
     * whatever physical shape the parquet writer chose:
