@@ -3337,11 +3337,19 @@ object GraftQueries {
         .agg(count(lit(1)).as("shared")))
     val shared = half.unionAll(
       half.select(col("v").as("u"), col("u").as("v"), col("shared")))
-    val top = Window.partitionBy(col("u"))
-      .orderBy(col("shared").desc, col("v"))
+    // top-3 per u as a MERGEABLE aggregate, not a row_number window:
+    // the window form sorts the whole mirrored relation per partition;
+    // the aggregate form hash-groups and sorts only each group's own
+    // candidate list. (shared desc, v asc) ≡ ascending struct
+    // (-shared, v), and shared ≥ 1 so the negation cannot overflow.
+    // Probe-verified identical edges (GTopKProbe), measured faster at
+    // every warmth level.
     shared
-      .withColumn("rn", row_number().over(top)).filter(col("rn") <= 3)
-      .select(col("u").as("src"), col("v").as("dst"))
+      .groupBy(col("u"))
+      .agg(slice(sort_array(collect_list(struct((-col("shared")).as("ns"),
+        col("v")))), 1, 3).as("top"))
+      .select(col("u").as("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.v").as("dst"))
   }
 
   def g2Triangles(s: SparkSession, dir: String): DataFrame =
