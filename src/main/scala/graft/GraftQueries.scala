@@ -3337,19 +3337,24 @@ object GraftQueries {
         .agg(count(lit(1)).as("shared")))
     val shared = half.unionAll(
       half.select(col("v").as("u"), col("u").as("v"), col("shared")))
-    // top-3 per u as a MERGEABLE aggregate, not a row_number window:
-    // the window form sorts the whole mirrored relation per partition;
-    // the aggregate form hash-groups and sorts only each group's own
-    // candidate list. (shared desc, v asc) ≡ ascending struct
-    // (-shared, v), and shared ≥ 1 so the negation cannot overflow.
-    // Probe-verified identical edges (GTopKProbe), measured faster at
-    // every warmth level.
+    // top-3 per u as a BOUNDED mergeable aggregate (TopKByWeightAgg):
+    // the r12 collect_list + sort_array + slice form accumulated EVERY
+    // candidate co-supplier per u in one aggregation buffer before the
+    // slice — on a skewed 100 TB graph a hub node's whole adjacency
+    // sits in a single ObjectHashAggregate entry (which does not spill
+    // per-group) and every candidate crosses the exchange. The bounded
+    // aggregator's partial keeps ≤3 entries per (u, map task), so the
+    // plan shows partial_topkbyweightagg BEFORE the exchange and the
+    // shuffle carries ≤3 (weight,id) pairs per node per task instead
+    // of the full mirrored pair relation; reduce-side merge state is
+    // ≤3 entries per node. Rank order (shared desc, v asc) is the same
+    // total order; probe-verified identical edges (GTopK2Probe),
+    // time-neutral at sf0.1 (the win is state/shuffle bounds at scale).
+    val top3 = graft.functions.TopKByWeightAgg(3)
     shared
       .groupBy(col("u"))
-      .agg(slice(sort_array(collect_list(struct((-col("shared")).as("ns"),
-        col("v")))), 1, 3).as("top"))
-      .select(col("u").as("src"), explode(col("top")).as("t"))
-      .select(col("src"), col("t.v").as("dst"))
+      .agg(top3(col("shared"), col("v")).as("top"))
+      .select(col("u").as("src"), explode(col("top")).as("dst"))
   }
 
   def g2Triangles(s: SparkSession, dir: String): DataFrame =

@@ -190,4 +190,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(sqlClean == dfClean)
     assert(sqlClean == Seq("Hi there world", "a a", ""))
   }
+
+  test("TopKByWeightAgg equals sort-then-slice semantics across partitionings") {
+    import spark.implicits._
+    // group sizes 0..8 (below, at, and above k=3), weights with ties so
+    // the id tiebreak is exercised, ids unique per group
+    val rows = for {
+      g <- 0L until 37L
+      i <- 0L until (g % 9)
+    } yield (g, graft.anonymise.Faker.mix64(g * 131 + i) & 0x1fL, i)
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (-r._2, r._3)).toSeq.sorted.take(3).map(_._2)
+    }
+    val top3 = graft.functions.TopKByWeightAgg(3)
+    // 1 partition (reduce only), many partitions (merge paths), and a
+    // pre-shuffle repartition (every partial holds a slice of each group)
+    for (nPart <- Seq(1, 4, 16)) {
+      val df = rows.toDF("g", "w", "id").repartition(nPart)
+      val got = df.groupBy(col("g")).agg(top3(col("w"), col("id")).as("top"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got.keySet == expected.keySet)
+      for ((g, want) <- expected)
+        assert(got(g) == want, s"group $g at $nPart partitions")
+    }
+  }
 }
