@@ -1088,6 +1088,32 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(viaDriver == viaFixpoint)
   }
 
+  test("dup clusters: budget fall-throughs label identically on every path") {
+    import spark.implicits._
+    // duplicate-heavy list: the raw-pair gate (2·|pairs| > budget) fails
+    // but the symmetrized-distinct edge count fits — the second check
+    // must still take the driver walk
+    val dupHeavy = Seq.fill(20)((1L, 2L)).toDF("id_a", "id_b")
+    val viaDedupCheck = Dedup.clusters(dupHeavy, driverMaxEdges = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastClusterStats.get.rounds == 0,
+      "distinct edges fit the budget — must still walk on the driver")
+    assert(viaDedupCheck == Map(1L -> 1L, 2L -> 1L))
+    // genuinely oversized budget: both gates fail, distributed fixpoint
+    // runs, labels identical to the driver walk
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 120).map { _ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOversized = Dedup.clusters(pairs, driverMaxEdges = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastClusterStats.get.rounds > 0,
+      "an oversized graph must fall through to the distributed fixpoint")
+    assert(viaOversized == viaDriver)
+  }
+
   test("winnowing near-dups: copies score 1.0, edits stay high, disjoint docs absent") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
