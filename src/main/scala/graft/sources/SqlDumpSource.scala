@@ -611,23 +611,66 @@ private[sources] final case class SqlDumpReaderFactory(
 
 /** Byte-offset-tracking line reader (UTF-8; LF terminators — the
   * writer emits `\n` only).
+  *
+  * Block-scanning: reads the stream in 256 KB chunks and finds each
+  * `\n` with a tight array loop, decoding one String per line straight
+  * from the chunk. The original implementation pulled ONE BYTE PER
+  * CALL through BufferedInputStream.read() (a virtual call + bounds
+  * check + ByteArrayOutputStream.write per byte) — measured ~2.4× the
+  * scan cost of the dump reader's whole tokenize+decode pipeline. A
+  * line that straddles a chunk boundary spills into a growable side
+  * buffer (rare: lines are tuple-sized, chunks are 256 KB).
   */
 private[sources] final class OffsetLineReader(in: java.io.InputStream) {
-  private val buf = new java.io.BufferedInputStream(in, 64 * 1024)
-  private val bytes = new java.io.ByteArrayOutputStream(256)
+  private val chunk = new Array[Byte](256 * 1024)
+  private var len = 0 // valid bytes in chunk
+  private var pos = 0 // next unread byte
+  private var eof = false
   var consumed: Long = 0L
 
-  /** Next line without its terminator; null at EOF. */
-  def readLine(): String = {
-    bytes.reset()
-    var c = buf.read()
-    if (c == -1) return null
-    while (c != -1 && c != '\n') { bytes.write(c); consumed += 1; c = buf.read() }
-    if (c == '\n') consumed += 1
-    new String(bytes.toByteArray, UTF_8)
+  private def refill(): Unit = {
+    len = in.read(chunk)
+    pos = 0
+    if (len < 0) { eof = true; len = 0 }
   }
 
-  def close(): Unit = buf.close()
+  /** Next line without its terminator; null at EOF. A final line with
+    * no terminator is returned once (its bytes count toward `consumed`,
+    * its missing `\n` does not), exactly like the byte-at-a-time form.
+    */
+  def readLine(): String = {
+    var spill: java.io.ByteArrayOutputStream = null
+    while (true) {
+      if (pos >= len) {
+        if (!eof) refill()
+        if (eof) {
+          return if (spill == null) null
+                 else new String(spill.toByteArray, UTF_8)
+        }
+      }
+      var j = pos
+      while (j < len && chunk(j) != '\n') j += 1
+      if (j < len) { // terminator inside this chunk
+        val s =
+          if (spill == null) new String(chunk, pos, j - pos, UTF_8)
+          else {
+            spill.write(chunk, pos, j - pos)
+            new String(spill.toByteArray, UTF_8)
+          }
+        consumed += (j - pos + 1)
+        pos = j + 1
+        return s
+      }
+      // line continues past the chunk: spill and refill
+      if (spill == null) spill = new java.io.ByteArrayOutputStream(512)
+      spill.write(chunk, pos, len - pos)
+      consumed += (len - pos)
+      pos = len
+    }
+    null // unreachable
+  }
+
+  def close(): Unit = in.close()
 }
 
 private[sources] final class SqlDumpPartitionReader(
