@@ -44,21 +44,39 @@ object ExportPipeline {
     }
   }
 
-  /** Step 6: execute the plan into a dump writer. */
+  /** Step 6: execute the plan into a dump writer. Every table's
+    * scan/retain/anonymise/render chain is declared up front and drained
+    * through ONE cross-table prefetcher, so the next partition's
+    * distributed compute always overlaps the driver's sequential write
+    * of the current one — including across table boundaries (the
+    * per-table drain otherwise idles the cluster while the driver
+    * writes a table's tail, guide §2.6).
+    */
   def run(source: Source, cfg: GraftConfig, dialect: Dialect, out: Writer,
           batchSize: Int = DumpWriter.DefaultBatchSize,
           strategy: Anonymiser.Consistency = Anonymiser.SeededDeterministic,
           timestamp: () => String = () => java.time.OffsetDateTime.now.toString): DumpStats = {
     val writer = new DumpWriter(out, dialect, batchSize, timestamp)
     writer.writeHeader()
-    for (p <- plan(source, cfg)) {
+    val planned = plan(source, cfg).map { p =>
       val data: Option[DataFrame] =
         if (p.config.exists(_.truncate)) None
         else {
           val retained = source.scan(p.meta.name, p.config.map(_.retain).getOrElse(RetainAll))
           Some(p.config.map(tc => Anonymiser(retained, tc, strategy)).getOrElse(retained))
         }
-      writer.exportTable(p.meta, data)
+      (p, data)
+    }
+    val rendered = planned.collect {
+      case (_, Some(df)) => DumpWriter.renderTuples(df, dialect).rdd
+    }
+    val fetcher = new TuplePrefetcher(rendered)
+    var t = 0
+    for ((p, data) <- planned) data match {
+      case None => writer.exportTable(p.meta, None)
+      case Some(df) =>
+        writer.exportTableParts(p.meta, df.schema.fieldNames.toSeq, fetcher.parts(t))
+        t += 1
     }
     writer.writeFooter()
     writer.stats
