@@ -31,6 +31,16 @@ object Plans {
     .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "_UUID_")
     .replaceAll("/tmp/graft_[A-Za-z0-9_./=\\-]*", "/tmp/graft_NORM")
     .replaceAll("/tmp/[A-Za-z0-9_]*graft[A-Za-z0-9_./=\\-]*", "/tmp/graft_NORM")
+    // FileScan's Location metadata value is TRUNCATED to a fixed char
+    // budget, so the surviving prefix of a /tmp-keyed path list depends
+    // on the LENGTH of the pid/mtime digits in the paths before it —
+    // the path-token rules above can't normalize a path the truncation
+    // cut mid-token ("file:/tmp/graf..."). Collapse the whole bracketed
+    // location list when it points under /tmp (the per-process fixture
+    // caches); fixture-table locations are stable absolute paths and
+    // stay in the digest.
+    .replaceAll("(Location: [A-Za-z]*FileIndex\\([^)]*\\))\\[[^\\n]*?/tmp/[^\\n]*?(?=, PartitionFilters)",
+      "$1[/tmp/LOCATION_NORM]")
     .replaceAll("p\\d+_+[A-Za-z0-9_.]*sf[0-9.]+[A-Za-z0-9_.]*", "pNORM")
     .replaceAll("_m\\d{10,}", "_mNORM")              // fixture-mtime cache keys
     .replaceAll("seed=-?\\d+", "seed=_")
