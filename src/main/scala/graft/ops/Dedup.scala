@@ -330,26 +330,18 @@ object Dedup {
     // FAST driver path: union-find components are direction- and
     // multiplicity-invariant, so the UF can run on the RAW pair
     // projection — no mirror, no distinct exchange, no second persist.
-    // COUNT first, collect only if it fits: the earlier head(budget+1)
-    // probe shipped budget+1 rows to the driver even when the graph was
-    // oversized and the rows were then thrown away — a wasted pass over
-    // the pair pipeline's first partitions on every big input. The
-    // count is a plain aggregate (no driver row transfer) that
-    // materialises the persisted projection the fall-through path needs
-    // anyway, so the oversized case now pays zero extra driver bytes.
-    // 2·|pairs| bounds the symmetrized-distinct edge count, so
-    // `2·|pairs| ≤ budget` is a conservative subset of the original
-    // edge-count criterion (a duplicate-heavy pair list past it still
-    // reaches the original edges-count check below and may walk from
-    // there).
+    // One bounded head sizes the pair list; 2·|pairs| bounds the
+    // symmetrized-distinct edge count, so `2·|pairs| ≤ budget` is a
+    // conservative subset of the original edge-count criterion (a
+    // duplicate-heavy pair list past it still reaches the original
+    // edges-count check below and may walk from there).
     if (driverMaxEdges > 0 && idsAreLong) {
-      val cnt = pp.count()
-      if (cnt * 2 <= driverMaxEdges && cnt <= Int.MaxValue - 2L) {
-        val probe = pp.collect()
-        if (probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
-          return driverUnionFind(spark,
-            probe.map(r => (r.getLong(0), r.getLong(1))))
-      }
+      val bound = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+      val probe = pp.head(bound + 1)
+      if (probe.length * 2L <= driverMaxEdges &&
+          probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return driverUnionFind(spark,
+          probe.map(r => (r.getLong(0), r.getLong(1))))
     }
     val edges = pp
       .union(pp.select(col("dst").as("src"), col("src").as("dst")))
